@@ -1,0 +1,161 @@
+"""Text-analysis kernels for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen-friendly): tokenizing,
+token counting, shingling, quality scoring, n-gram language ID, and
+rolling-hash document fingerprints. Designed so the same computation is
+expressible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and dependency-free.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that",
+]
+
+
+def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
+    """Whitespace tokenization -> array<string>; empty/null -> empty
+    array (not [''])."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(F.coalesce(c, F.lit("")))
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, pattern)
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count as long."""
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Approximate subword token count: word-chunks plus digit runs and
+    punctuation each count separately (a BPE-ish regex heuristic).
+    regexp_count is JVM-side; ~chars/4 fallback intuition not used."""
+    c = F.col(text) if isinstance(text, str) else text
+    s = F.coalesce(c, F.lit(""))
+    return F.regexp_count(s, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")).cast("long")
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """Distinct character k-shingles of the lowercased text as
+    array<string>. Built with sequence+transform (higher-order
+    functions, no explode needed at the caller)."""
+    c = F.col(text) if isinstance(text, str) else text
+    s = F.lower(F.coalesce(c, F.lit("")))
+    n = F.length(s)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.substring(s, i, F.lit(k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of the lowercased text."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    m = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            m >= n,
+            F.transform(
+                F.sequence(F.lit(1), m - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English) stopwords; 0.0 for empty."""
+    sw = stopwords or EN_STOPWORDS
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation characters / total characters; 0.0 for empty."""
+    c = F.col(text) if isinstance(text, str) else text
+    s = F.coalesce(c, F.lit(""))
+    n = F.length(s)
+    punct = F.regexp_count(s, F.lit(r"[^\w\s]"))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality heuristic in [0,1]: rewards moderate
+    length and penalizes extreme punctuation/stopword ratios. Weights
+    are arbitrary but fixed; used for corpus filtering at scale."""
+    n = token_count(text).cast("double")
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_term = F.lit(1.0) - F.abs(sw - F.lit(0.4))
+    p_term = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
+    return F.round(
+        F.greatest(
+            F.least(
+                length_term * 0.4 + sw_term * 0.3 + p_term * 0.3, F.lit(1.0)
+            ),
+            F.lit(0.0),
+        ),
+        6,
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """Marker-word language ID: count hits from each language's marker
+    list over the lowercased token set; highest count wins, ties break
+    by language order; no hits -> 'und'."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+
+    def is_marker(markers: list[str]):
+        # one-arg lambda: a second parameter would be bound to the
+        # array index by Spark's higher-order-function protocol
+        return lambda t: t.isin(markers)
+
+    # Iterate in reverse so earlier languages win ties (strict > when
+    # walking backwards leaves the earliest max standing).
+    for lang, markers in reversed(list(LANG_MARKERS.items())):
+        hits = F.size(F.filter(toks, is_marker(markers)))
+        is_better = hits > best_hits
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic 64-bit-ish document fingerprint: polynomial rolling
+    hash over the text bytes, computed with aggregate() so it stays
+    JVM-side. Same recurrence is expressible in ANSI SQL:
+    h = (h*31 + ascii(char)) mod 2^31-1.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    s = F.coalesce(c, F.lit(""))
+    chars = F.split(s, "")
+    mod = F.lit(2147483647)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % mod,
+    )

@@ -1,0 +1,270 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, cheapest to fuzziest, each as DataFrame -> DataFrame:
+
+  exact_dedup        hash-groupBy on content, keep min-key row
+  minhash_lsh_pairs  shingle -> minhash signature -> band buckets ->
+                     candidate pairs -> exact Jaccard verification
+  simhash_pairs      per-token portable hash -> bit-vote simhash ->
+                     hamming-distance pairs
+  ngram_jaccard_pairs word n-gram candidate generation + exact Jaccard
+  embedding_near_dups cosine-similarity pairs over embedding vectors
+
+Scale notes (100 TB design point): every strategy generates candidates
+with an EQUI-join (band bucket / shared n-gram / LSH bucket), never an
+all-pairs cross join; all hashes are computed with JVM-side expressions
+(md5 / polynomial rolling hash) so signatures parallelize map-side, and
+verification runs only on the candidate set. Hash functions are chosen
+to be expressible in ANSI SQL so every operator has a DuckDB oracle
+(md5 hex strings compared lexicographically; integer rolling hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+HASH_MOD = 2147483647  # 2^31 - 1, fits every SQL engine's int64
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per distinct content, keeping the row with
+    the smallest key (deterministic, unlike dropDuplicates). One
+    shuffle on the content hash; at scale group on sha2 rather than the
+    full text to keep shuffle rows narrow."""
+    h = F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256)
+    keep = (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(F.min(key_col).alias(key_col))
+        .drop("__h")
+    )
+    return df.join(keep, key_col, "left_semi")
+
+
+def _poly_hash(col: Column, seed: int) -> Column:
+    """Portable polynomial rolling hash of a string, seeded:
+    h = fold(chars, seed, (acc, c) -> (acc*31 + ascii(c)) % (2^31-1)).
+    Identical arithmetic is expressible in DuckDB via list_reduce, which
+    is what makes the minhash/simhash oracles exact."""
+    chars = F.split(F.coalesce(col, F.lit("")), "")
+    return F.aggregate(
+        chars,
+        F.lit(seed).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % HASH_MOD,
+    )
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 8, prefix: str = "mh"
+) -> list[Column]:
+    """MinHash signature as md5-hex minima: for seed i, the signature
+    component is min(md5(i || '|' || shingle)) compared as strings. A
+    per-seed md5 is an independent uniform permutation of the shingle
+    space; taking the lexicographic min is the classic minhash
+    estimator, and md5 hex strings order identically in Spark and
+    DuckDB."""
+    def seeded(seed: int):
+        # NB: must be a ONE-arg lambda — Spark treats two-arg lambdas
+        # as (element, index) and would bind the index to the second
+        # parameter, clobbering a captured default.
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+
+    return [
+        F.array_min(F.transform(shingles, seeded(i))).alias(f"{prefix}{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Plan shape: map-side signature (no explode of shingles), explode
+    only the `bands` band keys per doc, equi-join on band bucket for
+    candidates, then verify exact shingle-set Jaccard >= threshold.
+    Returns (key_a, key_b, jaccard) with key_a < key_b.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(key_col).alias("k"),
+        X.char_shingles(content_col, shingle_k).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sig = sh.select("k", "sh", *minhash_signature(F.col("sh"), num_hashes))
+    band_cols = [
+        F.concat_ws(
+            "#",
+            F.lit(str(b)),
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("k", "sh", F.explode(F.array(*band_cols)).alias("bucket"))
+    left = banded.select(
+        F.col("k").alias("key_a"), F.col("sh").alias("sh_a"), "bucket"
+    )
+    right = banded.select(
+        F.col("k").alias("key_b"), F.col("sh").alias("sh_b"), "bucket"
+    )
+    candidates = (
+        left.join(right, "bucket")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "sh_a", "sh_b")
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        candidates.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("key_a", "key_b", "jaccard")
+    )
+
+
+def simhash(text_col: Column | str, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens with the portable polynomial
+    hash: bit b of the result is 1 iff more tokens have bit b set in
+    their hash than not. Returns a long."""
+    toks = F.array_distinct(
+        F.transform(X.tokens(text_col), lambda t: F.lower(t))
+    )
+    hashes = F.transform(toks, lambda t: _poly_hash(t, 7))
+    n = F.size(hashes)
+
+    def bit_set(bit: int):
+        return lambda h: F.shiftright(h, bit).bitwiseAND(1) == 1
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        ones = F.size(F.filter(hashes, bit_set(b)))
+        out = out + F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance <= max_hamming.
+
+    Candidate generation: split the simhash into `bits/band_bits` bit
+    bands; by pigeonhole any pair within hamming distance < #bands
+    shares at least one identical band -> equi-join on (band index,
+    band value), never a cross join. Returns (key_a, key_b, hamming).
+    """
+    num_bands = bits // band_bits
+    sh = df.select(
+        F.col(key_col).alias("k"), simhash(content_col, bits).alias("sim")
+    )
+    band_cols = [
+        F.concat_ws(
+            "#",
+            F.lit(str(b)),
+            (F.shiftright(F.col("sim"), b * band_bits) % (1 << band_bits)).cast(
+                "string"
+            ),
+        ).alias(f"band{b}")
+        for b in range(num_bands)
+    ]
+    banded = sh.select("k", "sim", F.explode(F.array(*band_cols)).alias("bucket"))
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), "bucket")
+        .where(F.col("a.k") < F.col("b.k"))
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    jaccard_threshold: float = 0.4,
+    min_df_prune: int = 50,
+) -> DataFrame:
+    """Near-dup pairs by word n-gram Jaccard.
+
+    Candidates share at least one n-gram (equi-join on the n-gram).
+    n-grams appearing in more than `min_df_prune` docs are pruned from
+    candidate generation (stop-gram skew guard — the classic salt
+    against hot keys at scale); verification uses the FULL n-gram sets
+    so pruning never changes a pair's score, only which pairs are
+    discovered — pairs sharing only ultra-common n-grams score low and
+    sit below any useful threshold anyway.
+    """
+    grams = df.select(
+        F.col(key_col).alias("k"), X.word_ngrams(content_col, n).alias("g")
+    ).where(F.size("g") > 0)
+    exploded = grams.select("k", F.explode("g").alias("gram"))
+    rare = exploded.groupBy("gram").count().where(F.col("count") <= min_df_prune)
+    cand_grams = exploded.join(rare.select("gram"), "gram")
+    pairs = (
+        cand_grams.alias("a")
+        .join(cand_grams.alias("b"), "gram")
+        .where(F.col("a.k") < F.col("b.k"))
+        .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+        .distinct()
+    )
+    ga = grams.select(F.col("k").alias("key_a"), F.col("g").alias("g_a"))
+    gb = grams.select(F.col("k").alias("key_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
+    return (
+        pairs.join(ga, "key_a")
+        .join(gb, "key_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("key_a", "key_b", "jaccard")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (key_a, key_b, cosine)
+    with cosine >= threshold.
+
+    Without block_col this is an all-pairs scan (fine when one side
+    broadcasts); at scale pass block_col (e.g. an LSH bucket from
+    similarity.random_hyperplane_bucket) to turn it into an equi-join.
+    """
+    from ..functions import vectors as V
+
+    a = df.select(F.col(key_col).alias("key_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(key_col).alias("key_b"), F.col(vec_col).alias("v_b"))
+    if block_col:
+        a = a.join(df.select(F.col(key_col).alias("key_a"), F.col(block_col)), "key_a")
+        b = b.join(df.select(F.col(key_col).alias("key_b"), F.col(block_col)), "key_b")
+        joined = a.join(b, block_col)
+    else:
+        joined = a.crossJoin(b)
+    return (
+        joined.where(F.col("key_a") < F.col("key_b"))
+        .withColumn("cosine", F.round(V.cosine("v_a", "v_b"), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("key_a", "key_b", "cosine")
+    )

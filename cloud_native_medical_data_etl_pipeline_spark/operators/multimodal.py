@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed via Arrow-batched mapInPandas.
+
+The decode step itself is STUBBED (codec libraries are not available in
+this environment): `decode_features(..., fake=True)` produces
+deterministic pseudo-features derived from the payload bytes so the
+Spark-side contract — schema, batching, partitioning — is real and
+tested; `fake=False` raises NotImplementedError where a real
+decoder (PIL / torchaudio / pyav) would be called.
+
+At scale the pattern is: keep payloads in their own parquet column
+(Parquet stores binary contiguously; column pruning means metadata-only
+queries never read the bytes), repartition by size before decode so
+Arrow batches stay bounded, and run decode as mapInPandas so each
+Python worker sees columnar batches, not rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("byte_mean", T.DoubleType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Build a media table from the documents table: the utf-8 bytes of
+    the text act as the opaque payload (a deterministic stand-in for
+    image bytes), with typed metadata alongside."""
+    payload = F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8")
+    return df.select(
+        F.col(key_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_features(df: DataFrame, dim: int = 8, fake: bool = True) -> DataFrame:
+    """Decode payloads to fixed-size feature vectors via mapInPandas.
+
+    fake=True: deterministic pseudo-features (byte statistics folded
+    into `dim` buckets) — exercises the full Arrow batch path.
+    fake=False: raises NotImplementedError (real codec not bundled).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real media decoding requires codec libraries not present in "
+            "this environment; use fake=True for the deterministic stub"
+        )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n = len(b)
+                buckets = [0.0] * dim
+                for i, byte in enumerate(b):
+                    buckets[i % dim] += byte
+                feat = [x / n if n else 0.0 for x in buckets]
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "n_bytes": n,
+                        "byte_mean": (sum(b) / n) if n else 0.0,
+                        "feature": feat,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    return df.select("media_id", "payload").mapInPandas(_decode, FEATURES_SCHEMA)

@@ -1,0 +1,196 @@
+"""Data-quality suite: the reference's six checks (data_quality.py:27-90,
+100-296) recast as aggregation queries.
+
+Instead of six sequential pandas passes, we compute the completeness /
+data-type / value-range / record-count / date-consistency metrics in
+ONE aggregation pass over the data (a single conditional-count `agg`)
+plus one group-by pass for duplicate detection — two Spark jobs total
+regardless of table width, which is what survives a 100 TB scan.
+
+Returns the reference's results-dict shape:
+  {"date": ..., "overall_passed": bool,
+   "checks": [{"check": name, "passed": bool, "failures": [...]}, ...]}
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+REQUIRED_FDA = ["safetyreportid", "receivedate", "drug_name"]
+REQUIRED_CT = ["nct_id", "brief_title", "overall_status"]
+MAX_NULL_PCT = 10.0
+MIN_RECORDS_TOTAL = 10
+MIN_RECORDS_PER_SOURCE = 5
+
+_NUMERIC_COLS = ["severity_score", "adverse_event_count", "enrollment_count"]
+_DATE_COLS = ["receivedate", "processed_date", "start_date", "completion_date"]
+_NUMERIC_TYPES = (
+    T.IntegerType, T.LongType, T.DoubleType, T.FloatType, T.ShortType,
+    T.ByteType, T.DecimalType,
+)
+_DATETIME_TYPES = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def _cnt(cond) -> F.Column:
+    return F.sum(F.when(cond, 1).otherwise(0))
+
+
+def run_quality_checks(df: DataFrame, date: str | None = None) -> dict:
+    """Run all six checks; see module docstring for the plan shape."""
+    cols = set(df.columns)
+    has_source = "data_source" in cols
+    fda_rows = F.col("data_source") == "FDA_OpenFDA" if has_source else F.lit(True)
+    ct_rows = F.col("data_source") == "ClinicalTrials_gov" if has_source else F.lit(True)
+
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("total")]
+    if has_source:
+        aggs += [
+            _cnt(fda_rows).alias("n_fda"),
+            _cnt(ct_rows).alias("n_ct"),
+        ]
+        for c in REQUIRED_FDA:
+            if c in cols:
+                aggs.append(_cnt(fda_rows & F.col(c).isNull()).alias(f"nullfda_{c}"))
+        for c in REQUIRED_CT:
+            if c in cols:
+                aggs.append(_cnt(ct_rows & F.col(c).isNull()).alias(f"nullct_{c}"))
+    # value ranges (data_quality.py:168-202)
+    if "severity_score" in cols:
+        aggs.append(
+            _cnt((F.col("severity_score") < 0) | (F.col("severity_score") > 100)).alias(
+                "bad_severity"
+            )
+        )
+    if "patient_age" in cols:
+        aggs.append(
+            _cnt((F.col("patient_age") < 0) | (F.col("patient_age") > 120)).alias(
+                "bad_age"
+            )
+        )
+    if "enrollment_count" in cols:
+        aggs.append(_cnt(F.col("enrollment_count") < 0).alias("bad_enrollment"))
+    # date consistency (data_quality.py:262-296)
+    if "start_date" in cols and "completion_date" in cols:
+        aggs.append(
+            _cnt(
+                F.col("start_date").isNotNull()
+                & F.col("completion_date").isNotNull()
+                & (F.col("start_date") > F.col("completion_date"))
+            ).alias("bad_date_order")
+        )
+    for c in ("receivedate", "start_date", "completion_date"):
+        if c in cols:
+            aggs.append(
+                _cnt(F.col(c).cast("timestamp") > F.current_timestamp()).alias(
+                    f"future_{c}"
+                )
+            )
+
+    m = df.agg(*aggs).collect()[0].asDict()
+
+    checks: list[dict] = []
+
+    # 1. completeness (data_quality.py:100-140)
+    failures = []
+    if has_source:
+        for src, req, n_key, pfx, label in (
+            ("FDA_OpenFDA", REQUIRED_FDA, "n_fda", "nullfda", "FDA"),
+            ("ClinicalTrials_gov", REQUIRED_CT, "n_ct", "nullct", "CT"),
+        ):
+            n_src = m.get(n_key, 0) or 0
+            if n_src == 0:
+                continue
+            for c in req:
+                if c not in cols:
+                    failures.append(f"Missing required {label} column: {c}")
+                else:
+                    nulls = m.get(f"{pfx}_{c}", 0) or 0
+                    if nulls > 0:
+                        pct = nulls / n_src * 100
+                        if pct > MAX_NULL_PCT:
+                            failures.append(
+                                f"{label} column {c} has {pct:.1f}% missing values"
+                            )
+    checks.append({"check": "completeness", "passed": not failures, "failures": failures})
+
+    # 2. data types — schema inspection, no scan needed
+    # (data_quality.py:142-166; schemas are declared upstream so this
+    # is a static check here).
+    failures = []
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    for c in _NUMERIC_COLS:
+        if c in dtypes and not isinstance(dtypes[c], _NUMERIC_TYPES):
+            failures.append(f"Column {c} should be numeric")
+    for c in _DATE_COLS:
+        if c in dtypes and not isinstance(dtypes[c], _DATETIME_TYPES):
+            failures.append(f"Column {c} should be datetime")
+    checks.append({"check": "data_types", "passed": not failures, "failures": failures})
+
+    # 3. value ranges
+    failures = []
+    if m.get("bad_severity"):
+        failures.append(f"Found {m['bad_severity']} records with invalid severity_score")
+    if m.get("bad_age"):
+        failures.append(f"Found {m['bad_age']} records with invalid patient_age")
+    if m.get("bad_enrollment"):
+        failures.append(
+            f"Found {m['bad_enrollment']} records with negative enrollment_count"
+        )
+    checks.append({"check": "value_ranges", "passed": not failures, "failures": failures})
+
+    # 4. duplicates (data_quality.py:204-231): counts ALL rows in
+    # duplicated groups (pandas keep=False semantics).
+    failures = []
+    for key, rows_pred, label in (
+        ("safetyreportid", fda_rows, "FDA safety reports"),
+        ("nct_id", ct_rows, "clinical trial records"),
+    ):
+        if key in cols:
+            dup_rows = (
+                df.where(rows_pred)
+                .groupBy(key)
+                .count()
+                .where(F.col("count") > 1)
+                .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("n"))
+                .collect()[0]["n"]
+            )
+            if dup_rows:
+                failures.append(f"Found {dup_rows} duplicate {label}")
+    checks.append({"check": "duplicates", "passed": not failures, "failures": failures})
+
+    # 5. record count (data_quality.py:233-260)
+    failures = []
+    total = m["total"]
+    if total < MIN_RECORDS_TOTAL:
+        failures.append(
+            f"Record count ({total}) is below minimum threshold ({MIN_RECORDS_TOTAL})"
+        )
+    if has_source:
+        for n_key, src in (("n_fda", "FDA_OpenFDA"), ("n_ct", "ClinicalTrials_gov")):
+            n_src = m.get(n_key, 0) or 0
+            if 0 < n_src < MIN_RECORDS_PER_SOURCE:
+                failures.append(f"Data source {src} has only {n_src} records")
+    checks.append({"check": "record_count", "passed": not failures, "failures": failures})
+
+    # 6. date consistency
+    failures = []
+    if m.get("bad_date_order"):
+        failures.append(
+            f"Found {m['bad_date_order']} records where start_date > completion_date"
+        )
+    for c in ("receivedate", "start_date", "completion_date"):
+        if m.get(f"future_{c}"):
+            failures.append(f"Found {m[f'future_{c}']} records with future {c}")
+    checks.append(
+        {"check": "date_consistency", "passed": not failures, "failures": failures}
+    )
+
+    return {
+        "date": date or _dt.date.today().isoformat(),
+        "overall_passed": all(c["passed"] for c in checks),
+        "checks": checks,
+    }

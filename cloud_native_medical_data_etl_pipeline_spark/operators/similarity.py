@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+  cosine_topk              exact brute-force top-k — the correctness
+                           baseline; one pass over the table, JVM-side
+                           arithmetic, no shuffle until the final top-k
+                           (Spark's TakeOrdered is a per-partition heap
+                           + driver merge, so it scales linearly)
+  ivf_topk                 IVF-style approximate search: deterministic
+                           centroid sample, assign every vector to its
+                           nearest centroid (one map pass), search only
+                           the nprobe closest cells — the 100 TB path
+  random_hyperplane_bucket sign-LSH bucketing column for blocked
+                           near-dup / join workloads
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+    Deterministic tie-break on key. Returns (key, cosine) columns named
+    (<key_col>, cosine)."""
+    q = _lit_vec(query_vec)
+    scored = df.select(
+        F.col(key_col), F.round(V.cosine(F.col(vec_col), q), 6).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(key_col).asc()).limit(k)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    num_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k.
+
+    Centroids are the `num_cells` vectors with the smallest keys — a
+    deterministic (seedless) sample; real deployments would k-means
+    them, but cell assignment/probing mechanics are identical. The big
+    table gets ONE extra map pass to tag each row with its nearest cell
+    (centroids broadcast as literals); queries touch only `nprobe`
+    cells, i.e. ~nprobe/num_cells of the data. With the table written
+    partitioned by cell_id, partition pruning makes that literal.
+    """
+    centroids = [
+        (r[0], [float(x) for x in r[1]])
+        for r in df.select(key_col, vec_col)
+        .orderBy(F.col(key_col).asc())
+        .limit(num_cells)
+        .collect()
+    ]
+    assigned = assign_cells(df, [c[1] for c in centroids], vec_col)
+    probe_order = sorted(
+        range(len(centroids)),
+        key=lambda i: -_py_cosine(query_vec, centroids[i][1]),
+    )
+    probes = probe_order[:nprobe]
+    q = _lit_vec(query_vec)
+    return (
+        assigned.where(F.col("cell_id").isin(probes))
+        .select(
+            F.col(key_col), F.round(V.cosine(F.col(vec_col), q), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def assign_cells(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Tag each row with the id of its max-cosine centroid, entirely
+    with column expressions (centroids inlined as literals — they are
+    small by construction)."""
+    best_id = F.lit(0)
+    best_sim = V.cosine(F.col(vec_col), _lit_vec(centroids[0]))
+    for i, c in enumerate(centroids[1:], start=1):
+        sim = V.cosine(F.col(vec_col), _lit_vec(c))
+        better = sim > best_sim
+        best_id = F.when(better, F.lit(i)).otherwise(best_id)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return df.withColumn("cell_id", best_id)
+
+
+def random_hyperplane_bucket(
+    vec_col: Column | str, planes: list[list[float]]
+) -> Column:
+    """Sign-LSH bucket id: bit i = (v . plane_i) >= 0. With `planes`
+    fixed (derive them deterministically from any seed), equal buckets
+    group nearby vectors -> use as block_col for equi-join candidate
+    generation."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        bit = F.when(V.dot(c, _lit_vec(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def _py_cosine(a: list[float], b: list[float]) -> float:
+    num = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(y * y for y in b) ** 0.5
+    return num / (na * nb) if na and nb else 0.0

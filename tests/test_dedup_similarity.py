@@ -1,0 +1,146 @@
+"""Tests for dedup / similarity / text / multimodal operators on small
+deterministic corpora plus the driver's sf0.001 tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_native_medical_data_etl_pipeline_spark.functions import text as X
+from cloud_native_medical_data_etl_pipeline_spark.functions import vectors as V
+from cloud_native_medical_data_etl_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (5, "spark query engines shuffle data between executors for joins"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(_docs(spark))
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 2, 3, 5}  # 4 collapses into 1 (min key kept)
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = dedup.minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.5)
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    assert (1, 4) in got  # exact dup: jaccard 1.0
+    assert (1, 2) in got  # near dup
+    assert all(a < b for a, b in got)
+
+
+def test_simhash_pairs(spark):
+    pairs = dedup.simhash_pairs(_docs(spark), max_hamming=3)
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    assert (1, 4) in got
+    hams = {(r["key_a"], r["key_b"]): r["hamming"] for r in pairs.collect()}
+    assert hams[(1, 4)] == 0
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark), jaccard_threshold=0.4)
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    assert (1, 4) in got
+    assert (1, 2) in got
+    assert (3, 5) not in got
+
+
+def test_embedding_near_dups_and_topk(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    topk = similarity.cosine_topk(emb, q, k=5).collect()
+    assert topk[0]["vec_id"] == 0 and abs(topk[0]["cosine"] - 1.0) < 1e-6
+    assert len(topk) == 5
+    # scores non-increasing
+    sims = [r["cosine"] for r in topk]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_topk_overlaps_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(emb, q, k=10, num_cells=8, nprobe=4).collect()
+    ]
+    # approximate search must at least find the query itself and
+    # overlap the exact set substantially
+    assert 3 in approx
+    assert len(set(exact) & set(approx)) >= 5
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        X.token_count("text").alias("n"),
+        X.stopword_ratio("text").alias("sw"),
+        X.fingerprint("text").alias("fp"),
+        X.lang_id("text").alias("lang"),
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["n"] == 5
+    assert rows[2]["n"] == 0 and rows[3]["n"] == 0
+    assert rows[1]["sw"] == pytest.approx(3 / 5)  # the, and, the
+    assert rows[1]["lang"] == "en"
+    assert rows[2]["fp"] == 0
+    assert rows[1]["fp"] > 0
+
+
+def test_fingerprint_matches_python(spark):
+    # cross-check the portable rolling hash against a python impl
+    s = "hello world"
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % 2147483647
+    df = spark.createDataFrame([(s,)], "text string")
+    assert df.select(X.fingerprint("text").alias("fp")).collect()[0]["fp"] == h
+
+
+def test_shingles_and_ngrams(spark):
+    df = spark.createDataFrame([("abcdef",)], "text string")
+    sh = df.select(X.char_shingles("text", 5).alias("s")).collect()[0]["s"]
+    assert sorted(sh) == ["abcde", "bcdef"]
+    df2 = spark.createDataFrame([("a b c d",)], "text string")
+    ng = df2.select(X.word_ngrams("text", 3).alias("g")).collect()[0]["g"]
+    assert sorted(ng) == ["a b c", "b c d"]
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    media = multimodal.attach_payload(docs)
+    feats = multimodal.decode_features(media, dim=4)
+    rows = feats.collect()
+    assert len(rows) == 20
+    r0 = rows[0]
+    assert r0["n_bytes"] > 0
+    assert len(r0["feature"]) == 4
+    assert r0["byte_mean"] > 0
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_features(media, fake=False)
+
+
+def test_vector_kernels(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], "a array<double>, b array<double>"
+    )
+    out = df.select(
+        V.dot("a", "b").alias("d"), F.round(V.cosine("a", "b"), 6).alias("c")
+    ).collect()
+    assert out[0]["d"] == 0.0 and out[0]["c"] == 0.0
+    assert out[1]["d"] == 2.0 and abs(out[1]["c"] - 1.0) < 1e-9
