@@ -1,10 +1,21 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: queries() + oracle_sql() + entry().
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query exercises an operator class from SURVEY.md §2 (citation in
+each builder's docstring) or one of the training-data-pipeline
+operators (dedup / similarity / text analysis), implemented with the
+cloud_native_medical_data_etl_pipeline_spark package and mirrored by an
+ANSI-SQL oracle that DuckDB runs on the same parquet tables.
+
+Determinism rules used throughout (so value-hashes match):
+  * every computed column is aliased identically in Spark and SQL;
+  * double aggregates are rounded (sum->4dp after per-group rounding,
+    avg->6dp) — at sf<=0.1 the fp summation-order noise is orders of
+    magnitude below the rounding grain;
+  * DuckDB integer sums are CAST(... AS BIGINT) (they default to
+    HUGEINT, which would be a schema mismatch);
+  * embeddings are cast to DOUBLE[] on the DuckDB side (list_cosine_
+    similarity on FLOAT[] computes in float32 and diverges);
+  * ties in top-k / argmax are broken by key columns.
 """
 
 from __future__ import annotations
@@ -12,27 +23,756 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloud_native_medical_data_etl_pipeline_spark.functions import medical as M
+from cloud_native_medical_data_etl_pipeline_spark.functions import text as X
+from cloud_native_medical_data_etl_pipeline_spark.functions import vectors as V
+from cloud_native_medical_data_etl_pipeline_spark.operators import dedup as D
+from cloud_native_medical_data_etl_pipeline_spark.operators import enrich as E
+from cloud_native_medical_data_etl_pipeline_spark.operators import similarity as S
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects; read nanos as long and truncate to micros
+        # JVM-side (integer div — a double round-trip would lose
+        # precision above 2^53 ns). Matches DuckDB's own nanos->micros
+        # truncation.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# q01 — multi-agg group-by (A1/A2/P14; TPC-H Q1 shape on lineitem)
+# ---------------------------------------------------------------------------
+def q01_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "2000-12-01")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q02 — fuzzy containment theta-join + re-aggregation (J1, the
+# reference centerpiece, drug_transformer.py:230-282) mapped onto the
+# part table: brand=drug, p_type=indication, "condition" strings are
+# p_type||' '||p_brand summaries. Exercises normalize-for-join (P21),
+# any-of containment, per-condition count-once dedupe, zero-fill.
+# ---------------------------------------------------------------------------
+def q02_containment_enrich(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    drugs = part.groupBy(F.col("p_brand").alias("drug_name")).agg(
+        F.count(F.lit(1)).alias("part_count"),
+        F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
+    )
+    indications = part.select(
+        F.col("p_brand").alias("drug_name"),
+        M.normalize_for_join("p_type").alias("indication_norm"),
+    ).where(F.col("indication_norm") != "").distinct()
+    conditions = (
+        part.groupBy(
+            F.concat_ws(" ", "p_type", "p_brand").alias("condition")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("trial_count"),
+            F.round(F.sum("p_retailprice"), 4).alias("total_enrollment"),
+            F.sum(F.when(F.col("p_size") > 25, 1).otherwise(0))
+            .cast("long")
+            .alias("completed_trials"),
+        )
+        .withColumn("condition_norm", M.normalize_for_join("condition"))
+    )
+    matched = E.containment_match(indications, conditions)
+    stats = matched.groupBy("drug_name").agg(
+        F.sum("trial_count").alias("trial_count"),
+        F.round(F.sum("total_enrollment"), 2).alias("total_retail"),
+        F.sum("completed_trials").alias("completed_trials"),
+    )
+    return drugs.join(stats, "drug_name", "left").select(
+        "drug_name",
+        "part_count",
+        "avg_retail",
+        F.coalesce("trial_count", F.lit(0)).cast("long").alias("trial_count"),
+        F.coalesce("total_retail", F.lit(0.0)).alias("total_retail"),
+        F.coalesce("completed_trials", F.lit(0)).cast("long").alias("completed_trials"),
+    )
+
+
+Q02_SQL = """
+WITH drugs AS (
+  SELECT p_brand AS drug_name, COUNT(*) AS part_count,
+         ROUND(AVG(p_retailprice), 6) AS avg_retail
+  FROM part GROUP BY p_brand
+),
+indications AS (
+  SELECT DISTINCT p_brand AS drug_name,
+         REPLACE(LOWER(TRIM(p_type)), ' ', '') AS indication_norm
+  FROM part WHERE REPLACE(LOWER(TRIM(p_type)), ' ', '') <> ''
+),
+conditions AS (
+  SELECT CONCAT_WS(' ', p_type, p_brand) AS condition,
+         COUNT(*) AS trial_count,
+         ROUND(SUM(p_retailprice), 4) AS total_enrollment,
+         CAST(SUM(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS BIGINT) AS completed_trials
+  FROM part GROUP BY CONCAT_WS(' ', p_type, p_brand)
+),
+conds AS (
+  SELECT *, REPLACE(LOWER(TRIM(condition)), ' ', '') AS condition_norm FROM conditions
+),
+matched AS (
+  SELECT DISTINCT i.drug_name, c.condition, c.trial_count,
+                  c.total_enrollment, c.completed_trials
+  FROM indications i JOIN conds c
+    ON contains(c.condition_norm, i.indication_norm)
+    OR contains(i.indication_norm, c.condition_norm)
+),
+stats AS (
+  SELECT drug_name, CAST(SUM(trial_count) AS BIGINT) AS trial_count,
+         ROUND(SUM(total_enrollment), 2) AS total_retail,
+         CAST(SUM(completed_trials) AS BIGINT) AS completed_trials
+  FROM matched GROUP BY drug_name
+)
+SELECT d.drug_name, d.part_count, d.avg_retail,
+       COALESCE(s.trial_count, 0) AS trial_count,
+       COALESCE(s.total_retail, 0.0) AS total_retail,
+       COALESCE(s.completed_trials, 0) AS completed_trials
+FROM drugs d LEFT JOIN stats s ON d.drug_name = s.drug_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q03 — exact dedup keeping min key (A3/A4 at corpus scale)
+# ---------------------------------------------------------------------------
+def q03_exact_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs).select("doc_id", "lang", "source")
+
+
+Q03_SQL = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q04 — pd.cut-style right-closed binning (P15/P16) on events.value
+# ---------------------------------------------------------------------------
+def q04_size_binning(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", M.study_size_category(F.col("value")))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+Q04_SQL = """
+SELECT CASE WHEN value > 1000 THEN 'Very Large'
+            WHEN value > 200 AND value <= 1000 THEN 'Large'
+            WHEN value > 50 AND value <= 200 THEN 'Medium'
+            WHEN value > 0 AND value <= 50 THEN 'Small'
+            ELSE NULL END AS bucket,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q05 — substring-ladder parser (P19 phase_numeric) on synthesized
+# 'PHASE <n>' strings from l_linenumber
+# ---------------------------------------------------------------------------
+def q05_phase_ladder(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.withColumn(
+            "phase_numeric",
+            M.phase_numeric(F.concat(F.lit("PHASE "), F.col("l_linenumber"))),
+        )
+        .groupBy("phase_numeric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+Q05_SQL = """
+SELECT CASE WHEN l_linenumber = 4 THEN 4.0 WHEN l_linenumber = 3 THEN 3.0
+            WHEN l_linenumber = 2 THEN 2.0 WHEN l_linenumber = 1 THEN 1.0
+            ELSE 0.0 END AS phase_numeric,
+       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+FROM lineitem GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q06 — argmax per group (P5/T1 as window; SURVEY §2.5)
+# ---------------------------------------------------------------------------
+def q06_latest_event_per_user(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+Q06_SQL = """
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q07 — quality metrics in one aggregation pass (§2.9: null-rate A7,
+# range checks, record counts A8; fixed reference 'now' for determinism)
+# ---------------------------------------------------------------------------
+def q07_quality_metrics(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_qty"),
+        F.round(
+            F.avg(F.when(F.col("l_quantity").isNull(), 1.0).otherwise(0.0)) * 100, 6
+        ).alias("null_qty_pct"),
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0))
+        .cast("long")
+        .alias("bad_discount"),
+        F.sum(F.when(F.col("l_quantity") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("negative_qty"),
+        F.sum(F.when(F.col("l_shipdate") > F.lit("2026-01-01").cast("timestamp"), 1).otherwise(0))
+        .cast("long")
+        .alias("future_shipdate"),
+    )
+
+
+Q07_SQL = """
+SELECT COUNT(*) AS total,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+       ROUND(AVG(CASE WHEN l_quantity IS NULL THEN 1.0 ELSE 0.0 END) * 100, 6) AS null_qty_pct,
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+       CAST(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_qty,
+       CAST(SUM(CASE WHEN l_shipdate > TIMESTAMP '2026-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS future_shipdate
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# q08 — duplicate detection, pandas keep=False semantics (A9): count
+# of ALL rows in key groups with >1 row
+# ---------------------------------------------------------------------------
+def q08_duplicate_rows(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .count()
+        .where(F.col("count") > 1)
+        .agg(
+            F.coalesce(F.sum("count"), F.lit(0)).alias("dup_rows"),
+            F.count(F.lit(1)).alias("dup_keys"),
+        )
+    )
+
+
+Q08_SQL = """
+SELECT COALESCE(SUM(c), 0) AS dup_rows, COUNT(*) AS dup_keys FROM (
+  SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q09 — weighted severity score (P14) over derived 0/1 flags
+# ---------------------------------------------------------------------------
+def q09_severity_weighted(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    flagged = l.select(
+        "l_returnflag",
+        (F.col("l_returnflag") == "R").cast("int").alias("serious"),
+        (F.col("l_discount") > 0.05).cast("int").alias("death"),
+        (F.col("l_tax") > 0.04).cast("int").alias("hosp"),
+    )
+    return (
+        flagged.withColumn(
+            "severity", M.severity_score("serious", "death", "hosp")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("severity"), 6).alias("avg_severity"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+Q09_SQL = """
+SELECT l_returnflag,
+       ROUND(AVG(
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END * 2.0
+         + CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END * 10.0
+         + CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END * 5.0
+       ), 6) AS avg_severity,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 — equi-join + datediff (P18, J-family): ship delay per priority
+# ---------------------------------------------------------------------------
+def q10_ship_delay(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.avg(F.datediff("l_shipdate", "o_orderdate")), 6).alias("avg_delay_days"),
+        F.max(F.datediff("l_shipdate", "o_orderdate")).alias("max_delay_days"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q10_SQL = """
+SELECT o_orderpriority,
+       ROUND(AVG(DATE_DIFF('day', o_orderdate, l_shipdate)), 6) AS avg_delay_days,
+       CAST(MAX(DATE_DIFF('day', o_orderdate, l_shipdate)) AS INTEGER) AS max_delay_days,
+       COUNT(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11 — scalar string normalization projection (P12/P13/P21)
+# ---------------------------------------------------------------------------
+def q11_normalize_project(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        M.clean_upper("c_name").alias("name_clean"),
+        M.normalize_for_join("c_mktsegment").alias("segment_norm"),
+        M.fill_trim("c_mktsegment").alias("segment_filled"),
+    )
+
+
+Q11_SQL = """
+SELECT c_custkey,
+       UPPER(TRIM(c_name)) AS name_clean,
+       REPLACE(LOWER(TRIM(COALESCE(c_mktsegment, ''))), ' ', '') AS segment_norm,
+       TRIM(COALESCE(c_mktsegment, '')) AS segment_filled
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12 — top-k with deterministic tie-break (T2/T3)
+# ---------------------------------------------------------------------------
+def q12_topk_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+Q12_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13 — value counts (A6)
+# ---------------------------------------------------------------------------
+def q13_event_counts(spark, sf_dir):
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+Q13_SQL = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+
+
+# ---------------------------------------------------------------------------
+# q14 — tumbling-window aggregation (batch equivalent of the
+# streaming path, SURVEY §2.10)
+# ---------------------------------------------------------------------------
+def q14_hourly_windows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+Q14_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 — text analysis: token counts, stopword/punct ratios, language ID
+# ---------------------------------------------------------------------------
+def q15_text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        F.round(X.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+        X.lang_id("text").alias("lang_guess"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
+_MARK = {k: ", ".join(f"'{w}'" for w in v) for k, v in X.LANG_MARKERS.items()}
+
+Q15_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(COALESCE(text, '')) = '' THEN []::VARCHAR[]
+              ELSE list_transform(string_split_regex(TRIM(text), '\\s+'), t -> LOWER(t))
+         END AS tk,
+         COALESCE(text, '') AS s
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       ROUND(CASE WHEN len(tk) > 0
+             THEN len(list_filter(tk, t -> list_contains([{_SW}], t))) * 1.0 / len(tk)
+             ELSE 0.0 END, 6) AS stop_ratio,
+       ROUND(CASE WHEN length(s) > 0
+             THEN len(regexp_extract_all(s, '[^\\w\\s]')) * 1.0 / length(s)
+             ELSE 0.0 END, 6) AS punct_ratio,
+       CASE WHEN len(list_filter(tk, t -> list_contains([{_MARK['en']}], t))) = 0
+             AND len(list_filter(tk, t -> list_contains([{_MARK['es']}], t))) = 0
+             AND len(list_filter(tk, t -> list_contains([{_MARK['de']}], t))) = 0
+             AND len(list_filter(tk, t -> list_contains([{_MARK['fr']}], t))) = 0
+            THEN 'und'
+            WHEN len(list_filter(tk, t -> list_contains([{_MARK['en']}], t))) >= len(list_filter(tk, t -> list_contains([{_MARK['es']}], t)))
+             AND len(list_filter(tk, t -> list_contains([{_MARK['en']}], t))) >= len(list_filter(tk, t -> list_contains([{_MARK['de']}], t)))
+             AND len(list_filter(tk, t -> list_contains([{_MARK['en']}], t))) >= len(list_filter(tk, t -> list_contains([{_MARK['fr']}], t)))
+            THEN 'en'
+            WHEN len(list_filter(tk, t -> list_contains([{_MARK['es']}], t))) >= len(list_filter(tk, t -> list_contains([{_MARK['de']}], t)))
+             AND len(list_filter(tk, t -> list_contains([{_MARK['es']}], t))) >= len(list_filter(tk, t -> list_contains([{_MARK['fr']}], t)))
+            THEN 'es'
+            WHEN len(list_filter(tk, t -> list_contains([{_MARK['de']}], t))) >= len(list_filter(tk, t -> list_contains([{_MARK['fr']}], t)))
+            THEN 'de'
+            ELSE 'fr' END AS lang_guess
+FROM toks
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16 — rolling-hash document fingerprint (portable arithmetic)
+# ---------------------------------------------------------------------------
+def q16_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+Q16_SQL = """
+SELECT doc_id,
+       CASE WHEN length(COALESCE(text, '')) = 0 THEN 0
+            ELSE list_reduce(
+                   list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                   (acc, x) -> (acc * 31 + x) % 2147483647)
+       END AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 — MinHash + LSH near-duplicate pairs with exact-Jaccard
+# verification (full pipeline, oracle included)
+# ---------------------------------------------------------------------------
+_MH_N, _MH_H, _MH_BANDS, _MH_THRESH = 3, 8, 4, 0.5
+
+
+def q17_minhash_near_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs,
+        num_hashes=_MH_H,
+        bands=_MH_BANDS,
+        jaccard_threshold=_MH_THRESH,
+        shingle_mode="word",
+        ngram_n=_MH_N,
+    )
+
+
+def _mh_sql() -> str:
+    n, h, bands = _MH_N, _MH_H, _MH_BANDS
+    r = h // bands
+    mh_terms = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}"
+        for i in range(h)
+    )
+    band_elems = ", ".join(
+        "'{b}#' || ".format(b=b)
+        + " || '#' || ".join(f"mh{b * r + j}" for j in range(r))
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS k,
+         list_transform(string_split_regex(TRIM(text), '\\s+'), t -> LOWER(t)) AS tk
+  FROM documents WHERE TRIM(COALESCE(text, '')) <> ''
+),
+sh AS (
+  SELECT k,
+         list_distinct(list_transform(range(1, len(tk) - {n - 2}),
+                       i -> array_to_string(tk[i:i+{n - 1}], ' '))) AS sh
+  FROM toks WHERE len(tk) >= {n}
+),
+sig AS (
+  SELECT k, sh,
+         {mh_terms}
+  FROM sh
+),
+banded AS (
+  SELECT k, unnest([{band_elems}]) AS bucket FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.k AS key_a, b.k AS key_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.k < b.k
+),
+scored AS (
+  SELECT c.key_a, c.key_b,
+         ROUND(len(list_intersect(x.sh, y.sh)) * 1.0
+               / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+  FROM cand c JOIN sh x ON c.key_a = x.k JOIN sh y ON c.key_b = y.k
+)
+SELECT key_a, key_b, jaccard FROM scored WHERE jaccard >= {_MH_THRESH}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q18 — word n-gram Jaccard near-dup pairs (candidates share a rare
+# n-gram; verification on full sets)
+# ---------------------------------------------------------------------------
+_NG_N, _NG_THRESH, _NG_PRUNE = 3, 0.4, 50
+
+
+def q18_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, n=_NG_N, jaccard_threshold=_NG_THRESH, min_df_prune=_NG_PRUNE
+    )
+
+
+Q18_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS k,
+         list_transform(string_split_regex(TRIM(text), '\\s+'), t -> LOWER(t)) AS tk
+  FROM documents WHERE TRIM(COALESCE(text, '')) <> ''
+),
+grams AS (
+  SELECT k,
+         list_distinct(list_transform(range(1, len(tk) - {_NG_N - 2}),
+                       i -> array_to_string(tk[i:i+{_NG_N - 1}], ' '))) AS g
+  FROM toks WHERE len(tk) >= {_NG_N}
+),
+exploded AS (SELECT k, unnest(g) AS gram FROM grams),
+rare AS (SELECT gram FROM exploded GROUP BY gram HAVING COUNT(*) <= {_NG_PRUNE}),
+cand_grams AS (SELECT e.k, e.gram FROM exploded e JOIN rare USING (gram)),
+pairs AS (
+  SELECT DISTINCT a.k AS key_a, b.k AS key_b
+  FROM cand_grams a JOIN cand_grams b ON a.gram = b.gram AND a.k < b.k
+),
+scored AS (
+  SELECT p.key_a, p.key_b,
+         ROUND(len(list_intersect(x.g, y.g)) * 1.0
+               / len(list_distinct(x.g || y.g)), 6) AS jaccard
+  FROM pairs p JOIN grams x ON p.key_a = x.k JOIN grams y ON p.key_b = y.k
+)
+SELECT key_a, key_b, jaccard FROM scored WHERE jaccard >= {_NG_THRESH}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19 — brute-force cosine top-k similarity search
+# ---------------------------------------------------------------------------
+def q19_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return S.cosine_topk(emb, q, k=10)
+
+
+Q19_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)) DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20 — embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+_COS_THRESH = 0.4
+
+
+def q20_embedding_near_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups(emb, threshold=_COS_THRESH)
+
+
+Q20_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {_COS_THRESH}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21 — pd.cut age-bin semantics on p_size (P15 edges 18/30/50)
+# ---------------------------------------------------------------------------
+def q21_age_bins(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.withColumn("age_group", M.age_group(F.col("p_size").cast("double")))
+        .groupBy("age_group")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+Q21_SQL = """
+SELECT CASE WHEN p_size > 0 AND p_size <= 18 THEN 'Pediatric'
+            WHEN p_size > 18 AND p_size <= 30 THEN 'Young Adult'
+            WHEN p_size > 30 AND p_size <= 50 THEN 'Adult'
+            WHEN p_size > 50 AND p_size <= 65 THEN 'Senior'
+            WHEN p_size > 65 AND p_size <= 100 THEN 'Elderly'
+            ELSE NULL END AS age_group,
+       COUNT(*) AS n
+FROM part GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22 — simhash near-dup pairs (no SQL oracle: 16-bit bit-vote hash;
+# driver records rows-only check)
+# ---------------------------------------------------------------------------
+def q22_simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, bits=16, max_hamming=3, band_bits=4)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the containment-enrichment theta-join (reference J1)
+    on sf0.001."""
+    return q02_containment_enrich(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_containment_enrich": q02_containment_enrich,
+        "q03_exact_dedup": q03_exact_dedup,
+        "q04_size_binning": q04_size_binning,
+        "q05_phase_ladder": q05_phase_ladder,
+        "q06_latest_event_per_user": q06_latest_event_per_user,
+        "q07_quality_metrics": q07_quality_metrics,
+        "q08_duplicate_rows": q08_duplicate_rows,
+        "q09_severity_weighted": q09_severity_weighted,
+        "q10_ship_delay": q10_ship_delay,
+        "q11_normalize_project": q11_normalize_project,
+        "q12_topk_orders": q12_topk_orders,
+        "q13_event_counts": q13_event_counts,
+        "q14_hourly_windows": q14_hourly_windows,
+        "q15_text_stats": q15_text_stats,
+        "q16_fingerprint": q16_fingerprint,
+        "q17_minhash_near_dups": q17_minhash_near_dups,
+        "q18_ngram_jaccard": q18_ngram_jaccard,
+        "q19_cosine_topk": q19_cosine_topk,
+        "q20_embedding_near_dups": q20_embedding_near_dups,
+        "q21_age_bins": q21_age_bins,
+        "q22_simhash_pairs": q22_simhash_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": Q01_SQL,
+        "q02_containment_enrich": Q02_SQL,
+        "q03_exact_dedup": Q03_SQL,
+        "q04_size_binning": Q04_SQL,
+        "q05_phase_ladder": Q05_SQL,
+        "q06_latest_event_per_user": Q06_SQL,
+        "q07_quality_metrics": Q07_SQL,
+        "q08_duplicate_rows": Q08_SQL,
+        "q09_severity_weighted": Q09_SQL,
+        "q10_ship_delay": Q10_SQL,
+        "q11_normalize_project": Q11_SQL,
+        "q12_topk_orders": Q12_SQL,
+        "q13_event_counts": Q13_SQL,
+        "q14_hourly_windows": Q14_SQL,
+        "q15_text_stats": Q15_SQL,
+        "q16_fingerprint": Q16_SQL,
+        "q17_minhash_near_dups": _mh_sql(),
+        "q18_ngram_jaccard": Q18_SQL,
+        "q19_cosine_topk": Q19_SQL,
+        "q20_embedding_near_dups": Q20_SQL,
+        "q21_age_bins": Q21_SQL,
+        # q22 simhash: intentionally no oracle (rows-only check)
+    }

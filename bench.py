@@ -1,0 +1,76 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is fully executed (collected to the driver after a count-
+preserving materialization) so the timing covers scan -> compute ->
+result, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+# Headline set: one per operator family that matters at scale.
+HEADLINE = [
+    "q01_pricing_summary",      # wide-scan multi-agg
+    "q02_containment_enrich",   # broadcast theta-join enrichment
+    "q03_exact_dedup",          # hash dedup w/ semi-join
+    "q06_latest_event_per_user",# window argmax
+    "q10_ship_delay",           # big equi-join + agg
+    "q14_hourly_windows",       # tumbling-window agg
+    "q15_text_stats",           # text kernels over documents
+    "q17_minhash_near_dups",    # minhash LSH near-dup pipeline
+    "q19_cosine_topk",          # brute-force vector top-k
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from cloud_native_medical_data_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-sf{sf}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": f"total_runtime_{len(HEADLINE)}_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

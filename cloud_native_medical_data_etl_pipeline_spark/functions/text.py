@@ -134,9 +134,9 @@ def lang_id(text: Column | str) -> Column:
         # array index by Spark's higher-order-function protocol
         return lambda t: t.isin(markers)
 
-    # Iterate in reverse so earlier languages win ties (strict > when
-    # walking backwards leaves the earliest max standing).
-    for lang, markers in reversed(list(LANG_MARKERS.items())):
+    # Forward iteration with strict >: the first language to reach the
+    # maximal hit count keeps the crown, so ties break by dict order.
+    for lang, markers in LANG_MARKERS.items():
         hits = F.size(F.filter(toks, is_marker(markers)))
         is_better = hits > best_hits
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)

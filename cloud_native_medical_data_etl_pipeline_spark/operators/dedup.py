@@ -86,20 +86,38 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
+    shingle_mode: str = "word",
+    ngram_n: int = 3,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
-    Plan shape: map-side signature (no explode of shingles), explode
-    only the `bands` band keys per doc, equi-join on band bucket for
-    candidates, then verify exact shingle-set Jaccard >= threshold.
-    Returns (key_a, key_b, jaccard) with key_a < key_b.
+    Plan shape (each step matters at 100 TB):
+      * shingle/signature computation is one map pass, persisted so the
+        candidate path and both verification joins reuse it instead of
+        recomputing the md5 pipeline three times;
+      * the band explode carries ONLY (key, bucket) — narrow shuffle
+        rows; the shingle arrays never ride through the self-join;
+      * candidates come from an equi-join on the band bucket, deduped,
+        then verified by exact Jaccard via two narrow key joins.
+
+    shingle_mode='word' (n-gram) is the scale default: char shingles
+    over a small vocabulary give every doc pair high baseline Jaccard,
+    which floods the LSH buckets with candidates (the classic
+    stop-gram problem); word n-grams keep unrelated docs out of each
+    other's buckets. shingle_mode='char' remains for short-string
+    workloads. Returns (key_a, key_b, jaccard), key_a < key_b.
     """
+    if shingle_mode == "word":
+        shingle_expr = X.word_ngrams(content_col, ngram_n)
+    else:
+        shingle_expr = X.char_shingles(content_col, shingle_k)
     rows_per_band = num_hashes // bands
-    sh = df.select(
-        F.col(key_col).alias("k"),
-        X.char_shingles(content_col, shingle_k).alias("sh"),
-    ).where(F.size("sh") > 0)
-    sig = sh.select("k", "sh", *minhash_signature(F.col("sh"), num_hashes))
+    sh = (
+        df.select(F.col(key_col).alias("k"), shingle_expr.alias("sh"))
+        .where(F.size("sh") > 0)
+        .persist()
+    )
+    sig = sh.select("k", *minhash_signature(F.col("sh"), num_hashes))
     band_cols = [
         F.concat_ws(
             "#",
@@ -108,26 +126,31 @@ def minhash_lsh_pairs(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select("k", "sh", F.explode(F.array(*band_cols)).alias("bucket"))
-    left = banded.select(
-        F.col("k").alias("key_a"), F.col("sh").alias("sh_a"), "bucket"
-    )
-    right = banded.select(
-        F.col("k").alias("key_b"), F.col("sh").alias("sh_b"), "bucket"
-    )
+    banded = sig.select("k", F.explode(F.array(*band_cols)).alias("bucket"))
     candidates = (
-        left.join(right, "bucket")
+        banded.select(F.col("k").alias("key_a"), "bucket")
+        .join(banded.select(F.col("k").alias("key_b"), "bucket"), "bucket")
         .where(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b", "sh_a", "sh_b")
+        .select("key_a", "key_b")
         .dropDuplicates(["key_a", "key_b"])
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        candidates.withColumn("jaccard", F.round(inter / union, 6))
+    verified = (
+        candidates.join(
+            sh.select(F.col("k").alias("key_a"), F.col("sh").alias("sh_a")), "key_a"
+        )
+        .join(sh.select(F.col("k").alias("key_b"), F.col("sh").alias("sh_b")), "key_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("key_a", "key_b", "jaccard")
     )
+    return verified
 
 
 def simhash(text_col: Column | str, bits: int = 16) -> Column:

@@ -45,6 +45,8 @@ def get_spark(
         # Keep non-ANSI coercion semantics: cast/to_date yield null on
         # failure, matching the reference's errors='coerce' everywhere.
         .config("spark.sql.ansi.enabled", "false")
+        # Tolerate TIMESTAMP(NANOS) parquet columns (read as long).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Reasonable split size so huge parquet files parallelize.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
