@@ -1,0 +1,80 @@
+"""End-to-end pipeline assembly: the reference DAG's data plane as ONE
+lazy Spark plan per run.
+
+Reference lifecycle (SURVEY.md §3): extract -> validate counts ->
+transform -> enrich -> save -> quality-check, spread across Airflow
+workers and a K8s pod with S3 hops between every stage. Here stages
+2-6 compose into a single DataFrame graph; Catalyst optimizes across
+what used to be process boundaries, and the only materializations are
+the final writes and the quality aggregates.
+
+Entry points mirror the reference's three (drug_transformer.py:355-366,
+data_quality.py:299-322): run(), plus transform/quality CLIs in cli.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import enrich, quality, transforms
+from ..sources import lake
+
+
+@dataclass
+class RunResult:
+    date: str
+    fda_records: int = 0
+    ct_records: int = 0
+    enriched_records: int = 0
+    quality: dict = field(default_factory=dict)
+    status: str = "success"
+
+
+def run(
+    spark: SparkSession,
+    date: str,
+    fda_events: DataFrame | None,
+    clinical_trials: DataFrame | None,
+    output_base: str,
+    processed_ts=None,
+    validate: bool = True,
+) -> RunResult:
+    """Transform both inputs, enrich, write the processed partition and
+    CSV head, run the quality suite. Inputs arrive as DataFrames (from
+    sources.rest fetches, lake.read_partition, or tests)."""
+    fda_t = (
+        transforms.transform_fda_events(fda_events, processed_ts=processed_ts)
+        if fda_events is not None
+        else None
+    )
+    ct_t = (
+        transforms.transform_clinical_trials(clinical_trials, processed_ts=processed_ts)
+        if clinical_trials is not None
+        else None
+    )
+
+    enriched = enrich.enrich(fda_t, ct_t)
+
+    lake.write_partitioned(enriched, f"{output_base}/processed", date)
+    lake.write_csv_head(
+        enriched, f"{lake.partition_path(output_base + '/summary', date)}"
+    )
+
+    result = RunResult(date=date)
+    result.fda_records = fda_t.count() if fda_t is not None else 0
+    result.ct_records = ct_t.count() if ct_t is not None else 0
+    result.enriched_records = enriched.count()
+
+    if validate:
+        # Quality gate runs on the union of transformed inputs (the
+        # shape the reference checker expects, data_quality.py:100-296).
+        parts = [df for df in (fda_t, ct_t) if df is not None]
+        combined = parts[0]
+        for p in parts[1:]:
+            combined = combined.unionByName(p, allowMissingColumns=True)
+        result.quality = quality.run_quality_checks(combined, date)
+        if not result.quality["overall_passed"]:
+            result.status = "quality_failed"
+    return result

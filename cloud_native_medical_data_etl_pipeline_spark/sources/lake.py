@@ -1,0 +1,86 @@
+"""Partitioned data-lake IO (reference S6-S13, SURVEY.md §2.1).
+
+Replaces the reference's 308-line boto3 S3Loader with Spark-native
+reads/writes: Hive-style year=/month=/day= partition layout, snappy
+parquet at rest, missing-partition -> empty DataFrame with the declared
+schema (reference s3_loader.py:113-115 semantics). Paths can be
+local, s3a://, or any Hadoop-supported filesystem — the code is
+identical, which is the point.
+
+Partition pruning note: readers should filter on year/month/day (or
+call read_partition) — Catalyst prunes directories before listing
+files, so a daily job over a 100 TB lake touches one day's files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PARTITION_COLS = ("year", "month", "day")
+
+
+def partition_path(base: str, date: str) -> str:
+    """'2024-01-15' -> base/year=2024/month=01/day=15
+    (reference drug_transformer.py:74-75, pipeline_config.yaml:81-84)."""
+    year, month, day = date.split("-")
+    return f"{base}/year={year}/month={month}/day={day}"
+
+
+def with_partition_cols(df: DataFrame, date: str) -> DataFrame:
+    year, month, day = date.split("-")
+    return (
+        df.withColumn("year", F.lit(year))
+        .withColumn("month", F.lit(month))
+        .withColumn("day", F.lit(day))
+    )
+
+
+def write_partitioned(
+    df: DataFrame, base: str, date: str, fmt: str = "parquet"
+) -> None:
+    """Write one day's data under the Hive layout. Dynamic partition
+    overwrite replaces just that day, never the whole table."""
+    (
+        with_partition_cols(df, date)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*PARTITION_COLS)
+        .format(fmt)
+        .save(base)
+    )
+
+
+def read_partition(
+    spark: SparkSession,
+    base: str,
+    date: str,
+    schema: T.StructType | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Read one day's partition; missing path -> empty DF with the
+    declared schema (reference s3_loader.py:113-115). With a schema
+    the read skips inference entirely."""
+    year, month, day = date.split("-")
+    try:
+        reader = spark.read.format(fmt)
+        if schema is not None:
+            reader = reader.schema(schema)
+        if fmt == "csv":
+            reader = reader.option("header", True)
+        df = reader.load(base)
+        return df.where(
+            (F.col("year") == year) & (F.col("month") == month) & (F.col("day") == day)
+        ).drop(*PARTITION_COLS)
+    except Exception:
+        if schema is not None:
+            return spark.createDataFrame([], schema=schema)
+        raise
+
+
+def write_csv_head(df: DataFrame, path: str, n: int = 1000) -> None:
+    """The reference's human-readable CSV extract: first N rows
+    (drug_transformer.py:304-306). Row choice without a sort is
+    nondeterministic in both systems — documented reference behavior."""
+    df.limit(n).write.mode("overwrite").option("header", True).csv(path)

@@ -1,0 +1,80 @@
+"""Structured Streaming ingestion for the events stream.
+
+The reference is daily-batch only (SURVEY.md §2.10); this is the
+capability extension the driver's `events` table exists for: a
+readStream -> watermark -> tumbling-window aggregation -> sink
+pipeline whose BATCH equivalent is q14_hourly_windows, so correctness
+is checked there and this module is about the streaming mechanics —
+late-data handling via watermark, incremental state, availableNow
+backfill.
+
+At scale: the same code runs against Kafka by swapping the source;
+state store size is bounded by (watermark horizon / window) x
+distinct event_type, not by stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-source stream over a directory of parquet event files."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def hourly_counts(
+    stream: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window counts+sums with late-data watermark. Identical
+    semantics to q14_hourly_windows once the stream is drained."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(
+    spark: SparkSession, input_path: str, output_path: str, checkpoint: str
+) -> None:
+    """Drain everything currently available (the daily-batch analog:
+    Trigger.AvailableNow), write complete windows to parquet, stop."""
+    agg = hourly_counts(read_event_stream(spark, input_path))
+    q = (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .format("parquet")
+        .option("path", output_path)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,263 @@
+"""Tests for the flatten transforms (vs the reference's mock payloads,
+tests/test_extractors.py), the REST fetch layer (mocked transport), the
+lake IO round-trip, the pipeline runner, and the streaming path."""
+
+import datetime as dt
+
+import pytest
+
+from cloud_native_medical_data_etl_pipeline_spark import schemas
+from cloud_native_medical_data_etl_pipeline_spark.operators import ingest
+from cloud_native_medical_data_etl_pipeline_spark.sources import lake, rest
+
+# Mirrors the reference FDA mock payload (tests/test_extractors.py:32-52).
+FDA_MOCK = {
+    "application_number": "NDA123456",
+    "sponsor_name": "TEST PHARMA",
+    "openfda": {
+        "brand_name": ["TEST DRUG"],
+        "generic_name": ["testdrugium"],
+        "manufacturer_name": ["TEST PHARMA INC"],
+    },
+    "products": [
+        {
+            "brand_name": "TEST DRUG",
+            "active_ingredients": [{"name": "TESTICUM"}, {"name": "SECONDUM"}],
+            "dosage_form": "TABLET",
+            "marketing_status": "Prescription",
+        }
+    ],
+    "submissions": [
+        {"submission_status_date": "20240110", "submission_type": "SUPPL"},
+        {"submission_status_date": "20250115", "submission_type": "ORIGINAL"},
+    ],
+}
+
+# Mirrors the reference CT mock payload (tests/test_extractors.py:115-130).
+CT_MOCK = {
+    "protocolSection": {
+        "identificationModule": {
+            "nctId": "NCT12345678",
+            "orgStudyIdInfo": {"id": "ORG001"},
+            "briefTitle": "Test Study",
+            "officialTitle": "A Test Study",
+        },
+        "statusModule": {
+            "overallStatus": "RECRUITING",
+            "studyFirstPostDateStruct": {"date": "2024-01-01"},
+            "lastUpdatePostDateStruct": {"date": "2024-02-01"},
+            "startDateStruct": {"date": "2024-03-01"},
+            "completionDateStruct": {"date": "2025-03-01"},
+        },
+        "descriptionModule": {"briefSummary": "s", "detailedDescription": "d"},
+        "conditionsModule": {"conditions": ["Diabetes", "Obesity"], "keywords": ["k1"]},
+        "designModule": {
+            "studyType": "INTERVENTIONAL",
+            "phases": ["PHASE2", "PHASE3"],
+            "enrollmentInfo": {"count": 150},
+            "designInfo": {
+                "allocation": "RANDOMIZED",
+                "interventionModel": "PARALLEL",
+                "primaryPurpose": "TREATMENT",
+                "masking": {"masking": "DOUBLE"},
+            },
+        },
+        "armsInterventionsModule": {
+            "interventions": [{"type": "DRUG"}, {"type": "DRUG"}, {"type": ""}]
+        },
+        "outcomesModule": {
+            "primaryOutcomes": [
+                {"measure": "m1"}, {"measure": "m2"}, {"measure": "m3"},
+                {"measure": "m4"},
+            ]
+        },
+        "eligibilityModule": {
+            "sex": "ALL", "minimumAge": "18 Years", "maximumAge": "65 Years",
+            "healthyVolunteers": False,
+        },
+        "contactsLocationsModule": {
+            "locations": [{"country": "United States"}, {"country": "Canada"}]
+        },
+        "sponsorCollaboratorsModule": {"leadSponsor": {"name": "TEST PHARMA"}},
+    }
+}
+
+
+def test_flatten_fda(spark):
+    raw = rest.fda_raw_df(spark, [FDA_MOCK])
+    row = ingest.flatten_fda(raw).collect()[0]
+    assert row["application_number"] == "NDA123456"
+    assert row["openfda_brand_name"] == "TEST DRUG"
+    assert row["brand_name"] == "TEST DRUG"
+    assert row["active_ingredients"] == "TESTICUM, SECONDUM"
+    # argmax: latest submission by status date
+    assert row["latest_submission_date"] == dt.date(2025, 1, 15)
+    assert row["submission_type"] == "ORIGINAL"
+
+
+def test_flatten_fda_malformed(spark):
+    # record with only an application number — everything else defaults
+    raw = rest.fda_raw_df(spark, [{"application_number": "X"}])
+    row = ingest.flatten_fda(raw).collect()[0]
+    assert row["brand_name"] == ""
+    assert row["latest_submission_date"] is None
+    assert row["active_ingredients"] == ""
+
+
+def test_flatten_ct(spark):
+    raw = rest.ct_raw_df(spark, [CT_MOCK])
+    row = ingest.flatten_ct(raw).collect()[0]
+    assert row["nct_id"] == "NCT12345678"
+    assert row["conditions"] == "Diabetes, Obesity"
+    assert row["phase"] == "PHASE2, PHASE3"
+    assert row["enrollment_count"] == 150.0
+    assert row["intervention_types"] == "DRUG"  # distinct, empty filtered
+    assert row["primary_outcome_measures"] == "m1 | m2 | m3"  # top-3
+    assert row["location_countries"] == "United States, Canada"
+    assert row["start_date"] == dt.date(2024, 3, 1)
+    # 28 columns (reference clinicaltrials_extractor.py:147-200 emits
+    # 28, not the 26 SURVEY §1.4 miscounted)
+    assert len(row.asDict()) == 28
+
+
+def test_fetch_fda_pagination():
+    pages = [
+        {"results": [{"application_number": f"A{i}"} for i in range(99)]},
+        {"results": [{"application_number": "B0"}]},  # short page -> stop
+    ]
+    calls = []
+
+    def fake_get(url, params):
+        calls.append(dict(params))
+        return pages[len(calls) - 1]
+
+    out = rest.fetch_fda_records(
+        "20240101", "20240131", limit=500, http_get=fake_get, sleep=lambda s: None
+    )
+    assert len(out) == 100
+    assert calls[0]["skip"] == 0 and calls[1]["skip"] == 99
+    assert "20240101 TO 20240131" in calls[0]["search"]  # pushdown
+
+
+def test_fetch_fda_retry_then_fail():
+    attempts = []
+
+    def flaky(url, params):
+        attempts.append(1)
+        raise OSError("boom")
+
+    out = rest.fetch_fda_records(
+        "20240101", "20240131", limit=10, http_get=flaky, sleep=lambda s: None
+    )
+    assert out == []
+    assert len(attempts) == 3  # reference retry count
+
+
+def test_fetch_ct_cursor():
+    pages = {
+        None: {"studies": [{"s": 1}, {"s": 2}], "nextPageToken": "T1"},
+        "T1": {"studies": [{"s": 3}]},
+    }
+    def fake_get(url, params):
+        return pages[params.get("pageToken")]
+
+    out = rest.fetch_ct_studies(
+        "2024-01-01", page_size=2, http_get=fake_get, sleep=lambda s: None
+    )
+    assert len(out) == 3
+
+
+def test_lake_roundtrip(spark, tmp_path):
+    base = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "name string, value double"
+    )
+    lake.write_partitioned(df, base, "2024-01-15")
+    back = lake.read_partition(spark, base, "2024-01-15")
+    assert {tuple(r) for r in back.collect()} == {("a", 1.0), ("b", 2.0)}
+    # missing partition day -> empty with schema
+    empty = lake.read_partition(
+        spark, base, "2024-01-16", schema=df.schema
+    )
+    assert empty.count() == 0
+    # missing base entirely -> empty with schema
+    empty2 = lake.read_partition(
+        spark, str(tmp_path / "nope"), "2024-01-15", schema=df.schema
+    )
+    assert empty2.count() == 0 and empty2.schema == df.schema
+
+
+def test_pipeline_run(spark, tmp_path):
+    from cloud_native_medical_data_etl_pipeline_spark.plans import pipeline
+
+    fda = spark.createDataFrame(
+        [
+            {
+                "safetyreportid": f"r{i}",
+                "receivedate": dt.date(2024, 1, 10),
+                "serious": 1,
+                "seriousnessdeath": 0,
+                "seriousnesshospitalization": 1,
+                "drug_name": "ASPIRIN",
+                "drug_indication": "Headache",
+                "reaction": "X",
+                "patient_age": 40.0,
+                "patient_sex": "1",
+            }
+            for i in range(6)
+        ],
+        schema=schemas.FDA_EVENTS,
+    )
+    ct = spark.createDataFrame(
+        [
+            {
+                "nct_id": f"NCT{i}",
+                "brief_title": "T",
+                "overall_status": "COMPLETED",
+                "phase": "PHASE 2",
+                "enrollment_count": 100.0,
+                "conditions": "HEADACHE",
+                "start_date": dt.date(2023, 1, 1),
+                "completion_date": dt.date(2024, 1, 1),
+            }
+            for i in range(6)
+        ],
+        schema=schemas.CLINICAL_TRIALS,
+    )
+    result = pipeline.run(
+        spark, "2024-01-15", fda, ct, str(tmp_path / "out"),
+        processed_ts="2024-01-15 12:00:00",
+    )
+    assert result.status == "success"
+    assert result.enriched_records == 1
+    back = lake.read_partition(spark, str(tmp_path / "out" / "processed"), "2024-01-15")
+    row = back.collect()[0]
+    assert row["drug_name"] == "ASPIRIN"
+    assert row["trial_count"] == 6
+    assert row["total_enrollment"] == 600.0
+
+
+def test_streaming_hourly_counts(spark, tmp_path):
+    import shutil
+
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import events as se
+
+    # stage the sf0.001 events as a stream input dir (re-encoded to
+    # micros, since the file-stream schema declares TimestampType)
+    import __spark_entry__ as em
+
+    src = em._t(spark, "/root/testdata/sf0.001", "events")
+    in_dir = str(tmp_path / "in")
+    src.write.parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    se.run_available_now(spark, in_dir, out_dir, cp)
+    got = spark.read.parquet(out_dir)
+    batch = em.q14_hourly_windows(spark, "/root/testdata/sf0.001")
+    # append mode only emits windows the watermark has closed; every
+    # emitted window must match the batch result exactly
+    emitted = {tuple(r) for r in got.collect()}
+    expected = {tuple(r) for r in batch.collect()}
+    assert emitted <= expected
+    assert len(emitted) > 0
+    shutil.rmtree(cp, ignore_errors=True)
