@@ -718,6 +718,29 @@ def q22_simhash_pairs(spark, sf_dir):
     return D.simhash_pairs(docs, bits=16, max_hamming=3, band_bits=4)
 
 
+# ---------------------------------------------------------------------------
+# q23 — IVF approximate nearest neighbors (rows-only: centroid
+# assignment is iterative/driver-seeded, not SQL-expressible)
+# ---------------------------------------------------------------------------
+def q23_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return S.ivf_topk(emb, q, k=10, num_cells=16, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# q24 — multimodal binary-column pipeline: attach payloads, decode to
+# feature vectors via Arrow-batched mapInPandas (rows-only: the decode
+# stub is Python-side by design)
+# ---------------------------------------------------------------------------
+def q24_multimodal_features(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(docs)
+    return multimodal.decode_features(media, dim=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -748,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_embedding_near_dups": q20_embedding_near_dups,
         "q21_age_bins": q21_age_bins,
         "q22_simhash_pairs": q22_simhash_pairs,
+        "q23_ivf_topk": q23_ivf_topk,
+        "q24_multimodal_features": q24_multimodal_features,
     }
 
 
@@ -774,5 +799,7 @@ def oracle_sql() -> dict[str, str]:
         "q19_cosine_topk": Q19_SQL,
         "q20_embedding_near_dups": Q20_SQL,
         "q21_age_bins": Q21_SQL,
-        # q22 simhash: intentionally no oracle (rows-only check)
+        # q22 simhash, q23 ivf, q24 multimodal: intentionally no oracle
+        # (bit-vote hashing / iterative centroids / Python decode stub
+        # are not SQL-expressible) -> driver records rows-only checks
     }

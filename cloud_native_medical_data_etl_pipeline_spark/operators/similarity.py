@@ -91,15 +91,19 @@ def assign_cells(
 ) -> DataFrame:
     """Tag each row with the id of its max-cosine centroid, entirely
     with column expressions (centroids inlined as literals — they are
-    small by construction)."""
-    best_id = F.lit(0)
-    best_sim = V.cosine(F.col(vec_col), _lit_vec(centroids[0]))
-    for i, c in enumerate(centroids[1:], start=1):
-        sim = V.cosine(F.col(vec_col), _lit_vec(c))
-        better = sim > best_sim
-        best_id = F.when(better, F.lit(i)).otherwise(best_id)
-        best_sim = F.when(better, sim).otherwise(best_sim)
-    return df.withColumn("cell_id", best_id)
+    small by construction).
+
+    Similarities go into ONE array column so the expression tree stays
+    linear in num_cells; a chained when(sim > best, ...) rebuild would
+    double the tree per centroid (2^n nodes) and OOM the driver during
+    analysis. array_position(max) keeps the lowest index on ties, same
+    as a strict-> when chain.
+    """
+    sims = F.array(*[V.cosine(F.col(vec_col), _lit_vec(c)) for c in centroids])
+    return df.withColumn(
+        "cell_id",
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int"),
+    )
 
 
 def random_hyperplane_bucket(
