@@ -70,16 +70,35 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
 
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams (space-joined) of the lowercased text."""
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
-    m = F.size(toks)
+    return word_ngrams_from_tokens(
+        F.transform(tokens(text), lambda t: F.lower(t)), n
+    )
+
+
+_SLICE_ALL = 1 << 30  # "to the end" length for F.slice
+
+
+def word_ngrams_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Distinct space-joined n-grams from an already-lowercased token
+    array.
+
+    Built as n-1 zip_with passes over shifted copies of the array
+    (gram_i = tk[i] + ' ' + tk[i+1] + ...), then trimmed to the valid
+    prefix. Higher-order functions evaluate interpreted (outside
+    codegen), so the naive transform(sequence(1, m-n+1), i ->
+    array_join(slice(tk, i, n))) costs an O(m) slice per element —
+    O(m^2) per row, measured ~6x slower than this shape."""
+    tk = F.col(toks) if isinstance(toks, str) else toks
+    out = tk
+    for i in range(1, n):
+        out = F.zip_with(
+            out, F.slice(tk, i + 1, _SLICE_ALL), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    m = F.size(tk)
     return F.array_distinct(
-        F.when(
-            m >= n,
-            F.transform(
-                F.sequence(F.lit(1), m - F.lit(n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        F.when(m >= n, F.slice(out, 1, m - F.lit(n - 1))).otherwise(
+            F.array().cast("array<string>")
+        )
     )
 
 

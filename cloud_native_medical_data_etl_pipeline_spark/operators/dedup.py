@@ -29,6 +29,37 @@ from ..functions import text as X
 HASH_MOD = 2147483647  # 2^31 - 1, fits every SQL engine's int64
 
 
+_REBALANCE_MIN_BYTES_PER_SLOT = 4 << 20  # 4 MiB of input per core
+
+
+def rebalance_for_cpu(df: DataFrame) -> DataFrame:
+    """Spread CPU-bound per-row kernels across all cores — but only
+    when the input is big enough for parallelism to pay.
+
+    Mid-size inputs can plan as a handful of file partitions (file
+    splitting is byte-based, openCostInBytes-floored), which serializes
+    hash/shingle kernels on a few threads. If the scan has fewer
+    partitions than the cluster has slots AND carries enough bytes that
+    per-task scheduling overhead is amortized, round-robin repartition
+    + persist. The persist is what makes the repartition effective:
+    without the cache boundary, column pruning pushes downstream
+    projections BELOW the exchange, moving the expensive expressions
+    back to the map side. For tiny inputs (the common unit-test /
+    small-SF case) the shuffle+cache fixed cost exceeds the kernel
+    cost, so they stay put; at 100 TB the scan already has >= slots
+    partitions and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    size = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if size > _REBALANCE_MIN_BYTES_PER_SLOT * target:
+        return df.repartition(target).persist()
+    return df
+
+
 def exact_dedup(df: DataFrame, content_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Exact dedup: one row per distinct content, keeping the row with
     the smallest key (deterministic, unlike dropDuplicates). One
@@ -108,15 +139,22 @@ def minhash_lsh_pairs(
     workloads. Returns (key_a, key_b, jaccard), key_a < key_b.
     """
     if shingle_mode == "word":
-        shingle_expr = X.word_ngrams(content_col, ngram_n)
+        pre = rebalance_for_cpu(
+            df.select(
+                F.col(key_col).alias("k"),
+                F.transform(X.tokens(content_col), lambda t: F.lower(t)).alias("tk"),
+            )
+        )
+        shingled = pre.select(
+            "k", X.word_ngrams_from_tokens("tk", ngram_n).alias("sh")
+        )
     else:
-        shingle_expr = X.char_shingles(content_col, shingle_k)
+        pre = rebalance_for_cpu(
+            df.select(F.col(key_col).alias("k"), F.col(content_col).alias("txt"))
+        )
+        shingled = pre.select("k", X.char_shingles("txt", shingle_k).alias("sh"))
     rows_per_band = num_hashes // bands
-    sh = (
-        df.select(F.col(key_col).alias("k"), shingle_expr.alias("sh"))
-        .where(F.size("sh") > 0)
-        .persist()
-    )
+    sh = shingled.where(F.size("sh") > 0).persist()
     sig = sh.select("k", *minhash_signature(F.col("sh"), num_hashes))
     band_cols = [
         F.concat_ws(
@@ -126,7 +164,10 @@ def minhash_lsh_pairs(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select("k", F.explode(F.array(*band_cols)).alias("bucket"))
+    # persist the narrow (k, bucket) frame: the self-join references it
+    # twice, and without the cache each side re-runs the whole md5
+    # signature pipeline over the corpus
+    banded = sig.select("k", F.explode(F.array(*band_cols)).alias("bucket")).persist()
     candidates = (
         banded.select(F.col("k").alias("key_a"), "bucket")
         .join(banded.select(F.col("k").alias("key_b"), "bucket"), "bucket")
@@ -189,9 +230,9 @@ def simhash_pairs(
     band value), never a cross join. Returns (key_a, key_b, hamming).
     """
     num_bands = bits // band_bits
-    sh = df.select(
-        F.col(key_col).alias("k"), simhash(content_col, bits).alias("sim")
-    )
+    sh = rebalance_for_cpu(
+        df.select(F.col(key_col).alias("k"), F.col(content_col).alias("txt"))
+    ).select("k", simhash("txt", bits).alias("sim"))
     band_cols = [
         F.concat_ws(
             "#",
@@ -202,7 +243,11 @@ def simhash_pairs(
         ).alias(f"band{b}")
         for b in range(num_bands)
     ]
-    banded = sh.select("k", "sim", F.explode(F.array(*band_cols)).alias("bucket"))
+    # cached: the self-join below would otherwise run the bit-vote
+    # simhash expression over the corpus once per side
+    banded = sh.select(
+        "k", "sim", F.explode(F.array(*band_cols)).alias("bucket")
+    ).persist()
     pairs = (
         banded.alias("a")
         .join(banded.alias("b"), "bucket")
@@ -235,10 +280,18 @@ def ngram_jaccard_pairs(
     discovered — pairs sharing only ultra-common n-grams score low and
     sit below any useful threshold anyway.
     """
-    grams = df.select(
-        F.col(key_col).alias("k"), X.word_ngrams(content_col, n).alias("g")
-    ).where(F.size("g") > 0)
-    exploded = grams.select("k", F.explode("g").alias("gram"))
+    pre = rebalance_for_cpu(
+        df.select(
+            F.col(key_col).alias("k"),
+            F.transform(X.tokens(content_col), lambda t: F.lower(t)).alias("tk"),
+        )
+    )
+    grams = (
+        pre.select("k", X.word_ngrams_from_tokens("tk", n).alias("g"))
+        .where(F.size("g") > 0)
+        .persist()  # reused by candidate explode + both verification joins
+    )
+    exploded = grams.select("k", F.explode("g").alias("gram")).persist()
     rare = exploded.groupBy("gram").count().where(F.col("count") <= min_df_prune)
     cand_grams = exploded.join(rare.select("gram"), "gram")
     pairs = (
