@@ -741,6 +741,214 @@ def q24_multimodal_features(spark, sf_dir):
     return multimodal.decode_features(media, dim=8)
 
 
+# ---------------------------------------------------------------------------
+# q25 — REAL Structured Streaming: readStream -> watermark -> tumbling
+# windows -> availableNow drain -> memory sink. Oracle-checkable
+# because complete mode emits every window (same result as q14).
+# ---------------------------------------------------------------------------
+def q25_streaming_hourly(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import events as SE
+
+    return SE.hourly_counts_available_now(spark, f"{sf_dir}/events.parquet")
+
+
+Q25_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q26 — anti join: customers with NO urgent high-value order. The
+# filtered right side is small -> Catalyst broadcasts the anti join.
+# ---------------------------------------------------------------------------
+def q26_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    )
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+Q26_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q27 — TPC-H Q3 shape: dim-filtered 3-way join + agg + top-k. The
+# customer side is filtered then broadcast; lineitem never shuffles
+# wider than (orderkey, revenue terms).
+# ---------------------------------------------------------------------------
+def q27_top_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q27_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q28 — hierarchical rollup (region -> nation -> total): multi-level
+# aggregate in one pass, an operator family the reference lacks
+# entirely (SURVEY.md §2.4 "no grouping sets / cube / rollup").
+# ---------------------------------------------------------------------------
+def q28_rollup_revenue(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+Q28_SQL = """
+SELECT r_name, n_name, ROUND(SUM(o_totalprice), 2) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q29 — as-of join (click -> latest prior purchase per user): the
+# union+window implementation, one shuffle, no range-join pair blowup.
+# Timestamps compared as epoch micros so the nanos-parquet oracle
+# truncates identically.
+# ---------------------------------------------------------------------------
+def q29_asof_attribution(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import joins as J
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    out = J.asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_keep=["click_id"],
+        right_payload=["purchase_id", "value"],
+        prefix="last_",
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.col("last_purchase_id").alias("purchase_id"),
+        F.unix_micros("last_ts").alias("purchase_us"),
+        F.col("last_value").alias("purchase_value"),
+    )
+
+
+Q29_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, event_id AS purchase_id, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id, epoch_us(c.ts) AS click_us,
+       p.purchase_id, epoch_us(p.ts) AS purchase_us,
+       p.value AS purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# q30 — gap-based sessionization (30-min inactivity): two window
+# passes sharing one shuffle, then per-session stats.
+# ---------------------------------------------------------------------------
+def q30_session_stats(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import sessions as SS
+
+    ev = _t(spark, sf_dir, "events")
+    return SS.session_stats(ev, gap_minutes=30).select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        F.round("duration_s", 6).alias("duration_s"),
+    )
+
+
+Q30_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS st
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
+       ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0, 6) AS duration_s
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -773,6 +981,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_simhash_pairs": q22_simhash_pairs,
         "q23_ivf_topk": q23_ivf_topk,
         "q24_multimodal_features": q24_multimodal_features,
+        "q25_streaming_hourly": q25_streaming_hourly,
+        "q26_anti_join": q26_anti_join,
+        "q27_top_revenue": q27_top_revenue,
+        "q28_rollup_revenue": q28_rollup_revenue,
+        "q29_asof_attribution": q29_asof_attribution,
+        "q30_session_stats": q30_session_stats,
     }
 
 
@@ -802,4 +1016,10 @@ def oracle_sql() -> dict[str, str]:
         # q22 simhash, q23 ivf, q24 multimodal: intentionally no oracle
         # (bit-vote hashing / iterative centroids / Python decode stub
         # are not SQL-expressible) -> driver records rows-only checks
+        "q25_streaming_hourly": Q25_SQL,
+        "q26_anti_join": Q26_SQL,
+        "q27_top_revenue": Q27_SQL,
+        "q28_rollup_revenue": Q28_SQL,
+        "q29_asof_attribution": Q29_SQL,
+        "q30_session_stats": Q30_SQL,
     }

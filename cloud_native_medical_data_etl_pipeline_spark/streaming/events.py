@@ -63,6 +63,57 @@ def hourly_counts(
     )
 
 
+_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as long
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+_sink_seq = 0
+
+
+def hourly_counts_available_now(spark: SparkSession, path: str) -> DataFrame:
+    """Run the watermarked tumbling-window aggregation as a REAL
+    Structured Streaming query — readStream source, availableNow
+    trigger, in-memory complete-mode sink — drain it, and return the
+    result table. Batch-equivalent to q14_hourly_windows, which is what
+    makes it oracle-checkable: complete mode emits every window, so
+    after the drain the sink equals the batch aggregation exactly.
+
+    The parquet testdata carries TIMESTAMP(NANOS); the stream schema
+    declares it as long and truncates to micros JVM-side, matching the
+    session's nanosAsLong batch behavior.
+    """
+    global _sink_seq
+    _sink_seq += 1
+    name = f"hourly_counts_sink_{_sink_seq}"
+    # file-stream sources require a directory: stream the parent dir
+    # with a glob filter when given a single file path
+    reader = spark.readStream.schema(_NANOS_SCHEMA)
+    if path.endswith(".parquet"):
+        base, _, fname = path.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        path = base
+    stream = reader.parquet(path).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    q = (
+        hourly_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_available_now(
     spark: SparkSession, input_path: str, output_path: str, checkpoint: str
 ) -> None:

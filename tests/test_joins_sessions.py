@@ -1,0 +1,105 @@
+"""Golden unit tests for asof_join and sessionize/session_stats."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cloud_native_medical_data_etl_pipeline_spark.operators import joins, sessions
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 12, minute, second)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    left = _events(spark, [(1, _ts(10), 100, 0.0)])
+    right = _events(
+        spark,
+        [(1, _ts(5), 201, 5.0), (1, _ts(9), 202, 9.0), (1, _ts(11), 203, 11.0)],
+    )
+    out = joins.asof_join(
+        left, right, on="user_id", left_keep=["event_id"],
+        right_payload=["event_id", "value"],
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["r_event_id"] == 202 and r["r_value"] == 9.0
+    assert r["r_ts"] == _ts(9)
+
+
+def test_asof_inclusive_equality(spark):
+    left = _events(spark, [(1, _ts(10), 100, 0.0)])
+    right = _events(spark, [(1, _ts(10), 201, 7.0)])
+    r = joins.asof_join(
+        left, right, on="user_id", left_keep=["event_id"],
+        right_payload=["event_id", "value"],
+    ).collect()[0]
+    assert r["r_event_id"] == 201
+
+
+def test_asof_no_match_is_null(spark):
+    left = _events(spark, [(1, _ts(1), 100, 0.0)])
+    right = _events(spark, [(1, _ts(5), 201, 5.0), (2, _ts(0), 301, 1.0)])
+    r = joins.asof_join(
+        left, right, on="user_id", left_keep=["event_id"],
+        right_payload=["event_id", "value"],
+    ).collect()[0]
+    assert r["r_event_id"] is None and r["r_ts"] is None
+    assert r["event_id"] == 100  # left payload carried through
+
+
+def test_asof_tie_breaks_by_max_payload(spark):
+    left = _events(spark, [(1, _ts(10), 100, 0.0)])
+    right = _events(spark, [(1, _ts(5), 201, 5.0), (1, _ts(5), 205, 6.0)])
+    r = joins.asof_join(
+        left, right, on="user_id", left_keep=["event_id"],
+        right_payload=["event_id", "value"],
+    ).collect()[0]
+    assert r["r_event_id"] == 205
+
+
+def test_sessionize_splits_on_gap(spark):
+    ev = _events(
+        spark,
+        [
+            (1, _ts(0), 1, 0.0),
+            (1, _ts(10), 2, 0.0),   # same session (10 min gap)
+            (1, _ts(45), 3, 0.0),   # new session (35 min gap)
+            (2, _ts(0), 4, 0.0),    # separate user
+        ],
+    )
+    out = sessions.sessionize(ev, gap_minutes=30).collect()
+    got = {r["event_id"]: r["session_id"] for r in out}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_session_stats_duration(spark):
+    ev = _events(
+        spark,
+        [(1, _ts(0), 1, 0.0), (1, _ts(10, 30), 2, 0.0), (1, _ts(45), 3, 0.0)],
+    )
+    out = {
+        (r["user_id"], r["session_id"]): r
+        for r in sessions.session_stats(ev, gap_minutes=30).collect()
+    }
+    s1 = out[(1, 1)]
+    assert s1["n_events"] == 2
+    assert s1["duration_s"] == 630.0
+    s2 = out[(1, 2)]
+    assert s2["n_events"] == 1 and s2["duration_s"] == 0.0
+
+
+def test_sessionize_boundary_gap_exact_not_new(spark):
+    # gap EXACTLY 30 min is not a new session (strict >)
+    ev = _events(spark, [(1, _ts(0), 1, 0.0), (1, _ts(30), 2, 0.0)])
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessions.sessionize(ev, gap_minutes=30).collect()
+    }
+    assert got == {1: 1, 2: 1}
