@@ -28,6 +28,9 @@ HEADLINE = [
     "q15_text_stats",           # text kernels over documents
     "q17_minhash_near_dups",    # minhash LSH near-dup pipeline
     "q19_cosine_topk",          # brute-force vector top-k
+    "q27_top_revenue",          # filtered 3-way join + top-k
+    "q29_asof_attribution",     # as-of join (union+window)
+    "q30_session_stats",        # gap sessionization
 ]
 
 

@@ -1,0 +1,75 @@
+"""Streaming-path tests: availableNow windowed counts (q25 machinery)
+and the applyInPandasWithState sessionizer."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_native_medical_data_etl_pipeline_spark.streaming import events as SE
+from cloud_native_medical_data_etl_pipeline_spark.streaming import sessions as SS
+
+
+def test_hourly_counts_available_now_matches_batch(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = SE.hourly_counts_available_now(
+        spark, f"{sf_dir}/events.parquet"
+    )
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+
+
+def _write_events(spark, tmpdir, rows):
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmpdir))
+
+
+def test_streaming_sessionize_emits_closed_sessions(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, m(0), 1),
+        (1, m(10), 2),
+        (1, m(60), 3),   # closes session 1 (2 events), opens session 2
+        (2, m(0), 4),    # single open session, stays in state
+    ]
+    src = tmp_path / "events_in"
+    _write_events(spark, src, rows)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .parquet(str(src))
+    )
+    sessions = SS.streaming_sessionize(stream, gap_minutes=30)
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_sink_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {
+        (r["user_id"],): r
+        for r in spark.table("sess_sink_test").collect()
+    }
+    # only user 1's in-batch-closed session is emitted; user 2's open
+    # session remains in the (now discarded) state store
+    assert list(out) == [(1,)]
+    s = out[(1,)]
+    assert s["n_events"] == 2
+    assert s["session_start"] == m(0)
+    assert s["session_end"] == m(10)
