@@ -105,3 +105,92 @@ def decode_features(df: DataFrame, dim: int = 8, fake: bool = True) -> DataFrame
             yield pd.DataFrame(out, columns=[f.name for f in FEATURES_SCHEMA.fields])
 
     return df.select("media_id", "payload").mapInPandas(_decode, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+) -> DataFrame:
+    """Resize plumbing: payload -> payload at (width, height).
+
+    fake=True emits a deterministic stand-in — the payload truncated/
+    cycled to width*height bytes (one 'pixel' per byte) — so batch
+    shape, schema, and partition behavior are real. fake=False is the
+    seam for a PIL/libvips decode-resize-encode."""
+    if not fake:
+        raise NotImplementedError(
+            "real image resize requires codec libraries not present in "
+            "this environment; use fake=True for the deterministic stub"
+        )
+    n_out = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                resized = (
+                    (b * (n_out // len(b) + 1))[:n_out] if b else bytes(n_out)
+                )
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "payload": resized,
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select("media_id", "payload").mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 256, max_frames: int = 8, fake: bool = True
+) -> DataFrame:
+    """Frame sampling plumbing: one payload row -> up to max_frames
+    frame rows (a flatMap via mapInPandas, so output batches are not
+    1:1 with input rows — the shape a real video decoder produces).
+
+    fake=True treats every `every_n_bytes` slice as a 'frame';
+    fake=False is the seam for pyav keyframe extraction."""
+    if not fake:
+        raise NotImplementedError(
+            "real frame sampling requires codec libraries not present in "
+            "this environment; use fake=True for the deterministic stub"
+        )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                for idx in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    out.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": idx,
+                            "frame": b[idx * every_n_bytes:(idx + 1) * every_n_bytes],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAMES_SCHEMA.fields])
+
+    return df.select("media_id", "payload").mapInPandas(_sample, FRAMES_SCHEMA)

@@ -106,6 +106,73 @@ def assign_cells(
     )
 
 
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    num_cells: int = 16,
+) -> None:
+    """Materialize the IVF index as a cell-partitioned parquet table.
+
+    This is the 100 TB shape of ivf_topk: pay the assignment pass ONCE
+    at ingest, write `partitionBy(cell_id)`, and every subsequent query
+    reads only its nprobe cell directories — probe selectivity becomes
+    Catalyst partition pruning (PartitionFilters on the scan, zero
+    bytes read from unprobed cells) instead of a filter over the full
+    corpus. Centroids ride along in an underscore-prefixed side
+    directory, which Spark's file listing ignores.
+    """
+    centroids = [
+        (r[0], [float(x) for x in r[1]])
+        for r in df.select(key_col, vec_col)
+        .orderBy(F.col(key_col).asc())
+        .limit(num_cells)
+        .collect()
+    ]
+    assigned = assign_cells(df, [c[1] for c in centroids], vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c[1]) for i, c in enumerate(centroids)],
+        f"cell_id int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/_ivf_centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a build_ivf_index table: rank cells by centroid cosine on
+    the driver (centroid set is tiny), then scan ONLY the nprobe
+    nearest cell partitions — the cell_id filter is a partition-pruning
+    predicate, so unprobed cells cost zero IO."""
+    centroids = {
+        r["cell_id"]: [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(f"{path}/_ivf_centroids").collect()
+    }
+    probe_order = sorted(
+        centroids, key=lambda i: -_py_cosine(query_vec, centroids[i])
+    )
+    probes = probe_order[:nprobe]
+    q = _lit_vec(query_vec)
+    return (
+        spark.read.parquet(path)
+        .where(F.col("cell_id").isin(probes))
+        .select(
+            F.col(key_col), F.round(V.cosine(F.col(vec_col), q), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def random_hyperplane_bucket(
     vec_col: Column | str, planes: list[list[float]]
 ) -> Column:

@@ -144,3 +144,59 @@ def test_vector_kernels(spark):
     ).collect()
     assert out[0]["d"] == 0.0 and out[0]["c"] == 0.0
     assert out[1]["d"] == 2.0 and abs(out[1]["c"] - 1.0) < 1e-9
+
+
+def test_ivf_index_roundtrip_matches_inline(spark, tmp_path):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx, num_cells=16)
+    inline = S.ivf_topk(emb, q, k=10, num_cells=16, nprobe=4).collect()
+    indexed = S.ivf_topk_indexed(spark, idx, q, k=10, nprobe=4).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in indexed] == [
+        (r["vec_id"], r["cosine"]) for r in inline
+    ]
+
+
+def test_ivf_index_scan_prunes_partitions(spark, tmp_path):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx, num_cells=8)
+    df = S.ivf_topk_indexed(spark, idx, q, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    assert df.count() == 5
+
+
+def test_multimodal_resize_and_frames(spark):
+    import pytest as _pytest
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    media = MM.attach_payload(docs)
+
+    resized = MM.resize_images(media, width=8, height=8)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(len(r["payload"]) == 64 for r in rows)
+    assert all(r["width"] == 8 and r["height"] == 8 for r in rows)
+
+    frames = MM.sample_frames(media, every_n_bytes=64, max_frames=3)
+    f = frames.collect()
+    assert len(f) >= 20  # at least one frame per payload
+    per_media = {}
+    for r in f:
+        per_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == list(range(len(v))) for v in per_media.values())
+    assert max(len(v) for v in per_media.values()) <= 3
+
+    with _pytest.raises(NotImplementedError):
+        MM.resize_images(media, fake=False)
+    with _pytest.raises(NotImplementedError):
+        MM.sample_frames(media, fake=False)
