@@ -79,6 +79,32 @@ def read_partition(
         raise
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Materialize a table bucketed (and sorted) by the join key.
+
+    This is the shuffle-elimination lever for repeated big-big joins:
+    two tables bucketed on the same key with the same bucket count
+    join with ZERO Exchange — each task reads matching bucket files
+    from both sides (and with sortBy, zero Sort as well). At 100 TB,
+    bucketing the fact tables on their join key once at ingest turns
+    every downstream join/aggregation on that key into a map-side
+    operation. Registered through the session catalog (saveAsTable) —
+    bucket metadata lives in the catalog, not the files.
+    """
+    writer = df.write.format("parquet").mode("overwrite").bucketBy(
+        num_buckets, bucket_col
+    )
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
+
+
 def write_csv_head(df: DataFrame, path: str, n: int = 1000) -> None:
     """The reference's human-readable CSV extract: first N rows
     (drug_transformer.py:304-306). Row choice without a sort is
