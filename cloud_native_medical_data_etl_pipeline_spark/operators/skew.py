@@ -1,0 +1,52 @@
+"""Skew mitigation for hot join keys.
+
+AQE's skew-join splitting (on in the session factory) handles most
+runtime skew by subdividing oversized partitions; salting is the
+explicit, planner-independent form for the pathological case AQE can't
+split — ONE key carrying a large fraction of the rows, where even a
+subdivided partition re-joins the same right-side rows repeatedly.
+
+`salted_join` spreads the hot side across `salt_factor` sub-keys with
+a deterministic row hash and replicates the other side once per salt:
+shuffle parallelism on the hot key goes from 1 task to `salt_factor`
+tasks at the cost of replicating the (smaller) side `salt_factor`
+times. Aggregations generally do NOT need salting — Spark's partial
+(map-side) aggregation already collapses hot-key rows before the
+shuffle; salt only when the post-shuffle combine itself is the
+bottleneck (e.g. collect_list on a hot key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | list[str],
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where `skewed` has hot keys: `skewed` rows get a
+    deterministic salt in [0, salt_factor); `other` is replicated once
+    per salt value, so every (key, salt) pair finds its match. Result
+    equals `skewed.join(other, on, how)` for how in
+    {'inner', 'left', 'left_outer'}.
+
+    The salt is a hash of ALL the skewed side's columns — deterministic
+    across retries (no rand()), and uniform enough to split a hot key's
+    rows across salt_factor shuffle partitions.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_factor)
+    ).cast("int")
+    left_s = skewed.withColumn("__salt", salt)
+    right_s = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
+    )
+    return left_s.join(right_s, keys + ["__salt"], how).drop("__salt")

@@ -1,0 +1,54 @@
+"""salted_join equals the plain join on skewed data."""
+
+from pyspark.sql import functions as F
+
+from cloud_native_medical_data_etl_pipeline_spark.operators.skew import salted_join
+
+
+def _skewed(spark):
+    # one hot key (90% of rows) + a long tail
+    hot = spark.range(0, 900).select(
+        F.lit(1).alias("k"), F.col("id").alias("payload")
+    )
+    tail = spark.range(0, 100).select(
+        (F.col("id") + 2).alias("k"), F.col("id").alias("payload")
+    )
+    return hot.unionByName(tail)
+
+
+def _dim(spark):
+    return spark.range(0, 50).select(
+        (F.col("id") + 1).alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+
+
+def test_salted_inner_matches_plain(spark):
+    left, right = _skewed(spark), _dim(spark)
+    salted = salted_join(left, right, "k", salt_factor=8)
+    plain = left.join(right, "k")
+    assert salted.count() == plain.count() == 900 + 50 - 1
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_left_keeps_unmatched(spark):
+    left, right = _skewed(spark), _dim(spark)
+    salted = salted_join(left, right, "k", salt_factor=4, how="left")
+    plain = left.join(right, "k", "left")
+    assert salted.count() == plain.count() == 1000
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salt_actually_spreads_hot_key(spark):
+    left = _skewed(spark)
+    n_salts = (
+        left.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8)),
+        )
+        .where(F.col("k") == 1)
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8
