@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis): Spark expressions vs independent
+Python/pandas reference implementations on randomized batches.
+
+Each example generates a BATCH of values and runs one Spark job over
+it (per-value jobs would be prohibitively slow), with few examples and
+no deadline — the point is randomized coverage of boundaries, not
+volume.
+"""
+
+import math
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from cloud_native_medical_data_etl_pipeline_spark.functions import medical as M
+from cloud_native_medical_data_etl_pipeline_spark.functions import text as X
+
+AGE_BINS = [0, 18, 30, 50, 65, 100]
+# reference labels: drug_transformer.py:119
+AGE_LABELS = ["Pediatric", "Young Adult", "Adult", "Senior", "Elderly"]
+
+ages = st.one_of(
+    st.none(),
+    st.floats(min_value=-10, max_value=130, allow_nan=False),
+    st.sampled_from([0.0, 18.0, 30.0, 50.0, 65.0, 100.0, 100.1]),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(ages, min_size=1, max_size=40))
+def test_age_group_matches_pandas_cut(spark, batch):
+    # reference semantics: pd.cut right-closed bins (drug_transformer.py:115-120)
+    expected = [
+        None if (v is None or pd.isna(r)) else str(r)
+        for v, r in zip(
+            batch,
+            pd.cut(pd.Series(batch, dtype="float64"), bins=AGE_BINS, labels=AGE_LABELS),
+        )
+    ]
+    df = spark.createDataFrame([(v,) for v in batch], "patient_age double")
+    got = [
+        r["g"] for r in df.select(M.age_group("patient_age").alias("g")).collect()
+    ]
+    assert got == expected
+
+
+tokens = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=6),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(tokens, min_size=1, max_size=20), st.integers(min_value=1, max_value=4))
+def test_word_ngrams_matches_python_reference(spark, batch, n):
+    def ref(tk):
+        if len(tk) < n:
+            return []
+        grams = [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+        seen, out = set(), []
+        for g in grams:
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    expected = [ref(tk) for tk in batch]
+    df = spark.createDataFrame([(tk,) for tk in batch], "tk array<string>")
+    got = [
+        list(r["g"])
+        for r in df.select(
+            X.word_ngrams_from_tokens("tk", n).alias("g")
+        ).collect()
+    ]
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_fingerprint_matches_python_reference(spark, batch):
+    MOD = 2147483647
+
+    def ref(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % MOD
+        return h
+
+    df = spark.createDataFrame([(s,) for s in batch], "text string")
+    got = [r["fp"] for r in df.select(X.fingerprint("text").alias("fp")).collect()]
+    assert got == [ref(s) for s in batch]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),          # user
+            st.integers(min_value=0, max_value=36_000),     # offset seconds
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_sessionize_invariants(spark, batch):
+    import datetime as dt
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators import sessions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(seconds=s), i)
+        for i, (u, s) in enumerate(batch)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = sessions.sessionize(df, gap_minutes=30).collect()
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["session_id"]))
+    for user, evs in by_user.items():
+        evs.sort()
+        # session ids start at 1, are non-decreasing, step by at most 1
+        assert evs[0][1] == 1
+        for (prev_ts, prev_sid), (ts, sid) in zip(evs, evs[1:]):
+            gap = (ts - prev_ts).total_seconds()
+            if gap > 1800:
+                assert sid == prev_sid + 1
+            else:
+                assert sid == prev_sid
