@@ -949,6 +949,107 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q31 — end-to-end corpus curation: lang filter + quality filter +
+# exact dedup + minhash near-dup removal, composed as one lazy plan.
+# ---------------------------------------------------------------------------
+def q31_curated_corpus(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import curate as C
+
+    docs = _t(spark, sf_dir, "documents")
+    return C.curate(
+        docs,
+        lang="en",
+        min_quality=0.3,
+        jaccard_threshold=_MH_THRESH,
+        num_hashes=_MH_H,
+        bands=_MH_BANDS,
+        ngram_n=_MH_N,
+    ).select("doc_id", "lang", "source")
+
+
+def _q31_sql() -> str:
+    n, h, bands = _MH_N, _MH_H, _MH_BANDS
+    r = h // bands
+    mh_terms = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}"
+        for i in range(h)
+    )
+    band_elems = ", ".join(
+        "'{b}#' || ".format(b=b)
+        + " || '#' || ".join(f"mh{b * r + j}" for j in range(r))
+        for b in range(bands)
+    )
+    hits = {
+        lang: f"len(list_filter(tk, t -> list_contains([{m}], t)))"
+        for lang, m in _MARK.items()
+    }
+    lang_case = f"""CASE WHEN {hits['en']} = 0 AND {hits['es']} = 0
+             AND {hits['de']} = 0 AND {hits['fr']} = 0 THEN 'und'
+            WHEN {hits['en']} >= {hits['es']} AND {hits['en']} >= {hits['de']}
+             AND {hits['en']} >= {hits['fr']} THEN 'en'
+            WHEN {hits['es']} >= {hits['de']} AND {hits['es']} >= {hits['fr']} THEN 'es'
+            WHEN {hits['de']} >= {hits['fr']} THEN 'de'
+            ELSE 'fr' END"""
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, source, COALESCE(text, '') AS s,
+         CASE WHEN TRIM(COALESCE(text, '')) = '' THEN []::VARCHAR[]
+              ELSE list_transform(string_split_regex(TRIM(text), '\\s+'), t -> LOWER(t))
+         END AS tk
+  FROM documents
+),
+scored AS (
+  SELECT *,
+         {lang_case} AS lang_guess,
+         ROUND(GREATEST(LEAST(
+           LEAST(len(tk) / 100.0, 1.0) * 0.4
+           + (1.0 - ABS((CASE WHEN len(tk) > 0
+                THEN len(list_filter(tk, t -> list_contains([{_SW}], t))) * 1.0 / len(tk)
+                ELSE 0.0 END) - 0.4)) * 0.3
+           + (1.0 - LEAST((CASE WHEN length(s) > 0
+                THEN len(regexp_extract_all(s, '[^\\w\\s]')) * 1.0 / length(s)
+                ELSE 0.0 END) * 4, 1.0)) * 0.3,
+           1.0), 0.0), 6) AS q
+  FROM base
+),
+kept0 AS (
+  SELECT * FROM scored WHERE lang_guess = 'en' AND q >= 0.3
+),
+kept AS (
+  SELECT doc_id, lang, source, s, tk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id) AS rn FROM kept0
+  ) WHERE rn = 1
+),
+shing AS (
+  SELECT doc_id AS k,
+         list_distinct(list_transform(range(1, len(tk) - {n - 2}),
+                       i -> array_to_string(tk[i:i+{n - 1}], ' '))) AS sh
+  FROM kept WHERE len(tk) >= {n}
+),
+sig AS (
+  SELECT k, sh,
+         {mh_terms}
+  FROM shing
+),
+banded AS (
+  SELECT k, unnest([{band_elems}]) AS bucket FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.k AS key_a, b.k AS key_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.k < b.k
+),
+losers AS (
+  SELECT DISTINCT c.key_b AS doc_id
+  FROM cand c JOIN shing x ON c.key_a = x.k JOIN shing y ON c.key_b = y.k
+  WHERE ROUND(len(list_intersect(x.sh, y.sh)) * 1.0
+        / len(list_distinct(x.sh || y.sh)), 6) >= {_MH_THRESH}
+)
+SELECT doc_id, lang, source FROM kept
+WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = kept.doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -987,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_rollup_revenue": q28_rollup_revenue,
         "q29_asof_attribution": q29_asof_attribution,
         "q30_session_stats": q30_session_stats,
+        "q31_curated_corpus": q31_curated_corpus,
     }
 
 
@@ -1022,4 +1124,5 @@ def oracle_sql() -> dict[str, str]:
         "q28_rollup_revenue": Q28_SQL,
         "q29_asof_attribution": Q29_SQL,
         "q30_session_stats": Q30_SQL,
+        "q31_curated_corpus": _q31_sql(),
     }

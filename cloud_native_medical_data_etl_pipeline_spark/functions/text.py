@@ -143,24 +143,34 @@ def quality_score(text: Column | str) -> Column:
 def lang_id(text: Column | str) -> Column:
     """Marker-word language ID: count hits from each language's marker
     list over the lowercased token set; highest count wins, ties break
-    by language order; no hits -> 'und'."""
+    by language order; no hits -> 'und'.
+
+    Hit counts live in ONE array so the expression tree stays linear in
+    the number of languages — the chained when(hits > best) formulation
+    duplicates the running-best subtree per language (2^n copies of the
+    higher-order filter expressions), which bloats analysis/codegen.
+    array_position returns the FIRST index of the max, preserving the
+    dict-order tie-break of the strict-> chain."""
     toks = F.transform(tokens(text), lambda t: F.lower(t))
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
 
     def is_marker(markers: list[str]):
         # one-arg lambda: a second parameter would be bound to the
         # array index by Spark's higher-order-function protocol
         return lambda t: t.isin(markers)
 
-    # Forward iteration with strict >: the first language to reach the
-    # maximal hit count keeps the crown, so ties break by dict order.
-    for lang, markers in LANG_MARKERS.items():
-        hits = F.size(F.filter(toks, is_marker(markers)))
-        is_better = hits > best_hits
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(is_better, hits).otherwise(best_hits)
-    return best_lang
+    langs = list(LANG_MARKERS)
+    hits = F.array(
+        *[
+            F.size(F.filter(toks, is_marker(LANG_MARKERS[lang])))
+            for lang in langs
+        ]
+    )
+    best = F.array_max(hits)
+    pick = F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]),
+        F.array_position(hits, best).cast("int"),
+    )
+    return F.when(best > 0, pick).otherwise(F.lit("und"))
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -1,0 +1,63 @@
+"""End-to-end corpus curation: the composite a training-data pipeline
+actually runs, as ONE lazy plan.
+
+    keep language == target
+    keep quality_score >= threshold
+    drop exact duplicates           (keep the min-key copy)
+    drop near-duplicates            (keep the min-key member of each
+                                     near-dup pair)
+
+Plan shape at scale: the language/quality filters are pure map-side
+column expressions, so they run inside the scan stage and shrink
+everything downstream; exact dedup shuffles once on the content hash;
+near-dup removal reuses the MinHash-LSH pair generator (band equi-join,
+never a cross join) and turns its pair list into an anti join — the
+survivors never carry shingle arrays past the pair stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from . import dedup as D
+
+
+def curate(
+    df: DataFrame,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Returns the curated subset of `df` (all original columns)."""
+    # the filtered frame feeds both branches of the exact-dedup
+    # semi-join, the minhash pipeline, and the final anti join —
+    # persist so the (HOF-heavy) lang/quality expressions run ONCE
+    # over the corpus, not once per consumer. At scale this is where
+    # a pipeline would checkpoint the filtered corpus anyway.
+    filtered = df.where(
+        (X.lang_id(content_col) == lang)
+        & (X.quality_score(content_col) >= min_quality)
+    ).persist()
+    kept = D.exact_dedup(filtered, content_col, key_col)
+    pairs = D.minhash_lsh_pairs(
+        kept,
+        content_col=content_col,
+        key_col=key_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        shingle_mode="word",
+        ngram_n=ngram_n,
+    )
+    # a doc is dropped iff it is the LARGER key of some near-dup pair
+    # (pairs are emitted with key_a < key_b), so the smallest member of
+    # every near-dup cluster chain survives
+    losers = pairs.select(F.col("key_b").alias(key_col)).distinct()
+    return kept.join(losers, key_col, "left_anti")
