@@ -1050,6 +1050,62 @@ WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = kept.doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# q32 — exact percentiles per group (sort-based exact aggregate; the
+# approx_percentile sketch is the 100 TB swap-in, same plan shape).
+# Spark percentile() and DuckDB quantile_cont share linear
+# interpolation, so the oracle is exact.
+# ---------------------------------------------------------------------------
+def q32_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+Q32_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q33 — pivot (event_type -> columns): per-user activity matrix. The
+# pivot value list is explicit, so the plan is a single aggregation
+# with conditional counters — no second pass to discover values, which
+# is what makes pivot scale.
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q33_pivot_activity(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+Q33_SQL = f"""
+SELECT user_id,
+       {", ".join(
+           "CAST(SUM(CASE WHEN event_type = '%s' THEN 1 ELSE 0 END) AS BIGINT) AS n_%s"
+           % (t, t) for t in _EVENT_TYPES
+       )}
+FROM events GROUP BY user_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -1089,6 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_asof_attribution": q29_asof_attribution,
         "q30_session_stats": q30_session_stats,
         "q31_curated_corpus": q31_curated_corpus,
+        "q32_percentiles": q32_percentiles,
+        "q33_pivot_activity": q33_pivot_activity,
     }
 
 
@@ -1125,4 +1183,6 @@ def oracle_sql() -> dict[str, str]:
         "q29_asof_attribution": Q29_SQL,
         "q30_session_stats": Q30_SQL,
         "q31_curated_corpus": _q31_sql(),
+        "q32_percentiles": Q32_SQL,
+        "q33_pivot_activity": Q33_SQL,
     }
