@@ -1106,6 +1106,238 @@ FROM events GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q34 — distinct-count aggregation (COUNT(DISTINCT) per group). The
+# reference has no distinct aggregates (SURVEY §2.4); at scale this is
+# the two-phase partial-distinct shuffle Spark plans natively, and the
+# approx_count_distinct HLL sketch is the drop-in when exactness can
+# be traded for one fewer shuffle.
+# ---------------------------------------------------------------------------
+def q34_daily_active_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q34_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q35 — cube + grouping id (q28 covers rollup; cube adds the
+# cross-dimensional slices). grouping(a)*2 + grouping(b) is computed
+# explicitly on both sides so the bit order is pinned, not inherited
+# from either engine's grouping_id convention.
+# ---------------------------------------------------------------------------
+def q35_cube_flags(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+        (
+            F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+        ).cast("int").alias("grp"),
+    )
+
+
+Q35_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       COUNT(*) AS n_items,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS grp
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q36 — left-semi join (existence filter). Spark plans a broadcast
+# semi-join: only the filtered orderkeys ship to executors, and the
+# probe side streams without materializing matches — the scalable form
+# of EXISTS. (q26 is the anti-join complement.)
+# ---------------------------------------------------------------------------
+def q36_big_spenders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return c.join(
+        F.broadcast(o), c["c_custkey"] == o["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+Q36_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q37 — interval (range) join via time-bin blocking: for each event,
+# every later event by the same user within 60 minutes. The binned
+# operator keeps hot keys from exploding O(k^2) (see
+# operators/joins.py:binned_interval_join). Gap arithmetic stays in
+# exact unix_micros on both sides.
+# ---------------------------------------------------------------------------
+def q37_event_followups(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.joins import (
+        binned_interval_join,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    pairs = binned_interval_join(
+        ev,
+        ev.select("user_id", "ts", F.col("event_type").alias("next_type")),
+        on="user_id",
+        lo_s=0.0,
+        hi_s=3600.0,
+        right_payload=["next_type"],
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(F.col("gap_us") / 1e6), 6).alias("avg_gap_s"),
+        F.sum(
+            F.when(F.col("r_next_type") == F.col("event_type"), 1).otherwise(0)
+        ).cast("long").alias("n_same_type"),
+    )
+
+
+Q37_SQL = """
+SELECT a.event_type,
+       COUNT(*) AS n_pairs,
+       ROUND(AVG(date_diff('microsecond', a.ts, b.ts) / 1e6), 6) AS avg_gap_s,
+       CAST(SUM(CASE WHEN b.event_type = a.event_type THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_type
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 60 MINUTE
+GROUP BY a.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q38 — partition-wide window aggregate as a correlated filter: orders
+# above their customer's average. One shuffle on custkey; the oracle
+# writes it as the window form too (a correlated subquery would
+# recompute the aggregate per row). The predicate is evaluated in
+# exact DECIMAL(18,2) as price*n > sum — a float avg of cent-valued
+# prices lands on rounding half-grains where 1-ulp summation noise
+# flips rows between engines.
+# ---------------------------------------------------------------------------
+def q38_above_avg_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.withColumn("cust_total_dec", F.sum(dec).over(w))
+        .withColumn("n_orders", F.count(F.lit(1)).over(w))
+        .where(dec * F.col("n_orders") > F.col("cust_total_dec"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "n_orders",
+            F.col("cust_total_dec").cast("double").alias("cust_total"),
+        )
+    )
+
+
+Q38_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, n_orders,
+       CAST(cust_total_dec AS DOUBLE) AS cust_total
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_custkey) AS cust_total_dec,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+  FROM orders
+)
+WHERE price_dec * n_orders > cust_total_dec
+"""
+
+
+# ---------------------------------------------------------------------------
+# q39 — rolling 7-day revenue: range-frame window over the daily
+# rollup. The rollup shrinks the input to one row per day BEFORE the
+# unpartitioned window, so the single-partition sort is over ~10^3
+# rows regardless of raw scale — the correct plan shape for global
+# time-series windows at 100 TB. RANGE (not ROWS) so calendar gaps
+# are handled identically on both sides.
+# ---------------------------------------------------------------------------
+def q39_rolling_revenue(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue")
+    )
+    w = (
+        Window.orderBy(F.datediff("day", F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.withColumn(
+        "rev_7d", F.round(F.sum("revenue").over(w), 4)
+    ).select("day", "revenue", "rev_7d")
+
+
+Q39_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         ROUND(SUM(o_totalprice), 4) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT day, revenue,
+       ROUND(SUM(revenue) OVER (
+         ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ), 4) AS rev_7d
+FROM daily
+"""
+
+
+# ---------------------------------------------------------------------------
+# q40 — sliding windows (6h window, 1h slide; q14 is the tumbling
+# case). Spark's window() replicates each event into span/slide = 6
+# window groups before the aggregation — the oracle states that
+# replication explicitly with a range(6) cross join.
+# ---------------------------------------------------------------------------
+def q40_sliding_windows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+
+
+Q40_SQL = """
+SELECT DATE_TRUNC('hour', ts) - (i * INTERVAL 1 HOUR) AS window_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events, range(6) t(i)
+GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -1147,6 +1379,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_curated_corpus": q31_curated_corpus,
         "q32_percentiles": q32_percentiles,
         "q33_pivot_activity": q33_pivot_activity,
+        "q34_daily_active_users": q34_daily_active_users,
+        "q35_cube_flags": q35_cube_flags,
+        "q36_big_spenders": q36_big_spenders,
+        "q37_event_followups": q37_event_followups,
+        "q38_above_avg_orders": q38_above_avg_orders,
+        "q39_rolling_revenue": q39_rolling_revenue,
+        "q40_sliding_windows": q40_sliding_windows,
     }
 
 
@@ -1185,4 +1424,11 @@ def oracle_sql() -> dict[str, str]:
         "q31_curated_corpus": _q31_sql(),
         "q32_percentiles": Q32_SQL,
         "q33_pivot_activity": Q33_SQL,
+        "q34_daily_active_users": Q34_SQL,
+        "q35_cube_flags": Q35_SQL,
+        "q36_big_spenders": Q36_SQL,
+        "q37_event_followups": Q37_SQL,
+        "q38_above_avg_orders": Q38_SQL,
+        "q39_rolling_revenue": Q39_SQL,
+        "q40_sliding_windows": Q40_SQL,
     }

@@ -31,6 +31,8 @@ HEADLINE = [
     "q27_top_revenue",          # filtered 3-way join + top-k
     "q29_asof_attribution",     # as-of join (union+window)
     "q30_session_stats",        # gap sessionization
+    "q33_pivot_activity",       # one-pass pivot
+    "q37_event_followups",      # time-bin-blocked interval join
 ]
 
 

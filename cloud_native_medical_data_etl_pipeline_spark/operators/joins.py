@@ -20,6 +20,69 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def binned_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lo_s: float = 0.0,
+    hi_s: float = 3600.0,
+    right_payload: list[str] | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Interval self/range join: pairs where both rows share the ``on``
+    key and ``left_ts + lo_s < right_ts <= left_ts + hi_s``.
+
+    The naive formulation (equi-join on key, range as a post-filter)
+    shuffles fine but explodes O(k²) pairs inside every hot key before
+    the filter runs. This version *blocks by time bin* first: right
+    rows get ``floor(us / w)`` (w = window span); each left row probes
+    only the two bins its interval ``(t+lo, t+hi]`` can touch. The join
+    key becomes (key, bin), so a hot key's pairs are split across its
+    time bins — the per-task blowup is bounded by events-per-key-per-
+    window, not events-per-key. Arithmetic is in exact ``unix_micros``
+    longs (a double epoch loses microseconds to cancellation).
+
+    Emits left columns plus ``gap_us`` and the prefixed right payload.
+    """
+    lo_us = int(round(lo_s * 1_000_000))
+    hi_us = int(round(hi_s * 1_000_000))
+    w_us = hi_us - lo_us
+    if w_us <= 0:
+        raise ValueError("hi_s must exceed lo_s")
+    right_payload = right_payload or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.unix_micros(F.col(right_ts)).alias("__rus"),
+        F.col(right_ts).alias(f"{prefix}{right_ts}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_payload],
+    ).withColumn("__bin", F.floor(F.col("__rus") / F.lit(w_us)))
+    l = left.withColumn("__lus", F.unix_micros(F.col(left_ts))).withColumn(
+        "__bin",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("__lus") + F.lit(lo_us)) / F.lit(w_us)),
+                    F.floor((F.col("__lus") + F.lit(hi_us)) / F.lit(w_us)),
+                )
+            )
+        ),
+    )
+    joined = l.join(
+        r,
+        (l[on] == r["__k"])
+        & (l["__bin"] == r["__bin"])
+        & (r["__rus"] > l["__lus"] + F.lit(lo_us))
+        & (r["__rus"] <= l["__lus"] + F.lit(hi_us)),
+    )
+    return joined.withColumn(
+        "gap_us", F.col("__rus") - F.col("__lus")
+    ).drop("__k", "__bin", "__rus", "__lus")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

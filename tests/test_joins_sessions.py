@@ -103,3 +103,85 @@ def test_sessionize_boundary_gap_exact_not_new(spark):
         for r in sessions.sessionize(ev, gap_minutes=30).collect()
     }
     assert got == {1: 1, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# binned_interval_join
+# ---------------------------------------------------------------------------
+def test_binned_interval_join_matches_naive(spark):
+    """Property: the bin-blocked join returns exactly the naive
+    equi-join + range-filter pair set, including pairs that straddle a
+    bin boundary."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (u, _ts(rng.randrange(0, 59), rng.randrange(0, 60)), i, float(i))
+        for i, u in enumerate(rng.choices([1, 2, 3], k=60))
+    ]
+    ev = _events(spark, rows)
+    right = ev.select("user_id", "ts", F.col("event_id").alias("rid"))
+    out = joins.binned_interval_join(
+        ev, right, on="user_id", lo_s=0.0, hi_s=300.0, right_payload=["rid"]
+    )
+    got = {(r["event_id"], r["r_rid"], r["gap_us"]) for r in out.collect()}
+
+    a, b = ev.alias("a"), right.alias("b")
+    naive = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (
+            F.unix_micros(F.col("b.ts"))
+            <= F.unix_micros(F.col("a.ts")) + 300_000_000
+        ),
+    ).select(
+        F.col("a.event_id"),
+        F.col("b.rid"),
+        (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))).alias(
+            "gap_us"
+        ),
+    )
+    want = {(r["event_id"], r["rid"], r["gap_us"]) for r in naive.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_binned_interval_join_boundaries(spark):
+    """(lo, hi] semantics: gap == 0 excluded, gap == hi included,
+    gap just over hi excluded; exact bin-boundary gap included once."""
+    left = _events(spark, [(1, _ts(0), 1, 0.0)])
+    right = _events(
+        spark,
+        [
+            (1, _ts(0), 10, 0.0),        # gap 0 -> excluded (open low end)
+            (1, _ts(5), 11, 0.0),        # gap 300s == hi -> included
+            (1, _ts(5, 1), 12, 0.0),     # gap 301s -> excluded
+            (2, _ts(1), 13, 0.0),        # other key -> excluded
+        ],
+    )
+    out = joins.binned_interval_join(
+        left,
+        right.select("user_id", "ts", F.col("event_id").alias("rid")),
+        on="user_id",
+        lo_s=0.0,
+        hi_s=300.0,
+        right_payload=["rid"],
+    ).collect()
+    assert {(r["r_rid"], r["gap_us"]) for r in out} == {(11, 300_000_000)}
+
+
+def test_binned_interval_join_is_equi_shuffle(spark):
+    """The physical plan must be an equi-join on (key, bin) — a
+    SortMergeJoin/ShuffledHashJoin with the range as a post-condition —
+    not a nested-loop cartesian per key."""
+    ev = _events(spark, [(1, _ts(0), 1, 0.0), (1, _ts(2), 2, 0.0)])
+    out = joins.binned_interval_join(
+        ev,
+        ev.select("user_id", "ts", F.col("event_id").alias("rid")),
+        on="user_id",
+        lo_s=0.0,
+        hi_s=300.0,
+        right_payload=["rid"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
