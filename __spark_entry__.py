@@ -1338,6 +1338,26 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q41 — REAL streaming exactly-once dedup: readStream doubles every
+# row in-flight, dropDuplicatesWithinWatermark collapses them, daily
+# rollup of the drained sink. The oracle is the batch DISTINCT — equal
+# because append-mode dedup emits each first-seen id exactly once
+# (streaming/events.py:deduped_daily_counts_available_now).
+# ---------------------------------------------------------------------------
+def q41_streaming_dedup(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import events as SE
+
+    return SE.deduped_daily_counts_available_now(spark, f"{sf_dir}/events.parquet")
+
+
+Q41_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -1386,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_above_avg_orders": q38_above_avg_orders,
         "q39_rolling_revenue": q39_rolling_revenue,
         "q40_sliding_windows": q40_sliding_windows,
+        "q41_streaming_dedup": q41_streaming_dedup,
     }
 
 
@@ -1431,4 +1452,5 @@ def oracle_sql() -> dict[str, str]:
         "q38_above_avg_orders": Q38_SQL,
         "q39_rolling_revenue": Q39_SQL,
         "q40_sliding_windows": Q40_SQL,
+        "q41_streaming_dedup": Q41_SQL,
     }

@@ -73,3 +73,18 @@ def test_streaming_sessionize_emits_closed_sessions(spark, tmp_path):
     assert s["n_events"] == 2
     assert s["session_start"] == m(0)
     assert s["session_end"] == m(10)
+
+
+def test_streaming_dedup_collapses_injected_duplicates(spark):
+    """deduped_daily_counts_available_now doubles every source row
+    in-flight; the watermarked dedup must collapse the stream back to
+    exactly one row per event_id."""
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import events as SE
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    out = SE.deduped_daily_counts_available_now(spark, path)
+    total = out.agg({"n_events": "sum"}).collect()[0][0]
+    n_ids = (
+        spark.read.parquet(path).select("event_id").distinct().count()
+    )
+    assert total == n_ids
