@@ -31,6 +31,7 @@ HEADLINE = [
     "q27_top_revenue",          # filtered 3-way join + top-k
     "q29_asof_attribution",     # as-of join (union+window)
     "q30_session_stats",        # gap sessionization
+    "q20_embedding_near_dups",  # vectorized all-pairs cosine (mapInPandas)
     "q33_pivot_activity",       # one-pass pivot
     "q37_event_followups",      # time-bin-blocked interval join
 ]
@@ -75,6 +76,16 @@ def main() -> None:
 
         entry_mod._t(spark, sf_dir, "documents").limit(50).select(
             _F.md5(_F.concat_ws("", _X.word_ngrams("text", 3)))
+        ).collect()
+    except Exception:
+        pass
+    # exercise the Arrow python-runner path (mapInPandas) once: worker
+    # pool spin-up + Arrow serializer class-loading is per-JVM cost
+    try:
+        entry_mod._t(spark, sf_dir, "embeddings").limit(64).repartition(
+            int(cpus)
+        ).mapInPandas(
+            lambda it: it, "vec_id long, embedding array<float>, label int"
         ).collect()
     except Exception:
         pass

@@ -29,7 +29,7 @@ from ..functions import text as X
 HASH_MOD = 2147483647  # 2^31 - 1, fits every SQL engine's int64
 
 
-_REBALANCE_MIN_BYTES_PER_SLOT = 4 << 20  # 4 MiB of input per core
+_REBALANCE_MIN_STATS_BYTES = 128 << 10  # absolute floor, see below
 
 
 def rebalance_for_cpu(df: DataFrame) -> DataFrame:
@@ -39,15 +39,22 @@ def rebalance_for_cpu(df: DataFrame) -> DataFrame:
     Mid-size inputs can plan as a handful of file partitions (file
     splitting is byte-based, openCostInBytes-floored), which serializes
     hash/shingle kernels on a few threads. If the scan has fewer
-    partitions than the cluster has slots AND carries enough bytes that
-    per-task scheduling overhead is amortized, round-robin repartition
-    + persist. The persist is what makes the repartition effective:
-    without the cache boundary, column pruning pushes downstream
-    projections BELOW the exchange, moving the expensive expressions
-    back to the map side. For tiny inputs (the common unit-test /
-    small-SF case) the shuffle+cache fixed cost exceeds the kernel
-    cost, so they stay put; at 100 TB the scan already has >= slots
-    partitions and this is a no-op.
+    partitions than the cluster has slots and isn't unit-test tiny,
+    round-robin repartition + persist. The persist is what makes the
+    repartition effective: without the cache boundary, column pruning
+    pushes downstream projections BELOW the exchange, moving the
+    expensive expressions back to the map side.
+
+    The gate is an ABSOLUTE stats floor, not bytes-per-slot: Catalyst's
+    sizeInBytes for a pruned string column underestimates the real
+    text volume ~40x (measured: 254 KB reported for ~10 MB of
+    documents), so any per-slot proportional gate silently never
+    fires. Measured at sf0.1/local[32]: the serialized shingle+minhash
+    pass is 1.7 s on one core vs 0.67 s repartitioned — the ~0.2 s of
+    32-task scheduling + cache build is far below the kernel win once
+    the input clears the floor. For tiny inputs (unit tests, sf0.001)
+    the fixed cost dominates, so they stay put; at 100 TB the scan
+    already has >= slots partitions and this is a no-op.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
@@ -55,7 +62,7 @@ def rebalance_for_cpu(df: DataFrame) -> DataFrame:
     size = int(
         df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
-    if size > _REBALANCE_MIN_BYTES_PER_SLOT * target:
+    if size > _REBALANCE_MIN_STATS_BYTES:
         return df.repartition(target).persist()
     return df
 
@@ -330,17 +337,76 @@ def embedding_near_dups(
     """
     from ..functions import vectors as V
 
-    a = df.select(F.col(key_col).alias("key_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(key_col).alias("key_b"), F.col(vec_col).alias("v_b"))
     if block_col:
-        a = a.join(df.select(F.col(key_col).alias("key_a"), F.col(block_col)), "key_a")
-        b = b.join(df.select(F.col(key_col).alias("key_b"), F.col(block_col)), "key_b")
-        joined = a.join(b, block_col)
-    else:
-        joined = a.crossJoin(b)
-    return (
-        joined.where(F.col("key_a") < F.col("key_b"))
-        .withColumn("cosine", F.round(V.cosine("v_a", "v_b"), 6))
-        .where(F.col("cosine") >= threshold)
-        .select("key_a", "key_b", "cosine")
-    )
+        # Candidate sets are small post-blocking: per-ROW prep (cast to
+        # double[] once, precompute the L2 norm once), then ONE
+        # zip_with+aggregate dot per pair — fp-identical to V.cosine
+        # (same doubles, same sequential accumulation), JVM-side.
+        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+        def _side(suffix: str) -> DataFrame:
+            return df.select(
+                F.col(key_col).alias(f"key_{suffix}"),
+                vd.alias(f"v_{suffix}"),
+                V.norm(vd).alias(f"n_{suffix}"),
+                F.col(block_col),
+            )
+
+        joined = _side("a").join(_side("b"), block_col)
+        dot = F.aggregate(
+            F.zip_with("v_a", "v_b", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            joined.where(F.col("key_a") < F.col("key_b"))
+            .withColumn(
+                "cosine", F.round(dot / (F.col("n_a") * F.col("n_b")), 6)
+            )
+            .where(F.col("cosine") >= threshold)
+            .select("key_a", "key_b", "cosine")
+        )
+
+    # All-pairs scan: interpreted HOF evaluation over |df|^2 pairs is
+    # the one hot loop built-in expressions genuinely can't carry (no
+    # codegen for higher-order functions), so this is the sanctioned
+    # Pandas-UDF case: broadcast the index side as a float64 matrix,
+    # stream the probe side through mapInPandas, and let BLAS do
+    # A @ B.T in one fused pass per Arrow batch. Same formula as the
+    # HOF path (dot / (|a||b|), round 6dp, >= threshold); BLAS
+    # summation order differs only in final ulps, absorbed by the 6dp
+    # rounding. At scale the broadcast side is the "index fits in
+    # executor memory" brute-force baseline — beyond that, IVF
+    # (similarity.build_ivf_index) is the path.
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    gathered = df.select(key_col, vec_col).toPandas()  # Arrow path
+    keys = gathered[key_col].to_numpy(dtype=np.int64)
+    mat = np.array(list(gathered[vec_col]), dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((keys, mat, norms))
+
+    def gen(batches):
+        b_keys, b_mat, b_norms = bc.value
+        for pdf in batches:
+            a_keys = pdf[key_col].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            sims = np.round(
+                (a_mat @ b_mat.T) / np.outer(a_norms, b_norms), 6
+            )
+            ia, ib = np.nonzero(
+                (sims >= threshold) & (a_keys[:, None] < b_keys[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "key_a": a_keys[ia],
+                    "key_b": b_keys[ib],
+                    "cosine": sims[ia, ib],
+                }
+            )
+
+    probe = rebalance_for_cpu(df.select(key_col, vec_col))
+    return probe.mapInPandas(gen, "key_a long, key_b long, cosine double")
