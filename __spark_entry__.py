@@ -1358,6 +1358,74 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q42 — JSON property extraction (reference §2.8 json surface:
+# from_json mid-plan). from_json with a declared schema parses ONCE
+# into a struct — the per-path get_json_object form re-parses the
+# document for every path and is the scale trap.
+# ---------------------------------------------------------------------------
+def q42_json_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k int").getField("k")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+        )
+    )
+
+
+Q42_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
+       CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) > 50
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q43 — deterministic hash split (train/eval partitioning). Seeded
+# rand() sampling is partitioning-dependent and irreproducible across
+# engines; keying the split on md5(doc_id) makes it a pure function of
+# the row — stable under repartitioning, backfills, and engine swaps,
+# which is what a training pipeline actually needs. First hex char
+# < '3' -> eval (3/16 = 18.75%).
+# ---------------------------------------------------------------------------
+def q43_hash_split(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "3", "eval"
+    ).otherwise("train")
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+Q43_SQL = """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '3'
+            THEN 'eval' ELSE 'train' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), 6) AS avg_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -1407,6 +1475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_rolling_revenue": q39_rolling_revenue,
         "q40_sliding_windows": q40_sliding_windows,
         "q41_streaming_dedup": q41_streaming_dedup,
+        "q42_json_props": q42_json_props,
+        "q43_hash_split": q43_hash_split,
     }
 
 
@@ -1453,4 +1523,6 @@ def oracle_sql() -> dict[str, str]:
         "q39_rolling_revenue": Q39_SQL,
         "q40_sliding_windows": Q40_SQL,
         "q41_streaming_dedup": Q41_SQL,
+        "q42_json_props": Q42_SQL,
+        "q43_hash_split": Q43_SQL,
     }
