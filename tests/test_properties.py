@@ -139,3 +139,34 @@ def test_sessionize_invariants(spark, batch):
                 assert sid == prev_sid + 1
             else:
                 assert sid == prev_sid
+
+
+# ---------------------------------------------------------------------------
+# Approximate-sketch swap-ins (SCALING.md): the exact aggregates the
+# oracle queries use (countDistinct, percentile) have mergeable-sketch
+# replacements for the 100 TB path. These tests pin the accuracy
+# contract that makes the swap safe.
+# ---------------------------------------------------------------------------
+def test_approx_count_distinct_within_rsd(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    # HLL++ standard error: rsd=2%; allow 3 sigma
+    assert abs(row["approx"] - row["exact"]) <= 0.06 * row["exact"]
+
+
+def test_approx_percentile_within_accuracy(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    row = ev.agg(
+        F.expr("percentile(value, 0.95)").alias("exact"),
+        F.percentile_approx("value", 0.95, 10000).alias("approx"),
+    ).collect()[0]
+    # accuracy=10000 -> rank error <= n/10000; translate to a value
+    # tolerance via the observed spread
+    lo, hi = ev.agg(
+        F.expr("percentile(value, 0.94)"), F.expr("percentile(value, 0.96)")
+    ).collect()[0]
+    assert lo <= row["approx"] <= hi
+    assert abs(row["approx"] - row["exact"]) <= (hi - lo)
