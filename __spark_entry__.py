@@ -1426,6 +1426,71 @@ FROM documents GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q44 — ordered string aggregation (LISTAGG shape). Spark's
+# collect_list is order-nondeterministic across partitions, so the
+# deterministic form is collect_list -> array_sort -> array_join;
+# the oracle states the same contract with string_agg(... ORDER BY).
+# Group state is bounded by members-per-group — for unbounded groups
+# the scale path is a capped slice(array_sort(...), 1, k) after a
+# pre-aggregation, not an unbounded concat.
+# ---------------------------------------------------------------------------
+def q44_customer_roster(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(
+                F.array_sort(F.collect_list("c_name")), ","
+            ).alias("roster"),
+        )
+    )
+
+
+Q44_SQL = """
+SELECT n_name, COUNT(*) AS n_customers,
+       string_agg(c_name, ',' ORDER BY c_name) AS roster
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 9000
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q45 — explode-based token frequency top-k (the generator/UDTF
+# shape). explode is a narrow transformation — rows multiply map-side,
+# then one shuffle carries (token, partial count) thanks to partial
+# aggregation, NOT the exploded rows themselves. Ties broken by token
+# so the top-k is total-ordered.
+# ---------------------------------------------------------------------------
+def q45_token_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(X.tokens("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+Q45_SQL = """
+SELECT tok, COUNT(*) AS n
+FROM (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n DESC, tok ASC
+LIMIT 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -1477,6 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_streaming_dedup": q41_streaming_dedup,
         "q42_json_props": q42_json_props,
         "q43_hash_split": q43_hash_split,
+        "q44_customer_roster": q44_customer_roster,
+        "q45_token_topk": q45_token_topk,
     }
 
 
@@ -1525,4 +1592,6 @@ def oracle_sql() -> dict[str, str]:
         "q41_streaming_dedup": Q41_SQL,
         "q42_json_props": Q42_SQL,
         "q43_hash_split": Q43_SQL,
+        "q44_customer_roster": Q44_SQL,
+        "q45_token_topk": Q45_SQL,
     }
