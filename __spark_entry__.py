@@ -1491,6 +1491,198 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# q46 — set operations (SURVEY §2.7: the reference has only J3's
+# conditional fallback; INTERSECT / EXCEPT are the missing family).
+# Both compile to shuffle-on-key set semantics; at scale Spark plans
+# them as aggregate-based semi/anti forms, so no all-rows broadcast.
+# ---------------------------------------------------------------------------
+def q46_segment_set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    both = building.intersect(rich).select(
+        F.lit("both").alias("tag"), "c_custkey"
+    )
+    only_building = building.subtract(rich).select(
+        F.lit("building_only").alias("tag"), "c_custkey"
+    )
+    only_rich = rich.subtract(building).select(
+        F.lit("rich_only").alias("tag"), "c_custkey"
+    )
+    return both.unionByName(only_building).unionByName(only_rich)
+
+
+Q46_SQL = """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+SELECT 'both' AS tag, c_custkey FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich)
+UNION ALL
+SELECT 'building_only' AS tag, c_custkey FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM rich)
+UNION ALL
+SELECT 'rich_only' AS tag, c_custkey FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM building)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q47 — TPC-H Q5 shape: 6-way join (customer ⋈ orders ⋈ lineitem ⋈
+# supplier ⋈ nation ⋈ region) with the local-supplier correlation
+# c_nationkey = s_nationkey. Dims (supplier/nation/region) broadcast;
+# the two fact joins shuffle on their keys and AQE re-plans at runtime.
+# The date filter reaches the orders parquet scan via pushdown.
+# ---------------------------------------------------------------------------
+def q47_regional_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(
+            F.broadcast(s),
+            (l["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Q47_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q48 — the reference's array-kernel family as grouped aggregates:
+# P5 argmax (latest part per order via max_by), T1/P9 sort + slice +
+# join (first 3 part keys), P8 distinct (supplier count). collect_list
+# is order-nondeterministic across partitions, so every array is
+# sorted before any order-sensitive op — same determinism contract the
+# flatten layer uses on submissions[] (fda_extractor.py:157-162).
+# ---------------------------------------------------------------------------
+def q48_order_line_arrays(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_orderkey").agg(
+        # l_linenumber is NOT unique per order in the synthetic data, so
+        # the argmax tie is broken by partkey via a composite scalar key
+        # (DuckDB's arg_max cannot order by a struct).
+        F.expr(
+            "max_by(l_partkey, cast(l_linenumber as bigint) * 1000000000 + l_partkey)"
+        ).alias("last_part"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("l_partkey")), 1, 3),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("first3_parts"),
+        F.size(F.array_distinct(F.collect_list("l_suppkey")))
+        .cast("long")
+        .alias("n_suppliers"),
+    )
+
+
+Q48_SQL = """
+SELECT l_orderkey,
+       arg_max(l_partkey, CAST(l_linenumber AS BIGINT) * 1000000000 + l_partkey) AS last_part,
+       array_to_string(list_sort(list(l_partkey))[1:3], ',') AS first3_parts,
+       CAST(len(list_distinct(list(l_suppkey))) AS BIGINT) AS n_suppliers
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q49 — J3 union-by-fallback (drug_transformer.py:196-213,284-285) as
+# a proper unionByName(allowMissingColumns=True): two summaries with
+# different schemas align by column name, absent columns null-filled —
+# the schema-stable form of the reference's "switch result shape"
+# fallback. DuckDB mirrors with UNION ALL BY NAME.
+# ---------------------------------------------------------------------------
+def q49_union_by_name(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    fda_like = o.groupBy(F.col("o_orderpriority").alias("grp_key")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+    ct_like = ev.groupBy(F.col("event_type").alias("grp_key")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return fda_like.unionByName(ct_like, allowMissingColumns=True)
+
+
+Q49_SQL = """
+SELECT o_orderpriority AS grp_key, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS total_price
+FROM orders GROUP BY o_orderpriority
+UNION ALL BY NAME
+SELECT event_type AS grp_key, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q50 — top-N per group (q06 is the N=1 argmax): row_number over a
+# per-partition ordered window, rank <= 3. One shuffle on the group
+# key; the sort is per-group, never global — the pattern that replaces
+# "ORDER BY ... LIMIT" when the limit is per-key at 100 TB.
+# ---------------------------------------------------------------------------
+def q50_top_orders_per_priority(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+Q50_SQL = """
+SELECT o_orderpriority, CAST(rnk AS INTEGER) AS rnk, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -1544,6 +1736,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_hash_split": q43_hash_split,
         "q44_customer_roster": q44_customer_roster,
         "q45_token_topk": q45_token_topk,
+        "q46_segment_set_ops": q46_segment_set_ops,
+        "q47_regional_supplier_volume": q47_regional_supplier_volume,
+        "q48_order_line_arrays": q48_order_line_arrays,
+        "q49_union_by_name": q49_union_by_name,
+        "q50_top_orders_per_priority": q50_top_orders_per_priority,
     }
 
 
@@ -1594,4 +1791,9 @@ def oracle_sql() -> dict[str, str]:
         "q43_hash_split": Q43_SQL,
         "q44_customer_roster": Q44_SQL,
         "q45_token_topk": Q45_SQL,
+        "q46_segment_set_ops": Q46_SQL,
+        "q47_regional_supplier_volume": Q47_SQL,
+        "q48_order_line_arrays": Q48_SQL,
+        "q49_union_by_name": Q49_SQL,
+        "q50_top_orders_per_priority": Q50_SQL,
     }
