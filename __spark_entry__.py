@@ -1683,6 +1683,73 @@ WHERE rnk <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# q51 — window navigation functions (lag/lead): per-user inter-event
+# gap and next event type. One shuffle on user_id, per-user sort only;
+# gaps computed in exact integer microseconds (a double seconds-diff
+# would round-trip through float). Completes the window-function
+# family alongside q06 argmax, q39 range frame, q50 row_number.
+# ---------------------------------------------------------------------------
+def q51_event_navigation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        us.alias("ts_us"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+Q51_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+       LEAD(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q52 — full outer join: daily order counts ⟗ daily event counts on
+# calendar date, unmatched sides kept as nulls (not zero-filled — the
+# outer semantics ARE the result). Both sides pre-aggregate to ~10³
+# rows before the join, so the shuffle carries day-level rows at any
+# scale; the raw fact tables are never joined row-to-row.
+# ---------------------------------------------------------------------------
+def q52_daily_activity_full_outer(spark, sf_dir):
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return o.join(ev, on="d", how="full_outer").select(
+        "d", "n_orders", "n_events"
+    )
+
+
+Q52_SQL = """
+SELECT COALESCE(o.d, e.d) AS d, n_orders, n_events
+FROM (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1) o
+FULL OUTER JOIN
+     (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+      FROM events GROUP BY 1) e
+ON o.d = e.d
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -1741,6 +1808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_order_line_arrays": q48_order_line_arrays,
         "q49_union_by_name": q49_union_by_name,
         "q50_top_orders_per_priority": q50_top_orders_per_priority,
+        "q51_event_navigation": q51_event_navigation,
+        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
     }
 
 
@@ -1796,4 +1865,6 @@ def oracle_sql() -> dict[str, str]:
         "q48_order_line_arrays": Q48_SQL,
         "q49_union_by_name": Q49_SQL,
         "q50_top_orders_per_priority": Q50_SQL,
+        "q51_event_navigation": Q51_SQL,
+        "q52_daily_activity_full_outer": Q52_SQL,
     }
