@@ -1750,6 +1750,39 @@ ON o.d = e.d
 """
 
 
+# ---------------------------------------------------------------------------
+# q53 — GROUPING SETS with non-hierarchical sets {(priority),(status)}:
+# two independent one-dimension summaries in ONE scan pass — the shape
+# neither rollup (q28, hierarchical) nor cube (q35, power set)
+# expresses. At 100 TB this halves scan cost vs two separate group-bys;
+# the expand operator doubles shuffle rows but each carries partial
+# state only. Grouping bits pinned on both sides, as in q35.
+# ---------------------------------------------------------------------------
+def q53_grouping_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"]],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        (
+            F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus")
+        ).cast("int").alias("grp"),
+    )
+
+
+Q53_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS total_price,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INTEGER) AS grp
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -1810,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_top_orders_per_priority": q50_top_orders_per_priority,
         "q51_event_navigation": q51_event_navigation,
         "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
+        "q53_grouping_sets": q53_grouping_sets,
     }
 
 
@@ -1867,4 +1901,5 @@ def oracle_sql() -> dict[str, str]:
         "q50_top_orders_per_priority": Q50_SQL,
         "q51_event_navigation": Q51_SQL,
         "q52_daily_activity_full_outer": Q52_SQL,
+        "q53_grouping_sets": Q53_SQL,
     }
