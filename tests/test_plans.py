@@ -1,0 +1,65 @@
+"""Physical-plan shape assertions for the multi-way join and window
+query families: the properties that make these plans survive a 100 TB
+scale-up (broadcast only on dims, filters pushed to the parquet scan,
+exactly one shuffle for a single-window query) are asserted here, not
+just eyeballed via .explain().
+"""
+
+import os
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q47_dims_broadcast_and_filters_pushed(spark):
+    df = entry_mod.q47_regional_supplier_volume(spark, SF_DIR)
+    plan = _executed_plan(df)
+    # the three dim joins (supplier, nation, region) must be broadcast
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # no cartesian fallback anywhere
+    assert "CartesianProduct" not in plan, plan
+    # date range and region predicates reach the parquet scans
+    assert "1996-01-01" in plan, "o_orderdate range not pushed to scan"
+    assert "ASIA" in plan, "r_name filter not pushed to scan"
+
+
+def test_q47_scans_prune_columns(spark):
+    df = entry_mod.q47_regional_supplier_volume(spark, SF_DIR)
+    plan = _executed_plan(df)
+    # lineitem has 16 columns; the scan must read only the 4 used
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l]
+    assert scan_lines, plan
+    assert "l_comment" not in scan_lines[0]
+    assert "l_quantity" not in scan_lines[0]
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["q50_top_orders_per_priority", "q51_event_navigation"],
+)
+def test_window_queries_shuffle_once(spark, qname):
+    df = entry_mod.queries()[qname](spark, SF_DIR)
+    plan = _executed_plan(df)
+    # one shuffle on the partition key feeds the window sort; a second
+    # Exchange would mean the plan re-partitions needlessly
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q52_joins_at_aggregated_grain(spark):
+    df = entry_mod.q52_daily_activity_full_outer(spark, SF_DIR)
+    plan = _executed_plan(df)
+    # the full outer join must sit ABOVE both aggregates: no raw-table
+    # join (both HashAggregate pairs appear below the join operator)
+    join_pos = min(
+        p for p in (plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin"), plan.find("BroadcastHashJoin")) if p >= 0
+    )
+    first_agg = plan.find("HashAggregate")
+    assert first_agg >= 0 and join_pos >= 0, plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
