@@ -561,7 +561,8 @@ def _mh_sql() -> str:
     n, h, bands = _MH_N, _MH_H, _MH_BANDS
     r = h // bands
     mh_terms = ",\n         ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}"
+        f"list_min(list_transform(sh, s -> substr(md5('{i // 4}|' || s), "
+        f"{1 + 8 * (i % 4)}, 8))) AS mh{i}"
         for i in range(h)
     )
     band_elems = ", ".join(
@@ -972,7 +973,8 @@ def _q31_sql() -> str:
     n, h, bands = _MH_N, _MH_H, _MH_BANDS
     r = h // bands
     mh_terms = ",\n         ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}"
+        f"list_min(list_transform(sh, s -> substr(md5('{i // 4}|' || s), "
+        f"{1 + 8 * (i % 4)}, 8))) AS mh{i}"
         for i in range(h)
     )
     band_elems = ", ".join(
