@@ -1785,6 +1785,34 @@ GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
 """
 
 
+# ---------------------------------------------------------------------------
+# q54 — SQL entry surface + uncorrelated scalar subquery: ONE ANSI-SQL
+# string executed verbatim by both spark.sql() and DuckDB (tables
+# registered as temp views over the same parquet). The scalar subquery
+# plans as a one-row broadcast in Spark — no per-row re-evaluation —
+# and the engine's DataFrame and SQL paths share Catalyst, so every
+# optimization (pushdown, AQE) applies identically.
+# ---------------------------------------------------------------------------
+Q54_SQL = """
+WITH spend AS (
+  SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(total_spend), 4) AS segment_spend
+FROM customer JOIN spend ON c_custkey = o_custkey
+WHERE total_spend > (SELECT AVG(total_spend) FROM spend)
+GROUP BY c_mktsegment
+"""
+
+
+def q54_sql_surface(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(Q54_SQL)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -1846,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_event_navigation": q51_event_navigation,
         "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
         "q53_grouping_sets": q53_grouping_sets,
+        "q54_sql_surface": q54_sql_surface,
     }
 
 
@@ -1904,4 +1933,5 @@ def oracle_sql() -> dict[str, str]:
         "q51_event_navigation": Q51_SQL,
         "q52_daily_activity_full_outer": Q52_SQL,
         "q53_grouping_sets": Q53_SQL,
+        "q54_sql_surface": Q54_SQL,
     }
