@@ -36,6 +36,17 @@ def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
     )
 
 
+def lower_tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokens. Lowercases the WHOLE string first
+    (one codegen'd `lower` call) rather than `transform(tokens, lower)`
+    — higher-order functions evaluate interpreted per element, and
+    lowercasing never creates or removes whitespace, so the outputs are
+    identical at a fraction of the cost (measured on the sf0.1 near-dup
+    path)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return tokens(F.lower(c))
+
+
 def token_count(text: Column | str) -> Column:
     """Whitespace token count as long."""
     return F.size(tokens(text)).cast("long")
@@ -70,9 +81,7 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
 
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams (space-joined) of the lowercased text."""
-    return word_ngrams_from_tokens(
-        F.transform(tokens(text), lambda t: F.lower(t)), n
-    )
+    return word_ngrams_from_tokens(lower_tokens(text), n)
 
 
 _SLICE_ALL = 1 << 30  # "to the end" length for F.slice
@@ -105,7 +114,7 @@ def word_ngrams_from_tokens(toks: Column | str, n: int = 3) -> Column:
 def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
     """Fraction of tokens that are (English) stopwords; 0.0 for empty."""
     sw = stopwords or EN_STOPWORDS
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    toks = lower_tokens(text)
     n = F.size(toks)
     hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
     return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
@@ -151,7 +160,7 @@ def lang_id(text: Column | str) -> Column:
     higher-order filter expressions), which bloats analysis/codegen.
     array_position returns the FIRST index of the max, preserving the
     dict-order tie-break of the strict-> chain."""
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    toks = lower_tokens(text)
 
     def is_marker(markers: list[str]):
         # one-arg lambda: a second parameter would be bound to the

@@ -155,14 +155,15 @@ def minhash_lsh_pairs(
     workloads. Returns (key_a, key_b, jaccard), key_a < key_b.
     """
     if shingle_mode == "word":
+        # barrier carries RAW text: tokenization + the n-gram zip_with
+        # passes (the CPU-bound interpreted HOFs) then run post-shuffle
+        # across all slots instead of map-side on the scan's partitions
         pre = rebalance_for_cpu(
-            df.select(
-                F.col(key_col).alias("k"),
-                F.transform(X.tokens(content_col), lambda t: F.lower(t)).alias("tk"),
-            )
+            df.select(F.col(key_col).alias("k"), F.col(content_col).alias("txt"))
         )
         shingled = pre.select(
-            "k", X.word_ngrams_from_tokens("tk", ngram_n).alias("sh")
+            "k",
+            X.word_ngrams_from_tokens(X.lower_tokens("txt"), ngram_n).alias("sh"),
         )
     else:
         pre = rebalance_for_cpu(
@@ -170,8 +171,19 @@ def minhash_lsh_pairs(
         )
         shingled = pre.select("k", X.char_shingles("txt", shingle_k).alias("sh"))
     rows_per_band = num_hashes // bands
-    sh = shingled.where(F.size("sh") > 0).persist()
-    sig = sh.select("k", *minhash_signature(F.col("sh"), num_hashes))
+    # ONE persisted frame carries both the shingle sets (for the exact-
+    # Jaccard verification joins) and the signature columns (for band
+    # bucketing): a single cache-materialization pass does all the md5
+    # work. The band explode is NOT persisted — each self-join side
+    # re-derives it from this cache with a cheap concat+explode over
+    # already-computed mh columns, which beats building and scanning a
+    # second cache.
+    base = (
+        shingled.where(F.size("sh") > 0)
+        .select("k", "sh", *minhash_signature(F.col("sh"), num_hashes))
+        .persist()
+    )
+    sh = base.select("k", "sh")
     band_cols = [
         F.concat_ws(
             "#",
@@ -180,10 +192,7 @@ def minhash_lsh_pairs(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    # persist the narrow (k, bucket) frame: the self-join references it
-    # twice, and without the cache each side re-runs the whole md5
-    # signature pipeline over the corpus
-    banded = sig.select("k", F.explode(F.array(*band_cols)).alias("bucket")).persist()
+    banded = base.select("k", F.explode(F.array(*band_cols)).alias("bucket"))
     candidates = (
         banded.select(F.col("k").alias("key_a"), "bucket")
         .join(banded.select(F.col("k").alias("key_b"), "bucket"), "bucket")
@@ -214,9 +223,7 @@ def simhash(text_col: Column | str, bits: int = 16) -> Column:
     """SimHash over whitespace tokens with the portable polynomial
     hash: bit b of the result is 1 iff more tokens have bit b set in
     their hash than not. Returns a long."""
-    toks = F.array_distinct(
-        F.transform(X.tokens(text_col), lambda t: F.lower(t))
-    )
+    toks = F.array_distinct(X.lower_tokens(text_col))
     hashes = F.transform(toks, lambda t: _poly_hash(t, 7))
     n = F.size(hashes)
 
@@ -297,13 +304,12 @@ def ngram_jaccard_pairs(
     sit below any useful threshold anyway.
     """
     pre = rebalance_for_cpu(
-        df.select(
-            F.col(key_col).alias("k"),
-            F.transform(X.tokens(content_col), lambda t: F.lower(t)).alias("tk"),
-        )
+        df.select(F.col(key_col).alias("k"), F.col(content_col).alias("txt"))
     )
     grams = (
-        pre.select("k", X.word_ngrams_from_tokens("tk", n).alias("g"))
+        pre.select(
+            "k", X.word_ngrams_from_tokens(X.lower_tokens("txt"), n).alias("g")
+        )
         .where(F.size("g") > 0)
         .persist()  # reused by candidate explode + both verification joins
     )
