@@ -40,6 +40,20 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert all(a < b for a, b in got)
 
 
+def test_minhash_arrow_equals_sql_engine(spark):
+    """The Arrow mapInPandas base path must be bit-identical to the
+    expression path — same pairs, same jaccard — on real corpus text."""
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(300)
+        .select("doc_id", "text")
+    )
+    arrow = dedup.minhash_lsh_pairs(docs, engine="arrow").collect()
+    sql = dedup.minhash_lsh_pairs(docs, engine="sql").collect()
+    assert sorted(map(tuple, arrow)) == sorted(map(tuple, sql))
+    assert len(arrow) > 0  # corpus has planted near-dups
+
+
 def test_simhash_pairs(spark):
     pairs = dedup.simhash_pairs(_docs(spark), max_hamming=3)
     got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
