@@ -1813,6 +1813,52 @@ def q54_sql_surface(spark, sf_dir):
     return spark.sql(Q54_SQL)
 
 
+# ---------------------------------------------------------------------------
+# q55 — the CUSTOM STATEFUL STREAMING operator, exactly verified: the
+# applyInPandasWithState gap-sessionizer drained via availableNow with
+# a far-future sentinel source so the final watermark fires every
+# event-time timeout. The drained append-mode sink then equals batch
+# gap-and-island sessionization row for row, so the stateful operator
+# gets a full value-hash oracle rather than a rows-only check.
+# Session bounds compare as exact integer microseconds (epoch_us ↔
+# unix_micros on the nanos-truncated event time).
+# ---------------------------------------------------------------------------
+_SESSION_GAP_MIN = 30
+
+Q55_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+),
+marked AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - LAG(ts_us) OVER w > {_SESSION_GAP_MIN * 60 * 1000000}
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC)
+),
+grp AS (
+  SELECT user_id, ts_us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ASC
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts_us) AS start_us,
+       MAX(ts_us) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM grp GROUP BY user_id, g
+"""
+
+
+def q55_streaming_sessions(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import (
+        sessions as STS,
+    )
+
+    return STS.sessions_available_now(
+        spark, f"{sf_dir}/events.parquet", gap_minutes=_SESSION_GAP_MIN
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -1875,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
         "q53_grouping_sets": q53_grouping_sets,
         "q54_sql_surface": q54_sql_surface,
+        "q55_streaming_sessions": q55_streaming_sessions,
     }
 
 
@@ -1934,4 +1981,5 @@ def oracle_sql() -> dict[str, str]:
         "q52_daily_activity_full_outer": Q52_SQL,
         "q53_grouping_sets": Q53_SQL,
         "q54_sql_surface": Q54_SQL,
+        "q55_streaming_sessions": Q55_SQL,
     }

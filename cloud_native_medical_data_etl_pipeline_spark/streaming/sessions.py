@@ -105,3 +105,111 @@ def streaming_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_SENTINEL_USER = -1
+_sink_seq = 0
+
+
+def sessions_available_now(
+    spark,
+    path: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Drain the stateful sessionizer over the events table and return
+    EVERY session — exactly equal to batch gap-sessionization, which is
+    what makes the custom stateful operator oracle-checkable.
+
+    The append-mode sessionizer only emits a trailing (still-open)
+    session when the event-time timeout fires, i.e. when the watermark
+    passes last_seen + gap — which never happens for the final sessions
+    of a finite stream. The drain therefore unions the event stream
+    with a one-row SENTINEL stream whose event time lies beyond every
+    possible timeout (max event ts + gap + watermark delay + margin):
+
+      * batch 0 ingests all files from BOTH sources while the watermark
+        is still at zero, so nothing is dropped as late and every
+        in-batch-closed session is emitted;
+      * after batch 0 the watermark jumps to sentinel - delay, which
+        exceeds last_seen + gap for every real user, so the engine's
+        final no-data micro-batch fires every timeout and the remaining
+        open sessions are emitted;
+      * the sentinel's own session times out at sentinel + gap, which
+        the watermark never reaches — it stays in the (discarded) state
+        store, and its user id is filtered anyway.
+
+    Putting the sentinel in a separate unioned source (rather than
+    relying on file ordering within one source) makes the schedule
+    deterministic: a lone sentinel file processed FIRST would advance
+    the watermark and drop every real event as late.
+
+    Returns (user_id, start_us, end_us, n_events) with exact integer
+    microsecond bounds.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    global _sink_seq
+    _sink_seq += 1
+    name = f"sessions_sink_{_sink_seq}"
+
+    nanos_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as long
+        ]
+    )
+
+    # sentinel event time: beyond every possible session timeout
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    max_ns = spark.read.parquet(path).agg(F.max("ts")).collect()[0][0]
+    wm_us = _parse_duration_us(watermark)
+    sentinel_ns = max_ns + (gap_minutes * 60 * _US + wm_us + 3600 * _US) * 1000
+
+    sentinel_dir = tempfile.mkdtemp(prefix="session_sentinel_")
+    spark.createDataFrame(
+        [(_SENTINEL_USER, sentinel_ns)], nanos_schema
+    ).coalesce(1).write.mode("overwrite").parquet(sentinel_dir)
+
+    def _src(p: str) -> DataFrame:
+        reader = spark.readStream.schema(nanos_schema)
+        if p.endswith(".parquet"):
+            base, _, fname = p.rpartition("/")
+            reader = reader.option("pathGlobFilter", fname)
+            p = base
+        return reader.parquet(p)
+
+    stream = (
+        _src(path)
+        .unionByName(_src(sentinel_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        streaming_sessionize(stream, gap_minutes, watermark)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .where(F.col("user_id") != _SENTINEL_USER)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+def _parse_duration_us(spec: str) -> int:
+    """'2 hours' / '30 minutes' / '10 seconds' -> microseconds."""
+    n, unit = spec.split()
+    mult = {"hour": 3600, "minute": 60, "second": 1}[unit.rstrip("s")]
+    return int(n) * mult * _US

@@ -75,6 +75,41 @@ def test_streaming_sessionize_emits_closed_sessions(spark, tmp_path):
     assert s["session_end"] == m(10)
 
 
+def test_sessions_available_now_equals_batch(spark):
+    """The sentinel-drained stateful sessionizer must equal batch
+    gap-and-island sessionization row for row: in-batch closes come
+    from append mode, trailing sessions from the watermark jump firing
+    every event-time timeout in the final no-data micro-batch."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators import (
+        sessions as BS,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = sorted(
+        tuple(r)
+        for r in SS.sessions_available_now(spark, path, gap_minutes=30).collect()
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "ts", "event_id")
+    )
+    want = sorted(
+        tuple(r)
+        for r in BS.session_stats(ev, gap_minutes=30)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            "n_events",
+        )
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
 def test_streaming_dedup_collapses_injected_duplicates(spark):
     """deduped_daily_counts_available_now doubles every source row
     in-flight; the watermarked dedup must collapse the stream back to
