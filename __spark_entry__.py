@@ -711,12 +711,70 @@ FROM part GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
-# q22 — simhash near-dup pairs (no SQL oracle: 16-bit bit-vote hash;
-# driver records rows-only check)
+# q22 — simhash near-dup pairs. Fully oracled: the portable polynomial
+# token hash is list_reduce-expressible, the 16-bit majority vote is a
+# sum of CASE terms over list_filter counts, and the pigeonhole band
+# join is the same DISTINCT self-join shape as q17.
 # ---------------------------------------------------------------------------
+_SH_BITS, _SH_MAXHAM, _SH_BANDBITS = 16, 3, 4
+
+
 def q22_simhash_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, bits=16, max_hamming=3, band_bits=4)
+    return D.simhash_pairs(
+        docs, bits=_SH_BITS, max_hamming=_SH_MAXHAM, band_bits=_SH_BANDBITS
+    )
+
+
+def _simhash_sql() -> str:
+    bits, band_bits = _SH_BITS, _SH_BANDBITS
+    num_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    # bit b of the simhash is 1 iff more token hashes have bit b set
+    # than not (strict majority, ties -> 0) — mirrors dedup.simhash
+    vote_terms = "\n       + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1))"
+        f" > len(hs) THEN {1 << b} ELSE 0 END"
+        for b in range(bits)
+    )
+    band_elems = ", ".join(
+        f"'{b}#' || CAST((sim >> {b * band_bits}) & {mask} AS VARCHAR)"
+        for b in range(num_bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS k,
+         CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(string_split_regex(
+                     TRIM(LOWER(COALESCE(text, ''))), '\\s+'))
+         END AS tk
+  FROM documents
+),
+hashed AS (
+  SELECT k,
+         list_transform(tk, t -> list_reduce(
+           list_prepend(CAST(7 AS BIGINT),
+                        list_transform(string_split(t, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+  FROM toks
+),
+sims AS (
+  SELECT k,
+         CAST({vote_terms} AS BIGINT) AS sim
+  FROM hashed
+),
+banded AS (
+  SELECT k, sim, unnest([{band_elems}]) AS bucket FROM sims
+),
+cand AS (
+  SELECT DISTINCT a.k AS key_a, b.k AS key_b,
+         CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.k < b.k
+)
+SELECT key_a, key_b, hamming FROM cand WHERE hamming <= {_SH_MAXHAM}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1948,9 +2006,10 @@ def oracle_sql() -> dict[str, str]:
         "q19_cosine_topk": Q19_SQL,
         "q20_embedding_near_dups": Q20_SQL,
         "q21_age_bins": Q21_SQL,
-        # q22 simhash, q23 ivf, q24 multimodal: intentionally no oracle
-        # (bit-vote hashing / iterative centroids / Python decode stub
-        # are not SQL-expressible) -> driver records rows-only checks
+        "q22_simhash_pairs": _simhash_sql(),
+        # q23 ivf, q24 multimodal: intentionally no oracle (iterative
+        # driver-seeded centroids / the Python decode stub are not
+        # SQL-expressible) -> driver records rows-only checks
         "q25_streaming_hourly": Q25_SQL,
         "q26_anti_join": Q26_SQL,
         "q27_top_revenue": Q27_SQL,
