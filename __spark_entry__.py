@@ -787,6 +787,47 @@ def q23_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, q, k=10, num_cells=16, nprobe=4)
 
 
+# Every IVF ingredient is deterministic and SQL-expressible: centroids
+# are the 16 smallest-key vectors (no Lloyd iterations), the query
+# vector is row 0, cell assignment is an argmax over centroid cosines
+# (ties -> lowest cell, matching array_position-of-max), and probing
+# keeps the nprobe best cells by query-centroid cosine (Python's stable
+# sort == ORDER BY sim DESC, cell_id ASC). Raw-double cosine ordering
+# agrees between the engines on DOUBLE[] input (same precedent as q19).
+Q23_SQL = """
+WITH cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16)
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+assigned AS (
+  SELECT e.vec_id, e.emb, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC, c.cell_id ASC
+         ) AS rn
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) e
+  CROSS JOIN cents c
+),
+probes AS (
+  SELECT cell_id,
+         ROW_NUMBER() OVER (
+           ORDER BY list_cosine_similarity(cvec, (SELECT q FROM qv)) DESC,
+                    cell_id ASC
+         ) AS pr
+  FROM cents
+)
+SELECT a.vec_id,
+       ROUND(list_cosine_similarity(a.emb, (SELECT q FROM qv)), 6) AS cosine
+FROM assigned a
+JOIN probes p ON a.cell_id = p.cell_id AND p.pr <= 4
+WHERE a.rn = 1
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # q24 — multimodal binary-column pipeline: attach payloads, decode to
 # feature vectors via Arrow-batched mapInPandas (rows-only: the decode
@@ -2007,9 +2048,9 @@ def oracle_sql() -> dict[str, str]:
         "q20_embedding_near_dups": Q20_SQL,
         "q21_age_bins": Q21_SQL,
         "q22_simhash_pairs": _simhash_sql(),
-        # q23 ivf, q24 multimodal: intentionally no oracle (iterative
-        # driver-seeded centroids / the Python decode stub are not
-        # SQL-expressible) -> driver records rows-only checks
+        "q23_ivf_topk": Q23_SQL,
+        # q24 multimodal: intentionally no oracle (the Python decode
+        # stub is not SQL-expressible) -> driver records rows-only
         "q25_streaming_hourly": Q25_SQL,
         "q26_anti_join": Q26_SQL,
         "q27_top_revenue": Q27_SQL,
