@@ -147,6 +147,7 @@ def sessions_available_now(
     Returns (user_id, start_us, end_us, n_events) with exact integer
     microsecond bounds.
     """
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -196,6 +197,7 @@ def sessions_available_now(
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(sentinel_dir, ignore_errors=True)
     return (
         spark.table(name)
         .where(F.col("user_id") != _SENTINEL_USER)
