@@ -841,6 +841,41 @@ def q24_multimodal_features(spark, sf_dir):
     return multimodal.decode_features(media, dim=8)
 
 
+# The deterministic fake decode is byte-bucket statistics over the
+# utf-8 payload; the corpus is pure ASCII (verified: octet_length ==
+# length at every SF), so bytes == ascii(char) and the whole stub maps
+# to SQL: bucket b sums positions b+1, b+9, ... via a stepped range.
+# All accumulations are integer-valued doubles < 2^53, so Python's
+# running float += and SQL's list_sum are both exact — identical
+# divisions, identical hashes. (A real codec decode would NOT be
+# SQL-expressible; this oracle covers the Arrow plumbing contract.)
+def _mm_sql(dim: int = 8) -> str:
+    buckets = ",\n         ".join(
+        f"CAST(list_sum(list_transform(range({b + 1}, len(bs) + 1, {dim}),"
+        f" i -> bs[i])) AS DOUBLE) / len(bs)"
+        for b in range(dim)
+    )
+    zeros = ", ".join(["0.0"] * dim)
+    return f"""
+WITH b AS (
+  SELECT doc_id AS media_id,
+         list_transform(string_split(COALESCE(text, ''), ''),
+                        c -> ascii(c)) AS bs
+  FROM documents
+)
+SELECT media_id,
+       CAST(len(bs) AS BIGINT) AS n_bytes,
+       CASE WHEN len(bs) > 0
+            THEN CAST(list_sum(bs) AS DOUBLE) / len(bs) ELSE 0.0
+       END AS byte_mean,
+       CASE WHEN len(bs) > 0
+            THEN [{buckets}]
+            ELSE [{zeros}]
+       END AS feature
+FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 # q25 — REAL Structured Streaming: readStream -> watermark -> tumbling
 # windows -> availableNow drain -> memory sink. Oracle-checkable
@@ -2049,8 +2084,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_age_bins": Q21_SQL,
         "q22_simhash_pairs": _simhash_sql(),
         "q23_ivf_topk": Q23_SQL,
-        # q24 multimodal: intentionally no oracle (the Python decode
-        # stub is not SQL-expressible) -> driver records rows-only
+        "q24_multimodal_features": _mm_sql(),
         "q25_streaming_hourly": Q25_SQL,
         "q26_anti_join": Q26_SQL,
         "q27_top_revenue": Q27_SQL,
