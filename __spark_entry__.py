@@ -1993,6 +1993,52 @@ def q55_streaming_sessions(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# q56 — stratified deterministic sampling: downsample over-represented
+# languages by a per-stratum rate, keyed on a hash that is a pure
+# function of the row (md5 hex prefix vs a per-lang threshold). Unlike
+# seeded rand(), the decision survives repartitioning, retries, and
+# engine changes — the property that makes train-set membership
+# reproducible at 100 TB. Rates use 2 hex chars (1/256 grain); 'zz'
+# sorts above every hex string, i.e. keep-all.
+# ---------------------------------------------------------------------------
+_STRATA = {"en": "40", "zh": "80", "es": "c0"}  # others keep-all
+_STRATA_DEFAULT = "zz"
+
+
+def q56_stratified_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    thr = F.lit(_STRATA_DEFAULT)
+    for lang, t in _STRATA.items():
+        thr = F.when(F.col("lang") == lang, t).otherwise(thr)
+    kept = docs.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thr
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _strata_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN '{t}'" for lang, t in _STRATA.items()
+    )
+    return f"""
+SELECT lang,
+       COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      < CASE {cases} ELSE '{_STRATA_DEFAULT}' END
+GROUP BY lang
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -2056,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_grouping_sets": q53_grouping_sets,
         "q54_sql_surface": q54_sql_surface,
         "q55_streaming_sessions": q55_streaming_sessions,
+        "q56_stratified_sample": q56_stratified_sample,
     }
 
 
@@ -2116,4 +2163,5 @@ def oracle_sql() -> dict[str, str]:
         "q53_grouping_sets": Q53_SQL,
         "q54_sql_surface": Q54_SQL,
         "q55_streaming_sessions": Q55_SQL,
+        "q56_stratified_sample": _strata_sql(),
     }
