@@ -32,7 +32,7 @@ HASH_MOD = 2147483647  # 2^31 - 1, fits every SQL engine's int64
 _REBALANCE_MIN_STATS_BYTES = 128 << 10  # absolute floor, see below
 
 
-def rebalance_for_cpu(df: DataFrame) -> DataFrame:
+def rebalance_for_cpu(df: DataFrame, persist: bool = True) -> DataFrame:
     """Spread CPU-bound per-row kernels across all cores — but only
     when the input is big enough for parallelism to pay.
 
@@ -55,6 +55,11 @@ def rebalance_for_cpu(df: DataFrame) -> DataFrame:
     the input clears the floor. For tiny inputs (unit tests, sf0.001)
     the fixed cost dominates, so they stay put; at 100 TB the scan
     already has >= slots partitions and this is a no-op.
+
+    persist=False skips the cache barrier: correct ONLY when the
+    downstream compute is a mapInPandas (a barrier node Catalyst
+    cannot push below the Exchange), where it saves a cache
+    materialization of the raw input.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
@@ -63,7 +68,8 @@ def rebalance_for_cpu(df: DataFrame) -> DataFrame:
         df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
     if size > _REBALANCE_MIN_STATS_BYTES:
-        return df.repartition(target).persist()
+        out = df.repartition(target)
+        return out.persist() if persist else out
     return df
 
 
@@ -245,9 +251,12 @@ def minhash_lsh_pairs(
     """
     # barrier carries RAW text: tokenization + shingling + signatures
     # (the CPU-bound kernels) then run post-shuffle across all slots
-    # instead of map-side on the scan's partitions
+    # instead of map-side on the scan's partitions. The Arrow engine
+    # needs no persist barrier — mapInPandas itself blocks pushdown.
+    use_arrow = shingle_mode == "word" and engine == "arrow"
     pre = rebalance_for_cpu(
-        df.select(F.col(key_col).alias("k"), F.col(content_col).alias("txt"))
+        df.select(F.col(key_col).alias("k"), F.col(content_col).alias("txt")),
+        persist=not use_arrow,
     )
     rows_per_band = num_hashes // bands
     # ONE persisted frame carries both the shingle sets (for the exact-
@@ -257,7 +266,7 @@ def minhash_lsh_pairs(
     # re-derives it from this cache with a cheap concat+explode over
     # already-computed mh columns, which beats building and scanning a
     # second cache.
-    if shingle_mode == "word" and engine == "arrow":
+    if use_arrow:
         base = _minhash_base_arrow(pre, ngram_n, num_hashes).persist()
     else:
         if shingle_mode == "word":
