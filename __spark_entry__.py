@@ -2006,6 +2006,48 @@ _STRATA = {"en": "40", "zh": "80", "es": "c0"}  # others keep-all
 _STRATA_DEFAULT = "zz"
 
 
+# ---------------------------------------------------------------------------
+# q57 — near-dup CLUSTERS: minhash pairs -> connected components ->
+# per-cluster summary. The transitive step the pair queries (q17/q18/
+# q22) stop short of: chains a~b, b~c collapse to one canonical doc
+# even though a~c was never scored. Spark side is an ITERATIVE
+# label-propagation loop (localCheckpoint per round, convergence by
+# changed-count); the oracle is a recursive CTE computing min reachable
+# key — the one iterative algorithm in the suite, still exactly
+# verified.
+# ---------------------------------------------------------------------------
+def q57_dedup_clusters(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import (
+        components as CC,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, jaccard_threshold=_MH_THRESH)
+    return CC.dedup_clusters(pairs)
+
+
+def _cc_sql() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT key_a, key_b FROM ({_mh_sql()})),
+edges AS (
+  SELECT key_a AS a, key_b AS b FROM pairs
+  UNION
+  SELECT key_b AS a, key_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS v, a AS label FROM edges
+  UNION
+  SELECT e.a AS v, r.label FROM edges e JOIN reach r ON r.v = e.b
+),
+cc AS (SELECT v, MIN(label) AS component FROM reach GROUP BY v)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MAX(v) AS max_member
+FROM cc GROUP BY component
+"""
+
+
 def q56_stratified_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     thr = F.lit(_STRATA_DEFAULT)
@@ -2103,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_sql_surface": q54_sql_surface,
         "q55_streaming_sessions": q55_streaming_sessions,
         "q56_stratified_sample": q56_stratified_sample,
+        "q57_dedup_clusters": q57_dedup_clusters,
     }
 
 
@@ -2164,4 +2207,5 @@ def oracle_sql() -> dict[str, str]:
         "q54_sql_surface": Q54_SQL,
         "q55_streaming_sessions": Q55_SQL,
         "q56_stratified_sample": _strata_sql(),
+        "q57_dedup_clusters": _cc_sql(),
     }

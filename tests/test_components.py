@@ -1,0 +1,60 @@
+"""Connected components over near-dup pair graphs: chains collapse
+transitively, labels are minimum reachable keys, convergence beats the
+iteration cap."""
+
+from pyspark.sql import functions as F
+
+from cloud_native_medical_data_etl_pipeline_spark.operators import (
+    components as C,
+    dedup,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "key_a long, key_b long")
+
+
+def test_chain_collapses_to_one_component(spark):
+    # 1-2, 2-3, 3-4: one component labeled 1, though 1~4 never scored
+    cc = C.connected_components(_pairs(spark, [(1, 2), (2, 3), (3, 4)]))
+    got = {r["vertex"]: r["component"] for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_separate_components_stay_separate(spark):
+    cc = C.connected_components(
+        _pairs(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)])
+    )
+    got = {r["vertex"]: r["component"] for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_star_and_reversed_edges(spark):
+    # hub 5 with spokes, edges in both orders; min key 1 wins the label
+    cc = C.connected_components(_pairs(spark, [(5, 9), (1, 5), (5, 7), (7, 9)]))
+    got = {r["vertex"]: r["component"] for r in cc.collect()}
+    assert got == {1: 1, 5: 1, 7: 1, 9: 1}
+
+
+def test_dedup_clusters_summary(spark):
+    out = C.dedup_clusters(_pairs(spark, [(1, 2), (2, 3), (10, 11)]))
+    got = {r["component"]: (r["n_members"], r["max_member"]) for r in out.collect()}
+    assert got == {1: (3, 3), 10: (2, 11)}
+
+
+def test_components_on_real_minhash_pairs(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    cc = C.connected_components(pairs)
+    rows = cc.collect()
+    assert len(rows) > 0
+    # every component label is itself a member vertex and the minimum
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r["vertex"])
+    for comp, members in by_comp.items():
+        assert comp == min(members)
+        assert comp in members
