@@ -170,3 +170,49 @@ def test_approx_percentile_within_accuracy(spark):
     ).collect()[0]
     assert lo <= row["approx"] <= hi
     assert abs(row["approx"] - row["exact"]) <= (hi - lo)
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs an independent union-find: randomized edge
+# lists must produce identical (vertex -> min reachable key) labelings.
+# ---------------------------------------------------------------------------
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import (
+        components as C,
+    )
+
+    norm = [(min(a, b), max(a, b)) for a, b in edges]
+    df = spark.createDataFrame(norm, "key_a long, key_b long")
+    got = {
+        r["vertex"]: r["component"]
+        for r in C.connected_components(df).collect()
+    }
+    assert got == _union_find_components(norm)
