@@ -2016,6 +2016,56 @@ _STRATA_DEFAULT = "zz"
 # key — the one iterative algorithm in the suite, still exactly
 # verified.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# q58 — ntile quantile bucketing: customers tiered into spend quartiles
+# WITHIN their market segment (the assign-quality-tiers op for curation
+# pipelines). Total order (spend DESC, custkey ASC) makes ntile
+# deterministic; one shuffle on the segment for the window, and the
+# spend pre-aggregation shrinks rows to one per customer before it.
+# ---------------------------------------------------------------------------
+def q58_segment_spend_tiers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("spend").desc(), F.col("c_custkey").asc())
+    )
+    return (
+        cust.join(spend, cust.c_custkey == spend.o_custkey)
+        .withColumn("tier", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("spend"), 4).alias("tier_spend"),
+        )
+    )
+
+
+Q58_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(o_totalprice) AS spend
+  FROM orders GROUP BY o_custkey
+),
+tiered AS (
+  SELECT c_mktsegment,
+         NTILE(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY spend DESC, c_custkey ASC) AS tier,
+         spend
+  FROM customer JOIN spend ON c_custkey = o_custkey
+)
+SELECT c_mktsegment, tier,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(spend), 4) AS tier_spend
+FROM tiered GROUP BY c_mktsegment, tier
+"""
+
+
 def q57_dedup_clusters(spark, sf_dir):
     from cloud_native_medical_data_etl_pipeline_spark.operators import (
         components as CC,
@@ -2146,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_streaming_sessions": q55_streaming_sessions,
         "q56_stratified_sample": q56_stratified_sample,
         "q57_dedup_clusters": q57_dedup_clusters,
+        "q58_segment_spend_tiers": q58_segment_spend_tiers,
     }
 
 
@@ -2208,4 +2259,5 @@ def oracle_sql() -> dict[str, str]:
         "q55_streaming_sessions": Q55_SQL,
         "q56_stratified_sample": _strata_sql(),
         "q57_dedup_clusters": _cc_sql(),
+        "q58_segment_spend_tiers": Q58_SQL,
     }
