@@ -394,6 +394,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     jaccard_threshold: float = 0.4,
     min_df_prune: int = 50,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs by word n-gram Jaccard.
 
@@ -405,16 +406,28 @@ def ngram_jaccard_pairs(
     discovered — pairs sharing only ultra-common n-grams score low and
     sit below any useful threshold anyway.
     """
+    use_arrow = engine == "arrow"
     pre = rebalance_for_cpu(
-        df.select(F.col(key_col).alias("k"), F.col(content_col).alias("txt"))
+        df.select(F.col(key_col).alias("k"), F.col(content_col).alias("txt")),
+        persist=not use_arrow,
     )
-    grams = (
-        pre.select(
-            "k", X.word_ngrams_from_tokens(X.lower_tokens("txt"), n).alias("g")
+    if use_arrow:
+        # num_hashes=0 -> the Arrow pass emits just (k, sh): shared
+        # tokenize+ngram kernel with the minhash path, no md5 work
+        grams = (
+            _minhash_base_arrow(pre, n, 0)
+            .withColumnRenamed("sh", "g")
+            .persist()  # reused by candidate explode + both verification joins
         )
-        .where(F.size("g") > 0)
-        .persist()  # reused by candidate explode + both verification joins
-    )
+    else:
+        grams = (
+            pre.select(
+                "k",
+                X.word_ngrams_from_tokens(X.lower_tokens("txt"), n).alias("g"),
+            )
+            .where(F.size("g") > 0)
+            .persist()
+        )
     exploded = grams.select("k", F.explode("g").alias("gram")).persist()
     rare = exploded.groupBy("gram").count().where(F.col("count") <= min_df_prune)
     cand_grams = exploded.join(rare.select("gram"), "gram")

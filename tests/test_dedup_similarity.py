@@ -52,6 +52,9 @@ def test_minhash_arrow_equals_sql_engine(spark):
     sql = dedup.minhash_lsh_pairs(docs, engine="sql").collect()
     assert sorted(map(tuple, arrow)) == sorted(map(tuple, sql))
     assert len(arrow) > 0  # corpus has planted near-dups
+    ja = dedup.ngram_jaccard_pairs(docs, engine="arrow").collect()
+    js = dedup.ngram_jaccard_pairs(docs, engine="sql").collect()
+    assert sorted(map(tuple, ja)) == sorted(map(tuple, js))
 
 
 def test_simhash_pairs(spark):
