@@ -35,14 +35,13 @@ from cloud_native_medical_data_etl_pipeline_spark.operators import similarity as
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects; read nanos as long and truncate to micros
-        # JVM-side (integer div — a double round-trip would lose
-        # precision above 2^53 ns). Matches DuckDB's own nanos->micros
-        # truncation.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # ts has shipped as both TIMESTAMP(MICROS) and TIMESTAMP(NANOS);
+        # read_events probes the footer and normalizes either encoding.
+        from cloud_native_medical_data_etl_pipeline_spark.sources.events_io import (
+            read_events,
+        )
+
+        return read_events(spark, f"{sf_dir}/events.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -319,7 +318,7 @@ def q08_duplicate_rows(spark, sf_dir):
 
 
 Q08_SQL = """
-SELECT COALESCE(SUM(c), 0) AS dup_rows, COUNT(*) AS dup_keys FROM (
+SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS dup_rows, COUNT(*) AS dup_keys FROM (
   SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
 )
 """
@@ -667,21 +666,37 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
-# q20 — embedding-cosine near-duplicate pairs
+# q20 — embedding-cosine near-duplicate pairs, sign-LSH blocked (the
+# 100 TB path: candidates come from an equi-join on the hyperplane
+# bucket, never an all-pairs scan or a driver gather). The oracle
+# mirrors the bucketing with the SAME float64 hyperplane literals, so
+# the approximate operator is verified exactly.
 # ---------------------------------------------------------------------------
 _COS_THRESH = 0.4
+_EMB_DIM = 64
+_HP_PLANES = S.deterministic_hyperplanes(_EMB_DIM, n_planes=3, seed=20)
 
 
 def q20_embedding_near_dups(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return D.embedding_near_dups(emb, threshold=_COS_THRESH)
+    return D.embedding_near_dups(emb, threshold=_COS_THRESH, planes=_HP_PLANES)
 
 
-Q20_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+def _emb_sql() -> str:
+    bucket_terms = "\n       + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_HP_PLANES)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {bucket_terms} AS bucket
+  FROM embeddings
+)
 SELECT a.vec_id AS key_a, b.vec_id AS key_b,
        ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {_COS_THRESH}
 """
 
@@ -838,7 +853,23 @@ def q24_multimodal_features(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.attach_payload(docs)
-    return multimodal.decode_features(media, dim=8)
+    feats = multimodal.decode_features(media, dim=8)
+    # array<double> is unhashable in the driver's pandas canonicalizer;
+    # emit the vector as a comma-joined string of 1e6-scaled integers
+    # (the elements are exact IEEE doubles on both engines, so the
+    # scaled rounding is identical) — same trick q48 uses.
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "byte_mean",
+        F.array_join(
+            F.transform(
+                "feature",
+                lambda x: F.round(x * 1000000).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("feature_q6"),
+    )
 
 
 # The deterministic fake decode is byte-bucket statistics over the
@@ -862,17 +893,24 @@ WITH b AS (
          list_transform(string_split(COALESCE(text, ''), ''),
                         c -> ascii(c)) AS bs
   FROM documents
+), f AS (
+  SELECT media_id,
+         CAST(len(bs) AS BIGINT) AS n_bytes,
+         CASE WHEN len(bs) > 0
+              THEN CAST(list_sum(bs) AS DOUBLE) / len(bs) ELSE 0.0
+         END AS byte_mean,
+         CASE WHEN len(bs) > 0
+              THEN [{buckets}]
+              ELSE [{zeros}]
+         END AS feature
+  FROM b
 )
-SELECT media_id,
-       CAST(len(bs) AS BIGINT) AS n_bytes,
-       CASE WHEN len(bs) > 0
-            THEN CAST(list_sum(bs) AS DOUBLE) / len(bs) ELSE 0.0
-       END AS byte_mean,
-       CASE WHEN len(bs) > 0
-            THEN [{buckets}]
-            ELSE [{zeros}]
-       END AS feature
-FROM b
+SELECT media_id, n_bytes, byte_mean,
+       array_to_string(
+         list_transform(feature,
+                        x -> CAST(CAST(ROUND(x * 1000000) AS BIGINT) AS VARCHAR)),
+         ',') AS feature_q6
+FROM f
 """
 
 
@@ -2221,7 +2259,7 @@ def oracle_sql() -> dict[str, str]:
         "q17_minhash_near_dups": _mh_sql(),
         "q18_ngram_jaccard": Q18_SQL,
         "q19_cosine_topk": Q19_SQL,
-        "q20_embedding_near_dups": Q20_SQL,
+        "q20_embedding_near_dups": _emb_sql(),
         "q21_age_bins": Q21_SQL,
         "q22_simhash_pairs": _simhash_sql(),
         "q23_ivf_topk": Q23_SQL,

@@ -457,15 +457,29 @@ def embedding_near_dups(
     key_col: str = "vec_id",
     threshold: float = 0.95,
     block_col: str | None = None,
+    planes: list[list[float]] | None = None,
+    allow_driver_gather: bool = False,
+    max_gather_rows: int = 2_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (key_a, key_b, cosine)
     with cosine >= threshold.
 
-    Without block_col this is an all-pairs scan (fine when one side
-    broadcasts); at scale pass block_col (e.g. an LSH bucket from
-    similarity.random_hyperplane_bucket) to turn it into an equi-join.
+    The DEFAULT scale path is blocked candidate generation: pass either
+    ``block_col`` (a precomputed bucket column) or ``planes`` (sign-LSH
+    hyperplanes, see similarity.random_hyperplane_bucket) and candidate
+    pairs come from an equi-join on the bucket — never all-pairs, never
+    a driver gather. The exact all-pairs scan (broadcast-matrix BLAS)
+    is gated behind ``allow_driver_gather=True`` plus a row-count guard:
+    it collects every vector to the driver, which is a deliberate
+    "index fits in memory" baseline, not a 100 TB plan.
     """
     from ..functions import vectors as V
+
+    if planes is not None and block_col is None:
+        from .similarity import random_hyperplane_bucket
+
+        df = df.withColumn("__hp_bucket", random_hyperplane_bucket(vec_col, planes))
+        block_col = "__hp_bucket"
 
     if block_col:
         # Candidate sets are small post-blocking: per-ROW prep (cast to
@@ -511,7 +525,21 @@ def embedding_near_dups(
     import numpy as np
     import pandas as pd
 
+    if not allow_driver_gather:
+        raise ValueError(
+            "embedding_near_dups without block_col/planes is an exact "
+            "all-pairs scan that gathers every vector to the driver. "
+            "Pass planes= (sign-LSH blocking) for the distributed path, "
+            "or opt in explicitly with allow_driver_gather=True."
+        )
     spark = df.sparkSession
+    n_rows = df.count()
+    if n_rows > max_gather_rows:
+        raise ValueError(
+            f"brute-force gather refused: {n_rows} rows > "
+            f"max_gather_rows={max_gather_rows}; use planes= blocking "
+            "or similarity.build_ivf_index instead"
+        )
     gathered = df.select(key_col, vec_col).toPandas()  # Arrow path
     keys = gathered[key_col].to_numpy(dtype=np.int64)
     mat = np.array(list(gathered[vec_col]), dtype=np.float64)

@@ -173,6 +173,19 @@ def ivf_topk_indexed(
     )
 
 
+def deterministic_hyperplanes(
+    dim: int, n_planes: int = 3, seed: int = 20
+) -> list[list[float]]:
+    """Gaussian sign-LSH hyperplanes from a seeded PRNG — the SAME
+    float64 values on every call, so they can be inlined as literals
+    into both a Spark plan and an oracle SQL string (repr() round-trips
+    doubles exactly)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
 def random_hyperplane_bucket(
     vec_col: Column | str, planes: list[list[float]]
 ) -> Column:

@@ -37,6 +37,9 @@ def get_spark(
         # sort-merge to broadcast when runtime stats allow, split skewed
         # partitions. Essential at 100 TB, harmless at sf0.001.
         .config("spark.sql.adaptive.enabled", "true")
+        # Deterministic wall-clock semantics: NTZ<->Timestamp casts are
+        # value-preserving and match DuckDB's naive timestamps.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

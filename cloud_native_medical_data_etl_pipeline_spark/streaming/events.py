@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cloud_native_medical_data_etl_pipeline_spark.sources.events_io import (
+    stream_events,
+)
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
@@ -34,12 +38,9 @@ EVENTS_SCHEMA = T.StructType(
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 10
 ) -> DataFrame:
-    """File-source stream over a directory of parquet event files."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
-    )
+    """File-source stream over a directory of parquet event files,
+    ts normalized to timestamp whichever encoding the files carry."""
+    return stream_events(spark, path, max_files_per_trigger=max_files_per_trigger)
 
 
 def hourly_counts(
@@ -63,17 +64,6 @@ def hourly_counts(
     )
 
 
-_NANOS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as long
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
 _sink_seq = 0
 
 
@@ -85,23 +75,14 @@ def hourly_counts_available_now(spark: SparkSession, path: str) -> DataFrame:
     makes it oracle-checkable: complete mode emits every window, so
     after the drain the sink equals the batch aggregation exactly.
 
-    The parquet testdata carries TIMESTAMP(NANOS); the stream schema
-    declares it as long and truncates to micros JVM-side, matching the
-    session's nanosAsLong batch behavior.
+    stream_events probes the footer and normalizes ts to timestamp
+    whichever physical encoding (micros / nanos-as-long) the files
+    carry, matching the batch loader.
     """
     global _sink_seq
     _sink_seq += 1
     name = f"hourly_counts_sink_{_sink_seq}"
-    # file-stream sources require a directory: stream the parent dir
-    # with a glob filter when given a single file path
-    reader = spark.readStream.schema(_NANOS_SCHEMA)
-    if path.endswith(".parquet"):
-        base, _, fname = path.rpartition("/")
-        reader = reader.option("pathGlobFilter", fname)
-        path = base
-    stream = reader.parquet(path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    stream = stream_events(spark, path)
     q = (
         hourly_counts(stream)
         .writeStream.outputMode("complete")
@@ -132,14 +113,8 @@ def deduped_daily_counts_available_now(spark: SparkSession, path: str) -> DataFr
     global _sink_seq
     _sink_seq += 1
     name = f"dedup_events_sink_{_sink_seq}"
-    reader = spark.readStream.schema(_NANOS_SCHEMA)
-    if path.endswith(".parquet"):
-        base, _, fname = path.rpartition("/")
-        reader = reader.option("pathGlobFilter", fname)
-        path = base
     stream = (
-        reader.parquet(path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        stream_events(spark, path)
         .withColumn("__copy", F.explode(F.array(F.lit(1), F.lit(2))))
         .drop("__copy")
     )

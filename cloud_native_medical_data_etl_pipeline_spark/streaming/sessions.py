@@ -153,40 +153,42 @@ def sessions_available_now(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    from cloud_native_medical_data_etl_pipeline_spark.sources.events_io import (
+        read_events,
+        stream_events,
+    )
+
     global _sink_seq
     _sink_seq += 1
     name = f"sessions_sink_{_sink_seq}"
 
-    nanos_schema = T.StructType(
+    # sentinel event time: beyond every possible session timeout.
+    # read_events normalizes either physical ts encoding to timestamp,
+    # so all sentinel math is in microseconds regardless of encoding.
+    ev_batch = read_events(spark, path)
+    ts_type = ev_batch.schema["ts"].dataType  # Timestamp or TimestampNTZ
+    max_us = ev_batch.agg(F.unix_micros(F.max("ts").cast("timestamp"))).collect()[0][0]
+    wm_us = _parse_duration_us(watermark)
+    # 48h margin: dwarfs any session-timezone offset a Timestamp<->NTZ
+    # cast could introduce (the sentinel only needs to exceed every
+    # timeout; its exact value is filtered out of the result anyway)
+    sentinel_us = max_us + gap_minutes * 60 * _US + wm_us + 48 * 3600 * _US
+
+    sentinel_schema = T.StructType(
         [
             T.StructField("user_id", T.LongType(), True),
-            T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as long
+            T.StructField("ts", ts_type, True),
         ]
     )
-
-    # sentinel event time: beyond every possible session timeout
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    max_ns = spark.read.parquet(path).agg(F.max("ts")).collect()[0][0]
-    wm_us = _parse_duration_us(watermark)
-    sentinel_ns = max_ns + (gap_minutes * 60 * _US + wm_us + 3600 * _US) * 1000
-
     sentinel_dir = tempfile.mkdtemp(prefix="session_sentinel_")
     spark.createDataFrame(
-        [(_SENTINEL_USER, sentinel_ns)], nanos_schema
+        [(_SENTINEL_USER, sentinel_us)], "user_id long, ts_us long"
+    ).select(
+        "user_id", F.timestamp_micros("ts_us").cast(ts_type).alias("ts")
     ).coalesce(1).write.mode("overwrite").parquet(sentinel_dir)
 
-    def _src(p: str) -> DataFrame:
-        reader = spark.readStream.schema(nanos_schema)
-        if p.endswith(".parquet"):
-            base, _, fname = p.rpartition("/")
-            reader = reader.option("pathGlobFilter", fname)
-            p = base
-        return reader.parquet(p)
-
-    stream = (
-        _src(path)
-        .unionByName(_src(sentinel_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream_events(spark, path, columns=["user_id", "ts"]).unionByName(
+        spark.readStream.schema(sentinel_schema).parquet(sentinel_dir)
     )
     q = (
         streaming_sessionize(stream, gap_minutes, watermark)

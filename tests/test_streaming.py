@@ -6,6 +6,7 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
+from cloud_native_medical_data_etl_pipeline_spark.sources.events_io import read_events
 from cloud_native_medical_data_etl_pipeline_spark.streaming import events as SE
 from cloud_native_medical_data_etl_pipeline_spark.streaming import sessions as SS
 
@@ -16,8 +17,7 @@ def test_hourly_counts_available_now_matches_batch(spark):
         spark, f"{sf_dir}/events.parquet"
     )
     batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        read_events(spark, f"{sf_dir}/events.parquet")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -89,12 +89,7 @@ def test_sessions_available_now_equals_batch(spark):
         tuple(r)
         for r in SS.sessions_available_now(spark, path, gap_minutes=30).collect()
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("user_id", "ts", "event_id")
-    )
+    ev = read_events(spark, path).select("user_id", "ts", "event_id")
     want = sorted(
         tuple(r)
         for r in BS.session_stats(ev, gap_minutes=30)
