@@ -674,7 +674,7 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 _COS_THRESH = 0.4
 _EMB_DIM = 64
-_HP_PLANES = S.deterministic_hyperplanes(_EMB_DIM, n_planes=3, seed=20)
+_HP_PLANES = S.deterministic_hyperplanes(_EMB_DIM, n_planes=4, seed=20)
 
 
 def q20_embedding_near_dups(spark, sf_dir):
