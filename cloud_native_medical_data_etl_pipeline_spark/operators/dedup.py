@@ -172,6 +172,22 @@ def _minhash_base_arrow(
     def gen(batches):
         import pandas as pd
 
+        # Grams repeat heavily across documents (natural-language
+        # shingle vocabularies are Zipfian), so memoize each gram's
+        # per-group lane substrings once per partition — identical
+        # md5 values, a fraction of the digest work.
+        lane_cache: dict[str, list[str]] = {}
+
+        def gram_lanes(gram: str) -> list[str]:
+            got = lane_cache.get(gram)
+            if got is None:
+                got = []
+                for g in range(groups):
+                    d = hashlib.md5(f"{g}|{gram}".encode()).hexdigest()
+                    got.extend(d[8 * j : 8 * j + 8] for j in range(4))
+                lane_cache[gram] = got
+            return got
+
         for pdf in batches:
             keys, shingles = [], []
             lanes: list[list[str]] = [[] for _ in range(num_hashes)]
@@ -190,19 +206,9 @@ def _minhash_base_arrow(
                 )
                 keys.append(k)
                 shingles.append(grams)
-                for g in range(groups):
-                    prefix = f"{g}|".encode()
-                    digests = [
-                        hashlib.md5(prefix + gram.encode()).hexdigest()
-                        for gram in grams
-                    ]
-                    for j in range(4):
-                        i = g * 4 + j
-                        if i >= num_hashes:
-                            break
-                        lanes[i].append(
-                            min(d[8 * j : 8 * j + 8] for d in digests)
-                        )
+                per_gram = [gram_lanes(gram) for gram in grams]
+                for i in range(num_hashes):
+                    lanes[i].append(min(pl[i] for pl in per_gram))
             yield pd.DataFrame(
                 {
                     "k": keys,
