@@ -197,3 +197,43 @@ def fingerprint(text: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % mod,
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation / scrubbing kernels (training-data hygiene). All regexp_
+# replace chains — JVM-side, codegen-friendly, and mirrored 1:1 by
+# DuckDB's regexp_replace(..., 'g') for oracle checks.
+# ---------------------------------------------------------------------------
+
+# pattern -> replacement token, applied in order (URL first so email
+# hosts inside URLs don't get half-redacted).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # at least one separator, so bare long digit runs fall to <ID>
+    (r"\+?\d{1,4}[\s().-][\d\s().-]{5,}\d", "<PHONE>"),
+    (r"\b\d{9,}\b", "<ID>"),
+]
+
+
+def redact_pii(text: Column | str, patterns: list[tuple[str, str]] | None = None) -> Column:
+    """Replace URL / email / phone / long-id spans with placeholder
+    tokens. Order matters and is fixed; each pattern is one JVM
+    regexp_replace, so the whole chain stays in codegen and scales as a
+    map-only pass."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.coalesce(c, F.lit(""))
+    for pat, repl in patterns or PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonicalize whitespace for stable downstream hashing: strip
+    ASCII control characters, collapse whitespace runs to single
+    spaces, trim. Idempotent."""
+    c = F.col(text) if isinstance(text, str) else text
+    s = F.coalesce(c, F.lit(""))
+    s = F.regexp_replace(s, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    s = F.regexp_replace(s, r"\s+", " ")
+    return F.trim(s)

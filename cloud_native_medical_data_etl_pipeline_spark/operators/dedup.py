@@ -574,3 +574,45 @@ def embedding_near_dups(
 
     probe = rebalance_for_cpu(df.select(key_col, vec_col))
     return probe.mapInPandas(gen, "key_a long, key_b long, cosine double")
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    probe: DataFrame,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    ngram_n: int = 8,
+) -> DataFrame:
+    """Train/eval contamination check: corpus keys that share ANY
+    length-``ngram_n`` word n-gram with the probe (benchmark/eval) set.
+
+    Scale shape: each side explodes to distinct (key, xxhash64(gram))
+    rows — an 8-byte hash, never the gram text, rides the shuffle — and
+    detection is a left-semi equi-join on the hash. The probe side
+    (eval sets are small) broadcasts under AQE; corpus-side work is one
+    map pass + one semi-join, the same plan at 100 TB. False positives
+    are limited to xxhash64 collisions (~2^-64 per pair).
+
+    Returns distinct contaminated corpus keys as column ``key_col``.
+    """
+    def grams(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(key_col).alias(out),
+                F.explode(
+                    X.word_ngrams_from_tokens(
+                        X.lower_tokens(content_col), ngram_n
+                    )
+                ).alias("g"),
+            )
+            .select(out, F.xxhash64("g").alias("gh"))
+            .dropDuplicates()
+        )
+
+    probe_hashes = grams(probe, "pk").select("gh").dropDuplicates()
+    return (
+        grams(corpus, key_col)
+        .join(probe_hashes, "gh", "left_semi")
+        .select(key_col)
+        .dropDuplicates()
+    )

@@ -217,3 +217,55 @@ def test_multimodal_resize_and_frames(spark):
         MM.resize_images(media, fake=False)
     with _pytest.raises(NotImplementedError):
         MM.sample_frames(media, fake=False)
+
+
+def test_redact_pii_and_normalize(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice@example.com or call +1 (555) 123-4567"),
+            (2, "see https://example.com/docs?id=9 and ssn 123456789"),
+            (3, "plain \x07text\t with   runs\n\nhere"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["red"], r["norm"])
+        for r in df.select(
+            "doc_id",
+            X.redact_pii("text").alias("red"),
+            X.normalize_text("text").alias("norm"),
+        ).collect()
+    }
+    assert "<EMAIL>" in out[1][0] and "<PHONE>" in out[1][0]
+    assert "alice@example.com" not in out[1][0]
+    assert "<URL>" in out[2][0] and "<ID>" in out[2][0]
+    assert "https://" not in out[2][0]
+    assert out[3][1] == "plain text with runs here"
+    assert out[4][1] == ""
+    # idempotent
+    twice = df.select(
+        X.normalize_text(X.normalize_text("text")).alias("n2")
+    ).collect()
+    assert [r["n2"] for r in twice] == [out[i][1] for i in (1, 2, 3, 4)]
+
+
+def test_ngram_contamination(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today ok"),
+            (2, "completely unrelated text about spark partitions and shuffles"),
+            (3, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, "benchmark says the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    hits = sorted(
+        r["doc_id"]
+        for r in dedup.ngram_contamination(corpus, probe, ngram_n=8).collect()
+    )
+    # docs 1 and 3 share the 8-gram (case-insensitive); doc 2 does not
+    assert hits == [1, 3]
