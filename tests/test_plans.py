@@ -63,3 +63,29 @@ def test_q52_joins_at_aggregated_grain(spark):
     first_agg = plan.find("HashAggregate")
     assert first_agg >= 0 and join_pos >= 0, plan
     assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+
+
+def test_q20_blocked_plan_stays_distributed(spark):
+    """The default embedding near-dup path must be a bucket equi-join:
+    no cartesian product, no Python stage (mapInPandas), no driver
+    gather in the executed plan — the properties that survive 100 TB."""
+    df = entry_mod.q20_embedding_near_dups(spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "mapInPandas" not in plan.lower(), plan
+    # candidates come from a hash join on the derived bucket column
+    assert "__hp_bucket" in plan and "Join" in plan, plan
+
+
+def test_contamination_semi_join_shape(spark):
+    """Contamination detection must shuffle only (key, gram-hash) and
+    plan the detection as a semi join."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators import dedup
+
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    probe = corpus.limit(5)
+    df = dedup.ngram_contamination(corpus, probe)
+    plan = _executed_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
