@@ -1,0 +1,98 @@
+"""Sequence packing: assemble variable-length documents into
+fixed-token-budget training sequences (the "sample packing" step of an
+LLM data pipeline).
+
+Exact global first-fit-decreasing is inherently sequential, so the
+scalable form is partition-local packing: documents are hash-bucketed
+into independent packing groups, each group is packed greedily inside
+one Arrow batch, and pack ids are made globally unique by prefixing
+the group id. Packing quality is within a few percent of global FFD
+once groups hold a few thousand docs (bin-packing waste concentrates
+in the tail bins, one per group), while the plan is one narrow shuffle
+of (key, n_tokens) plus a map pass — no global sort, no driver state,
+unchanged at 100 TB.
+
+Determinism: group assignment is a hash of the key (not a partition
+index), and docs pack in (n_tokens desc, key) order within each group
+— the same inputs produce the same packs on any cluster layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    budget: int = 2048,
+    num_groups: int | None = None,
+    docs_per_group: int = 4096,
+) -> DataFrame:
+    """Assign each document a ``pack_id`` such that the sum of
+    ``token_col`` within a pack never exceeds ``budget``.
+
+    Documents longer than the budget get a singleton pack (the caller
+    decides whether to truncate or drop them). Returns
+    (key_col, token_col, pack_id string, pack_tokens long).
+    """
+    spark = df.sparkSession
+    if num_groups is None:
+        n_docs = df.count()
+        num_groups = max(1, n_docs // docs_per_group)
+
+    schema = T.StructType(
+        [
+            df.schema[key_col],
+            T.StructField(token_col, T.LongType()),
+            T.StructField("pack_id", T.StringType()),
+            T.StructField("pack_tokens", T.LongType()),
+        ]
+    )
+
+    def pack_group(pdf):
+        import pandas as pd
+
+        group = int(pdf["__grp"].iloc[0])
+        # first-fit-decreasing, deterministic order
+        rows = sorted(
+            zip(pdf[key_col], pdf[token_col].astype("int64")),
+            key=lambda r: (-r[1], r[0]),
+        )
+        # open bins: list of [remaining, bin_idx]; linear scan first-fit
+        # is O(n*bins) worst case; bins stay few because FFD fills them
+        remaining: list[int] = []
+        assign: list[int] = []
+        totals: list[int] = []
+        for _key, tok in rows:
+            placed = -1
+            for i, rem in enumerate(remaining):
+                if tok <= rem:
+                    placed = i
+                    break
+            if placed < 0:
+                remaining.append(max(0, budget - tok))
+                totals.append(tok)
+                placed = len(remaining) - 1
+            else:
+                remaining[placed] -= tok
+                totals[placed] += tok
+            assign.append(placed)
+        return pd.DataFrame(
+            {
+                key_col: [k for k, _ in rows],
+                token_col: [t for _, t in rows],
+                "pack_id": [f"{group}-{b}" for b in assign],
+                "pack_tokens": [totals[b] for b in assign],
+            }
+        )
+
+    grouped = df.select(
+        key_col,
+        F.col(token_col).cast("long").alias(token_col),
+        (F.abs(F.xxhash64(F.col(key_col))) % num_groups).alias("__grp"),
+    )
+    return grouped.groupBy("__grp").applyInPandas(pack_group, schema)

@@ -1,0 +1,75 @@
+"""Sequence-packing invariants: budget respected, exactly-once
+assignment, determinism under repartitioning, and sane utilization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_native_medical_data_etl_pipeline_spark.functions import text as X
+from cloud_native_medical_data_etl_pipeline_spark.operators.packing import (
+    pack_sequences,
+)
+
+BUDGET = 64
+
+
+@pytest.fixture(scope="module")
+def doc_tokens(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return docs.select(
+        "doc_id", X.token_count("text").alias("n_tokens")
+    ).persist()
+
+
+def test_packs_respect_budget_and_cover_all_docs(spark, doc_tokens):
+    packed = pack_sequences(doc_tokens, budget=BUDGET).persist()
+    rows = packed.collect()
+    assert {r["doc_id"] for r in rows} == {
+        r["doc_id"] for r in doc_tokens.collect()
+    }
+    assert len(rows) == doc_tokens.count()  # exactly once
+
+    per_pack = (
+        packed.groupBy("pack_id")
+        .agg(
+            F.sum("n_tokens").alias("s"),
+            F.max("pack_tokens").alias("declared"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for p in per_pack:
+        # declared total matches actual member sum
+        assert p["s"] == p["declared"]
+        # only oversized singletons may exceed the budget
+        if p["s"] > BUDGET:
+            assert p["n"] == 1
+    # utilization: packing should do clearly better than one-doc-per-pack
+    n_docs = doc_tokens.count()
+    n_packs = len(per_pack)
+    assert n_packs < n_docs * 0.8
+
+
+def test_oversized_docs_get_singleton_packs(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 10), (3, 10)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(df, budget=BUDGET, num_groups=1).collect()
+    by_doc = {r["doc_id"]: r for r in packed}
+    big_pack = by_doc[1]["pack_id"]
+    assert [r["doc_id"] for r in packed if r["pack_id"] == big_pack] == [1]
+    # the two small docs share a pack
+    assert by_doc[2]["pack_id"] == by_doc[3]["pack_id"]
+
+
+def test_packing_deterministic_across_layouts(spark, doc_tokens):
+    a = sorted(
+        tuple(r)
+        for r in pack_sequences(doc_tokens, budget=BUDGET, num_groups=4).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pack_sequences(
+            doc_tokens.repartition(13), budget=BUDGET, num_groups=4
+        ).collect()
+    )
+    assert a == b
