@@ -79,6 +79,34 @@ def read_partition(
         raise
 
 
+def upsert_partition(
+    spark: SparkSession,
+    base: str,
+    updates: DataFrame,
+    date: str,
+    key_cols: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Key-level merge into one day's partition: rows whose keys appear
+    in ``updates`` are replaced, untouched keys survive — the
+    at-least-once -> exactly-once bridge for re-run ingest days
+    (a retried extraction can land twice; the lake stays one-row-per-key).
+
+    Scale shape: touches ONE day directory (partition pruning on read,
+    dynamic overwrite on write); the survivor set comes from a keyed
+    left-anti join, with the (typically small) update key-set broadcast
+    by AQE. The merged frame is localCheckpoint-ed BEFORE the overwrite
+    — Spark reads lazily, so overwriting files that the plan still
+    needs to scan would otherwise race the read.
+    """
+    existing = read_partition(spark, base, date, schema=updates.schema, fmt=fmt)
+    survivors = existing.join(
+        updates.select(*key_cols).dropDuplicates(), key_cols, "left_anti"
+    )
+    merged = survivors.unionByName(updates).localCheckpoint(eager=True)
+    write_partitioned(merged, base, date, fmt=fmt)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

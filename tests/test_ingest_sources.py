@@ -261,3 +261,34 @@ def test_streaming_hourly_counts(spark, tmp_path):
     assert emitted <= expected
     assert len(emitted) > 0
     shutil.rmtree(cp, ignore_errors=True)
+
+
+def test_upsert_partition_merges_by_key(spark, tmp_path):
+    base = str(tmp_path / "lake_upsert")
+    day1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    other_day = spark.createDataFrame([(9, "z")], "id long, v string")
+    lake.write_partitioned(day1, base, "2024-01-15")
+    lake.write_partitioned(other_day, base, "2024-01-16")
+
+    updates = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "id long, v string"
+    )
+    lake.upsert_partition(spark, base, updates, "2024-01-15", ["id"])
+
+    got = {
+        r["id"]: r["v"]
+        for r in lake.read_partition(spark, base, "2024-01-15").collect()
+    }
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # the neighboring day is untouched
+    other = lake.read_partition(spark, base, "2024-01-16").collect()
+    assert [(r["id"], r["v"]) for r in other] == [(9, "z")]
+    # idempotent re-run (at-least-once ingest replay)
+    lake.upsert_partition(spark, base, updates, "2024-01-15", ["id"])
+    again = {
+        r["id"]: r["v"]
+        for r in lake.read_partition(spark, base, "2024-01-15").collect()
+    }
+    assert again == got
