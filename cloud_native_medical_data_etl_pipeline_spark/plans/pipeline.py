@@ -32,6 +32,24 @@ class RunResult:
     status: str = "success"
 
 
+def completion_summary(result: RunResult, output_base: str) -> str:
+    """Human-readable run notification (reference
+    medical_etl_dag.py:136-158 semantics: date, per-source record
+    counts, and the day's processed-partition path). The caller wires
+    it to whatever alerting exists; like the reference, the message IS
+    the contract."""
+    processed = lake.partition_path(f"{output_base}/processed", result.date)
+    return (
+        "Medical ETL Pipeline Completed "
+        + ("Successfully" if result.status == "success" else f"({result.status})")
+        + f"\n\nDate: {result.date}"
+        + f"\nFDA Records: {result.fda_records}"
+        + f"\nClinical Trials: {result.ct_records}"
+        + f"\nEnriched Records: {result.enriched_records}"
+        + f"\n\nData available at:\n{processed}/"
+    )
+
+
 def run(
     spark: SparkSession,
     date: str,

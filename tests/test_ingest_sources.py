@@ -236,6 +236,12 @@ def test_pipeline_run(spark, tmp_path):
     assert row["trial_count"] == 6
     assert row["total_enrollment"] == 600.0
 
+    msg = pipeline.completion_summary(result, str(tmp_path / "out"))
+    assert "Completed Successfully" in msg
+    assert "Date: 2024-01-15" in msg
+    assert "FDA Records: 6" in msg and "Clinical Trials: 6" in msg
+    assert "year=2024/month=01/day=15" in msg
+
 
 def test_streaming_hourly_counts(spark, tmp_path):
     import shutil
