@@ -138,3 +138,72 @@ def write_csv_head(df: DataFrame, path: str, n: int = 1000) -> None:
     (drug_transformer.py:304-306). Row choice without a sort is
     nondeterministic in both systems — documented reference behavior."""
     df.limit(n).write.mode("overwrite").option("header", True).csv(path)
+
+
+# ---------------------------------------------------------------------------
+# Object-level catalog helpers (reference s3_loader.py:207-294), via the
+# Hadoop FileSystem API so the SAME code serves file://, s3a://, gs://,
+# abfs:// — the Spark-native replacement for bucket-specific boto3 calls.
+# All driver-side metadata operations: one RPC each, no data movement.
+# ---------------------------------------------------------------------------
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def list_objects(spark: SparkSession, prefix: str) -> list[str]:
+    """Recursive file listing under a directory prefix (s3_loader
+    list_objects semantics); missing prefix -> []."""
+    fs, hpath, _ = _fs(spark, prefix)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        out.append(it.next().getPath().toString())
+    return sorted(out)
+
+
+def object_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath, _ = _fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def object_size(spark: SparkSession, path: str) -> int | None:
+    """Size in bytes, or None when missing (head_object semantics)."""
+    fs, hpath, _ = _fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    return int(fs.getFileStatus(hpath).getLen())
+
+
+def delete_object(spark: SparkSession, path: str, recursive: bool = False) -> bool:
+    fs, hpath, _ = _fs(spark, path)
+    return bool(fs.delete(hpath, recursive))
+
+
+def list_partition_dates(spark: SparkSession, base: str) -> list[str]:
+    """Dates present under the year=/month=/day= layout, ascending —
+    directory metadata only, no file reads."""
+    fs, hpath, jvm = _fs(spark, base)
+    if not fs.exists(hpath):
+        return []
+    glob = jvm.org.apache.hadoop.fs.Path(f"{base}/year=*/month=*/day=*")
+    dates = []
+    for st in fs.globStatus(glob) or []:
+        p = st.getPath()
+        day = p.getName().split("=", 1)[1]
+        month = p.getParent().getName().split("=", 1)[1]
+        year = p.getParent().getParent().getName().split("=", 1)[1]
+        dates.append(f"{year}-{month}-{day}")
+    return sorted(dates)
+
+
+def latest_partition_date(spark: SparkSession, base: str) -> str | None:
+    """Newest day available — what an incremental daily job resumes
+    from."""
+    dates = list_partition_dates(spark, base)
+    return dates[-1] if dates else None

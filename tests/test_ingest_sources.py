@@ -298,3 +298,28 @@ def test_upsert_partition_merges_by_key(spark, tmp_path):
         for r in lake.read_partition(spark, base, "2024-01-15").collect()
     }
     assert again == got
+
+
+def test_catalog_helpers(spark, tmp_path):
+    base = str(tmp_path / "catalog_lake")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    for d in ("2024-01-15", "2024-01-16", "2024-02-01"):
+        lake.write_partitioned(df, base, d)
+
+    assert lake.list_partition_dates(spark, base) == [
+        "2024-01-15", "2024-01-16", "2024-02-01",
+    ]
+    assert lake.latest_partition_date(spark, base) == "2024-02-01"
+    assert lake.latest_partition_date(spark, base + "_missing") is None
+
+    objs = lake.list_objects(spark, base)
+    assert objs and all("year=" in o for o in objs)
+    some_file = next(o for o in objs if o.endswith(".parquet"))
+    assert lake.object_exists(spark, some_file)
+    assert lake.object_size(spark, some_file) > 0
+    assert not lake.object_exists(spark, base + "/nope.parquet")
+    assert lake.object_size(spark, base + "/nope.parquet") is None
+
+    day_dir = lake.partition_path(base, "2024-02-01")
+    assert lake.delete_object(spark, day_dir, recursive=True)
+    assert lake.latest_partition_date(spark, base) == "2024-01-16"
