@@ -34,6 +34,11 @@ from cloud_native_medical_data_etl_pipeline_spark.operators import similarity as
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin UTC on EVERY table read, not only events: read_events sets it
+    # as a side effect, so setting it unconditionally here makes every
+    # query's timestamp semantics identical regardless of the order the
+    # harness runs them in (and of the host's default tz).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # ts has shipped as both TIMESTAMP(MICROS) and TIMESTAMP(NANOS);
         # read_events probes the footer and normalizes either encoding.
@@ -679,6 +684,15 @@ _HP_PLANES = S.deterministic_hyperplanes(_EMB_DIM, n_planes=4, seed=20)
 
 def q20_embedding_near_dups(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
+    # fail LOUD on dim drift: zip_with against wrong-length plane
+    # literals null-pads, which would silently collapse every vector
+    # into bucket 0 (a full self-join) while the oracle errors
+    actual_dim = emb.select(F.size("embedding")).first()[0]
+    if actual_dim != _EMB_DIM:
+        raise ValueError(
+            f"embeddings dim drifted to {actual_dim} (expected {_EMB_DIM}); "
+            "regenerate _HP_PLANES with the new dim"
+        )
     return D.embedding_near_dups(emb, threshold=_COS_THRESH, planes=_HP_PLANES)
 
 

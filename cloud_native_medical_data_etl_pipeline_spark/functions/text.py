@@ -206,12 +206,16 @@ def fingerprint(text: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 # pattern -> replacement token, applied in order (URL first so email
-# hosts inside URLs don't get half-redacted).
+# hosts inside URLs don't get half-redacted). Phone patterns are
+# SHAPE-specific (international +CC..., US (xxx) / xxx-xxx-xxxx) rather
+# than "digits with separators" — the loose form also matched ISO
+# dates and timestamps, silently redacting clinical record content.
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"https?://[^\s]+", "<URL>"),
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    # at least one separator, so bare long digit runs fall to <ID>
-    (r"\+?\d{1,4}[\s().-][\d\s().-]{5,}\d", "<PHONE>"),
+    (r"\+\d{1,3}[\s.-]?\(?\d{2,4}\)?[\s.-]?\d{3}[\s.-]?\d{3,4}\b", "<PHONE>"),
+    (r"\(\d{3}\)[\s.-]?\d{3}[\s.-]\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}[\s.-]\d{3}[\s.-]\d{4}\b", "<PHONE>"),
     (r"\b\d{9,}\b", "<ID>"),
 ]
 

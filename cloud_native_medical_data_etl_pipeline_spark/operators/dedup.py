@@ -174,8 +174,13 @@ def _minhash_base_arrow(
 
         # Grams repeat heavily across documents (natural-language
         # shingle vocabularies are Zipfian), so memoize each gram's
-        # per-group lane substrings once per partition — identical
-        # md5 values, a fraction of the digest work.
+        # per-group lane substrings — identical md5 values, a fraction
+        # of the digest work. The cache is BOUNDED: high-cardinality
+        # corpora (IDs, codes) would otherwise grow it without limit
+        # on a long-lived partition and OOM the Python worker; past
+        # the cap new grams are computed without being stored (the
+        # frequent grams that benefit are cached first anyway).
+        _CACHE_MAX = 1 << 20
         lane_cache: dict[str, list[str]] = {}
 
         def gram_lanes(gram: str) -> list[str]:
@@ -185,7 +190,8 @@ def _minhash_base_arrow(
                 for g in range(groups):
                     d = hashlib.md5(f"{g}|{gram}".encode()).hexdigest()
                     got.extend(d[8 * j : 8 * j + 8] for j in range(4))
-                lane_cache[gram] = got
+                if len(lane_cache) < _CACHE_MAX:
+                    lane_cache[gram] = got
             return got
 
         for pdf in batches:

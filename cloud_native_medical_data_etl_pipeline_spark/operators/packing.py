@@ -57,24 +57,28 @@ def pack_sequences(
         import pandas as pd
 
         group = int(pdf["__grp"].iloc[0])
-        # first-fit-decreasing, deterministic order
+        # first-fit-decreasing, deterministic order; null token counts
+        # count as 0 rather than crashing the Arrow batch
         rows = sorted(
-            zip(pdf[key_col], pdf[token_col].astype("int64")),
+            zip(pdf[key_col], pdf[token_col].fillna(0).astype("int64")),
             key=lambda r: (-r[1], r[0]),
         )
-        # open bins: list of [remaining, bin_idx]; linear scan first-fit
-        # is O(n*bins) worst case; bins stay few because FFD fills them
+        # open bins: list of remaining capacities; linear scan first-fit
+        # is O(n*bins) worst case; bins stay few because FFD fills them.
+        # Oversized docs get remaining=-1: a CLOSED singleton bin that
+        # nothing (not even a zero-token doc) can join, preserving the
+        # "over budget implies singleton" invariant.
         remaining: list[int] = []
         assign: list[int] = []
         totals: list[int] = []
         for _key, tok in rows:
             placed = -1
             for i, rem in enumerate(remaining):
-                if tok <= rem:
+                if 0 <= tok <= rem:
                     placed = i
                     break
             if placed < 0:
-                remaining.append(max(0, budget - tok))
+                remaining.append(-1 if tok >= budget else budget - tok)
                 totals.append(tok)
                 placed = len(remaining) - 1
             else:

@@ -47,14 +47,24 @@ def approx_profile(
     cols = cols or [f.name for f in df.schema.fields]
     total = F.count(F.lit(1))
     aggs = [total.alias("__n")]
+    # HLL++ cannot hash MapType values — emit a null estimate for those
+    # columns instead of failing the whole profile
+    def _hashable(dtype: T.DataType) -> bool:
+        return not isinstance(dtype, T.MapType)
+
     for c in cols:
         dtype = df.schema[c].dataType
         aggs.append(
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
         )
-        aggs.append(
-            F.approx_count_distinct(c, rsd=relative_sd).alias(f"__dist_{c}")
-        )
+        if _hashable(dtype):
+            aggs.append(
+                F.approx_count_distinct(c, rsd=relative_sd).alias(f"__dist_{c}")
+            )
+        else:
+            aggs.append(
+                F.lit(None).cast("long").alias(f"__dist_{c}")
+            )
         if isinstance(dtype, _NUMERIC):
             aggs.append(
                 F.percentile_approx(

@@ -54,6 +54,7 @@ def stream_events(
     columns: list[str] | None = None,
     max_files_per_trigger: int | None = None,
     ts_col: str = "ts",
+    fallback_schema: T.StructType | None = None,
 ) -> DataFrame:
     """readStream over events parquet with ``ts`` normalized to
     timestamp, whichever physical encoding the files carry.
@@ -63,10 +64,19 @@ def stream_events(
     derived from one batch footer probe of the same path — stating the
     physical schema explicitly is required by readStream anyway, and
     deriving it keeps the stream and batch paths agreeing forever.
+    When the directory has no files yet (stream started before any
+    producer wrote), the probe can't infer anything and
+    ``fallback_schema`` is used instead; without one the probe error
+    propagates.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    physical = spark.read.parquet(path).schema
+    try:
+        physical = spark.read.parquet(path).schema
+    except Exception:
+        if fallback_schema is None:
+            raise
+        physical = fallback_schema
     if columns is not None:
         physical = T.StructType([physical[c] for c in columns])
     ts_is_long = _is_long(physical[ts_col].dataType)

@@ -99,6 +99,9 @@ def upsert_partition(
     — Spark reads lazily, so overwriting files that the plan still
     needs to scan would otherwise race the read.
     """
+    # the updates batch itself may carry duplicate keys (that's the
+    # at-least-once scenario) — dedup it too, or both copies would land
+    updates = updates.dropDuplicates(key_cols)
     existing = read_partition(spark, base, date, schema=updates.schema, fmt=fmt)
     survivors = existing.join(
         updates.select(*key_cols).dropDuplicates(), key_cols, "left_anti"

@@ -39,8 +39,15 @@ def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 10
 ) -> DataFrame:
     """File-source stream over a directory of parquet event files,
-    ts normalized to timestamp whichever encoding the files carry."""
-    return stream_events(spark, path, max_files_per_trigger=max_files_per_trigger)
+    ts normalized to timestamp whichever encoding the files carry.
+    EVENTS_SCHEMA is the fallback when the directory is still empty
+    (stream started before any producer wrote a file)."""
+    return stream_events(
+        spark,
+        path,
+        max_files_per_trigger=max_files_per_trigger,
+        fallback_schema=EVENTS_SCHEMA,
+    )
 
 
 def hourly_counts(

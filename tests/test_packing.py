@@ -73,3 +73,24 @@ def test_packing_deterministic_across_layouts(spark, doc_tokens):
         ).collect()
     )
     assert a == b
+
+
+def test_zero_token_docs_never_join_oversized_bins(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 0), (3, 0)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(df, budget=64, num_groups=1).collect()
+    by_doc = {r["doc_id"]: r["pack_id"] for r in packed}
+    # the oversized doc's pack stays a singleton
+    assert sum(1 for p in by_doc.values() if p == by_doc[1]) == 1
+    # the zero-token docs share a normal bin
+    assert by_doc[2] == by_doc[3] != by_doc[1]
+
+
+def test_null_token_counts_treated_as_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, None)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(df, budget=64, num_groups=1).collect()
+    assert {r["doc_id"] for r in packed} == {1, 2}
+    assert next(r["n_tokens"] for r in packed if r["doc_id"] == 2) == 0

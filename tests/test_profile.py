@@ -40,3 +40,13 @@ def test_profile_single_scan(spark):
     # one scan of the table, partial-agg before the exchange
     assert plan.count("FileScan parquet") == 1, plan
     assert "partial_" in plan, plan
+
+
+def test_profile_tolerates_map_columns(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": "b"}), (2, None)], "id long, m map<string,string>"
+    )
+    prof = {r["column"]: r for r in approx_profile(df).collect()}
+    assert prof["m"]["approx_distinct"] is None
+    assert prof["m"]["n_nulls"] == 1
+    assert prof["id"]["approx_distinct"] == 2

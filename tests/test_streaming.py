@@ -118,3 +118,21 @@ def test_streaming_dedup_collapses_injected_duplicates(spark):
         spark.read.parquet(path).select("event_id").distinct().count()
     )
     assert total == n_ids
+
+
+def test_stream_from_empty_directory_starts(spark, tmp_path):
+    """A stream may be started before any producer has written a file;
+    the schema probe must fall back to EVENTS_SCHEMA, not die."""
+    src = tmp_path / "empty_events"
+    src.mkdir()
+    stream = SE.read_event_stream(spark, str(src))
+    q = (
+        SE.hourly_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("empty_dir_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("empty_dir_sink").count() == 0

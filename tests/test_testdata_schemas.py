@@ -83,6 +83,17 @@ def _matches(category: str, dtype: T.DataType) -> bool:
     return isinstance(dtype, _CATEGORY[category])
 
 
+def test_embedding_dim_pinned(spark):
+    """q20's hyperplanes (and their oracle literals) are generated for
+    dim 64; a regenerated embeddings table with a different dim must
+    fail here first, loudly."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r["d"] for r in dims] == [64], dims
+
+
 @pytest.mark.parametrize("table", sorted(EXPECTED))
 def test_testdata_schema_contract(spark, table):
     if table == "events":
