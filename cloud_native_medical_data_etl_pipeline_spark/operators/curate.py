@@ -61,3 +61,31 @@ def curate(
     # every near-dup cluster chain survives
     losers = pairs.select(F.col("key_b").alias(key_col)).distinct()
     return kept.join(losers, key_col, "left_anti")
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus balancing: keep at most ``n`` rows per group (domain,
+    source, language...), chosen deterministically by md5-of-key order
+    — the same members survive on any cluster layout, any engine, any
+    re-run, which seeded rand() does not guarantee.
+
+    Plan shape: one hash shuffle on the group key + per-group sort of
+    md5 strings; the filter drops rows before anything downstream sees
+    them. A group with 10^9 rows concentrates one partition's sort —
+    same hot-key caveat and salting remedy as the window family.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -269,3 +269,24 @@ def test_ngram_contamination(spark):
     )
     # docs 1 and 3 share the 8-gram (case-insensitive); doc 2 does not
     assert hits == [1, 3]
+
+
+def test_cap_per_group_deterministic(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import curate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "domain", F.col("doc_id") % 7
+    )
+    capped = curate.cap_per_group(docs, "domain", 10)
+    sizes = capped.groupBy("domain").count().collect()
+    assert all(r["count"] <= 10 for r in sizes)
+    # deterministic across layouts
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in curate.cap_per_group(docs.repartition(17), "domain", 10).collect()
+    )
+    assert a == b
+    # groups smaller than the cap pass through whole
+    tiny = docs.where(F.col("doc_id") < 3)
+    assert curate.cap_per_group(tiny, "domain", 10).count() == 3
