@@ -216,3 +216,69 @@ def test_connected_components_match_union_find(spark, edges):
         for r in C.connected_components(df).collect()
     }
     assert got == _union_find_components(norm)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing invariants under randomized token distributions
+# ---------------------------------------------------------------------------
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=200),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_packing_invariants_random(spark, toks):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    budget = 64
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tokens long"
+    )
+    rows = pack_sequences(df, budget=budget, num_groups=2).collect()
+    # exactly-once coverage
+    assert sorted(r["doc_id"] for r in rows) == list(range(len(toks)))
+    # per-pack: declared total == member sum; over-budget implies singleton
+    packs = {}
+    for r in rows:
+        packs.setdefault(r["pack_id"], []).append(r)
+    for members in packs.values():
+        s = sum(m["n_tokens"] for m in members)
+        assert all(m["pack_tokens"] == s for m in members)
+        if s > budget:
+            assert len(members) == 1
+
+
+# ---------------------------------------------------------------------------
+# Redaction: idempotent, and never invents non-placeholder content
+# ---------------------------------------------------------------------------
+_pii_tokens = st.lists(
+    st.one_of(
+        st.text(alphabet="abc @.+-()0123456789\n\t", min_size=0, max_size=8),
+        st.sampled_from(
+            ["a@example.com", "http://x.io/p", "555-123-4567", "+1 (555) 123-4567", "987654321"]
+        ),
+    ),
+    min_size=0,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_pii_tokens, min_size=1, max_size=30))
+def test_redact_normalize_idempotent_random(spark, batch):
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(batch)],
+        "id long, text string",
+    )
+    once = X.normalize_text(X.redact_pii("text"))
+    out = df.select(
+        "id",
+        once.alias("o1"),
+        X.normalize_text(X.redact_pii(once)).alias("o2"),
+    ).collect()
+    for r in out:
+        assert r["o2"] == r["o1"]  # fixed point after one application
