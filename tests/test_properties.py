@@ -282,3 +282,45 @@ def test_redact_normalize_idempotent_random(spark, batch):
     ).collect()
     for r in out:
         assert r["o2"] == r["o1"]  # fixed point after one application
+
+
+# ---------------------------------------------------------------------------
+# Contamination vs brute-force n-gram overlap
+# ---------------------------------------------------------------------------
+_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(_words, min_size=1, max_size=12),
+    st.lists(_words, min_size=1, max_size=4),
+)
+def test_contamination_matches_bruteforce(spark, corpus_words, probe_words):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import dedup
+
+    n = 3
+    corpus = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(corpus_words)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(probe_words)],
+        "doc_id long, text string",
+    )
+
+    def grams(w):
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    probe_grams = set().union(*(grams(w) for w in probe_words))
+    expected = sorted(
+        i for i, w in enumerate(corpus_words) if grams(w) & probe_grams
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.ngram_contamination(corpus, probe, ngram_n=n).collect()
+    )
+    assert got == expected
