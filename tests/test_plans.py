@@ -89,3 +89,23 @@ def test_contamination_semi_join_shape(spark):
     plan = _executed_plan(df)
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q01_scan_pushdown_and_pruning(spark):
+    df = entry_mod.q01_pricing_summary(spark, SF_DIR)
+    plan = _executed_plan(df)
+    scan = next(l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l)
+    assert "LessThanOrEqual(l_shipdate" in scan, scan
+    # 6 of 16 lineitem columns read
+    assert "l_comment" not in scan and "l_partkey" not in scan, scan
+    # partial aggregation runs before the single exchange
+    assert "partial_sum" in plan and plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q27_filters_pushed_topk_no_global_sort(spark):
+    df = entry_mod.q27_top_revenue(spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan, "segment not pushed"
+    assert "LessThan(o_orderdate" in plan, "date not pushed"
+    assert "TakeOrderedAndProject" in plan, "top-k became a global sort"
+    assert "CartesianProduct" not in plan
