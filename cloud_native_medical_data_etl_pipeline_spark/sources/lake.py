@@ -210,3 +210,35 @@ def latest_partition_date(spark: SparkSession, base: str) -> str | None:
     from."""
     dates = list_partition_dates(spark, base)
     return dates[-1] if dates else None
+
+
+def compact_partition(
+    spark: SparkSession,
+    base: str,
+    date: str,
+    target_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite one day's partition into ~target_bytes files — the
+    small-files remedy for streaming/incremental sinks (a day that
+    accumulated thousands of tiny files reads back as thousands of
+    tasks and NameNode/listing pressure).
+
+    File count comes from the partition's actual on-disk size, read
+    from filesystem metadata (no data scan); the day is then read once,
+    repartitioned, and dynamically overwritten (localCheckpoint first —
+    same self-overwrite race as upsert_partition). Returns the new
+    file count. Compaction is per-day, so a 100 TB lake compacts
+    incrementally behind the ingest frontier, never globally.
+    """
+    import math
+
+    day_dir = partition_path(base, date)
+    total = sum(
+        object_size(spark, f) or 0 for f in list_objects(spark, day_dir)
+    )
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = read_partition(spark, base, date, fmt=fmt)
+    merged = df.repartition(n_files).localCheckpoint(eager=True)
+    write_partitioned(merged, base, date, fmt=fmt)
+    return n_files

@@ -344,3 +344,21 @@ def test_lake_formats_roundtrip(spark, tmp_path, fmt):
         ).collect()
     }
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_compact_partition_reduces_file_count(spark, tmp_path):
+    base = str(tmp_path / "lake_compact")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "id long, v string"
+    ).repartition(40)  # simulate a streaming sink's many small files
+    lake.write_partitioned(df, base, "2024-01-15")
+    day_dir = lake.partition_path(base, "2024-01-15")
+    before = [f for f in lake.list_objects(spark, day_dir) if f.endswith(".parquet")]
+    assert len(before) >= 30
+
+    n = lake.compact_partition(spark, base, "2024-01-15")
+    after = [f for f in lake.list_objects(spark, day_dir) if f.endswith(".parquet")]
+    assert len(after) == n == 1  # tiny data -> one file
+    back = lake.read_partition(spark, base, "2024-01-15")
+    assert back.count() == 200
+    assert {r["id"] for r in back.collect()} == set(range(200))
