@@ -588,19 +588,25 @@ def ngram_contamination(
     content_col: str = "text",
     key_col: str = "doc_id",
     ngram_n: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Train/eval contamination check: corpus keys that share ANY
     length-``ngram_n`` word n-gram with the probe (benchmark/eval) set.
 
-    Scale shape: each side explodes to distinct (key, xxhash64(gram))
-    rows — an 8-byte hash, never the gram text, rides the shuffle — and
-    detection is a left-semi equi-join on the hash. The probe side
-    (eval sets are small) broadcasts under AQE; corpus-side work is one
-    map pass + one semi-join, the same plan at 100 TB. False positives
-    are limited to xxhash64 collisions (~2^-64 per pair).
+    Scale shape: each side explodes to distinct (key, hash(gram)) rows
+    — the hash, never the gram text, rides the shuffle — and detection
+    is a left-semi equi-join on the hash. The probe side (eval sets are
+    small) broadcasts under AQE; corpus-side work is one map pass + one
+    semi-join, the same plan at 100 TB.
+
+    hash_fn: "xxhash64" (default — 8-byte rows, collision odds ~2^-64)
+    or "md5" (32-byte hex, SQL-portable: DuckDB has md5 but not
+    xxhash64, which is what makes the operator oracle-checkable).
 
     Returns distinct contaminated corpus keys as column ``key_col``.
     """
+    hasher = F.xxhash64 if hash_fn == "xxhash64" else F.md5
+
     def grams(df: DataFrame, out: str) -> DataFrame:
         return (
             df.select(
@@ -611,7 +617,7 @@ def ngram_contamination(
                     )
                 ).alias("g"),
             )
-            .select(out, F.xxhash64("g").alias("gh"))
+            .select(out, hasher("g").alias("gh"))
             .dropDuplicates()
         )
 
