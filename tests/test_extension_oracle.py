@@ -109,3 +109,47 @@ WITH ranked AS (
 SELECT doc_id, domain FROM ranked WHERE rn <= 10
 """
     assert got == _duck_rows(duck, sql, ["doc_id", "domain"])
+
+
+def test_resample_fill_matches_oracle(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.timeseries import (
+        resample_fill,
+    )
+    from cloud_native_medical_data_etl_pipeline_spark.sources.events_io import (
+        read_events,
+    )
+
+    ev = read_events(spark, f"{SF_DIR}/events.parquet")
+    got = _rows(resample_fill(ev, "ts", "event_type", "1 hour", "value"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    sql = """
+WITH sparse AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS bucket,
+         COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM sparse),
+grid AS (
+  SELECT g.event_type, t.bucket
+  FROM (SELECT DISTINCT event_type FROM sparse) g
+  CROSS JOIN (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+    FROM span
+  ) t
+)
+SELECT grid.event_type, grid.bucket,
+       COALESCE(sparse.n, 0) AS n,
+       COALESCE(sparse.total, 0.0) AS total
+FROM grid LEFT JOIN sparse USING (event_type, bucket)
+"""
+    assert got == _duck_rows(con, sql, ["event_type", "bucket", "n", "total"])
+    # the dense grid is strictly larger than the sparse aggregate
+    n_sparse = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts")).count().count()
+    )
+    assert len(got) >= n_sparse
