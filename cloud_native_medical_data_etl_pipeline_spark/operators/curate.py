@@ -89,3 +89,34 @@ def cap_per_group(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def mix_corpora(
+    sources: dict[str, tuple[DataFrame, float]],
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture sampling across corpora: keep each
+    source's rows with probability = its weight, chosen by an md5 hash
+    of (source name, key) — reproducible across layouts, engines, and
+    re-runs, unlike seeded rand(). Output schemas align by name
+    (missing columns null-filled) and a ``source`` column tags
+    provenance.
+
+    Scale shape: the keep-filter is map-side per source (folds into
+    each scan); the union is a plan-level concat, no shuffle. Weights
+    are per-source KEEP probabilities (0..1], not normalized shares —
+    compute shares upstream from corpus sizes if that's the contract
+    you need.
+    """
+    out = None
+    for name, (df, weight) in sorted(sources.items()):
+        frac = (
+            F.conv(F.substring(F.md5(F.concat(F.lit(name), F.col(key_col).cast("string"))), 1, 8), 16, 10)
+            .cast("double")
+            / F.lit(float(0xFFFFFFFF))
+        )
+        kept = df.where(frac <= F.lit(float(weight))).withColumn(
+            "source", F.lit(name)
+        )
+        out = kept if out is None else out.unionByName(kept, allowMissingColumns=True)
+    return out

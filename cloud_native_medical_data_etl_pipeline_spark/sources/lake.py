@@ -242,3 +242,29 @@ def compact_partition(
     merged = df.repartition(n_files).localCheckpoint(eager=True)
     write_partitioned(merged, base, date, fmt=fmt)
     return n_files
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int = 100_000,
+    fmt: str = "parquet",
+) -> None:
+    """Write size-uniform shards for sequential training consumption:
+    ``maxRecordsPerFile`` caps every output file at ``rows_per_shard``
+    rows, so dataloader workers stream uniform chunks. The repartition
+    count is derived from a metadata-free count of the plan — one extra
+    job, but shard writing is a once-per-corpus operation. No shard is
+    ever larger than the cap; the last shard per task may be smaller.
+    """
+    import math
+
+    n = df.count()
+    tasks = max(1, math.ceil(n / rows_per_shard))
+    (
+        df.repartition(tasks)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_shard)
+        .format(fmt)
+        .save(path)
+    )

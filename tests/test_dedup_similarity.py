@@ -290,3 +290,21 @@ def test_cap_per_group_deterministic(spark):
     # groups smaller than the cap pass through whole
     tiny = docs.where(F.col("doc_id") < 3)
     assert curate.cap_per_group(tiny, "domain", 10).count() == 3
+
+
+def test_mix_corpora_deterministic_proportions(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import curate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    mixed = curate.mix_corpora({"web": (a, 1.0), "books": (b, 0.3)})
+    counts = {r["source"]: r["count"] for r in mixed.groupBy("source").count().collect()}
+    na, nb = a.count(), b.count()
+    assert counts["web"] == na  # weight 1.0 keeps everything
+    assert 0.15 * nb < counts.get("books", 0) < 0.45 * nb  # ~30%
+    # deterministic across layouts
+    again = curate.mix_corpora({"web": (a.repartition(9), 1.0), "books": (b.repartition(5), 0.3)})
+    assert sorted(r["doc_id"] for r in mixed.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )

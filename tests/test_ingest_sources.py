@@ -362,3 +362,14 @@ def test_compact_partition_reduces_file_count(spark, tmp_path):
     back = lake.read_partition(spark, base, "2024-01-15")
     assert back.count() == 200
     assert {r["id"] for r in back.collect()} == set(range(200))
+
+
+def test_write_sharded_caps_file_rows(spark, tmp_path):
+    path = str(tmp_path / "shards")
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    lake.write_sharded(df, path, rows_per_shard=150)
+    files = [f for f in lake.list_objects(spark, path) if f.endswith(".parquet")]
+    assert len(files) >= 7  # 1000 / 150
+    for f in files:
+        assert spark.read.parquet(f).count() <= 150
+    assert spark.read.parquet(path).count() == 1000
