@@ -1125,8 +1125,8 @@ WITH flagged AS (
 ),
 numbered AS (
   SELECT user_id, ts,
-         SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -2183,6 +2183,149 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q59–q64 — round-2 curation operators promoted into the driver registry
+# (round 3).  q59–q62 carry DuckDB oracles (lifted verbatim from
+# tests/test_extension_oracle.py where they were verified in r2);
+# q63/q64 are rows-only (packing and sketch profiling have no
+# SQL-expressible exact oracle).
+# ---------------------------------------------------------------------------
+def q59_redact_pii(spark, sf_dir):
+    """PII redaction + whitespace normalization (training-data hygiene).
+    Pure JVM regexp_replace expressions — functions/text.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.normalize_text(X.redact_pii("text")).alias("clean")
+    )
+
+
+Q59_SQL = r"""
+SELECT doc_id, TRIM(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    COALESCE(text, ''),
+    'https?://[^\s]+', '<URL>', 'g'),
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\+\d{1,3}[\s.-]?\(?\d{2,4}\)?[\s.-]?\d{3}[\s.-]?\d{3,4}\b', '<PHONE>', 'g'),
+    '\(\d{3}\)[\s.-]?\d{3}[\s.-]\d{4}\b', '<PHONE>', 'g'),
+    '\b\d{3}[\s.-]\d{3}[\s.-]\d{4}\b', '<PHONE>', 'g'),
+    '\b\d{9,}\b', '<ID>', 'g'),
+  '\s+', ' ', 'g')) AS clean
+FROM documents
+"""
+
+
+def q60_contamination(spark, sf_dir):
+    """Train/eval n-gram contamination check: corpus docs sharing any
+    8-gram with a (deterministic) probe set.  Hash-only shuffle +
+    left-semi join — operators/dedup.py:ngram_contamination."""
+    docs = _t(spark, sf_dir, "documents")
+    probe = docs.where(F.col("doc_id") % 100 == 0)
+    return D.ngram_contamination(docs, probe, ngram_n=8, hash_fn="md5")
+
+
+_Q60_N = 8
+Q60_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS k,
+         list_transform(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                        t -> t) AS tk
+  FROM documents WHERE TRIM(COALESCE(text, '')) <> ''
+),
+grams AS (
+  SELECT k,
+         unnest(list_distinct(list_transform(range(1, len(tk) - {_Q60_N - 2}),
+                i -> md5(array_to_string(tk[i:i+{_Q60_N - 1}], ' '))))) AS gh
+  FROM toks WHERE len(tk) >= {_Q60_N}
+),
+probe_g AS (SELECT DISTINCT gh FROM grams WHERE k % 100 = 0)
+SELECT DISTINCT k AS doc_id FROM grams SEMI JOIN probe_g USING (gh)
+"""
+
+
+def q61_cap_per_group(spark, sf_dir):
+    """Corpus balancing: at most 10 docs per synthetic domain, chosen
+    deterministically by md5-of-key order — operators/curate.py:cap_per_group."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators import curate as CU
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "domain", F.col("doc_id") % 7
+    )
+    return CU.cap_per_group(docs, "domain", 10).select("doc_id", "domain")
+
+
+Q61_SQL = """
+WITH ranked AS (
+  SELECT doc_id, doc_id % 7 AS domain,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id % 7
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, domain FROM ranked WHERE rn <= 10
+"""
+
+
+def q62_resample_fill(spark, sf_dir):
+    """Time-series resample to an hourly grid with zero-fill of empty
+    buckets — operators/timeseries.py:resample_fill."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.timeseries import (
+        resample_fill,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_fill(ev, "ts", "event_type", "1 hour", "value")
+
+
+Q62_SQL = """
+WITH sparse AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS bucket,
+         COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM sparse),
+grid AS (
+  SELECT g.event_type, t.bucket
+  FROM (SELECT DISTINCT event_type FROM sparse) g
+  CROSS JOIN (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+    FROM span
+  ) t
+)
+SELECT grid.event_type, grid.bucket,
+       COALESCE(sparse.n, 0) AS n,
+       COALESCE(sparse.total, 0.0) AS total
+FROM grid LEFT JOIN sparse USING (event_type, bucket)
+"""
+
+
+def q63_pack_sequences(spark, sf_dir):
+    """Sequence packing (FFD within hash buckets) — rows-only driver
+    check: pack_id assignment is hash-bucket-local, so there is no
+    SQL-expressible exact oracle.  Row count equals the number of input
+    docs; operators/packing.py:pack_sequences."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.token_count("text").alias("n_tokens"))
+    # explicit num_groups: no driver-side count() in the registry path
+    return pack_sequences(toks, budget=2048, num_groups=4)
+
+
+def q64_profile(spark, sf_dir):
+    """Approximate one-pass column profiler (HLL++ distinct, KLL-style
+    quantile sketches) — rows-only driver check: sketch estimates are
+    not SQL-exact.  One row per column; operators/profile.py:approx_profile."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.profile import (
+        approx_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return approx_profile(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -2190,45 +2333,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Insertion order is deliberate: round 1's harness recorded rows for
-    # exactly the first 50 registered queries, so the entries still
-    # lacking driver evidence (q49, q51-q58) sit inside the first 50
-    # positions this round; queries pushed to the tail are all
-    # hash-green in CORRECTNESS_r01.json.
+    # ROTATION CONTRACT (see SURVEY.md §8): the driver records rows for
+    # exactly the first 50 registered queries per round, and the
+    # registry now holds 64.  Each round's first-50 window is chosen so
+    # that consecutive rounds jointly cover every query green.
+    #
+    # Round 3 window: the 8 queries r2 rotated out (q12, q43-q48, q50 —
+    # all r1-green), q30 (r2's one red row, oracle cast fixed), and the
+    # 6 newly promoted curation queries (q59-q64).  Displaced to the
+    # tail — ALL hash-green in CORRECTNESS_r02.json — are:
+    #   q04 q05 q09 q10 q11 q13 q14 q15 q16 q21 q26 q33 q34 q42
+    # Round 4 should rotate that tail back in (displacing e.g.
+    # q01-q03, q06-q08, q17-q19, q35/q36/q38-q40) so every query has a
+    # row in the two most recent rounds.
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_containment_enrich": q02_containment_enrich,
         "q03_exact_dedup": q03_exact_dedup,
-        "q04_size_binning": q04_size_binning,
-        "q05_phase_ladder": q05_phase_ladder,
         "q06_latest_event_per_user": q06_latest_event_per_user,
         "q07_quality_metrics": q07_quality_metrics,
         "q08_duplicate_rows": q08_duplicate_rows,
-        "q09_severity_weighted": q09_severity_weighted,
-        "q10_ship_delay": q10_ship_delay,
-        "q11_normalize_project": q11_normalize_project,
-        "q13_event_counts": q13_event_counts,
-        "q14_hourly_windows": q14_hourly_windows,
-        "q15_text_stats": q15_text_stats,
-        "q16_fingerprint": q16_fingerprint,
+        "q12_topk_orders": q12_topk_orders,
         "q17_minhash_near_dups": q17_minhash_near_dups,
         "q18_ngram_jaccard": q18_ngram_jaccard,
         "q19_cosine_topk": q19_cosine_topk,
         "q20_embedding_near_dups": q20_embedding_near_dups,
-        "q21_age_bins": q21_age_bins,
         "q22_simhash_pairs": q22_simhash_pairs,
         "q23_ivf_topk": q23_ivf_topk,
         "q24_multimodal_features": q24_multimodal_features,
         "q25_streaming_hourly": q25_streaming_hourly,
-        "q26_anti_join": q26_anti_join,
         "q27_top_revenue": q27_top_revenue,
         "q28_rollup_revenue": q28_rollup_revenue,
         "q29_asof_attribution": q29_asof_attribution,
         "q30_session_stats": q30_session_stats,
         "q31_curated_corpus": q31_curated_corpus,
         "q32_percentiles": q32_percentiles,
-        "q33_pivot_activity": q33_pivot_activity,
-        "q34_daily_active_users": q34_daily_active_users,
         "q35_cube_flags": q35_cube_flags,
         "q36_big_spenders": q36_big_spenders,
         "q37_event_followups": q37_event_followups,
@@ -2236,8 +2375,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_rolling_revenue": q39_rolling_revenue,
         "q40_sliding_windows": q40_sliding_windows,
         "q41_streaming_dedup": q41_streaming_dedup,
-        "q42_json_props": q42_json_props,
+        "q43_hash_split": q43_hash_split,
+        "q44_customer_roster": q44_customer_roster,
+        "q45_token_topk": q45_token_topk,
+        "q46_segment_set_ops": q46_segment_set_ops,
+        "q47_regional_supplier_volume": q47_regional_supplier_volume,
+        "q48_order_line_arrays": q48_order_line_arrays,
         "q49_union_by_name": q49_union_by_name,
+        "q50_top_orders_per_priority": q50_top_orders_per_priority,
         "q51_event_navigation": q51_event_navigation,
         "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
         "q53_grouping_sets": q53_grouping_sets,
@@ -2246,14 +2391,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_stratified_sample": q56_stratified_sample,
         "q57_dedup_clusters": q57_dedup_clusters,
         "q58_segment_spend_tiers": q58_segment_spend_tiers,
-        "q12_topk_orders": q12_topk_orders,
-        "q43_hash_split": q43_hash_split,
-        "q44_customer_roster": q44_customer_roster,
-        "q45_token_topk": q45_token_topk,
-        "q46_segment_set_ops": q46_segment_set_ops,
-        "q47_regional_supplier_volume": q47_regional_supplier_volume,
-        "q48_order_line_arrays": q48_order_line_arrays,
-        "q50_top_orders_per_priority": q50_top_orders_per_priority,
+        "q59_redact_pii": q59_redact_pii,
+        "q60_contamination": q60_contamination,
+        "q61_cap_per_group": q61_cap_per_group,
+        "q62_resample_fill": q62_resample_fill,
+        "q63_pack_sequences": q63_pack_sequences,
+        "q64_profile": q64_profile,
+        # --- tail (positions 51+, not recorded this round; every entry
+        # below is hash-green in CORRECTNESS_r02.json) ---
+        "q04_size_binning": q04_size_binning,
+        "q05_phase_ladder": q05_phase_ladder,
+        "q09_severity_weighted": q09_severity_weighted,
+        "q10_ship_delay": q10_ship_delay,
+        "q11_normalize_project": q11_normalize_project,
+        "q13_event_counts": q13_event_counts,
+        "q14_hourly_windows": q14_hourly_windows,
+        "q15_text_stats": q15_text_stats,
+        "q16_fingerprint": q16_fingerprint,
+        "q21_age_bins": q21_age_bins,
+        "q26_anti_join": q26_anti_join,
+        "q33_pivot_activity": q33_pivot_activity,
+        "q34_daily_active_users": q34_daily_active_users,
+        "q42_json_props": q42_json_props,
     }
 
 
@@ -2317,4 +2476,11 @@ def oracle_sql() -> dict[str, str]:
         "q56_stratified_sample": _strata_sql(),
         "q57_dedup_clusters": _cc_sql(),
         "q58_segment_spend_tiers": Q58_SQL,
+        "q59_redact_pii": Q59_SQL,
+        "q60_contamination": Q60_SQL,
+        "q61_cap_per_group": Q61_SQL,
+        "q62_resample_fill": Q62_SQL,
+        # q63_pack_sequences / q64_profile: rows-only by design (hash-
+        # bucket-local packing and sketch estimates have no SQL-exact
+        # oracle) — the driver records its weaker rows-only check.
     }

@@ -50,6 +50,57 @@ def _normalize(rows, cols):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
+# The driver's canonicalizer hashes pandas dtypes, not just values: an
+# uncast DuckDB HUGEINT materializes as float64 while Spark emits int64,
+# failing the value-hash even when every value matches (q08 in r1, q30 in
+# r2 — both SUMs missing CAST AS BIGINT).  _norm_cell alone masks that
+# class, so we also compare DuckDB result types against the Spark schema.
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE"}
+
+
+def _duck_kind(t):
+    s = str(t).upper()
+    if s in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if s in _DUCK_INT:
+        return "i"
+    if s in _DUCK_FLOAT or s.startswith("DECIMAL"):
+        return "f"
+    return None
+
+
+def _spark_kind(dt):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "i"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "f"
+    return None
+
+
+def _assert_dtype_compatible(name, spark_schema, duck_cols, duck_types):
+    duck = dict(zip(duck_cols, duck_types))
+    for f in spark_schema.fields:
+        dt = duck.get(f.name)
+        if dt is None:
+            continue  # column-name mismatch is asserted separately
+        dk, sk = _duck_kind(dt), _spark_kind(f.dataType)
+        assert dk != "hugeint", (
+            f"{name}.{f.name}: DuckDB result type is HUGEINT (pandas float64 "
+            f"vs Spark {f.dataType}) — add CAST(... AS BIGINT) in the oracle"
+        )
+        if dk and sk:
+            assert dk == sk, (
+                f"{name}.{f.name}: dtype drift — duck {dt} -> pandas kind "
+                f"'{dk}' vs spark {f.dataType} kind '{sk}'"
+            )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES.keys()))
 def test_query_matches_oracle(spark, name):
     df = QUERIES[name](spark, SF_DIR)
@@ -61,13 +112,15 @@ def test_query_matches_oracle(spark, name):
         return
 
     con = _duck()
-    res = con.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    rel = con.sql(ORACLES[name])
+    duck_cols = list(rel.columns)
+    duck_types = list(rel.types)
+    duck_rows = rel.fetchall()
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name} column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
     )
+    _assert_dtype_compatible(name, df.schema, duck_cols, duck_types)
     assert len(spark_rows) == len(duck_rows), (
         f"{name} row count: spark={len(spark_rows)} duck={len(duck_rows)}"
     )
