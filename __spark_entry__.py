@@ -2274,7 +2274,12 @@ def q62_resample_fill(spark, sf_dir):
     )
 
     ev = _t(spark, sf_dir, "events")
-    return resample_fill(ev, "ts", "event_type", "1 hour", "value")
+    dense = resample_fill(ev, "ts", "event_type", "1 hour", "value")
+    # epoch-us the grid timestamp (q29/q30 pattern): BIGINT on both
+    # sides sidesteps any datetime64[ns]-vs-[us] canonicalizer question
+    return dense.select(
+        "event_type", F.unix_micros("bucket").alias("bucket_us"), "n", "total"
+    )
 
 
 Q62_SQL = """
@@ -2292,7 +2297,7 @@ grid AS (
     FROM span
   ) t
 )
-SELECT grid.event_type, grid.bucket,
+SELECT grid.event_type, epoch_us(grid.bucket) AS bucket_us,
        COALESCE(sparse.n, 0) AS n,
        COALESCE(sparse.total, 0.0) AS total
 FROM grid LEFT JOIN sparse USING (event_type, bucket)
