@@ -741,11 +741,14 @@ FROM part GROUP BY 1
 
 # ---------------------------------------------------------------------------
 # q22 — simhash near-dup pairs. Fully oracled: the portable polynomial
-# token hash is list_reduce-expressible, the 16-bit majority vote is a
-# sum of CASE terms over list_filter counts, and the pigeonhole band
-# join is the same DISTINCT self-join shape as q17.
+# token hash is list_reduce-expressible, the 60-bit majority vote is a
+# sum of CASE terms over list_filter counts (two seeded hashes supply
+# 30 bits each), and the pigeonhole band join is the same DISTINCT
+# self-join shape as q17.  band_bits=12 keeps 4096 bucket values per
+# band — band occupancy ~N/4096 instead of the old 16-value bands.
 # ---------------------------------------------------------------------------
-_SH_BITS, _SH_MAXHAM, _SH_BANDBITS = 16, 3, 4
+_SH_BITS, _SH_MAXHAM, _SH_BANDBITS = 60, 3, 12
+_SH_HALF = 30  # usable low bits per seeded poly-hash
 
 
 def q22_simhash_pairs(spark, sf_dir):
@@ -760,10 +763,13 @@ def _simhash_sql() -> str:
     num_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     # bit b of the simhash is 1 iff more token hashes have bit b set
-    # than not (strict majority, ties -> 0) — mirrors dedup.simhash
+    # than not (strict majority, ties -> 0) — mirrors dedup.simhash:
+    # bits 0..29 vote on the seed-7 hash, bits 30..59 on the seed-13 one
     vote_terms = "\n       + ".join(
-        f"CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1))"
-        f" > len(hs) THEN {1 << b} ELSE 0 END"
+        f"CASE WHEN 2 * len(list_filter("
+        f"{'hs1' if b < _SH_HALF else 'hs2'}, "
+        f"h -> (h >> {b if b < _SH_HALF else b - _SH_HALF}) & 1 = 1))"
+        f" > len(hs1) THEN {1 << b} ELSE 0 END"
         for b in range(bits)
     )
     band_elems = ", ".join(
@@ -786,7 +792,12 @@ hashed AS (
            list_prepend(CAST(7 AS BIGINT),
                         list_transform(string_split(t, ''),
                                        c -> CAST(ascii(c) AS BIGINT))),
-           (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+           (a, b) -> (a * 31 + b) % 2147483647)) AS hs1,
+         list_transform(tk, t -> list_reduce(
+           list_prepend(CAST(13 AS BIGINT),
+                        list_transform(string_split(t, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 2147483647)) AS hs2
   FROM toks
 ),
 sims AS (

@@ -333,20 +333,33 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash(text_col: Column | str, bits: int = 16) -> Column:
+def simhash(text_col: Column | str, bits: int = 60) -> Column:
     """SimHash over whitespace tokens with the portable polynomial
     hash: bit b of the result is 1 iff more tokens have bit b set in
-    their hash than not. Returns a long."""
+    their hash than not (strict majority, ties -> 0). Returns a long.
+
+    A single poly-hash mod 2^31-1 only yields ~31 usable bits, which
+    caps the band space and makes banded blocking quadratic on a big
+    corpus; for ``bits`` > 30 a second seed supplies bits 30..59, so
+    the default 60-bit fingerprint supports 12-bit bands (4096 bucket
+    values per band) that keep band-bucket occupancy ~N/4096."""
+    _HALF = 30  # usable low bits per seeded poly-hash
     toks = F.array_distinct(X.lower_tokens(text_col))
-    hashes = F.transform(toks, lambda t: _poly_hash(t, 7))
-    n = F.size(hashes)
+    hashes_lo = F.transform(toks, lambda t: _poly_hash(t, 7))
+    hashes_hi = (
+        F.transform(toks, lambda t: _poly_hash(t, 13)) if bits > _HALF else None
+    )
+    n = F.size(hashes_lo)
 
     def bit_set(bit: int):
         return lambda h: F.shiftright(h, bit).bitwiseAND(1) == 1
 
     out = F.lit(0).cast("long")
     for b in range(bits):
-        ones = F.size(F.filter(hashes, bit_set(b)))
+        src, shift = (
+            (hashes_lo, b) if b < _HALF else (hashes_hi, b - _HALF)
+        )
+        ones = F.size(F.filter(src, bit_set(shift)))
         out = out + F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
     return out
 
@@ -355,9 +368,9 @@ def simhash_pairs(
     df: DataFrame,
     content_col: str = "text",
     key_col: str = "doc_id",
-    bits: int = 16,
+    bits: int = 60,
     max_hamming: int = 3,
-    band_bits: int = 4,
+    band_bits: int = 12,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= max_hamming.
 
@@ -365,8 +378,20 @@ def simhash_pairs(
     bands; by pigeonhole any pair within hamming distance < #bands
     shares at least one identical band -> equi-join on (band index,
     band value), never a cross join. Returns (key_a, key_b, hamming).
+
+    Scale shape: each band key ranges over 2^band_bits values, so a
+    band bucket holds ~N/2^band_bits docs and the self-join emits
+    ~num_bands * N^2 / 2^band_bits candidate rows for non-duplicate
+    corpora. The old 16-bit/4-band-bit default collapsed to 16 bucket
+    values per band (O(N^2/16) — quadratic in practice); the 60-bit /
+    12-band-bit default keeps 4096 values per band while preserving
+    the pigeonhole guarantee (5 bands > max_hamming=3).
     """
     num_bands = bits // band_bits
+    if num_bands <= max_hamming:
+        raise ValueError(
+            f"pigeonhole violated: {num_bands} bands <= max_hamming={max_hamming}"
+        )
     sh = rebalance_for_cpu(
         df.select(F.col(key_col).alias("k"), F.col(content_col).alias("txt"))
     ).select("k", simhash("txt", bits).alias("sim"))
