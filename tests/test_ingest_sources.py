@@ -300,6 +300,46 @@ def test_upsert_partition_merges_by_key(spark, tmp_path):
     assert again == got
 
 
+def test_upsert_partition_refuses_schema_narrowing(spark, tmp_path):
+    """An updates batch missing an on-disk column must fail loudly:
+    the old behavior read the partition with the UPDATES schema, so
+    the dynamic overwrite silently rewrote the day without the
+    missing column."""
+    import pytest as _pytest
+
+    base = str(tmp_path / "lake_upsert_narrow")
+    day1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, v string, score double"
+    )
+    lake.write_partitioned(day1, base, "2024-01-15")
+    narrow = spark.createDataFrame([(2, "B2")], "id long, v string")
+    with _pytest.raises(ValueError, match="score"):
+        lake.upsert_partition(spark, base, narrow, "2024-01-15", ["id"])
+    # the day is intact (no partial write happened)
+    got = {
+        r["id"]: (r["v"], r["score"])
+        for r in lake.read_partition(spark, base, "2024-01-15").collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("b", 20.0)}
+
+
+def test_upsert_partition_widening_nulls_survivors(spark, tmp_path):
+    """Updates may ADD columns: survivors get nulls for the new column
+    (unionByName allowMissingColumns), nothing is dropped."""
+    base = str(tmp_path / "lake_upsert_widen")
+    day1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    lake.write_partitioned(day1, base, "2024-01-15")
+    wide = spark.createDataFrame(
+        [(2, "B2", "extra")], "id long, v string, note string"
+    )
+    lake.upsert_partition(spark, base, wide, "2024-01-15", ["id"])
+    got = {
+        r["id"]: (r["v"], r["note"])
+        for r in lake.read_partition(spark, base, "2024-01-15").collect()
+    }
+    assert got == {1: ("a", None), 2: ("B2", "extra")}
+
+
 def test_catalog_helpers(spark, tmp_path):
     base = str(tmp_path / "catalog_lake")
     df = spark.createDataFrame([(1, "a")], "id long, v string")

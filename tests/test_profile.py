@@ -50,3 +50,23 @@ def test_profile_tolerates_map_columns(spark):
     assert prof["m"]["approx_distinct"] is None
     assert prof["m"]["n_nulls"] == 1
     assert prof["id"]["approx_distinct"] == 2
+
+
+def test_profile_hostile_column_names(spark):
+    """Quotes, backticks, and dots in column names must not break the
+    profile (the old string-built selectExpr version died on any of
+    them) — names appear only as literal values in the output."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.profile import (
+        approx_profile,
+    )
+
+    df = spark.range(10).selectExpr(
+        "id AS `weird.name`",
+        "CAST(id AS DOUBLE) AS `it's`",
+        "CAST(id AS STRING) AS `back``tick`",
+    )
+    prof = {r["column"]: r for r in approx_profile(df).collect()}
+    assert set(prof) == {"weird.name", "it's", "back`tick"}
+    assert prof["weird.name"]["n_rows"] == 10
+    assert prof["it's"]["p50"] is not None
+    assert prof["back`tick"]["p50"] is None  # non-numeric

@@ -1,0 +1,81 @@
+"""group_percentiles: the approx (default-at-scale) sketch must track
+the exact aggregate within its rank-error bound, and the exact form
+must reproduce the raw SQL percentile() it replaces."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+    group_percentiles,
+)
+from cloud_native_medical_data_etl_pipeline_spark.sources.events_io import (
+    read_events,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return read_events(spark, f"{SF_DIR}/events.parquet")
+
+
+def _by_group(df):
+    return {r["event_type"]: r.asDict() for r in df.collect()}
+
+
+def test_exact_matches_raw_sql_percentile(spark, events):
+    got = _by_group(group_percentiles(events, exact=True))
+    raw = _by_group(
+        events.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+    )
+    assert got == raw
+
+
+def test_approx_within_rank_tolerance(spark, events):
+    """percentile_approx guarantees a RANK error <= 1/accuracy: the
+    returned value's true rank is within n/accuracy of the target
+    rank.  Check by rank, not by value (value distance is unbounded
+    for spread-out data)."""
+    exact_vals = {
+        (r["event_type"], p): r[f"p{int(p * 100)}"]
+        for p in (0.5, 0.95, 0.99)
+        for r in group_percentiles(events, exact=True).collect()
+    }
+    approx = group_percentiles(events, exact=False, accuracy=10_000)
+    values = {
+        g: sorted(x["value"] for x in rows)
+        for g, rows in (
+            (r["event_type"], events.where(F.col("event_type") == r["event_type"])
+             .select("value").collect())
+            for r in approx.collect()
+        )
+    }
+    for r in approx.collect():
+        g = r["event_type"]
+        vals = values[g]
+        n = len(vals)
+        for p in (0.5, 0.95, 0.99):
+            got = r[f"p{int(p * 100)}"]
+            # rank of the returned value among the group's raw values
+            rank = sum(1 for v in vals if v <= got)
+            target = p * n
+            assert abs(rank - target) <= max(2.0, n / 10_000 + 1), (
+                g, p, rank, target, n
+            )
+
+
+def test_approx_plan_is_partial_aggregate(spark, events):
+    """The sketch must plan as map-side partial + merge aggregation
+    (mergeable state), not require a full sort of the group."""
+    plan = (
+        group_percentiles(events, exact=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_percentile_approx" in plan or "ObjectHashAggregate" in plan, plan
