@@ -2377,6 +2377,87 @@ def q64_profile(spark, sf_dir):
     return approx_profile(docs)
 
 
+# ---------------------------------------------------------------------------
+# q65 — document chunking: fixed token windows with stride (pretraining
+# prep between curation and packing).  Pure JVM expression work — one
+# posexplode, no shuffle; row expansion ceil(n_tokens/stride) per doc.
+# ---------------------------------------------------------------------------
+_CHUNK_TOKENS, _CHUNK_STRIDE = 64, 48
+
+
+def q65_chunk_documents(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE
+    )
+
+
+Q65_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(COALESCE(text, '')) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(TRIM(text), '\\s+')
+         END AS tk
+  FROM documents
+),
+expanded AS (
+  SELECT doc_id, tk,
+         unnest(range(1, greatest(len(tk), 1) + 1, {_CHUNK_STRIDE})) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) / {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+       array_to_string(tk[s:s + {_CHUNK_TOKENS - 1}], ' ') AS chunk_text,
+       CAST(len(tk[s:s + {_CHUNK_TOKENS - 1}]) AS INTEGER) AS n_tokens
+FROM expanded
+WHERE len(tk) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# q66 — unigram-LM quality score (perplexity-filtering skeleton): model
+# build is one token-keyed shuffle + top-V TakeOrdered; scoring is a
+# broadcast join + one doc-keyed shuffle.  vocab=1000 forces real OOV
+# paths at sf0.01.
+# ---------------------------------------------------------------------------
+_LM_VOCAB, _LM_OOV = 1000, 1e-7
+
+
+def q66_unigram_quality(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.lm import (
+        unigram_logprob_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob_score(docs, vocab=_LM_VOCAB, oov_p=_LM_OOV)
+
+
+Q66_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(TRIM(LOWER(text)), '\\s+')
+                END) AS token
+  FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+top AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT {_LM_VOCAB}),
+model AS (SELECT token, cnt / (SELECT total FROM tot) AS p FROM top)
+SELECT t.doc_id,
+       COUNT(*) AS n_scored,
+       ROUND(AVG(-log2(COALESCE(m.p, {_LM_OOV!r}))), 6) AS bits_per_token
+FROM toks t LEFT JOIN model m USING (token)
+GROUP BY t.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -2391,16 +2472,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # Round 3 window: the 8 queries r2 rotated out (q12, q43-q48, q50 —
     # all r1-green), q30 (r2's one red row, oracle cast fixed), and the
-    # 6 newly promoted curation queries (q59-q64).  Displaced to the
+    # 8 new/promoted extension queries (q59-q66).  Displaced to the
     # tail — ALL hash-green in CORRECTNESS_r02.json — are:
-    #   q04 q05 q09 q10 q11 q13 q14 q15 q16 q21 q26 q33 q34 q42
+    #   q01 q03 q04 q05 q09 q10 q11 q13 q14 q15 q16 q21 q26 q33 q34 q42
     # Round 4 should rotate that tail back in (displacing e.g.
-    # q01-q03, q06-q08, q17-q19, q35/q36/q38-q40) so every query has a
-    # row in the two most recent rounds.
+    # q02, q06-q08, q17-q19, q35/q36/q38-q40, q51-q54) so every query
+    # has a row in the two most recent rounds.  Ledger: SURVEY.md §8.3.
     return {
-        "q01_pricing_summary": q01_pricing_summary,
         "q02_containment_enrich": q02_containment_enrich,
-        "q03_exact_dedup": q03_exact_dedup,
         "q06_latest_event_per_user": q06_latest_event_per_user,
         "q07_quality_metrics": q07_quality_metrics,
         "q08_duplicate_rows": q08_duplicate_rows,
@@ -2448,8 +2527,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_resample_fill": q62_resample_fill,
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
+        "q65_chunk_documents": q65_chunk_documents,
+        "q66_unigram_quality": q66_unigram_quality,
         # --- tail (positions 51+, not recorded this round; every entry
         # below is hash-green in CORRECTNESS_r02.json) ---
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_exact_dedup": q03_exact_dedup,
         "q04_size_binning": q04_size_binning,
         "q05_phase_ladder": q05_phase_ladder,
         "q09_severity_weighted": q09_severity_weighted,
@@ -2531,6 +2614,8 @@ def oracle_sql() -> dict[str, str]:
         "q60_contamination": Q60_SQL,
         "q61_cap_per_group": Q61_SQL,
         "q62_resample_fill": Q62_SQL,
+        "q65_chunk_documents": Q65_SQL,
+        "q66_unigram_quality": Q66_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — the driver records its weaker rows-only check.

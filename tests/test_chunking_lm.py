@@ -1,0 +1,104 @@
+"""Unit tests for document chunking and unigram-LM quality scoring."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_native_medical_data_etl_pipeline_spark.operators.chunking import (
+    chunk_documents,
+)
+from cloud_native_medical_data_etl_pipeline_spark.operators.lm import (
+    build_unigram_model,
+    unigram_logprob_score,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_no_overlap_exact_windows(spark):
+    df = _docs(spark, [(1, "a b c d e f g")])  # 7 tokens
+    got = {
+        r["chunk_id"]: (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=3).collect()
+    }
+    assert got == {0: ("a b c", 3), 1: ("d e f", 3), 2: ("g", 1)}
+
+
+def test_chunk_with_stride_overlap(spark):
+    df = _docs(spark, [(1, "t0 t1 t2 t3 t4 t5")])  # 6 tokens
+    got = {
+        r["chunk_id"]: r["chunk_text"]
+        for r in chunk_documents(df, chunk_tokens=4, stride=2).collect()
+    }
+    # starts at token 0, 2, 4 — each 4 wide, last truncated
+    assert got == {0: "t0 t1 t2 t3", 1: "t2 t3 t4 t5", 2: "t4 t5"}
+
+
+def test_chunk_empty_and_null_docs_emit_nothing(spark):
+    df = _docs(spark, [(1, ""), (2, None), (3, "   "), (4, "one")])
+    rows = chunk_documents(df, chunk_tokens=8).collect()
+    assert [(r["doc_id"], r["chunk_text"]) for r in rows] == [(4, "one")]
+
+
+def test_chunk_rejects_bad_params(spark):
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, stride=-1)
+
+
+def test_chunk_reassembles_document_when_stride_equals_width(spark):
+    text = " ".join(f"w{i}" for i in range(101))
+    df = _docs(spark, [(1, text)])
+    chunks = (
+        chunk_documents(df, chunk_tokens=16)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert " ".join(c["chunk_text"] for c in chunks) == text
+    assert sum(c["n_tokens"] for c in chunks) == 101
+
+
+def test_unigram_model_probabilities(spark):
+    df = _docs(spark, [(1, "the the the cat"), (2, "the dog")])
+    model = {r["token"]: r["p"] for r in build_unigram_model(df).collect()}
+    assert model["the"] == pytest.approx(4 / 6)
+    assert model["cat"] == pytest.approx(1 / 6)
+    assert set(model) == {"the", "cat", "dog"}
+
+
+def test_unigram_vocab_truncation_keeps_most_frequent(spark):
+    df = _docs(spark, [(1, "a a a b b c")])
+    model = {r["token"] for r in build_unigram_model(df, vocab=2).collect()}
+    assert model == {"a", "b"}
+
+
+def test_gibberish_scores_worse_than_typical_text(spark):
+    corpus = _docs(
+        spark,
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+        + [(99, "zxqv9 qq7jk lmw0p zzetao9 qv9zzz")],
+    )
+    scores = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in unigram_logprob_score(corpus, vocab=50).collect()
+    }
+    typical = scores[0]
+    gibberish = scores[99]
+    assert gibberish > typical
+
+
+def test_score_against_external_model(spark):
+    ref = _docs(spark, [(1, "alpha beta beta")])
+    model = build_unigram_model(ref)
+    probe = _docs(spark, [(10, "beta beta"), (11, "unseen")])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in unigram_logprob_score(probe, model=model, oov_p=0.5).collect()
+    }
+    # p(beta)=2/3 -> bits = -log2(2/3); OOV floor 0.5 -> exactly 1 bit
+    assert got[10]["bits_per_token"] == pytest.approx(0.584963, abs=1e-6)
+    assert got[11]["bits_per_token"] == pytest.approx(1.0)
+    assert got[10]["n_scored"] == 2
