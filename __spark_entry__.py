@@ -2458,6 +2458,43 @@ GROUP BY t.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q67 — corpus mixture sampling: per-source md5 keep-filters (map-side,
+# fold into each scan) + unionByName — deterministic across layouts,
+# engines, and re-runs, unlike seeded rand().  Two synthetic corpora
+# carved from documents by doc_id parity, weights 0.7 / 0.3.
+# ---------------------------------------------------------------------------
+_MIX_WEIGHTS = {"web": 0.7, "books": 0.3}
+
+
+def q67_mix_corpora(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import curate as CU
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return CU.mix_corpora(
+        {
+            "web": (docs.where(F.col("doc_id") % 2 == 0), _MIX_WEIGHTS["web"]),
+            "books": (docs.where(F.col("doc_id") % 2 == 1), _MIX_WEIGHTS["books"]),
+        }
+    ).select("doc_id", "lang", "n_chars", "source")
+
+
+def _mix_sql() -> str:
+    def side(name: str, parity: int, w: float) -> str:
+        return f"""
+SELECT doc_id, lang, n_chars, '{name}' AS source
+FROM documents
+WHERE doc_id % 2 = {parity}
+  AND ('0x' || substr(md5('{name}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967295.0 <= {w!r}"""
+
+    return (
+        side("web", 0, _MIX_WEIGHTS["web"])
+        + "\nUNION ALL\n"
+        + side("books", 1, _MIX_WEIGHTS["books"])
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -2472,15 +2509,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # Round 3 window: the 8 queries r2 rotated out (q12, q43-q48, q50 —
     # all r1-green), q30 (r2's one red row, oracle cast fixed), and the
-    # 8 new/promoted extension queries (q59-q66).  Displaced to the
+    # 9 new/promoted extension queries (q59-q67).  Displaced to the
     # tail — ALL hash-green in CORRECTNESS_r02.json — are:
-    #   q01 q03 q04 q05 q09 q10 q11 q13 q14 q15 q16 q21 q26 q33 q34 q42
+    #   q01 q03 q04 q05 q06 q09 q10 q11 q13 q14 q15 q16 q21 q26 q33
+    #   q34 q42
     # Round 4 should rotate that tail back in (displacing e.g.
-    # q02, q06-q08, q17-q19, q35/q36/q38-q40, q51-q54) so every query
+    # q02, q07/q08, q17-q19, q35/q36/q38-q40, q51-q56) so every query
     # has a row in the two most recent rounds.  Ledger: SURVEY.md §8.3.
     return {
         "q02_containment_enrich": q02_containment_enrich,
-        "q06_latest_event_per_user": q06_latest_event_per_user,
         "q07_quality_metrics": q07_quality_metrics,
         "q08_duplicate_rows": q08_duplicate_rows,
         "q12_topk_orders": q12_topk_orders,
@@ -2529,9 +2566,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_profile": q64_profile,
         "q65_chunk_documents": q65_chunk_documents,
         "q66_unigram_quality": q66_unigram_quality,
+        "q67_mix_corpora": q67_mix_corpora,
         # --- tail (positions 51+, not recorded this round; every entry
         # below is hash-green in CORRECTNESS_r02.json) ---
         "q01_pricing_summary": q01_pricing_summary,
+        "q06_latest_event_per_user": q06_latest_event_per_user,
         "q03_exact_dedup": q03_exact_dedup,
         "q04_size_binning": q04_size_binning,
         "q05_phase_ladder": q05_phase_ladder,
@@ -2616,6 +2655,7 @@ def oracle_sql() -> dict[str, str]:
         "q62_resample_fill": Q62_SQL,
         "q65_chunk_documents": Q65_SQL,
         "q66_unigram_quality": Q66_SQL,
+        "q67_mix_corpora": _mix_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — the driver records its weaker rows-only check.
