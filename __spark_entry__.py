@@ -2495,6 +2495,55 @@ WHERE doc_id % 2 = {parity}
     )
 
 
+# ---------------------------------------------------------------------------
+# q68 — Gopher/C4-style repetition ratios (training-data quality
+# filter): per-doc duplicate-token and duplicate-n-gram fractions.
+# Pure array expressions (array_distinct on the zip_with gram arrays) —
+# map-side only, NO explode and NO shuffle, unlike the naive
+# explode+groupBy(doc, gram) formulation whose shuffle carries every
+# gram occurrence.
+# ---------------------------------------------------------------------------
+def q68_repetition(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(X.dup_token_ratio("text"), 6).alias("dup_token_frac"),
+        F.round(X.dup_ngram_ratio("text", 2), 6).alias("dup_gram2_frac"),
+        F.round(X.dup_ngram_ratio("text", 3), 6).alias("dup_gram3_frac"),
+    )
+
+
+def _rep_sql() -> str:
+    def gram_frac(n: int) -> str:
+        # grams exactly as dedup's word_ngrams: starts 1..len-n+1,
+        # inclusive n-wide slices joined with spaces
+        return f"""
+CASE WHEN len(tk) >= {n}
+     THEN ROUND(1.0 - CAST(len(list_distinct(
+            list_transform(range(1, len(tk) - {n - 2}),
+                           i -> array_to_string(tk[i:i + {n - 1}], ' '))))
+          AS DOUBLE) / (len(tk) - {n - 1}), 6)
+     ELSE 0.0 END"""
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(TRIM(LOWER(text)), '\\s+')
+         END AS tk
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(tk) > 0
+            THEN ROUND(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+            ELSE 0.0 END AS dup_token_frac,
+       {gram_frac(2)} AS dup_gram2_frac,
+       {gram_frac(3)} AS dup_gram3_frac
+FROM toks
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -2509,12 +2558,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # Round 3 window: the 8 queries r2 rotated out (q12, q43-q48, q50 —
     # all r1-green), q30 (r2's one red row, oracle cast fixed), and the
-    # 9 new/promoted extension queries (q59-q67).  Displaced to the
+    # 10 new/promoted extension queries (q59-q68).  Displaced to the
     # tail — ALL hash-green in CORRECTNESS_r02.json — are:
     #   q01 q03 q04 q05 q06 q09 q10 q11 q13 q14 q15 q16 q21 q26 q33
-    #   q34 q42
+    #   q34 q42 q51
     # Round 4 should rotate that tail back in (displacing e.g.
-    # q02, q07/q08, q17-q19, q35/q36/q38-q40, q51-q56) so every query
+    # q02, q07/q08, q17-q19, q35/q36/q38-q40, q52-q56) so every query
     # has a row in the two most recent rounds.  Ledger: SURVEY.md §8.3.
     return {
         "q02_containment_enrich": q02_containment_enrich,
@@ -2550,7 +2599,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_order_line_arrays": q48_order_line_arrays,
         "q49_union_by_name": q49_union_by_name,
         "q50_top_orders_per_priority": q50_top_orders_per_priority,
-        "q51_event_navigation": q51_event_navigation,
         "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
         "q53_grouping_sets": q53_grouping_sets,
         "q54_sql_surface": q54_sql_surface,
@@ -2567,10 +2615,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_chunk_documents": q65_chunk_documents,
         "q66_unigram_quality": q66_unigram_quality,
         "q67_mix_corpora": q67_mix_corpora,
+        "q68_repetition": q68_repetition,
         # --- tail (positions 51+, not recorded this round; every entry
         # below is hash-green in CORRECTNESS_r02.json) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q06_latest_event_per_user": q06_latest_event_per_user,
+        "q51_event_navigation": q51_event_navigation,
         "q03_exact_dedup": q03_exact_dedup,
         "q04_size_binning": q04_size_binning,
         "q05_phase_ladder": q05_phase_ladder,
@@ -2656,6 +2706,7 @@ def oracle_sql() -> dict[str, str]:
         "q65_chunk_documents": Q65_SQL,
         "q66_unigram_quality": Q66_SQL,
         "q67_mix_corpora": _mix_sql(),
+        "q68_repetition": _rep_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — the driver records its weaker rows-only check.

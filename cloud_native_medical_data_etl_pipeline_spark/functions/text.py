@@ -220,6 +220,33 @@ PII_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+def dup_token_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are repeats of an earlier token
+    (1 - distinct/total); 0.0 for empty. Pure array expressions —
+    no explode, no shuffle."""
+    toks = lower_tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_ratio(text: Column | str, n: int = 3) -> Column:
+    """Gopher/C4-style repetition signal: fraction of word n-grams that
+    are repeats of an earlier n-gram in the SAME document
+    (1 - distinct/total); 0.0 when the doc has fewer than n tokens.
+    Highly repetitive boilerplate scores near 1, natural prose near 0.
+    Pure array expressions — no explode, no shuffle."""
+    toks = lower_tokens(text)
+    total = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    distinct = F.size(word_ngrams_from_tokens(toks, n))
+    return F.when(
+        total > 0,
+        F.lit(1.0) - distinct.cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
 def redact_pii(text: Column | str, patterns: list[tuple[str, str]] | None = None) -> Column:
     """Replace URL / email / phone / long-id spans with placeholder
     tokens. Order matters and is fixed; each pattern is one JVM

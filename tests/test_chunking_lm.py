@@ -102,3 +102,33 @@ def test_score_against_external_model(spark):
     assert got[10]["bits_per_token"] == pytest.approx(0.584963, abs=1e-6)
     assert got[11]["bits_per_token"] == pytest.approx(1.0)
     assert got[10]["n_scored"] == 2
+
+
+def test_repetition_ratios(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.functions.text import (
+        dup_ngram_ratio,
+        dup_token_ratio,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam"),     # 1 distinct of 4 tokens
+            (2, "all tokens are unique"),
+            (3, ""),
+            (4, "ab ab"),                    # 1 distinct bigram of 1
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id",
+            F.round(dup_token_ratio("text"), 6).alias("t"),
+            F.round(dup_ngram_ratio("text", 2), 6).alias("g2"),
+        ).collect()
+    }
+    assert got[1]["t"] == pytest.approx(0.75)
+    assert got[1]["g2"] == pytest.approx(2 / 3)  # 'spam spam' x3 -> 1 distinct of 3
+    assert got[2]["t"] == 0.0 and got[2]["g2"] == 0.0
+    assert got[3]["t"] == 0.0 and got[3]["g2"] == 0.0
+    assert got[4]["g2"] == 0.0  # single bigram, nothing repeated
