@@ -2544,6 +2544,60 @@ FROM toks
 """
 
 
+# ---------------------------------------------------------------------------
+# q69 — MOSS winnowing fingerprints: rolling-window minima over the
+# ordered n-gram hash sequence (density ~2/(w+1), guaranteed shared
+# fingerprint for any >= w+n-1 token overlap).  Map-side only; the
+# portable polynomial hash keeps the oracle exact.
+# ---------------------------------------------------------------------------
+_WN_N, _WN_W, _WN_SEED = 3, 4, 11
+
+
+def q69_winnow_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.winnow_fingerprints(
+        docs, ngram_n=_WN_N, window=_WN_W, seed=_WN_SEED
+    )
+
+
+def _winnow_sql() -> str:
+    n, w, seed = _WN_N, _WN_W, _WN_SEED
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(TRIM(LOWER(text)), '\\s+')
+         END AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(tk) - {n - 2}),
+                        i -> array_to_string(tk[i:i + {n - 1}], ' ')) AS gs
+  FROM toks WHERE len(tk) >= {n}
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(gs, g -> list_reduce(
+           list_prepend(CAST({seed} AS BIGINT),
+                        list_transform(string_split(g, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+  FROM grams
+),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {w}
+              THEN list_distinct(list_transform(range(1, len(hs) - {w - 2}),
+                                                i -> list_min(hs[i:i + {w - 1}])))
+              ELSE [list_min(hs)] END AS f
+  FROM hashed
+)
+SELECT doc_id, unnest(f) AS fingerprint FROM fps
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -2558,12 +2612,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # Round 3 window: the 8 queries r2 rotated out (q12, q43-q48, q50 —
     # all r1-green), q30 (r2's one red row, oracle cast fixed), and the
-    # 10 new/promoted extension queries (q59-q68).  Displaced to the
+    # 11 new/promoted extension queries (q59-q69).  Displaced to the
     # tail — ALL hash-green in CORRECTNESS_r02.json — are:
     #   q01 q03 q04 q05 q06 q09 q10 q11 q13 q14 q15 q16 q21 q26 q33
-    #   q34 q42 q51
+    #   q34 q42 q51 q52
     # Round 4 should rotate that tail back in (displacing e.g.
-    # q02, q07/q08, q17-q19, q35/q36/q38-q40, q52-q56) so every query
+    # q02, q07/q08, q17-q19, q35/q36/q38-q40, q53-q56) so every query
     # has a row in the two most recent rounds.  Ledger: SURVEY.md §8.3.
     return {
         "q02_containment_enrich": q02_containment_enrich,
@@ -2599,7 +2653,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_order_line_arrays": q48_order_line_arrays,
         "q49_union_by_name": q49_union_by_name,
         "q50_top_orders_per_priority": q50_top_orders_per_priority,
-        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
         "q53_grouping_sets": q53_grouping_sets,
         "q54_sql_surface": q54_sql_surface,
         "q55_streaming_sessions": q55_streaming_sessions,
@@ -2616,11 +2669,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_unigram_quality": q66_unigram_quality,
         "q67_mix_corpora": q67_mix_corpora,
         "q68_repetition": q68_repetition,
+        "q69_winnow_fingerprints": q69_winnow_fingerprints,
         # --- tail (positions 51+, not recorded this round; every entry
         # below is hash-green in CORRECTNESS_r02.json) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q06_latest_event_per_user": q06_latest_event_per_user,
         "q51_event_navigation": q51_event_navigation,
+        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
         "q03_exact_dedup": q03_exact_dedup,
         "q04_size_binning": q04_size_binning,
         "q05_phase_ladder": q05_phase_ladder,
@@ -2707,6 +2762,7 @@ def oracle_sql() -> dict[str, str]:
         "q66_unigram_quality": Q66_SQL,
         "q67_mix_corpora": _mix_sql(),
         "q68_repetition": _rep_sql(),
+        "q69_winnow_fingerprints": _winnow_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — the driver records its weaker rows-only check.

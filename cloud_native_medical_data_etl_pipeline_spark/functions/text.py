@@ -97,6 +97,13 @@ def word_ngrams_from_tokens(toks: Column | str, n: int = 3) -> Column:
     codegen), so the naive transform(sequence(1, m-n+1), i ->
     array_join(slice(tk, i, n))) costs an O(m) slice per element —
     O(m^2) per row, measured ~6x slower than this shape."""
+    return F.array_distinct(word_ngrams_ordered(toks, n))
+
+
+def word_ngrams_ordered(toks: Column | str, n: int = 3) -> Column:
+    """Space-joined n-grams in DOCUMENT ORDER (duplicates kept) — the
+    positional form winnowing and repetition metrics need; same
+    zip_with construction as word_ngrams_from_tokens."""
     tk = F.col(toks) if isinstance(toks, str) else toks
     out = tk
     for i in range(1, n):
@@ -104,10 +111,8 @@ def word_ngrams_from_tokens(toks: Column | str, n: int = 3) -> Column:
             out, F.slice(tk, i + 1, _SLICE_ALL), lambda a, b: F.concat_ws(" ", a, b)
         )
     m = F.size(tk)
-    return F.array_distinct(
-        F.when(m >= n, F.slice(out, 1, m - F.lit(n - 1))).otherwise(
-            F.array().cast("array<string>")
-        )
+    return F.when(m >= n, F.slice(out, 1, m - F.lit(n - 1))).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -714,6 +714,50 @@ def embedding_near_dups(
     return probe.mapInPandas(gen, "key_a long, key_b long, cosine double")
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    ngram_n: int = 3,
+    window: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints: hash the ordered word
+    n-grams, slide a ``window``-wide window over the hash sequence,
+    and keep the minimum of each window — a position-robust fingerprint
+    set with density ~2/(window+1) that is guaranteed to share a value
+    for any match of length >= window + ngram_n - 1 tokens (the
+    winnowing guarantee; Schleimer/Wilkerson/Aiken, SIGMOD'03).
+
+    Returns exploded distinct (key_col, fingerprint) rows — join two
+    corpora's fingerprints on the hash to find local overlaps (the
+    same equi-join shape as every other candidate generator here).
+    Docs with fewer grams than ``window`` contribute min-of-all; docs
+    with no grams contribute nothing.
+
+    Scale shape: pure per-row expression work, NO shuffle — the
+    portable polynomial hash keeps the oracle exact, and only the
+    8-byte fingerprints (never gram text) leave the map stage.
+    """
+    toks = X.lower_tokens(content_col)
+    grams = X.word_ngrams_ordered(toks, ngram_n)
+    hashes = F.transform(grams, lambda g: _poly_hash(g, seed))
+    m = F.size(hashes)
+    windowed = F.transform(
+        F.sequence(F.lit(1), m - F.lit(window - 1)),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    fps = F.when(m >= window, windowed).otherwise(
+        F.when(m > 0, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<long>")
+        )
+    )
+    return df.select(
+        F.col(key_col),
+        F.explode(F.array_distinct(fps)).alias("fingerprint"),
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     probe: DataFrame,

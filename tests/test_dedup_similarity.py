@@ -333,3 +333,27 @@ def test_mix_corpora_deterministic_proportions(spark):
     assert sorted(r["doc_id"] for r in mixed.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a run of >= window+n-1
+    tokens share at least one fingerprint; short docs get min-of-all;
+    empty docs get nothing."""
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens >= 4+3-1
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} closing remarks here"),
+            (2, f"{shared} completely different tail text follows"),
+            (3, "tiny doc"),          # < 3 tokens -> no grams -> no rows
+            (4, "one two three"),     # exactly one gram -> min-of-all
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    fps = dedup.winnow_fingerprints(df, ngram_n=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert 3 not in by_doc and 5 not in by_doc
+    assert len(by_doc[4]) == 1
