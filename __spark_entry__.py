@@ -490,8 +490,8 @@ _MARK = {k: ", ".join(f"'{w}'" for w in v) for k, v in X.LANG_MARKERS.items()}
 Q15_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
-         CASE WHEN TRIM(COALESCE(text, '')) = '' THEN []::VARCHAR[]
-              ELSE list_transform(string_split_regex(TRIM(text), '\\s+'), t -> LOWER(t))
+         CASE WHEN regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[]
+              ELSE list_transform(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), t -> LOWER(t))
          END AS tk,
          COALESCE(text, '') AS s
   FROM documents
@@ -577,8 +577,8 @@ def _mh_sql() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id AS k,
-         list_transform(string_split_regex(TRIM(text), '\\s+'), t -> LOWER(t)) AS tk
-  FROM documents WHERE TRIM(COALESCE(text, '')) <> ''
+         list_transform(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), t -> LOWER(t)) AS tk
+  FROM documents WHERE regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
 ),
 sh AS (
   SELECT k,
@@ -625,8 +625,8 @@ def q18_ngram_jaccard(spark, sf_dir):
 Q18_SQL = f"""
 WITH toks AS (
   SELECT doc_id AS k,
-         list_transform(string_split_regex(TRIM(text), '\\s+'), t -> LOWER(t)) AS tk
-  FROM documents WHERE TRIM(COALESCE(text, '')) <> ''
+         list_transform(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), t -> LOWER(t)) AS tk
+  FROM documents WHERE regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
 ),
 grams AS (
   SELECT k,
@@ -805,10 +805,10 @@ def _simhash_sql() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id AS k,
-         CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+         CASE WHEN regexp_replace(LOWER(COALESCE(text, '')), '^\\s+|\\s+$', '', 'g') = ''
               THEN CAST([] AS VARCHAR[])
               ELSE list_distinct(string_split_regex(
-                     TRIM(LOWER(COALESCE(text, ''))), '\\s+'))
+                     regexp_replace(LOWER(COALESCE(text, '')), '^\\s+|\\s+$', '', 'g'), '\\s+'))
          END AS tk
   FROM documents
 ),
@@ -1219,8 +1219,8 @@ def _q31_sql() -> str:
     return f"""
 WITH base AS (
   SELECT doc_id, lang, source, COALESCE(text, '') AS s,
-         CASE WHEN TRIM(COALESCE(text, '')) = '' THEN []::VARCHAR[]
-              ELSE list_transform(string_split_regex(TRIM(text), '\\s+'), t -> LOWER(t))
+         CASE WHEN regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[]
+              ELSE list_transform(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), t -> LOWER(t))
          END AS tk
   FROM documents
 ),
@@ -2273,9 +2273,9 @@ _Q60_N = 8
 Q60_SQL = f"""
 WITH toks AS (
   SELECT doc_id AS k,
-         list_transform(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+         list_transform(string_split_regex(regexp_replace(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
                         t -> t) AS tk
-  FROM documents WHERE TRIM(COALESCE(text, '')) <> ''
+  FROM documents WHERE regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
 ),
 grams AS (
   SELECT k,
@@ -2399,9 +2399,9 @@ def q65_chunk_documents(spark, sf_dir):
 Q65_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
-         CASE WHEN TRIM(COALESCE(text, '')) = ''
+         CASE WHEN regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') = ''
               THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(TRIM(text), '\\s+')
+              ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
          END AS tk
   FROM documents
 ),
@@ -2440,9 +2440,9 @@ def q66_unigram_quality(spark, sf_dir):
 Q66_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+         unnest(CASE WHEN regexp_replace(LOWER(COALESCE(text, '')), '^\\s+|\\s+$', '', 'g') = ''
                      THEN CAST([] AS VARCHAR[])
-                     ELSE string_split_regex(TRIM(LOWER(text)), '\\s+')
+                     ELSE string_split_regex(regexp_replace(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')
                 END) AS token
   FROM documents
 ),
@@ -2528,9 +2528,9 @@ CASE WHEN len(tk) >= {n}
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+         CASE WHEN regexp_replace(LOWER(COALESCE(text, '')), '^\\s+|\\s+$', '', 'g') = ''
               THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(TRIM(LOWER(text)), '\\s+')
+              ELSE string_split_regex(regexp_replace(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')
          END AS tk
   FROM documents
 )
@@ -2565,9 +2565,9 @@ def _winnow_sql() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+         CASE WHEN regexp_replace(LOWER(COALESCE(text, '')), '^\\s+|\\s+$', '', 'g') = ''
               THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(TRIM(LOWER(text)), '\\s+')
+              ELSE string_split_regex(regexp_replace(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')
          END AS tk
   FROM documents
 ),

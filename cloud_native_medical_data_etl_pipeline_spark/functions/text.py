@@ -28,9 +28,17 @@ EN_STOPWORDS = [
 
 def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
     """Whitespace tokenization -> array<string>; empty/null -> empty
-    array (not [''])."""
+    array (not ['']).
+
+    The edge trim strips ALL whitespace (regexp), not F.trim's
+    spaces-only: with F.trim a trailing "\\n" or "\\t" survives into
+    split and mints a phantom '' token (r3 property-test catch) —
+    and the Arrow kernels' python str.strip() never had that bug, so
+    the expression and Arrow paths would disagree on such inputs."""
     c = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(F.coalesce(c, F.lit("")))
+    trimmed = F.regexp_replace(
+        F.coalesce(c, F.lit("")), r"^\s+|\s+$", ""
+    )
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, pattern)
     )

@@ -76,9 +76,9 @@ def test_contamination_md5_matches_oracle(spark, duck):
     sql = f"""
 WITH toks AS (
   SELECT doc_id AS k,
-         list_transform(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+         list_transform(string_split_regex(regexp_replace(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
                         t -> t) AS tk
-  FROM documents WHERE TRIM(COALESCE(text, '')) <> ''
+  FROM documents WHERE regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
 ),
 grams AS (
   SELECT k,

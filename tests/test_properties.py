@@ -324,3 +324,116 @@ def test_contamination_matches_bruteforce(spark, corpus_words, probe_words):
         for r in dedup.ngram_contamination(corpus, probe, ngram_n=n).collect()
     )
     assert got == expected
+
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c\t\nxyz0"), min_size=0, max_size=60
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts, st.integers(2, 6), st.integers(1, 6))
+def test_chunking_partitions_tokens_exactly(spark, batch, width, stride_delta):
+    """With stride <= width every token of every doc appears in at
+    least one chunk, chunk token counts are <= width, and with
+    stride == width the chunks partition the token stream exactly."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    stride = max(1, width - stride_delta % width)  # 1..width
+    df = spark.createDataFrame(
+        list(enumerate(batch)), "doc_id long, text string"
+    )
+    rows = chunk_documents(
+        df, chunk_tokens=width, stride=stride
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(batch):
+        toks = t.split()
+        got = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
+        if not toks:
+            assert got == []
+            continue
+        assert all(r["n_tokens"] <= width for r in got)
+        covered = set()
+        for r in got:
+            start = r["chunk_id"] * stride
+            assert r["chunk_text"] == " ".join(toks[start : start + width])
+            covered.update(range(start, min(start + width, len(toks))))
+        assert covered == set(range(len(toks)))
+        if stride == width:
+            assert sum(r["n_tokens"] for r in got) == len(toks)
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts)
+def test_winnow_fingerprints_are_gram_hash_minima(spark, batch):
+    """Every fingerprint equals the min of some window of the python
+    reference gram-hash sequence, and every window's min is present
+    (exact reference reconstruction)."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators import dedup as D
+
+    n, w = 3, 4
+
+    def ref_fps(t):
+        toks = t.lower().split()
+        grams = [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+        def h(g):
+            acc = 11
+            for ch in g:
+                acc = (acc * 31 + ord(ch)) % 2147483647
+            return acc
+        hs = [h(g) for g in grams]
+        if not hs:
+            return set()
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    df = spark.createDataFrame(
+        list(enumerate(batch)), "doc_id long, text string"
+    )
+    got = {}
+    for r in D.winnow_fingerprints(df, ngram_n=n, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for i, t in enumerate(batch):
+        assert got.get(i, set()) == ref_fps(t), (i, t)
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts)
+def test_repetition_ratios_bounds_and_reference(spark, batch):
+    from cloud_native_medical_data_etl_pipeline_spark.functions.text import (
+        dup_ngram_ratio,
+        dup_token_ratio,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(batch)), "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            dup_token_ratio("text").alias("t"),
+            dup_ngram_ratio("text", 2).alias("g2"),
+        ).collect()
+    }
+    for i, t in enumerate(batch):
+        toks = t.lower().split()
+        r = rows[i]
+        assert 0.0 <= r["t"] < 1.0 or (not toks and r["t"] == 0.0)
+        exp_t = 1 - len(set(toks)) / len(toks) if toks else 0.0
+        assert math.isclose(r["t"], exp_t, abs_tol=1e-12)
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        exp_g = 1 - len(set(grams)) / len(grams) if grams else 0.0
+        assert math.isclose(r["g2"], exp_g, abs_tol=1e-12)
