@@ -1,12 +1,11 @@
-"""DuckDB oracle checks for the round-2 extension operators that are
-NOT in the driver registry (the harness records at most ~50 queries,
-so these stay out of `queries()` until slots open — see the registry
-comment in __spark_entry__.py). Same compare discipline as
-tests/test_oracle.py: identical aliases, order-insensitive row sets.
-
-Each pair here is registry-READY: if a future round adds slots, the
-Spark builder and SQL string can be lifted into queries()/oracle_sql()
-verbatim.
+"""DuckDB oracle checks for the round-2 extension operators, written
+before registry slots opened.  As of round 3 all four ARE registered
+(q59 redaction, q60 contamination, q61 capping, q62 resample_fill —
+the registry copies live in __spark_entry__.py); these stay as
+independent parameterization coverage (different SFs via
+ORACLE_SF_DIR, plus the extra invariants asserted below).  Same
+compare discipline as tests/test_oracle.py: identical aliases,
+order-insensitive row sets.
 """
 
 import os
