@@ -2598,6 +2598,45 @@ SELECT doc_id, unnest(f) AS fingerprint FROM fps
 """
 
 
+# ---------------------------------------------------------------------------
+# q70 — winnow-overlap pairs (MOSS detection join): docs sharing >=2
+# winnowing fingerprints, with stop-fingerprint pruning (df > 50)
+# guarding the self-join against quadratic hot buckets.  Tail slot:
+# first driver evidence rides a later rotation; locally oracle-green.
+# ---------------------------------------------------------------------------
+_WO_MIN_SHARED, _WO_MAX_DF = 2, 50
+
+
+def q70_winnow_overlap(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.winnow_overlap_pairs(
+        docs,
+        ngram_n=_WN_N,
+        window=_WN_W,
+        seed=_WN_SEED,
+        min_shared=_WO_MIN_SHARED,
+        max_df_prune=_WO_MAX_DF,
+    )
+
+
+def _winnow_overlap_sql() -> str:
+    # reuse q69's fingerprint pipeline, then prune + pair-count
+    return f"""
+WITH fp_rows AS ({_winnow_sql()}),
+rare AS (
+  SELECT fingerprint FROM fp_rows
+  GROUP BY fingerprint HAVING COUNT(*) <= {_WO_MAX_DF}
+),
+pruned AS (SELECT doc_id, fingerprint FROM fp_rows SEMI JOIN rare USING (fingerprint))
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM pruned a JOIN pruned b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_WO_MIN_SHARED}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -2691,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_pivot_activity": q33_pivot_activity,
         "q34_daily_active_users": q34_daily_active_users,
         "q42_json_props": q42_json_props,
+        "q70_winnow_overlap": q70_winnow_overlap,
     }
 
 
@@ -2763,6 +2803,7 @@ def oracle_sql() -> dict[str, str]:
         "q67_mix_corpora": _mix_sql(),
         "q68_repetition": _rep_sql(),
         "q69_winnow_fingerprints": _winnow_sql(),
+        "q70_winnow_overlap": _winnow_overlap_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — the driver records its weaker rows-only check.

@@ -758,6 +758,52 @@ def winnow_fingerprints(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    ngram_n: int = 3,
+    window: int = 4,
+    seed: int = 11,
+    min_shared: int = 2,
+    max_df_prune: int = 50,
+) -> DataFrame:
+    """Local-overlap candidate pairs from winnowing fingerprints:
+    (key_a, key_b, n_shared) for documents sharing >= ``min_shared``
+    fingerprints — MOSS's detection join.  Because winnowing keeps a
+    fingerprint for every >= window+ngram_n-1 token run, this finds
+    PARTIAL overlaps (shared paragraphs, quoted blocks) that whole-doc
+    similarity scores dilute away.
+
+    Scale shape: the self-join carries only (key, 8-byte fingerprint)
+    rows; fingerprints present in more than ``max_df_prune`` docs are
+    pruned before the join (the q18 stop-gram skew guard — ubiquitous
+    boilerplate minima would otherwise form quadratic hot buckets),
+    and the pair aggregation is one shuffle on the pair key.
+    """
+    fps = winnow_fingerprints(
+        df, content_col, key_col, ngram_n, window, seed
+    ).persist()
+    rare = (
+        fps.groupBy("fingerprint")
+        .count()
+        .where(F.col("count") <= max_df_prune)
+        .select("fingerprint")
+    )
+    pruned = fps.join(rare, "fingerprint")
+    return (
+        pruned.alias("a")
+        .join(pruned.alias("b"), "fingerprint")
+        .where(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        .groupBy(
+            F.col(f"a.{key_col}").alias("key_a"),
+            F.col(f"b.{key_col}").alias("key_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     probe: DataFrame,

@@ -357,3 +357,23 @@ def test_winnow_fingerprints_guarantee(spark):
     assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
     assert 3 not in by_doc and 5 not in by_doc
     assert len(by_doc[4]) == 1
+
+
+def test_winnow_overlap_detects_partial_overlap(spark):
+    """A shared paragraph inside otherwise-different docs must produce
+    a pair; unrelated docs must not."""
+    para = " ".join(f"shared{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, f"unique one opening text {para} unique one closing"),
+            (2, f"{para} totally different framing with other words"),
+            (3, "nothing in common with the others at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["key_a"], r["key_b"]): r["n_shared"]
+        for r in dedup.winnow_overlap_pairs(df, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
