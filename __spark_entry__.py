@@ -768,10 +768,14 @@ FROM part GROUP BY 1
 # ---------------------------------------------------------------------------
 # q22 — simhash near-dup pairs. Fully oracled: the portable polynomial
 # token hash is list_reduce-expressible, the 60-bit majority vote is a
-# sum of CASE terms over list_filter counts (two seeded hashes supply
-# 30 bits each), and the pigeonhole band join is the same DISTINCT
-# self-join shape as q17.  band_bits=12 keeps 4096 bucket values per
-# band — band occupancy ~N/4096 instead of the old 16-value bands.
+# sum of CASE terms over list_filter counts (two structurally
+# independent polynomial hashes — seed 7 / mult 31 for bits 0..29,
+# seed 13 / mult 37 for bits 30..59; a second SEED alone is a constant
+# offset of the first hash for equal-length tokens, which would
+# correlate the halves), and the pigeonhole band join is the same
+# DISTINCT self-join shape as q17.  band_bits=12 keeps 4096 bucket
+# values per band — band occupancy ~N/4096 instead of the old
+# 16-value bands.
 # ---------------------------------------------------------------------------
 _SH_BITS, _SH_MAXHAM, _SH_BANDBITS = 60, 3, 12
 _SH_HALF = 30  # usable low bits per seeded poly-hash
@@ -790,7 +794,8 @@ def _simhash_sql() -> str:
     mask = (1 << band_bits) - 1
     # bit b of the simhash is 1 iff more token hashes have bit b set
     # than not (strict majority, ties -> 0) — mirrors dedup.simhash:
-    # bits 0..29 vote on the seed-7 hash, bits 30..59 on the seed-13 one
+    # bits 0..29 vote on the seed-7/mult-31 hash, bits 30..59 on the
+    # seed-13/mult-37 one (independent multiplier, see dedup._poly_hash)
     vote_terms = "\n       + ".join(
         f"CASE WHEN 2 * len(list_filter("
         f"{'hs1' if b < _SH_HALF else 'hs2'}, "
@@ -823,7 +828,7 @@ hashed AS (
            list_prepend(CAST(13 AS BIGINT),
                         list_transform(string_split(t, ''),
                                        c -> CAST(ascii(c) AS BIGINT))),
-           (a, b) -> (a * 31 + b) % 2147483647)) AS hs2
+           (a, b) -> (a * 37 + b) % 2147483647)) AS hs2
   FROM toks
 ),
 sims AS (
@@ -2245,9 +2250,22 @@ def q59_redact_pii(spark, sf_dir):
     )
 
 
+# Whitespace semantics are PINNED on both engines (ADVICE r3): the
+# control-char strip below mirrors normalize_text exactly, and the
+# collapse class is the explicit [ \t\n\r]+ on both sides — Java \s
+# includes \x0B/\f while DuckDB/RE2 \s does not, so '\s+' here would
+# silently diverge on texts containing either.  Residual documented
+# divergence: the PII patterns themselves still use \s (applied to the
+# RAW text, before the control strip), so a \x0B or \f INSIDE a
+# phone-number separator would match on Spark but not DuckDB; the
+# generated corpora contain no ASCII control characters (generator
+# invariant, tools/check corpus scan), and redact_pii's Spark-side
+# semantics are the product surface — the oracle asserts the common
+# subset.
 Q59_SQL = r"""
 SELECT doc_id, TRIM(regexp_replace(regexp_replace(regexp_replace(
   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(
     COALESCE(text, ''),
     'https?://[^\s]+', '<URL>', 'g'),
     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
@@ -2255,7 +2273,8 @@ SELECT doc_id, TRIM(regexp_replace(regexp_replace(regexp_replace(
     '\(\d{3}\)[\s.-]?\d{3}[\s.-]\d{4}\b', '<PHONE>', 'g'),
     '\b\d{3}[\s.-]\d{3}[\s.-]\d{4}\b', '<PHONE>', 'g'),
     '\b\d{9,}\b', '<ID>', 'g'),
-  '\s+', ' ', 'g')) AS clean
+  '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+  '[ \t\n\r]+', ' ', 'g')) AS clean
 FROM documents
 """
 

@@ -275,9 +275,17 @@ def redact_pii(text: Column | str, patterns: list[tuple[str, str]] | None = None
 def normalize_text(text: Column | str) -> Column:
     """Canonicalize whitespace for stable downstream hashing: strip
     ASCII control characters, collapse whitespace runs to single
-    spaces, trim. Idempotent."""
+    spaces, trim. Idempotent.
+
+    The collapse class is pinned to the explicit [ \\t\\n\\r]+ rather
+    than \\s+ — engine-portable by construction: Java's \\s includes
+    \\x0B and \\f while DuckDB/RE2's does not, so a \\s oracle would
+    silently diverge on texts containing either. Here both characters
+    are removed by the control strip FIRST, making the explicit class
+    equivalent to Java \\s on the stripped string and exactly
+    mirrorable in the q59 oracle SQL."""
     c = F.col(text) if isinstance(text, str) else text
     s = F.coalesce(c, F.lit(""))
     s = F.regexp_replace(s, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
-    s = F.regexp_replace(s, r"\s+", " ")
+    s = F.regexp_replace(s, r"[ \t\n\r]+", " ")
     return F.trim(s)

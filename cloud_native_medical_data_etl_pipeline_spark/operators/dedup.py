@@ -88,16 +88,22 @@ def exact_dedup(df: DataFrame, content_col: str = "text", key_col: str = "doc_id
     return df.join(keep, key_col, "left_semi")
 
 
-def _poly_hash(col: Column, seed: int) -> Column:
+def _poly_hash(col: Column, seed: int, mult: int = 31) -> Column:
     """Portable polynomial rolling hash of a string, seeded:
-    h = fold(chars, seed, (acc, c) -> (acc*31 + ascii(c)) % (2^31-1)).
+    h = fold(chars, seed, (acc, c) -> (acc*mult + ascii(c)) % (2^31-1)).
     Identical arithmetic is expressible in DuckDB via list_reduce, which
-    is what makes the minhash/simhash oracles exact."""
+    is what makes the minhash/simhash oracles exact.
+
+    ``mult`` exists because two hashes that differ only in ``seed`` are
+    NOT independent: h = seed*mult^len + sum(c_i*mult^...), so for
+    equal-length inputs a second seed is a constant offset of the first.
+    Callers that need a structurally independent second hash (simhash's
+    high bits) must vary the multiplier, not just the seed."""
     chars = F.split(F.coalesce(col, F.lit("")), "")
     return F.aggregate(
         chars,
         F.lit(seed).cast("long"),
-        lambda acc, ch: (acc * 31 + F.ascii(ch)) % HASH_MOD,
+        lambda acc, ch: (acc * mult + F.ascii(ch)) % HASH_MOD,
     )
 
 
@@ -340,14 +346,21 @@ def simhash(text_col: Column | str, bits: int = 60) -> Column:
 
     A single poly-hash mod 2^31-1 only yields ~31 usable bits, which
     caps the band space and makes banded blocking quadratic on a big
-    corpus; for ``bits`` > 30 a second seed supplies bits 30..59, so
-    the default 60-bit fingerprint supports 12-bit bands (4096 bucket
-    values per band) that keep band-bucket occupancy ~N/4096."""
-    _HALF = 30  # usable low bits per seeded poly-hash
+    corpus; for ``bits`` > 30 a SECOND polynomial hash supplies bits
+    30..59, so the default 60-bit fingerprint supports 12-bit bands
+    (4096 bucket values per band) that keep band-bucket occupancy
+    ~N/4096.  The second hash varies the MULTIPLIER (37 vs 31), not
+    just the seed — two seeds of the same polynomial differ only by
+    seed_delta*31^len(token), a constant offset for equal-length
+    tokens, which would correlate the high 30 bits with the low 30 and
+    shrink the effective band entropy below the N/4096 claim."""
+    _HALF = 30  # usable low bits per polynomial hash
     toks = F.array_distinct(X.lower_tokens(text_col))
     hashes_lo = F.transform(toks, lambda t: _poly_hash(t, 7))
     hashes_hi = (
-        F.transform(toks, lambda t: _poly_hash(t, 13)) if bits > _HALF else None
+        F.transform(toks, lambda t: _poly_hash(t, 13, mult=37))
+        if bits > _HALF
+        else None
     )
     n = F.size(hashes_lo)
 

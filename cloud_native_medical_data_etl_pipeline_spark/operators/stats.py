@@ -44,9 +44,13 @@ def group_percentiles(
     exact=True: SQL ``percentile`` — buffers the whole group; use for
     small groups or oracle-reproducible output only.
     """
+    # exact-name reference (the profile.py _ref pattern): interpolating
+    # the raw name into an F.expr SQL string breaks on dots/spaces/
+    # quotes — or silently resolves to a different expression
+    ref = F.col("`" + value_col.replace("`", "``") + "`")
     if exact:
         aggs = [
-            F.round(F.expr(f"percentile({value_col}, {p})"), round_dp).alias(
+            F.round(F.percentile(ref, F.lit(float(p))), round_dp).alias(
                 _alias(p)
             )
             for p in percentiles
@@ -54,7 +58,7 @@ def group_percentiles(
         return df.groupBy(group_col).agg(*aggs)
 
     sketch = F.percentile_approx(
-        value_col,
+        ref,
         F.array(*[F.lit(float(p)) for p in percentiles]),
         F.lit(int(accuracy)),
     ).alias("__pcts")

@@ -14,11 +14,31 @@ files, so a daily job over a 100 TB lake touches one day's files.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 PARTITION_COLS = ("year", "month", "day")
+
+# Error signatures that mean "there is no data here yet" (base path
+# absent, or present but holding no files so schema inference fails) —
+# the ONLY failures a missing-partition fallback may swallow. Anything
+# else (permissions, corrupt footers, transient FS listing errors)
+# must propagate: treating it as 'partition missing' would let a
+# dynamic overwrite rewrite the day with only the updates batch,
+# silently dropping every existing row.
+_MISSING_DATA_MARKERS = (
+    "PATH_NOT_FOUND",
+    "UNABLE_TO_INFER_SCHEMA",
+    "Path does not exist",
+    "Unable to infer schema",
+)
+
+
+def _is_missing_data_error(e: Exception) -> bool:
+    s = str(e)
+    return any(m in s for m in _MISSING_DATA_MARKERS)
 
 
 def partition_path(base: str, date: str) -> str:
@@ -73,8 +93,10 @@ def read_partition(
         return df.where(
             (F.col("year") == year) & (F.col("month") == month) & (F.col("day") == day)
         ).drop(*PARTITION_COLS)
-    except Exception:
-        if schema is not None:
+    except AnalysisException as e:
+        # only the no-data-yet cases fall back to the declared schema;
+        # genuine read failures re-raise (see _MISSING_DATA_MARKERS)
+        if schema is not None and _is_missing_data_error(e):
             return spark.createDataFrame([], schema=schema)
         raise
 
@@ -108,7 +130,13 @@ def upsert_partition(
         # the updates batch, and the overwrite would rewrite the day
         # with the narrowed schema — silent data loss
         existing = read_partition(spark, base, date, schema=None, fmt=fmt)
-    except Exception:
+    except AnalysisException as e:
+        # first write into an empty/absent table is the ONLY case that
+        # may start from an empty existing frame; a transient read
+        # failure must NOT be treated as 'partition missing' (the
+        # overwrite below would drop every pre-existing row)
+        if not _is_missing_data_error(e):
+            raise
         existing = spark.createDataFrame([], schema=updates.schema)
     on_disk_only = set(existing.columns) - set(updates.columns)
     if on_disk_only:

@@ -49,20 +49,11 @@ def test_redacted_text_matches_oracle(spark, duck):
             X.normalize_text(X.redact_pii("text")).alias("clean"),
         )
     )
-    sql = r"""
-SELECT doc_id, TRIM(regexp_replace(regexp_replace(regexp_replace(
-  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-    COALESCE(text, ''),
-    'https?://[^\s]+', '<URL>', 'g'),
-    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-    '\+\d{1,3}[\s.-]?\(?\d{2,4}\)?[\s.-]?\d{3}[\s.-]?\d{3,4}\b', '<PHONE>', 'g'),
-    '\(\d{3}\)[\s.-]?\d{3}[\s.-]\d{4}\b', '<PHONE>', 'g'),
-    '\b\d{3}[\s.-]\d{3}[\s.-]\d{4}\b', '<PHONE>', 'g'),
-    '\b\d{9,}\b', '<ID>', 'g'),
-  '\s+', ' ', 'g')) AS clean
-FROM documents
-"""
-    assert got == _duck_rows(duck, sql, ["doc_id", "clean"])
+    # lifted verbatim from __spark_entry__.Q59_SQL so test and driver
+    # oracle can never drift (whitespace class pinned on both engines)
+    import __spark_entry__ as entry_mod
+
+    assert got == _duck_rows(duck, entry_mod.Q59_SQL, ["doc_id", "clean"])
 
 
 def test_contamination_md5_matches_oracle(spark, duck):
