@@ -60,7 +60,11 @@ def curate(
     # (pairs are emitted with key_a < key_b), so the smallest member of
     # every near-dup cluster chain survives
     losers = pairs.select(F.col("key_b").alias(key_col)).distinct()
-    return kept.join(losers, key_col, "left_anti")
+    # caller-unpersists contract: the filtered corpus plus whatever the
+    # minhash stage cached are freed together by D.release(result)
+    return D._with_cached_deps(
+        kept.join(losers, key_col, "left_anti"), filtered, pairs
+    )
 
 
 def cap_per_group(

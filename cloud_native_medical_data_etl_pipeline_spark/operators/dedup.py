@@ -69,8 +69,55 @@ def rebalance_for_cpu(df: DataFrame, persist: bool = True) -> DataFrame:
     )
     if size > _REBALANCE_MIN_STATS_BYTES:
         out = df.repartition(target)
-        return out.persist() if persist else out
+        if persist:
+            out = out.persist()
+            # self-registration so operators can propagate the cache
+            # into their result's release() set (caller-unpersists
+            # contract, see release())
+            out._cached_deps = [out]
+        return out
     return df
+
+
+def _with_cached_deps(result: DataFrame, *frames: DataFrame) -> DataFrame:
+    """Record on ``result`` every intermediate frame the operator
+    persisted (directly, or transitively via rebalance_for_cpu) so the
+    caller can free them with :func:`release`. Frames that are not
+    actually cached are skipped, so operators can pass candidates
+    unconditionally."""
+    # identity-dedup (DataFrame.__eq__ builds a Column, so `in` on a
+    # list of frames would not mean membership)
+    deps: list[DataFrame] = []
+    seen: set[int] = set()
+
+    def add(d: DataFrame) -> None:
+        if id(d) not in seen:
+            seen.add(id(d))
+            deps.append(d)
+
+    for f in frames:
+        for d in getattr(f, "_cached_deps", ()):
+            add(d)
+        if f.is_cached:
+            add(f)
+    result._cached_deps = deps
+    return result
+
+
+def release(result: DataFrame) -> None:
+    """Unpersist the intermediate frames cached on behalf of ``result``.
+
+    Operators here return LAZY frames whose plans read persisted
+    intermediates (band frames, shingle bases, fingerprint sets);
+    unpersisting before returning would evict the cache before the
+    caller's action ever runs, so the contract is caller-unpersists:
+    consume the result (collect/write), then ``release(result)``.
+    Harmless on frames with no recorded deps, and safe to call twice —
+    one-query sessions can ignore it; long-lived pipelines should not
+    (each un-released call leaks one cached frame for the session's
+    lifetime)."""
+    for dep in getattr(result, "_cached_deps", ()):
+        dep.unpersist()
 
 
 def exact_dedup(df: DataFrame, content_col: str = "text", key_col: str = "doc_id") -> DataFrame:
@@ -336,7 +383,7 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("key_a", "key_b", "jaccard")
     )
-    return verified
+    return _with_cached_deps(verified, base, pre)
 
 
 def simhash(text_col: Column | str, bits: int = 60) -> Column:
@@ -405,9 +452,10 @@ def simhash_pairs(
         raise ValueError(
             f"pigeonhole violated: {num_bands} bands <= max_hamming={max_hamming}"
         )
-    sh = rebalance_for_cpu(
+    pre = rebalance_for_cpu(
         df.select(F.col(key_col).alias("k"), F.col(content_col).alias("txt"))
-    ).select("k", simhash("txt", bits).alias("sim"))
+    )
+    sh = pre.select("k", simhash("txt", bits).alias("sim"))
     band_cols = [
         F.concat_ws(
             "#",
@@ -434,7 +482,9 @@ def simhash_pairs(
         )
         .dropDuplicates(["key_a", "key_b"])
     )
-    return pairs.where(F.col("hamming") <= max_hamming)
+    return _with_cached_deps(
+        pairs.where(F.col("hamming") <= max_hamming), banded, pre
+    )
 
 
 def ngram_jaccard_pairs(
@@ -492,13 +542,14 @@ def ngram_jaccard_pairs(
     gb = grams.select(F.col("k").alias("key_b"), F.col("g").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
     union = F.size(F.array_union("g_a", "g_b")).cast("double")
-    return (
+    out = (
         pairs.join(ga, "key_a")
         .join(gb, "key_b")
         .withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("key_a", "key_b", "jaccard")
     )
+    return _with_cached_deps(out, grams, exploded, pre)
 
 
 def _banded_embedding_near_dups(
@@ -507,21 +558,45 @@ def _banded_embedding_near_dups(
     key_col: str,
     threshold: float,
     plane_bands: list[list[list[float]]],
+    chunk_cap: int | None = 32768,
+    verify: str = "group",
 ) -> DataFrame:
     """OR-amplified banded sign-LSH candidate generation: each of the B
-    independent plane sets buckets every vector ("band#code"); the
-    bucket frame is exploded and self-equi-joined on the bucket string
-    (the simhash/minhash banding shape), pairs are deduped across
-    bands, and every candidate is verified with the exact cosine.
+    independent plane sets buckets every vector ("band#code"), and
+    verification runs GROUP-LOCALLY inside each band bucket (one GEMM
+    per bucket emits only the pairs that clear the threshold) — there
+    is no pair self-join and no pair-level dropDuplicates before
+    verification; the cross-band dedup runs on the tiny surviving set.
 
-    Scale shape: the vector+norm+bucket prep frame is computed ONCE and
-    persisted (the self-join and both verification joins reuse it), the
-    shuffle carries narrow (key, bucket) rows, and candidate volume for
-    unrelated vectors is ~B * N^2 / 2^r per the sign-LSH collision rate
-    — tune (r, B) to the threshold: high thresholds (0.9+) support
-    r >= 12 with few bands (sub-quadratic); low thresholds are
-    intrinsically near-quadratic for ANY LSH family (rho ~ 0.67 at
-    cosine 0.4) and IVF (similarity.py) is the better tool there.
+    Scale shape: each vector ships once per band as a (key, vector,
+    bucket) row — never once per candidate pair — and in-bucket work is
+    quadratic in BUCKET occupancy, which r (planes per band) tunes:
+    high thresholds (0.9+) support r >= 12 (2^12 bucket values,
+    sub-quadratic); low thresholds are intrinsically near-quadratic for
+    ANY LSH family (rho ~ 0.67 at cosine 0.4) and IVF (similarity.py)
+    is the better tool there.
+
+    ``chunk_cap`` bounds PER-TASK memory on hot buckets: a bucket with
+    occupancy b > chunk_cap is hash-split into K = ceil(b/chunk_cap)
+    chunks and verified as K*(K+1)/2 chunk-pair groups, each holding at
+    most ~2*chunk_cap vectors — same emitted pairs exactly (every
+    (a, b) pair lands in precisely the group of its own chunk pair),
+    ~2x the flops on split buckets only, and no single applyInPandas
+    group can exceed ~2*chunk_cap*dim*8 bytes however skewed the
+    bucket. None disables splitting (single group per bucket).
+
+    ``verify`` picks the verification physical shape — both emit the
+    SAME pairs:
+      * "group" (default): per-bucket GEMM via applyInPandas. Wins when
+        buckets are FAT (small r): one matrix multiply replaces ~b^2/2
+        per-pair dots and vectors never ship per-candidate.
+      * "pairs": narrow (key, bucket) self-join -> distinct candidate
+        pairs -> JVM zip_with dot per pair. Wins when buckets are TINY
+        (r >= ~10): with mostly-singleton buckets the group path pays
+        per-group Arrow/pandas overhead for groups that cannot emit a
+        pair, while candidate volume ~B*N^2/2^r is already sub-
+        quadratic, so per-pair verification is cheap and stays fully
+        JVM-side.
     """
     import numpy as np
     import pandas as pd
@@ -561,20 +636,116 @@ def _banded_embedding_near_dups(
     _buckets_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     _buckets = F.pandas_udf(_buckets_fn, "array<string>")
 
+    if verify == "pairs":
+        from ..functions import vectors as V
+
+        # base feeds the (narrow) band explode AND the two vector-side
+        # verification joins — persist so the scan+cast runs once
+        base = base.persist()
+        narrow = base.select("k", F.explode(_buckets("v")).alias("bucket"))
+        cand = (
+            narrow.select(F.col("k").alias("key_a"), "bucket")
+            .join(narrow.select(F.col("k").alias("key_b"), "bucket"), "bucket")
+            .where(F.col("key_a") < F.col("key_b"))
+            .select("key_a", "key_b")
+            .dropDuplicates(["key_a", "key_b"])
+        )
+        vecs = base.select("k", "v", V.norm(F.col("v")).alias("nrm"))
+        joined = cand.join(
+            vecs.select(
+                F.col("k").alias("key_a"),
+                F.col("v").alias("v_a"),
+                F.col("nrm").alias("n_a"),
+            ),
+            "key_a",
+        ).join(
+            vecs.select(
+                F.col("k").alias("key_b"),
+                F.col("v").alias("v_b"),
+                F.col("nrm").alias("n_b"),
+            ),
+            "key_b",
+        )
+        dot = F.aggregate(
+            F.zip_with("v_a", "v_b", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = (
+            joined.withColumn(
+                "cosine", F.round(dot / (F.col("n_a") * F.col("n_b")), 6)
+            )
+            .where(F.col("cosine") >= threshold)
+            .select("key_a", "key_b", "cosine")
+        )
+        return _with_cached_deps(out, base)
+
     banded = base.select("k", "v", F.explode(_buckets("v")).alias("bucket"))
 
-    # Verify INSIDE each bucket group: one (n_b x n_b) GEMM per bucket
+    if chunk_cap is not None:
+        # Hot-bucket split: count band-bucket occupancy (narrow rows —
+        # just the bucket string rides this shuffle), broadcast the
+        # tiny size table back (#buckets <= B * 2^r rows), and explode
+        # each row to its chunk-pair groups. K = 1 for every bucket
+        # under the cap, so the non-skewed path has replication factor
+        # exactly 1. The size pass re-derives buckets from base rather
+        # than persisting the exploded (key, vector, bucket) frame:
+        # the bucket GEMM is cheap to run twice, while caching N*B
+        # vector rows costs a materialization barrier locally and TBs
+        # of cache at scale (measured 1.38 s -> 1.15 s at sf0.1).
+        sizes = (
+            banded.select("bucket")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+        )
+        k_col = F.ceil(F.col("__bn") / F.lit(chunk_cap)).cast("int")
+        grouped = (
+            banded.join(F.broadcast(sizes), "bucket")
+            .withColumn("__ci", F.pmod(F.xxhash64("k"), k_col).cast("int"))
+            .select(
+                "k",
+                "v",
+                "bucket",
+                "__ci",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), k_col - 1),
+                        lambda j: F.struct(
+                            F.least(F.col("__ci"), j).alias("i"),
+                            F.greatest(F.col("__ci"), j).alias("j"),
+                        ),
+                    )
+                ).alias("__g"),
+            )
+            .select(
+                "k",
+                "v",
+                "bucket",
+                "__ci",
+                F.col("__g.i").alias("__gi"),
+                F.col("__g.j").alias("__gj"),
+            )
+        )
+    else:
+        grouped = banded.select(
+            "k",
+            "v",
+            "bucket",
+            F.lit(0).alias("__ci"),
+            F.lit(0).alias("__gi"),
+            F.lit(0).alias("__gj"),
+        )
+
+    # Verify INSIDE each (bucket, chunk-pair) group: one GEMM per group
     # emits only the pairs that clear the threshold, so each vector
-    # ships once per band (N*B rows of dim doubles) instead of once per
-    # CANDIDATE PAIR (B*N^2/2^r rows of 2*dim doubles) — the pair-join
-    # formulation moved ~100x more bytes and needed a large
-    # dropDuplicates BEFORE verification; here the cross-band dedup
-    # runs on the tiny surviving pair set. Asymptotics are unchanged
-    # (in-bucket work is quadratic either way — r tunes occupancy);
-    # memory: one bucket's vectors materialize per task, the same
-    # group-local caveat as pack_sequences, with bucket width r as the
-    # lever. np.round(...,6) absorbs GEMM-vs-sequential summation ulps
-    # (the brute-force path's oracle-match precedent since r1).
+    # ships once per band (times K on split buckets) instead of once
+    # per CANDIDATE PAIR — the pair-join formulation moved ~100x more
+    # bytes and needed a large dropDuplicates BEFORE verification; here
+    # the cross-band dedup runs on the tiny surviving pair set. A pair
+    # is scored only in the group matching its own (sorted) chunk pair,
+    # so split buckets emit each pair exactly once. np.round(...,6)
+    # absorbs GEMM-vs-sequential summation ulps (the brute-force path's
+    # oracle-match precedent since r1).
     def _bucket_pairs(pdf):
         n = len(pdf)
         if n < 2:
@@ -582,15 +753,23 @@ def _banded_embedding_near_dups(
                 {"key_a": "int64", "key_b": "int64", "cosine": "float64"}
             )
         keys = pdf["k"].to_numpy(dtype=np.int64)
+        ci = pdf["__ci"].to_numpy(dtype=np.int64)
+        gi = int(pdf["__gi"].iloc[0])
+        gj = int(pdf["__gj"].iloc[0])
         M = np.array(list(pdf["v"]), dtype=np.float64)
         norms = np.sqrt((M * M).sum(axis=1))
         sims = np.round((M @ M.T) / np.outer(norms, norms), 6)
-        ia, ib = np.nonzero((sims >= threshold) & (keys[:, None] < keys[None, :]))
+        own_group = (np.minimum(ci[:, None], ci[None, :]) == gi) & (
+            np.maximum(ci[:, None], ci[None, :]) == gj
+        )
+        ia, ib = np.nonzero(
+            (sims >= threshold) & (keys[:, None] < keys[None, :]) & own_group
+        )
         return pd.DataFrame(
             {"key_a": keys[ia], "key_b": keys[ib], "cosine": sims[ia, ib]}
         )
 
-    pairs = banded.groupBy("bucket").applyInPandas(
+    pairs = grouped.groupBy("bucket", "__gi", "__gj").applyInPandas(
         _bucket_pairs, "key_a long, key_b long, cosine double"
     )
     return pairs.dropDuplicates(["key_a", "key_b"])
@@ -606,6 +785,8 @@ def embedding_near_dups(
     plane_bands: list[list[list[float]]] | None = None,
     allow_driver_gather: bool = False,
     max_gather_rows: int = 2_000_000,
+    chunk_cap: int | None = 32768,
+    verify: str = "group",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (key_a, key_b, cosine)
     with cosine >= threshold.
@@ -629,7 +810,13 @@ def embedding_near_dups(
 
     if plane_bands is not None:
         return _banded_embedding_near_dups(
-            df, vec_col, key_col, threshold, plane_bands
+            df,
+            vec_col,
+            key_col,
+            threshold,
+            plane_bands,
+            chunk_cap=chunk_cap,
+            verify=verify,
         )
 
     if planes is not None and block_col is None:
@@ -792,7 +979,9 @@ def winnow_overlap_pairs(
     rows; fingerprints present in more than ``max_df_prune`` docs are
     pruned before the join (the q18 stop-gram skew guard — ubiquitous
     boilerplate minima would otherwise form quadratic hot buckets),
-    and the pair aggregation is one shuffle on the pair key.
+    and the pair aggregation is one shuffle on the pair key.  The
+    fingerprint frame is persisted (df-prune and self-join both read
+    it); call :func:`release` on the result when done with it.
     """
     fps = winnow_fingerprints(
         df, content_col, key_col, ngram_n, window, seed
@@ -804,7 +993,7 @@ def winnow_overlap_pairs(
         .select("fingerprint")
     )
     pruned = fps.join(rare, "fingerprint")
-    return (
+    out = (
         pruned.alias("a")
         .join(pruned.alias("b"), "fingerprint")
         .where(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
@@ -815,6 +1004,7 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+    return _with_cached_deps(out, fps)
 
 
 def ngram_contamination(

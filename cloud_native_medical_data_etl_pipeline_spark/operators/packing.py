@@ -30,6 +30,7 @@ def pack_sequences(
     key_col: str = "doc_id",
     budget: int = 2048,
     num_groups: int | None = None,
+    approx_docs: int | None = None,
     docs_per_group: int = 4096,
 ) -> DataFrame:
     """Assign each document a ``pack_id`` such that the sum of
@@ -38,11 +39,21 @@ def pack_sequences(
     Documents longer than the budget get a singleton pack (the caller
     decides whether to truncate or drop them). Returns
     (key_col, token_col, pack_id string, pack_tokens long).
+
+    Group sizing: pass ``num_groups`` directly, or ``approx_docs`` (a
+    corpus-size hint, e.g. from catalog stats) to target
+    ``docs_per_group`` docs per group. With neither, groups default to
+    one per executor slot — NO driver-side count() job runs (an exact
+    count would cost one extra pass over the corpus just to pick a
+    parallelism number; packing quality only needs groups of at least a
+    few thousand docs, which any of these choices give on a real corpus).
     """
     spark = df.sparkSession
     if num_groups is None:
-        n_docs = df.count()
-        num_groups = max(1, n_docs // docs_per_group)
+        if approx_docs is not None:
+            num_groups = max(1, approx_docs // docs_per_group)
+        else:
+            num_groups = max(1, spark.sparkContext.defaultParallelism)
 
     schema = T.StructType(
         [

@@ -58,3 +58,22 @@ def test_components_on_real_minhash_pairs(spark):
     for comp, members in by_comp.items():
         assert comp == min(members)
         assert comp in members
+
+
+def test_path_graph_converges_logarithmically(spark):
+    """The long-chain worst case: a 1024-node path graph has diameter
+    1023, so neighbor propagation alone would need 1023 rounds (and
+    would silently return WRONG labels under max_iter=50). Pointer
+    jumping must converge in O(log n) rounds with the correct
+    all-reach-the-minimum labels."""
+    import math
+
+    n = 1024
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "key_a long, key_b long"
+    )
+    stats: dict = {}
+    rows = C.connected_components(pairs, stats=stats).collect()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)
+    assert stats["rounds"] <= 2 * int(math.log2(n)) + 4, stats

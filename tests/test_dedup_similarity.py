@@ -377,3 +377,59 @@ def test_winnow_overlap_detects_partial_overlap(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert not any(3 in p for p in pairs)
+
+
+def _n_cached(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_release_unpersists_operator_caches(spark):
+    """Caller-unpersists contract: every pair generator that persists an
+    intermediate frame records it on the result, and dedup.release()
+    returns the session to its baseline cached-RDD count — no cache
+    leaks into a long-lived pipeline."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators import curate as CU
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(200)
+        .select("doc_id", "text")
+    )
+    base = _n_cached(spark)
+    for make in (
+        lambda: dedup.minhash_lsh_pairs(docs),
+        lambda: dedup.ngram_jaccard_pairs(docs),
+        lambda: dedup.simhash_pairs(docs),
+        lambda: dedup.winnow_overlap_pairs(docs),
+        lambda: CU.curate(docs),
+    ):
+        out = make()
+        out.count()  # materialize: the caches are live at this point
+        dedup.release(out)
+        assert _n_cached(spark) == base, make
+        dedup.release(out)  # idempotent
+        assert _n_cached(spark) == base
+
+
+def test_banded_chunk_split_and_pair_verify_equivalence(spark):
+    """Hot-bucket chunking and the pairs-verify mode are physical
+    re-shapes only: a tiny chunk_cap (forces K>1 in every bucket) and
+    verify='pairs' must both emit exactly the unsplit group-GEMM pair
+    set."""
+    import __spark_entry__ as entry_mod
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def run(**kw):
+        out = dedup.embedding_near_dups(
+            emb, threshold=0.4, plane_bands=entry_mod._HP_BANDS, **kw
+        )
+        rows = sorted(map(tuple, out.collect()))
+        dedup.release(out)
+        return rows
+
+    baseline = run(chunk_cap=None)
+    assert len(baseline) > 0
+    assert run(chunk_cap=8) == baseline      # every bucket splits
+    assert run() == baseline                 # default cap, K=1 path
+    assert run(verify="pairs") == baseline   # JVM per-pair verification
