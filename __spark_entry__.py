@@ -682,6 +682,15 @@ LIMIT 10
 # banding with the SAME float64 plane literals, so it verifies
 # Spark<->SQL CONSISTENCY of the approximation hash-exactly; recall
 # vs exact is measured separately (tests/test_dedup_similarity.py).
+#
+# SCALE ROUTING (r4): threshold 0.4 is intrinsically near-quadratic
+# for ANY LSH family (rho~0.67) — at 100 TB, low-threshold similarity
+# search belongs on IVF (similarity.ivf_topk / q23); this banded
+# instance exercises the fat-bucket GEMM path, whose per-task memory
+# is now BOUNDED by the operator's chunk_cap hot-bucket split
+# (default 32768 vectors/task), so a skewed bucket can no longer
+# exceed executor memory.  The sub-quadratic banded regime (r=12,
+# threshold 0.9) is demonstrated hash-exactly by q20b below.
 # ---------------------------------------------------------------------------
 _COS_THRESH = 0.4
 _EMB_DIM = 64
@@ -708,7 +717,14 @@ def q20_embedding_near_dups(spark, sf_dir):
     )
 
 
-def _emb_sql() -> str:
+_EMB_CORPUS_CTE = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+
+
+def _emb_sql_for(plane_bands, threshold: float, corpus_cte: str) -> str:
+    """Banded sign-LSH oracle, parameterized over the plane bands, the
+    cosine threshold, and the corpus CTE (q20 runs on the raw
+    embeddings table, q20b on the perturbed-union corpus)."""
+
     def bucket_terms(planes) -> str:
         return "\n         + ".join(
             f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) >= 0"
@@ -718,11 +734,11 @@ def _emb_sql() -> str:
 
     band_elems = ",\n       ".join(
         f"'{b}#' || CAST({bucket_terms(planes)} AS VARCHAR)"
-        for b, planes in enumerate(_HP_BANDS)
+        for b, planes in enumerate(plane_bands)
     )
     return f"""
 WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  {corpus_cte}
 ),
 banded AS (
   SELECT vec_id, unnest([{band_elems}]) AS bucket
@@ -737,8 +753,74 @@ SELECT key_a, key_b,
 FROM cand
 JOIN e ea ON ea.vec_id = cand.key_a
 JOIN e eb ON eb.vec_id = cand.key_b
-WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= {_COS_THRESH}
+WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
 """
+
+
+def _emb_sql() -> str:
+    return _emb_sql_for(_HP_BANDS, _COS_THRESH, _EMB_CORPUS_CTE)
+
+
+# ---------------------------------------------------------------------------
+# q20b — the SUB-QUADRATIC banded regime (r3 verdict ask #2): at high
+# thresholds sign-LSH genuinely prunes, so this instance runs 16 OR-ed
+# bands of r=12 planes (4096 bucket values per band — occupancy
+# ~N/4096, vs q20's 16).  The raw corpus has no pairs above cosine
+# 0.52, so the query plants them: each vector is unioned with a
+# deterministically perturbed copy (first coordinate + 0.2, exact
+# double arithmetic both engines), giving one ~0.99-cosine true pair
+# per vector for the banding to recover.  Recall at cosine 0.9 with
+# (r=12, B=16): per-plane agreement p = 1 - acos(0.9)/pi = 0.856,
+# band hit p^12 = 0.155, miss-all (1-0.155)^16 = 0.067 — and the
+# planted pairs sit at ~0.999 where recall is ~1-1e-16.
+# ---------------------------------------------------------------------------
+_COS_HI = 0.9
+_HP_R_HI, _HP_B_HI = 12, 16
+_HP_BANDS_HI = [
+    S.deterministic_hyperplanes(_EMB_DIM, n_planes=_HP_R_HI, seed=300 + b)
+    for b in range(_HP_B_HI)
+]
+_PERT_OFFSET = 1_000_000
+
+
+def q20b_embedding_near_dups_hi(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    actual_dim = emb.select(F.size("embedding")).first()[0]
+    if actual_dim != _EMB_DIM:
+        raise ValueError(
+            f"embeddings dim drifted to {actual_dim} (expected {_EMB_DIM}); "
+            "regenerate _HP_BANDS_HI with the new dim"
+        )
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), vd.alias("v"))
+    pert = base.select(
+        (F.col("vec_id") + _PERT_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.col("v")[0] + F.lit(0.2)), F.slice("v", 2, _EMB_DIM)
+        ).alias("v"),
+    )
+    # verify="pairs": at r=12 the band buckets are mostly singletons,
+    # so candidate volume is already sub-quadratic and per-pair JVM
+    # verification beats paying Arrow per-group overhead on thousands
+    # of one-vector groups (see _banded_embedding_near_dups docstring)
+    return D.embedding_near_dups(
+        base.unionByName(pert),
+        vec_col="v",
+        key_col="vec_id",
+        threshold=_COS_HI,
+        plane_bands=_HP_BANDS_HI,
+        verify="pairs",
+    )
+
+
+def _emb_hi_sql() -> str:
+    corpus = (
+        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings\n"
+        f"  UNION ALL\n"
+        f"  SELECT vec_id + {_PERT_OFFSET}, list_concat([v[1] + 0.2], v[2:])\n"
+        "  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    )
+    return _emb_sql_for(_HP_BANDS_HI, _COS_HI, corpus)
 
 
 # ---------------------------------------------------------------------------
@@ -2397,6 +2479,111 @@ def q64_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q63b/q64b — hash-exact INVARIANT companions for the two rows-only
+# queries (r3 verdict ask #3).  Packing's pack_id assignment and the
+# profiler's sketch estimates genuinely have no SQL oracle, but their
+# CORRECTNESS PROPERTIES do: q63b aggregates the q63 packing output
+# into oracle-computable conservation laws (every doc packed exactly
+# once, total tokens conserved, no multi-doc pack over budget,
+# pack_tokens consistent within and across a pack), and q64b projects
+# the profiler onto its exact columns (count/null-count/min/max),
+# leaving only the sketch estimates to the rows-only check.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 2048
+
+
+def q63b_pack_invariants(spark, sf_dir):
+    """Conservation-law aggregate over the EXACT q63 packing instance.
+    The oracle recomputes total_docs/total_tokens directly from the
+    corpus and pins the violation counters at zero — so a packing bug
+    (lost doc, token drift, over-budget multi-doc bin, inconsistent
+    pack_tokens) breaks the hash even though bin membership itself is
+    implementation-defined."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.token_count("text").alias("n_tokens"))
+    packed = pack_sequences(toks, budget=_PACK_BUDGET, num_groups=4)
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tok_sum"),
+        F.min("pack_tokens").alias("pt_min"),
+        F.max("pack_tokens").alias("pt_max"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return per_pack.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.sum("tok_sum").alias("total_tokens"),
+        F.sum(
+            F.when(
+                (F.col("tok_sum") > _PACK_BUDGET) & (F.col("n_docs") > 1), 1
+            ).otherwise(0)
+        ).alias("over_budget_multi"),
+        F.sum(
+            F.when(
+                (F.col("pt_min") != F.col("pt_max"))
+                | (F.col("tok_sum") != F.col("pt_max")),
+                1,
+            ).otherwise(0)
+        ).alias("pack_tokens_mismatch"),
+    )
+
+
+Q63B_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') = ''
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(string_split_regex(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT)
+         END AS n_tokens
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(0 AS BIGINT) AS over_budget_multi,
+       CAST(0 AS BIGINT) AS pack_tokens_mismatch
+FROM toks
+"""
+
+
+def q64b_profile_exact(spark, sf_dir):
+    """The profiler's EXACT columns (n_rows, n_nulls, min, max) on the
+    documents table, hash-checked against DuckDB; the sketch columns
+    (approx_distinct, p25/p50/p75) stay under q64's rows-only check."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.profile import (
+        approx_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return approx_profile(docs).select(
+        "column", "n_rows", "n_nulls", "min", "max"
+    )
+
+
+def _profile_exact_sql() -> str:
+    # documents schema: doc_id/n_chars numeric, text/lang/source varchar
+    def one(col: str, numeric: bool) -> str:
+        mn = f"CAST(MIN({col}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(MAX({col}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        return (
+            f"SELECT '{col}' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,"
+            f" {mn} AS \"min\", {mx} AS \"max\" FROM documents"
+        )
+
+    cols = [
+        ("doc_id", True),
+        ("text", False),
+        ("lang", False),
+        ("source", False),
+        ("n_chars", True),
+    ]
+    return "\nUNION ALL\n".join(one(c, num) for c, num in cols)
+
+
+# ---------------------------------------------------------------------------
 # q65 — document chunking: fixed token windows with stride (pretraining
 # prep between curation and packing).  Pure JVM expression work — one
 # posexplode, no shuffle; row expansion ceil(n_tokens/stride) per doc.
@@ -2663,80 +2850,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROTATION CONTRACT (see SURVEY.md §8): the driver records rows for
-    # exactly the first 50 registered queries per round, and the
-    # registry now holds 64.  Each round's first-50 window is chosen so
+    # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
+    # for exactly the first 50 registered queries per round; the
+    # registry now holds 73.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
-    # Round 3 window: the 8 queries r2 rotated out (q12, q43-q48, q50 —
-    # all r1-green), q30 (r2's one red row, oracle cast fixed), and the
-    # 11 new/promoted extension queries (q59-q69).  Displaced to the
-    # tail — ALL hash-green in CORRECTNESS_r02.json — are:
-    #   q01 q03 q04 q05 q06 q09 q10 q11 q13 q14 q15 q16 q21 q26 q33
-    #   q34 q42 q51 q52
-    # Round 4 should rotate that tail back in (displacing e.g.
-    # q02, q07/q08, q17-q19, q35/q36/q38-q40, q53-q56) so every query
-    # has a row in the two most recent rounds.  Ledger: SURVEY.md §8.3.
+    # Round 4 window, in priority order:
+    #   * the 19 queries r3 parked in the tail (q01, q03-q06, q09-q11,
+    #     q13-q16, q21, q26, q33, q34, q42, q51, q52 — all r2-green,
+    #     now due a fresh row);
+    #   * q70 (registered r3 at slot 70 — first-ever driver row);
+    #   * the three NEW r4 queries: q20b (sub-quadratic banded LSH),
+    #     q63b/q64b (invariant-aggregate oracles for the two rows-only
+    #     queries);
+    #   * every query whose KERNEL changed this round and therefore
+    #     needs re-evidence: q20 (hot-bucket chunk split), q22
+    #     (independent simhash second hash), q59 (pinned whitespace
+    #     class), q32 (escaped percentile refs), q57 (pointer-jumping
+    #     connected components);
+    #   * 23 r3-green keeps.
+    # Displaced to the tail — ALL hash-green in CORRECTNESS_r03.json,
+    # kernels untouched this round: q02, q07, q08, q12, q17, q18, q19,
+    # q23, q24, q25, q27, q28, q29, q30, q31, q35, q36, q43, q44, q45,
+    # q46, plus rows-only q63/q64 (their correctness signal now lives
+    # in q63b/q64b's hash rows).  Ledger: SURVEY.md §8.3.
     return {
-        "q02_containment_enrich": q02_containment_enrich,
-        "q07_quality_metrics": q07_quality_metrics,
-        "q08_duplicate_rows": q08_duplicate_rows,
-        "q12_topk_orders": q12_topk_orders,
-        "q17_minhash_near_dups": q17_minhash_near_dups,
-        "q18_ngram_jaccard": q18_ngram_jaccard,
-        "q19_cosine_topk": q19_cosine_topk,
-        "q20_embedding_near_dups": q20_embedding_near_dups,
-        "q22_simhash_pairs": q22_simhash_pairs,
-        "q23_ivf_topk": q23_ivf_topk,
-        "q24_multimodal_features": q24_multimodal_features,
-        "q25_streaming_hourly": q25_streaming_hourly,
-        "q27_top_revenue": q27_top_revenue,
-        "q28_rollup_revenue": q28_rollup_revenue,
-        "q29_asof_attribution": q29_asof_attribution,
-        "q30_session_stats": q30_session_stats,
-        "q31_curated_corpus": q31_curated_corpus,
-        "q32_percentiles": q32_percentiles,
-        "q35_cube_flags": q35_cube_flags,
-        "q36_big_spenders": q36_big_spenders,
-        "q37_event_followups": q37_event_followups,
-        "q38_above_avg_orders": q38_above_avg_orders,
-        "q39_rolling_revenue": q39_rolling_revenue,
-        "q40_sliding_windows": q40_sliding_windows,
-        "q41_streaming_dedup": q41_streaming_dedup,
-        "q43_hash_split": q43_hash_split,
-        "q44_customer_roster": q44_customer_roster,
-        "q45_token_topk": q45_token_topk,
-        "q46_segment_set_ops": q46_segment_set_ops,
-        "q47_regional_supplier_volume": q47_regional_supplier_volume,
-        "q48_order_line_arrays": q48_order_line_arrays,
-        "q49_union_by_name": q49_union_by_name,
-        "q50_top_orders_per_priority": q50_top_orders_per_priority,
-        "q53_grouping_sets": q53_grouping_sets,
-        "q54_sql_surface": q54_sql_surface,
-        "q55_streaming_sessions": q55_streaming_sessions,
-        "q56_stratified_sample": q56_stratified_sample,
-        "q57_dedup_clusters": q57_dedup_clusters,
-        "q58_segment_spend_tiers": q58_segment_spend_tiers,
-        "q59_redact_pii": q59_redact_pii,
-        "q60_contamination": q60_contamination,
-        "q61_cap_per_group": q61_cap_per_group,
-        "q62_resample_fill": q62_resample_fill,
-        "q63_pack_sequences": q63_pack_sequences,
-        "q64_profile": q64_profile,
-        "q65_chunk_documents": q65_chunk_documents,
-        "q66_unigram_quality": q66_unigram_quality,
-        "q67_mix_corpora": q67_mix_corpora,
-        "q68_repetition": q68_repetition,
-        "q69_winnow_fingerprints": q69_winnow_fingerprints,
-        # --- tail (positions 51+, not recorded this round; every entry
-        # below is hash-green in CORRECTNESS_r02.json) ---
+        # --- r3 tail rotated back in (19) ---
         "q01_pricing_summary": q01_pricing_summary,
-        "q06_latest_event_per_user": q06_latest_event_per_user,
-        "q51_event_navigation": q51_event_navigation,
-        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
         "q03_exact_dedup": q03_exact_dedup,
         "q04_size_binning": q04_size_binning,
         "q05_phase_ladder": q05_phase_ladder,
+        "q06_latest_event_per_user": q06_latest_event_per_user,
         "q09_severity_weighted": q09_severity_weighted,
         "q10_ship_delay": q10_ship_delay,
         "q11_normalize_project": q11_normalize_project,
@@ -2749,7 +2893,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_pivot_activity": q33_pivot_activity,
         "q34_daily_active_users": q34_daily_active_users,
         "q42_json_props": q42_json_props,
+        "q51_event_navigation": q51_event_navigation,
+        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
+        # --- first-ever driver row (1) ---
         "q70_winnow_overlap": q70_winnow_overlap,
+        # --- new r4 queries (3) ---
+        "q20b_embedding_near_dups_hi": q20b_embedding_near_dups_hi,
+        "q63b_pack_invariants": q63b_pack_invariants,
+        "q64b_profile_exact": q64b_profile_exact,
+        # --- kernels changed in r4, need fresh evidence (5) ---
+        "q20_embedding_near_dups": q20_embedding_near_dups,
+        "q22_simhash_pairs": q22_simhash_pairs,
+        "q32_percentiles": q32_percentiles,
+        "q57_dedup_clusters": q57_dedup_clusters,
+        "q59_redact_pii": q59_redact_pii,
+        # --- r3-green keeps (22) ---
+        "q37_event_followups": q37_event_followups,
+        "q38_above_avg_orders": q38_above_avg_orders,
+        "q39_rolling_revenue": q39_rolling_revenue,
+        "q40_sliding_windows": q40_sliding_windows,
+        "q41_streaming_dedup": q41_streaming_dedup,
+        "q47_regional_supplier_volume": q47_regional_supplier_volume,
+        "q48_order_line_arrays": q48_order_line_arrays,
+        "q49_union_by_name": q49_union_by_name,
+        "q50_top_orders_per_priority": q50_top_orders_per_priority,
+        "q53_grouping_sets": q53_grouping_sets,
+        "q54_sql_surface": q54_sql_surface,
+        "q55_streaming_sessions": q55_streaming_sessions,
+        "q56_stratified_sample": q56_stratified_sample,
+        "q58_segment_spend_tiers": q58_segment_spend_tiers,
+        "q60_contamination": q60_contamination,
+        "q61_cap_per_group": q61_cap_per_group,
+        "q62_resample_fill": q62_resample_fill,
+        "q65_chunk_documents": q65_chunk_documents,
+        "q66_unigram_quality": q66_unigram_quality,
+        "q67_mix_corpora": q67_mix_corpora,
+        "q68_repetition": q68_repetition,
+        "q69_winnow_fingerprints": q69_winnow_fingerprints,
+        # --- tail (positions 51+, not recorded this round; every entry
+        # below is hash-green in CORRECTNESS_r03.json with an unchanged
+        # kernel, except q63/q64 whose correctness signal is q63b/q64b)
+        "q02_containment_enrich": q02_containment_enrich,
+        "q07_quality_metrics": q07_quality_metrics,
+        "q08_duplicate_rows": q08_duplicate_rows,
+        "q12_topk_orders": q12_topk_orders,
+        "q17_minhash_near_dups": q17_minhash_near_dups,
+        "q18_ngram_jaccard": q18_ngram_jaccard,
+        "q19_cosine_topk": q19_cosine_topk,
+        "q23_ivf_topk": q23_ivf_topk,
+        "q24_multimodal_features": q24_multimodal_features,
+        "q25_streaming_hourly": q25_streaming_hourly,
+        "q27_top_revenue": q27_top_revenue,
+        "q28_rollup_revenue": q28_rollup_revenue,
+        "q29_asof_attribution": q29_asof_attribution,
+        "q30_session_stats": q30_session_stats,
+        "q31_curated_corpus": q31_curated_corpus,
+        "q35_cube_flags": q35_cube_flags,
+        "q36_big_spenders": q36_big_spenders,
+        "q43_hash_split": q43_hash_split,
+        "q44_customer_roster": q44_customer_roster,
+        "q45_token_topk": q45_token_topk,
+        "q46_segment_set_ops": q46_segment_set_ops,
+        "q63_pack_sequences": q63_pack_sequences,
+        "q64_profile": q64_profile,
     }
 
 
@@ -2775,6 +2981,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_ngram_jaccard": Q18_SQL,
         "q19_cosine_topk": Q19_SQL,
         "q20_embedding_near_dups": _emb_sql(),
+        "q20b_embedding_near_dups_hi": _emb_hi_sql(),
         "q21_age_bins": Q21_SQL,
         "q22_simhash_pairs": _simhash_sql(),
         "q23_ivf_topk": Q23_SQL,
@@ -2823,7 +3030,11 @@ def oracle_sql() -> dict[str, str]:
         "q68_repetition": _rep_sql(),
         "q69_winnow_fingerprints": _winnow_sql(),
         "q70_winnow_overlap": _winnow_overlap_sql(),
+        "q63b_pack_invariants": Q63B_SQL,
+        "q64b_profile_exact": _profile_exact_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
-        # oracle) — the driver records its weaker rows-only check.
+        # oracle) — their correctness PROPERTIES are hash-checked by
+        # the q63b/q64b invariant companions above; the driver records
+        # the weaker rows-only check for the raw outputs.
     }
