@@ -2843,6 +2843,132 @@ HAVING COUNT(*) >= {_WO_MIN_SHARED}
 """
 
 
+# ---------------------------------------------------------------------------
+# q71 — BM25 relevance top-k (operators/ranking.py): map-side term
+# frequencies (no posting-list explode), ONE single-row corpus-stats
+# aggregate broadcast back, arithmetic scoring, TakeOrdered top-k.
+# tf/dl/df are integer-valued doubles so the cross-partition aggregate
+# is order-exact; ln() ulps are absorbed by round-6 and ordering uses
+# the ROUNDED score, so the k-boundary is engine-stable.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["spark", "query", "join", "stream"]
+_BM25_K, _BM25_K1, _BM25_B = 20, 1.2, 0.75
+
+
+def q71_bm25_topk(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.ranking import (
+        bm25_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
+def _bm25_sql() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(tk, t -> t = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = "\n         + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * tf{i} * {k1 + 1.0} / (tf{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(
+                     regexp_replace(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')
+         END AS tk
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+         {tf_cols}
+  FROM toks
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+         {df_cols}
+  FROM per_doc
+)
+SELECT doc_id,
+       ROUND({score}, 6) AS bm25
+FROM per_doc, stats
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {_BM25_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q72 — semantic dedup composite (operators/semdedup.py): q23's
+# deterministic centroid/argmax cell assignment -> in-cell exact
+# near-dup pairs -> q57's connected components -> keep-min-per-cluster
+# anti join.  Every ingredient already has an exact oracle form; the
+# composite chains them in one recursive-CTE statement.
+# ---------------------------------------------------------------------------
+_SD_THRESH, _SD_CELLS = 0.4, 16
+
+
+def q72_semantic_dedup(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.semdedup import (
+        semantic_dedup_keep,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_keep(
+        emb, threshold=_SD_THRESH, num_cells=_SD_CELLS
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    return f"""
+WITH RECURSIVE
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT {_SD_CELLS})
+),
+assigned AS (
+  SELECT vec_id, emb, cell_id FROM (
+    SELECT e.vec_id, e.emb, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC, c.cell_id ASC
+           ) AS rn
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) e
+    CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS key_a, b.vec_id AS key_b
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= {_SD_THRESH}
+),
+edges AS (
+  SELECT key_a AS a, key_b AS b FROM pairs
+  UNION
+  SELECT key_b AS a, key_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS v, a AS label FROM edges
+  UNION
+  SELECT e.a AS v, r.label FROM edges e JOIN reach r ON r.v = e.b
+),
+cc AS (SELECT v, MIN(label) AS component FROM reach GROUP BY v)
+SELECT vec_id FROM embeddings
+ANTI JOIN (SELECT v AS vec_id FROM cc WHERE v <> component) USING (vec_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -2860,20 +2986,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     q13-q16, q21, q26, q33, q34, q42, q51, q52 — all r2-green,
     #     now due a fresh row);
     #   * q70 (registered r3 at slot 70 — first-ever driver row);
-    #   * the three NEW r4 queries: q20b (sub-quadratic banded LSH),
+    #   * the five NEW r4 queries: q20b (sub-quadratic banded LSH),
     #     q63b/q64b (invariant-aggregate oracles for the two rows-only
-    #     queries);
+    #     queries), q71 (BM25 ranking), q72 (semantic dedup composite);
     #   * every query whose KERNEL changed this round and therefore
     #     needs re-evidence: q20 (hot-bucket chunk split), q22
     #     (independent simhash second hash), q59 (pinned whitespace
     #     class), q32 (escaped percentile refs), q57 (pointer-jumping
     #     connected components);
-    #   * 23 r3-green keeps.
+    #   * 20 r3-green keeps.
     # Displaced to the tail — ALL hash-green in CORRECTNESS_r03.json,
     # kernels untouched this round: q02, q07, q08, q12, q17, q18, q19,
     # q23, q24, q25, q27, q28, q29, q30, q31, q35, q36, q43, q44, q45,
-    # q46, plus rows-only q63/q64 (their correctness signal now lives
-    # in q63b/q64b's hash rows).  Ledger: SURVEY.md §8.3.
+    # q46, q68, q69, plus rows-only q63/q64 (their correctness signal
+    # now lives in q63b/q64b's hash rows).  Ledger: SURVEY.md §8.3.
     return {
         # --- r3 tail rotated back in (19) ---
         "q01_pricing_summary": q01_pricing_summary,
@@ -2897,10 +3023,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
         # --- first-ever driver row (1) ---
         "q70_winnow_overlap": q70_winnow_overlap,
-        # --- new r4 queries (3) ---
+        # --- new r4 queries (5) ---
         "q20b_embedding_near_dups_hi": q20b_embedding_near_dups_hi,
         "q63b_pack_invariants": q63b_pack_invariants,
         "q64b_profile_exact": q64b_profile_exact,
+        "q71_bm25_topk": q71_bm25_topk,
+        "q72_semantic_dedup": q72_semantic_dedup,
         # --- kernels changed in r4, need fresh evidence (5) ---
         "q20_embedding_near_dups": q20_embedding_near_dups,
         "q22_simhash_pairs": q22_simhash_pairs,
@@ -2928,11 +3056,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_chunk_documents": q65_chunk_documents,
         "q66_unigram_quality": q66_unigram_quality,
         "q67_mix_corpora": q67_mix_corpora,
-        "q68_repetition": q68_repetition,
-        "q69_winnow_fingerprints": q69_winnow_fingerprints,
         # --- tail (positions 51+, not recorded this round; every entry
         # below is hash-green in CORRECTNESS_r03.json with an unchanged
         # kernel, except q63/q64 whose correctness signal is q63b/q64b)
+        "q68_repetition": q68_repetition,
+        "q69_winnow_fingerprints": q69_winnow_fingerprints,
         "q02_containment_enrich": q02_containment_enrich,
         "q07_quality_metrics": q07_quality_metrics,
         "q08_duplicate_rows": q08_duplicate_rows,
@@ -3032,6 +3160,8 @@ def oracle_sql() -> dict[str, str]:
         "q70_winnow_overlap": _winnow_overlap_sql(),
         "q63b_pack_invariants": Q63B_SQL,
         "q64b_profile_exact": _profile_exact_sql(),
+        "q71_bm25_topk": _bm25_sql(),
+        "q72_semantic_dedup": _semantic_dedup_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

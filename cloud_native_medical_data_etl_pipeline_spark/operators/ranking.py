@@ -1,0 +1,106 @@
+"""BM25 relevance scoring over the documents table — the retrieval
+primitive an LLM data pipeline uses for quality-targeted selection
+(rank a crawl against a reference query / seed set) and for building
+retrieval eval sets.
+
+Scale shape (the whole point of the formulation):
+  * per-document term frequencies come from array expressions over the
+    tokenized text — for a query of m terms that is m `filter` counts
+    per row, entirely map-side, NO explode of the token stream and no
+    (doc, term) shuffle;
+  * the corpus statistics BM25 needs (N, avgdl, per-term document
+    frequencies) aggregate to ONE row, which joins back by broadcast —
+    a BroadcastNestedLoopJoin of a single row, not a shuffle;
+  * scoring is a fixed arithmetic expression per row, and top-k is
+    TakeOrdered (per-partition heap), never a global sort.
+So the plan is: one scan -> one 1-row aggregate -> map-side score ->
+heap top-k, unchanged at 100 TB. The classic inverted-index
+formulation (explode to (term, doc) postings) only wins when queries
+vastly outnumber corpus passes; for pipeline-style "score the whole
+corpus once" workloads the map-side form moves no data at all.
+
+Determinism / oracle notes: tf and dl are integer-valued doubles, so
+the one cross-partition aggregate (sums of integers + one division)
+is exact regardless of partition order; ln() may differ by an ulp
+between JVM and C libm, absorbed by round-to-6dp (the engine-parity
+budget every float query here carries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document BM25 score against a bag of query ``terms``.
+    Returns (key_col, bm25) for every document (score 0.0 when no term
+    matches).
+
+    idf uses the standard +1 smoothing, ln(1 + (N - df + 0.5)/(df + 0.5)),
+    so scores stay non-negative even for terms in most documents.
+    """
+    if not terms:
+        raise ValueError("bm25_scores: empty query term list")
+    toks = X.lower_tokens(content_col)
+
+    def tf_col(term: str):
+        # closure factory: F.filter lambdas must be one-arg, and the
+        # loop variable must bind per-term (repo gotcha — a two-arg
+        # lambda would receive (element, index))
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    per_doc = df.select(
+        F.col(key_col),
+        F.size(toks).cast("double").alias("__dl"),
+        *[tf_col(t).cast("double").alias(f"__tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("double")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"__df{i}") + F.lit(0.5))
+            / (F.col(f"__df{i}") + F.lit(0.5))
+        )
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+        )
+        score = score + idf * tf * F.lit(k1 + 1.0) / norm
+    return scored.select(F.col(key_col), F.round(score, round_dp).alias("bm25"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 — orderBy on the ROUNDED score with a
+    key tie-break, so the boundary of the k-set is engine-stable."""
+    scored = bm25_scores(df, terms, content_col, key_col, k1, b)
+    return scored.orderBy(
+        F.col("bm25").desc(), F.col(key_col).asc()
+    ).limit(k)

@@ -1,0 +1,79 @@
+"""Tests for BM25 ranking and the semantic-dedup composite."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_native_medical_data_etl_pipeline_spark.operators import ranking
+from cloud_native_medical_data_etl_pipeline_spark.operators.semdedup import (
+    semantic_dedup_keep,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    rows = [
+        (1, "spark query engines shuffle data"),          # both terms once
+        (2, "spark spark spark query query planning"),    # heavy tf
+        (3, "completely unrelated text about nothing"),   # no terms
+        (4, "query"),                                     # short doc, 1 term
+        (5, None),                                        # null text
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_scores_basic(spark):
+    out = {
+        r["doc_id"]: r["bm25"]
+        for r in ranking.bm25_scores(_docs(spark), ["spark", "query"]).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[3] == 0.0 and out[5] == 0.0
+    # more matching occurrences -> higher score (same idf, higher tf)
+    assert out[2] > out[1] > 0.0
+    # short doc with one term still positive
+    assert out[4] > 0.0
+
+
+def test_bm25_topk_order_and_determinism(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    top = ranking.bm25_topk(docs, ["spark", "query", "join"], k=10).collect()
+    assert len(top) == 10
+    scores = [r["bm25"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    again = ranking.bm25_topk(docs, ["spark", "query", "join"], k=10).collect()
+    assert [tuple(r) for r in top] == [tuple(r) for r in again]
+
+
+def test_bm25_empty_terms_raises(spark):
+    with pytest.raises(ValueError):
+        ranking.bm25_scores(_docs(spark), [])
+
+
+def test_semantic_dedup_drops_planted_dups(spark):
+    # 6 distinct-ish base vectors + exact copies of two of them; the
+    # copies (higher keys) must be dropped, originals + singletons kept
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(6)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(10, rows[0][1]), (11, rows[3][1])]  # exact dups of 0 and 3
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup_keep(
+            emb, threshold=0.95, num_cells=3
+        ).collect()
+    }
+    assert 10 not in kept and 11 not in kept
+    assert {0, 3}.issubset(kept)
+    assert kept | {10, 11} == {0, 1, 2, 3, 4, 5, 10, 11}
+
+
+def test_semantic_dedup_no_pairs_keeps_everything(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    # threshold above the corpus max cosine -> nothing dropped
+    kept = semantic_dedup_keep(emb, threshold=0.999, num_cells=4).count()
+    assert kept == n
