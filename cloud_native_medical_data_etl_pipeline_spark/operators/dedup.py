@@ -682,50 +682,82 @@ def _banded_embedding_near_dups(
 
     banded = base.select("k", "v", F.explode(_buckets("v")).alias("bucket"))
 
+    cached: list[DataFrame] = []
+    if chunk_cap is not None and df.count() <= chunk_cap:
+        # A bucket can never hold more rows than the corpus: when the
+        # WHOLE input fits under the cap, the memory bound holds
+        # trivially and the split machinery (cache + occupancy pass)
+        # would be pure overhead. The count is one cheap column-less
+        # scan job, paid only when chunk_cap is armed; at 100 TB the
+        # corpus exceeds any sane cap and this gate falls through.
+        chunk_cap = None
     if chunk_cap is not None:
-        # Hot-bucket split: count band-bucket occupancy (narrow rows —
-        # just the bucket string rides this shuffle), broadcast the
-        # tiny size table back (#buckets <= B * 2^r rows), and explode
-        # each row to its chunk-pair groups. K = 1 for every bucket
-        # under the cap, so the non-skewed path has replication factor
-        # exactly 1. The size pass re-derives buckets from base rather
-        # than persisting the exploded (key, vector, bucket) frame:
-        # the bucket GEMM is cheap to run twice, while caching N*B
-        # vector rows costs a materialization barrier locally and TBs
-        # of cache at scale (measured 1.38 s -> 1.15 s at sf0.1).
+        # Hot-bucket split: persist the exploded (key, vector, bucket)
+        # frame ONCE (MEMORY_AND_DISK — its byte volume is the same
+        # N*B vector rows the verify groupBy is about to shuffle, so
+        # the spillable cache costs one extra shuffle-sized write, not
+        # a new asymptotic term; recomputing instead would run the
+        # bucket GEMM stage twice, measured +0.9 s at sf0.1), count
+        # band-bucket occupancy from it, and check the max. The max is
+        # ONE scalar (bounded driver action, same class as the IVF
+        # centroid collect): when no bucket exceeds the cap — every
+        # non-adversarial corpus — the split machinery short-circuits
+        # to literal group columns with NO join and NO explode, so the
+        # unskewed path pays only the cache materialization.
+        from pyspark import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(banded)
         sizes = (
             banded.select("bucket")
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("__bn"))
         )
-        k_col = F.ceil(F.col("__bn") / F.lit(chunk_cap)).cast("int")
-        grouped = (
-            banded.join(F.broadcast(sizes), "bucket")
-            .withColumn("__ci", F.pmod(F.xxhash64("k"), k_col).cast("int"))
-            .select(
+        max_occ = sizes.agg(F.max("__bn")).first()[0]
+        if max_occ is not None and max_occ > chunk_cap:
+            # Broadcast the tiny size table back (#buckets <= B * 2^r
+            # rows) and explode each hot bucket's rows to its
+            # chunk-pair groups. K = 1 for every bucket under the cap,
+            # so only skewed buckets replicate.
+            k_col = F.ceil(F.col("__bn") / F.lit(chunk_cap)).cast("int")
+            grouped = (
+                banded.join(F.broadcast(sizes), "bucket")
+                .withColumn(
+                    "__ci", F.pmod(F.xxhash64("k"), k_col).cast("int")
+                )
+                .select(
+                    "k",
+                    "v",
+                    "bucket",
+                    "__ci",
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(0), k_col - 1),
+                            lambda j: F.struct(
+                                F.least(F.col("__ci"), j).alias("i"),
+                                F.greatest(F.col("__ci"), j).alias("j"),
+                            ),
+                        )
+                    ).alias("__g"),
+                )
+                .select(
+                    "k",
+                    "v",
+                    "bucket",
+                    "__ci",
+                    F.col("__g.i").alias("__gi"),
+                    F.col("__g.j").alias("__gj"),
+                )
+            )
+        else:
+            grouped = banded.select(
                 "k",
                 "v",
                 "bucket",
-                "__ci",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), k_col - 1),
-                        lambda j: F.struct(
-                            F.least(F.col("__ci"), j).alias("i"),
-                            F.greatest(F.col("__ci"), j).alias("j"),
-                        ),
-                    )
-                ).alias("__g"),
+                F.lit(0).alias("__ci"),
+                F.lit(0).alias("__gi"),
+                F.lit(0).alias("__gj"),
             )
-            .select(
-                "k",
-                "v",
-                "bucket",
-                "__ci",
-                F.col("__g.i").alias("__gi"),
-                F.col("__g.j").alias("__gj"),
-            )
-        )
     else:
         grouped = banded.select(
             "k",
@@ -772,7 +804,7 @@ def _banded_embedding_near_dups(
     pairs = grouped.groupBy("bucket", "__gi", "__gj").applyInPandas(
         _bucket_pairs, "key_a long, key_b long, cosine double"
     )
-    return pairs.dropDuplicates(["key_a", "key_b"])
+    return _with_cached_deps(pairs.dropDuplicates(["key_a", "key_b"]), *cached)
 
 
 def embedding_near_dups(
