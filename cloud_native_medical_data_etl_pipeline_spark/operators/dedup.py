@@ -1085,3 +1085,69 @@ def ngram_contamination(
         .select(key_col)
         .dropDuplicates()
     )
+
+
+def span_dedup_rebuild(
+    df: DataFrame,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    chunk_tokens: int = 32,
+) -> DataFrame:
+    """Span-level exact dedup with document reconstruction (the
+    sub-document analogue of exact_dedup, after Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    ACL'22): split every document into non-overlapping
+    ``chunk_tokens``-token spans, keep only the FIRST corpus-wide
+    occurrence of each distinct span (first = smallest
+    (``key_col``, span index), the same deterministic keep rule
+    exact_dedup uses), and rebuild each document from its surviving
+    spans in order.
+
+    Returns one row per document that produced at least one span:
+    (key_col, text, n_spans_kept, n_spans_total) — ``text`` is the
+    kept spans re-joined with single spaces (empty string when every
+    span was a repeat of an earlier document's span).
+
+    Scale shape: chunking is map-side expression work
+    (operators/chunking.py — one posexplode, no UDFs); the keep-first
+    decision is ONE window shuffle keyed by the span's md5 (uniform by
+    construction, no skew), and reconstruction is ONE groupBy shuffle
+    back on the document key. Both shuffles move the corpus once —
+    the floor for any operator that must re-emit document text. The
+    md5 keeps the winner rule oracle-expressible in ANSI SQL.
+    """
+    from pyspark.sql import Window
+
+    from .chunking import chunk_documents
+
+    spans = chunk_documents(
+        df, content_col=content_col, key_col=key_col, chunk_tokens=chunk_tokens
+    )
+    w = Window.partitionBy("__h").orderBy(key_col, "chunk_id")
+    flagged = (
+        spans.withColumn("__h", F.md5("chunk_text"))
+        .withColumn("kept", F.row_number().over(w) == F.lit(1))
+    )
+    spans_sorted = F.array_sort(
+        F.collect_list(F.struct("chunk_id", "kept", "chunk_text"))
+    )
+    return (
+        flagged.groupBy(key_col)
+        .agg(
+            spans_sorted.alias("__s"),
+            F.sum(F.col("kept").cast("int")).alias("n_spans_kept"),
+            F.count(F.lit(1)).alias("n_spans_total"),
+        )
+        .select(
+            key_col,
+            F.array_join(
+                F.transform(
+                    F.filter("__s", lambda s: s["kept"]),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("text"),
+            F.col("n_spans_kept").cast("long").alias("n_spans_kept"),
+            F.col("n_spans_total").cast("long").alias("n_spans_total"),
+        )
+    )

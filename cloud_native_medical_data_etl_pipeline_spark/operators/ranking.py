@@ -104,3 +104,58 @@ def bm25_topk(
     return scored.orderBy(
         F.col("bm25").desc(), F.col(key_col).asc()
     ).limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    top_n: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document top-``top_n`` terms by TF-IDF — the keyword-
+    extraction primitive (document labeling, topic seeding, near-dup
+    explanation) that complements bm25_scores' query-side ranking.
+
+    tf is the term's count within the document; idf = ln(N / df_t)
+    with N = total input rows and df_t = number of documents containing
+    the term (no smoothing — corpus-wide terms score exactly 0).
+    Returns (key_col, term, tfidf, rank) with rank 1..top_n assigned by
+    (tfidf DESC, term ASC) — rounding BEFORE ranking keeps the order,
+    and therefore the emitted rows, engine-stable.
+
+    Scale shape: one explode to (doc, term), ONE (doc, term) shuffle
+    for tf, then document frequencies come from a term-keyed COUNT
+    window over the tf rows (distinct (doc, term) by construction) —
+    in-stream, so the corpus is scanned and exploded exactly ONCE (an
+    aggregate-and-join-back formulation re-evaluates the tf lineage
+    for the df side); N joins back as a one-row broadcast; ranking is
+    one doc-keyed window. The (doc, term) explode is the posting-list
+    pass bm25 avoids — here it IS the workload, since every document
+    needs its own per-term scores.
+    """
+    from pyspark.sql import Window
+
+    toks = X.lower_tokens(content_col)
+    pairs = df.select(F.col(key_col), F.explode(toks).alias("term"))
+    tf = pairs.groupBy(key_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
+    dfw = Window.partitionBy("term")
+    ndocs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        tf.withColumn("__df", F.count(F.lit(1)).over(dfw))
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("__tf") * F.log(F.col("__n") / F.col("__df")), round_dp
+            ),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(key_col, "term", "tfidf", "rank")
+    )

@@ -433,3 +433,49 @@ def test_banded_chunk_split_and_pair_verify_equivalence(spark):
     assert run(chunk_cap=8) == baseline      # every bucket splits
     assert run() == baseline                 # default cap, K=1 path
     assert run(verify="pairs") == baseline   # JVM per-pair verification
+
+
+# ---------------------------------------------------------------------------
+# span_dedup_rebuild
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_keeps_first_occurrence(spark):
+    # spans of 2 tokens; doc 1 owns both spans of "a b c d";
+    # doc 2 repeats span "a b" (dropped) but contributes "x y" (kept);
+    # doc 3 is entirely doc 1's spans -> rebuilt text is empty
+    rows = [
+        (1, "a b c d"),
+        (2, "a b x y"),
+        (3, "c d a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.span_dedup_rebuild(df, chunk_tokens=2).collect()
+    }
+    assert out[1]["text"] == "a b c d"
+    assert (out[1]["n_spans_kept"], out[1]["n_spans_total"]) == (2, 2)
+    assert out[2]["text"] == "x y"
+    assert (out[2]["n_spans_kept"], out[2]["n_spans_total"]) == (1, 2)
+    assert out[3]["text"] == ""
+    assert (out[3]["n_spans_kept"], out[3]["n_spans_total"]) == (0, 2)
+
+
+def test_span_dedup_orders_rebuilt_spans(spark):
+    # kept spans must re-join in chunk order even when the window
+    # decision shuffles them by hash
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, toks)], "doc_id long, text string")
+    out = dedup.span_dedup_rebuild(df, chunk_tokens=3).collect()[0]
+    assert out["text"] == toks
+    assert out["n_spans_total"] == 4  # 3+3+3+1
+
+
+def test_span_dedup_skips_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "some text"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = dedup.span_dedup_rebuild(df, chunk_tokens=4).collect()
+    assert [r["doc_id"] for r in out] == [1]

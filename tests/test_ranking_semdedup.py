@@ -77,3 +77,42 @@ def test_semantic_dedup_no_pairs_keeps_everything(spark):
     # threshold above the corpus max cosine -> nothing dropped
     kept = semantic_dedup_keep(emb, threshold=0.999, num_cells=4).count()
     assert kept == n
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_top_terms_semantics(spark):
+    rows = [
+        (1, "alpha alpha beta common"),
+        (2, "beta gamma common"),
+        (3, "gamma gamma gamma common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ranking.tfidf_top_terms(df, top_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 'common' appears in every doc -> idf = ln(3/3) = 0 -> tfidf 0,
+    # so it can never outrank a distinctive term
+    for doc_id, rs in by_doc.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+    top1 = {d: sorted(rs, key=lambda r: r["rank"])[0]["term"] for d, rs in by_doc.items()}
+    assert top1[1] == "alpha"    # tf=2, df=1
+    assert top1[3] == "gamma"    # tf=3, df=2
+    # doc 2: beta (tf=1, df=2) vs gamma (tf=1, df=2) tie -> term asc
+    assert top1[2] == "beta"
+
+
+def test_tfidf_handles_empty_and_null(spark):
+    rows = [(1, "solo words here"), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ranking.tfidf_top_terms(df, top_n=5).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    # idf uses N = ALL input rows (3), not just non-empty docs
+    import math
+    expect = round(1 * math.log(3.0 / 1.0), 6)
+    assert all(abs(r["tfidf"] - expect) < 1e-9 for r in out)
