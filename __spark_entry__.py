@@ -3082,6 +3082,99 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= {_TFIDF_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# q75 — ordered funnel conversion (operators/funnel.py funnel_counts):
+# pre-filter to the step types (pushed to the scan), ONE user-keyed
+# shuffle building per-step sorted time arrays, greedy chain scan as
+# array expressions, one-row count aggregate unpivoted by stack().
+# Times compare as epoch-us int64 (q62 lesson — no ts-unit drift).
+# ---------------------------------------------------------------------------
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q75_funnel(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.funnel import (
+        funnel_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, _FUNNEL_STEPS)
+
+
+def _funnel_sql() -> str:
+    steps = _FUNNEL_STEPS
+    arr_cols = ",\n         ".join(
+        f"list(e ORDER BY e) FILTER (WHERE t = '{s}') AS a{i}"
+        for i, s in enumerate(steps)
+    )
+    chain = ["SELECT u, a1, a2, list_min(a0) AS t0 FROM arrays"]
+    # each r{i} CTE adds t{i} = first a{i} strictly after t{i-1}
+    ctes = [f"r0 AS ({chain[0]})"]
+    for i in range(1, len(steps)):
+        keep = ", ".join(f"a{j}" for j in range(i + 1, len(steps)))
+        keep = (keep + ", ") if keep else ""
+        prev_ts = ", ".join(f"t{j}" for j in range(i))
+        ctes.append(
+            f"r{i} AS (SELECT u, {keep}{prev_ts}, "
+            f"list_min(list_filter(a{i}, x -> x > t{i - 1})) AS t{i} "
+            f"FROM r{i - 1})"
+        )
+    count_cols = ", ".join(
+        f"COUNT(t{i}) AS c{i}" for i in range(len(steps))
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS INTEGER) AS step_idx, '{s}' AS step, "
+        f"CAST(c{i} AS BIGINT) AS users FROM counts"
+        for i, s in enumerate(steps)
+    )
+    quoted = ", ".join(f"'{s}'" for s in steps)
+    return f"""
+WITH f AS (
+  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS e
+  FROM events WHERE event_type IN ({quoted})
+),
+arrays AS (
+  SELECT u,
+         {arr_cols}
+  FROM f GROUP BY u
+),
+{",".join(ctes)},
+counts AS (SELECT {count_cols} FROM r{len(steps) - 1})
+{unions}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q76 — weekly cohort retention (operators/funnel.py cohort_retention):
+# activity reduces to distinct (user, ISO-week) rows in one map-side-
+# combinable aggregate; the cohort week is a min-window over the SAME
+# shuffle (no first-touch join-back); the final count groups
+# vocabulary-sized (cohort, offset) keys.  Weeks compare as DATEs and
+# offsets as exact multiples of 7 days, so no float rounding exists.
+# ---------------------------------------------------------------------------
+def q76_cohort_retention(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+_COHORT_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+),
+cw AS (SELECT u, w, MIN(w) OVER (PARTITION BY u) AS cwk FROM uw)
+SELECT cwk AS cohort_week,
+       CAST(date_diff('day', cwk, w) // 7 AS INTEGER) AS week_offset,
+       CAST(COUNT(DISTINCT u) AS BIGINT) AS active_users
+FROM cw
+GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -3163,8 +3256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_streaming_sessions": q55_streaming_sessions,
         "q56_stratified_sample": q56_stratified_sample,
         "q58_segment_spend_tiers": q58_segment_spend_tiers,
-        "q60_contamination": q60_contamination,
-        "q61_cap_per_group": q61_cap_per_group,
+        # --- late r4 additions (2): funnel conversion and cohort
+        # retention — displace r3-green q60/q61 to the tail so both
+        # get first evidence this round
+        "q75_funnel": q75_funnel,
+        "q76_cohort_retention": q76_cohort_retention,
         "q62_resample_fill": q62_resample_fill,
         "q65_chunk_documents": q65_chunk_documents,
         # --- late r4 additions (2): span-level dedup rebuild and
@@ -3175,6 +3271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail (positions 51+, not recorded this round; every entry
         # below is hash-green in CORRECTNESS_r03.json with an unchanged
         # kernel, except q63/q64 whose correctness signal is q63b/q64b)
+        "q60_contamination": q60_contamination,
+        "q61_cap_per_group": q61_cap_per_group,
         "q66_unigram_quality": q66_unigram_quality,
         "q67_mix_corpora": q67_mix_corpora,
         "q68_repetition": q68_repetition,
@@ -3282,6 +3380,8 @@ def oracle_sql() -> dict[str, str]:
         "q72_semantic_dedup": _semantic_dedup_sql(),
         "q73_span_dedup": _span_dedup_sql(),
         "q74_tfidf_terms": _tfidf_sql(),
+        "q75_funnel": _funnel_sql(),
+        "q76_cohort_retention": _COHORT_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by
