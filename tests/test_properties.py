@@ -437,3 +437,115 @@ def test_repetition_ratios_bounds_and_reference(spark, batch):
         grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
         exp_g = 1 - len(set(grams)) / len(grams) if grams else 0.0
         assert math.isclose(r["g2"], exp_g, abs_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# funnel_counts vs a brute-force python model
+# ---------------------------------------------------------------------------
+
+
+def _funnel_model(events, steps):
+    """events: list of (user, type, time). Greedy-earliest chain."""
+    from collections import defaultdict
+
+    by_user = defaultdict(lambda: defaultdict(list))
+    for u, t, e in events:
+        by_user[u][t].append(e)
+    counts = [0] * len(steps)
+    for u, per_type in by_user.items():
+        prev = None
+        for i, s in enumerate(steps):
+            ts = sorted(per_type.get(s, []))
+            if i == 0:
+                cur = ts[0] if ts else None
+            else:
+                cur = next((x for x in ts if x > prev), None)
+            if cur is None:
+                break
+            counts[i] += 1
+            prev = cur
+    return counts
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),          # user
+            st.sampled_from(["a", "b", "c", "x"]),          # type (x = noise)
+            st.integers(min_value=0, max_value=20),          # hour
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_funnel_matches_brute_force(spark, batch):
+    import datetime as dt
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.funnel import (
+        funnel_counts,
+    )
+
+    steps = ["a", "b", "c"]
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), u, t)
+        for i, (u, t, h) in enumerate(batch)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["step_idx"]: r["users"]
+        for r in funnel_counts(df, steps).collect()
+    }
+    model_events = [
+        (u, t, h) for (u, t, h) in batch
+    ]
+    want = _funnel_model(model_events, steps)
+    assert [got[i + 1] for i in range(len(steps))] == want
+
+
+# ---------------------------------------------------------------------------
+# span_dedup_rebuild invariants
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_span_dedup_invariants(spark, docs, chunk):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.dedup import (
+        span_dedup_rebuild,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        span_dedup_rebuild(df, chunk_tokens=chunk).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # one row per non-empty doc
+    assert [r["doc_id"] for r in out] == [i for i, t in enumerate(docs) if t]
+
+    # python model: global first-occurrence over (doc_id, chunk_id) order
+    seen = set()
+    for r in out:
+        toks = docs[r["doc_id"]]
+        spans = [
+            tuple(toks[s : s + chunk]) for s in range(0, len(toks), chunk)
+        ]
+        kept = []
+        for sp in spans:
+            if sp not in seen:
+                seen.add(sp)
+                kept.append(sp)
+        want_text = " ".join(" ".join(sp) for sp in kept)
+        assert r["text"] == want_text
+        assert r["n_spans_kept"] == len(kept)
+        assert r["n_spans_total"] == len(spans)
