@@ -159,3 +159,97 @@ def tfidf_top_terms(
         .where(F.col("rank") <= top_n)
         .select(key_col, "term", "tfidf", "rank")
     )
+
+
+def build_term_index(
+    df: DataFrame,
+    path: str,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+) -> None:
+    """Materialize an inverted term index: posting rows
+    (term, doc, tf, dl) written as parquet partitioned by a 2-hex-char
+    md5 bucket of the term (256 partitions).
+
+    This is the many-queries scale shape of bm25_scores: that operator
+    re-scans the corpus per query bag (right when the corpus is read
+    once anyway); an index pays the explode ONCE at build time, and
+    every query reads only its terms' bucket directories — term
+    selectivity becomes Catalyst PARTITION PRUNING, zero bytes from
+    unprobed buckets. The bucket is md5-derived so the query side can
+    compute it in plain Python (hashlib) without a Spark job; a term's
+    postings live entirely in its own bucket, so per-term document
+    frequencies aggregate correctly from pruned reads. Corpus-level
+    stats (N, avgdl) ride along in an underscore-prefixed side
+    directory that Spark's file listing ignores.
+    """
+    toks = X.lower_tokens(content_col)
+    base = df.select(
+        F.col(key_col).alias("doc"),
+        F.size(toks).cast("double").alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    postings = (
+        base.groupBy("term", "doc", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("bucket", F.substring(F.md5("term"), 1, 2))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    stats = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.size(toks).cast("double")).alias("avgdl"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/_corpus_stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Query a build_term_index table: prune to the query terms' md5
+    buckets (computed driver-side with hashlib — no Spark job), read
+    only those partitions, aggregate per-term document frequencies from
+    the pruned postings, and score sum-of-term-contributions per doc.
+
+    Returns (doc, bm25) top-k by (rounded score desc, doc asc). Only
+    documents matching at least one term can appear — identical to
+    bm25_topk's ranking whenever k does not exceed the matched-doc
+    count, since zero-score rows can never enter a positive top-k.
+    """
+    import hashlib
+
+    if not terms:
+        raise ValueError("bm25_topk_indexed: empty query term list")
+    buckets = sorted(
+        {hashlib.md5(t.encode()).hexdigest()[:2] for t in terms}
+    )
+    post = (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(terms))
+    )
+    stats = spark.read.parquet(f"{path}/_corpus_stats")
+    dfreq = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        post.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc")
+        .agg(F.round(F.sum(contrib), round_dp).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc").asc())
+        .limit(k)
+    )

@@ -116,3 +116,43 @@ def test_tfidf_handles_empty_and_null(spark):
     import math
     expect = round(1 * math.log(3.0 / 1.0), 6)
     assert all(abs(r["tfidf"] - expect) < 1e-9 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# inverted term index
+# ---------------------------------------------------------------------------
+
+
+def test_term_index_matches_direct_bm25(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "term_index")
+    ranking.build_term_index(docs, path)
+    terms = ["spark", "query", "join"]
+    direct = {
+        r["doc_id"]: r["bm25"]
+        for r in ranking.bm25_scores(docs, terms).collect()
+        if r["bm25"] > 0.0
+    }
+    indexed = {
+        r["doc"]: r["bm25"]
+        for r in ranking.bm25_topk_indexed(spark, path, terms, k=10_000).collect()
+    }
+    # indexed path returns exactly the matching docs, same scores
+    assert indexed == direct
+
+
+def test_term_index_scan_prunes_partitions(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "term_index")
+    ranking.build_term_index(docs, path)
+    df = ranking.bm25_topk_indexed(spark, path, ["spark"], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    df.collect()
+
+
+def test_term_index_empty_terms_raise(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ranking.bm25_topk_indexed(spark, str(tmp_path), [])
