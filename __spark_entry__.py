@@ -3175,6 +3175,42 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q77 — per-group centroid outlier scores (operators/similarity.py
+# centroid_outlier_scores): one posexplode to (group, dim, value)
+# doubles, one (group, dim) map-side-combinable average, G-row
+# centroid rebuild broadcast back, zip_with cosine per row.  AVG
+# summation-order ulps (Spark partition-order vs DuckDB sequential)
+# are absorbed by the cosine's round-6, the repo-wide fp budget.
+# ---------------------------------------------------------------------------
+def q77_centroid_outliers(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.similarity import (
+        centroid_outlier_scores,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_outlier_scores(emb)
+
+
+_CENTROID_OUTLIER_SQL = """
+WITH dims AS (
+  SELECT label,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         unnest(range(len(embedding))) AS i
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(av ORDER BY i) AS c
+  FROM (SELECT label, i, AVG(v) AS av FROM dims GROUP BY label, i)
+  GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c), 6)
+         AS centroid_cosine
+FROM embeddings e JOIN cent c USING (label)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -3261,7 +3297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # get first evidence this round
         "q75_funnel": q75_funnel,
         "q76_cohort_retention": q76_cohort_retention,
-        "q62_resample_fill": q62_resample_fill,
+        # --- late r4 addition: embedding outlier scoring — displaces
+        # r3-green q62 to the tail for first evidence this round
+        "q77_centroid_outliers": q77_centroid_outliers,
         "q65_chunk_documents": q65_chunk_documents,
         # --- late r4 additions (2): span-level dedup rebuild and
         # TF-IDF keyword extraction — displace r3-green q66/q67 to the
@@ -3273,6 +3311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kernel, except q63/q64 whose correctness signal is q63b/q64b)
         "q60_contamination": q60_contamination,
         "q61_cap_per_group": q61_cap_per_group,
+        "q62_resample_fill": q62_resample_fill,
         "q66_unigram_quality": q66_unigram_quality,
         "q67_mix_corpora": q67_mix_corpora,
         "q68_repetition": q68_repetition,
@@ -3382,6 +3421,7 @@ def oracle_sql() -> dict[str, str]:
         "q74_tfidf_terms": _tfidf_sql(),
         "q75_funnel": _funnel_sql(),
         "q76_cohort_retention": _COHORT_SQL,
+        "q77_centroid_outliers": _CENTROID_OUTLIER_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

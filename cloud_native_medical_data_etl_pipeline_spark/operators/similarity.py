@@ -206,3 +206,57 @@ def _py_cosine(a: list[float], b: list[float]) -> float:
     na = sum(x * x for x in a) ** 0.5
     nb = sum(y * y for y in b) ** 0.5
     return num / (na * nb) if na and nb else 0.0
+
+
+def centroid_outlier_scores(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    key_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Embedding-space outlier scoring: each vector's cosine to its
+    GROUP's mean vector (per-label centroid). Low cosine = far from
+    the group's center — the distributed form of the "drop embeddings
+    that don't look like their cluster" curation filter (mislabeled
+    data, encoder glitches, off-domain content).
+
+    Returns (key_col, group_col, centroid_cosine).
+
+    Scale shape: the centroid is a per-dimension average — ONE
+    posexplode to (group, dim, value) rows, one (group, dim)-keyed
+    aggregate (map-side combinable, G*dim output rows), one
+    G-row array rebuild; scoring joins the tiny centroid table back by
+    BROADCAST and evaluates one zip_with dot per row. No collect, no
+    UDFs; the N*dim exploded shuffle is the only corpus-sized
+    movement, and it carries 8-byte doubles, not vectors.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dims = df.select(
+        F.col(group_col).alias("__g"),
+        F.posexplode(vd).alias("__i", "__v"),
+    )
+    cent = (
+        dims.groupBy("__g", "__i")
+        .agg(F.avg("__v").alias("__av"))
+        .groupBy("__g")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__i", "__av"))),
+                lambda s: s["__av"],
+            ).alias("__c")
+        )
+    )
+    return (
+        df.select(F.col(key_col), F.col(group_col), vd.alias("__vd"))
+        .join(
+            F.broadcast(cent), F.col(group_col) == F.col("__g")
+        )
+        .select(
+            key_col,
+            group_col,
+            F.round(V.cosine(F.col("__vd"), F.col("__c")), round_dp).alias(
+                "centroid_cosine"
+            ),
+        )
+    )

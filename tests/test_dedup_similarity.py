@@ -479,3 +479,31 @@ def test_span_dedup_skips_empty_docs(spark):
     )
     out = dedup.span_dedup_rebuild(df, chunk_tokens=4).collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+# ---------------------------------------------------------------------------
+# centroid_outlier_scores
+# ---------------------------------------------------------------------------
+
+
+def test_centroid_outlier_flags_planted_outlier(spark):
+    # group 1: three near-identical vectors + one opposite-direction
+    # outlier; the outlier must get the lowest centroid cosine
+    rows = [
+        (1, [1.0, 0.1, 0.0], 1),
+        (2, [1.0, 0.0, 0.1], 1),
+        (3, [0.9, 0.1, 0.1], 1),
+        (4, [-1.0, 0.0, 0.0], 1),   # outlier
+        (5, [0.0, 1.0, 0.0], 2),    # singleton group -> cosine 1.0
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["vec_id"]: r["centroid_cosine"]
+        for r in similarity.centroid_outlier_scores(df).collect()
+    }
+    assert len(out) == 5
+    assert min(out[1], out[2], out[3]) > 0.9
+    assert out[4] == min(out.values()) and out[4] < 0.0
+    assert out[5] == 1.0
