@@ -3211,6 +3211,35 @@ FROM embeddings e JOIN cent c USING (label)
 """
 
 
+# ---------------------------------------------------------------------------
+# q78 — stream-static enrich join (streaming/events.py
+# segment_enriched_daily_available_now): the event stream inner-joins
+# the customer dimension (stateless in Structured Streaming — no join
+# state, no watermark; Catalyst broadcasts the dim as in batch), then
+# a complete-mode (segment, day) rollup drains via availableNow.
+# Oracle = the identical join+rollup in batch SQL.
+# ---------------------------------------------------------------------------
+def q78_stream_static_enrich(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import events as SE
+
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return SE.segment_enriched_daily_available_now(
+        spark, f"{sf_dir}/events.parquet", dim
+    )
+
+
+Q78_SQL = """
+SELECT c.c_mktsegment AS segment, CAST(e.ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 4) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -3297,10 +3326,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # get first evidence this round
         "q75_funnel": q75_funnel,
         "q76_cohort_retention": q76_cohort_retention,
-        # --- late r4 addition: embedding outlier scoring — displaces
-        # r3-green q62 to the tail for first evidence this round
+        # --- late r4 additions: embedding outlier scoring and the
+        # stream-static enrich join — displace r3-green q62/q65 to the
+        # tail for first evidence this round
         "q77_centroid_outliers": q77_centroid_outliers,
-        "q65_chunk_documents": q65_chunk_documents,
+        "q78_stream_static_enrich": q78_stream_static_enrich,
         # --- late r4 additions (2): span-level dedup rebuild and
         # TF-IDF keyword extraction — displace r3-green q66/q67 to the
         # tail so both get first evidence this round
@@ -3312,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_contamination": q60_contamination,
         "q61_cap_per_group": q61_cap_per_group,
         "q62_resample_fill": q62_resample_fill,
+        "q65_chunk_documents": q65_chunk_documents,
         "q66_unigram_quality": q66_unigram_quality,
         "q67_mix_corpora": q67_mix_corpora,
         "q68_repetition": q68_repetition,
@@ -3422,6 +3453,7 @@ def oracle_sql() -> dict[str, str]:
         "q75_funnel": _funnel_sql(),
         "q76_cohort_retention": _COHORT_SQL,
         "q77_centroid_outliers": _CENTROID_OUTLIER_SQL,
+        "q78_stream_static_enrich": Q78_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

@@ -158,3 +158,44 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def segment_enriched_daily_available_now(
+    spark: SparkSession, path: str, dim: DataFrame
+) -> DataFrame:
+    """Stream-STATIC enrich join: the event stream inner-joins a static
+    dimension frame (user_id -> segment) and rolls up to
+    (segment, day) counts + value sums, drained with an availableNow
+    trigger into a complete-mode memory sink.
+
+    The stream-static inner join is STATELESS in Structured Streaming
+    (each micro-batch joins against the static side independently —
+    no join state, no watermark requirement), and Catalyst broadcasts
+    the dimension exactly as it would in batch; only the aggregation
+    keeps state, bounded by |segments| x |days in horizon|. That is
+    the 100 TB shape of "enrich the firehose with reference data":
+    swap the file source for Kafka and nothing else changes.
+
+    Batch-equivalent to the same join+rollup in SQL, which is what
+    makes it oracle-checkable after the drain.
+    """
+    global _sink_seq
+    _sink_seq += 1
+    name = f"segment_daily_sink_{_sink_seq}"
+    stream = stream_events(spark, path)
+    enriched = stream.join(dim, "user_id")  # stream-static, stateless
+    agg = enriched.groupBy(
+        F.col("segment"), F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -136,3 +136,30 @@ def test_stream_from_empty_directory_starts(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.table("empty_dir_sink").count() == 0
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import events as SE
+
+    sf = "/root/testdata/sf0.001"
+    dim = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    streamed = SE.segment_enriched_daily_available_now(
+        spark, f"{sf}/events.parquet", dim
+    )
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    batch = (
+        ev.join(dim, "user_id")
+        .groupBy("segment", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    a = sorted(tuple(r) for r in streamed.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert a == b and len(a) > 0
