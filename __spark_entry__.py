@@ -791,6 +791,16 @@ def q20b_embedding_near_dups_hi(spark, sf_dir):
             f"embeddings dim drifted to {actual_dim} (expected {_EMB_DIM}); "
             "regenerate _HP_BANDS_HI with the new dim"
         )
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    if max_id is not None and max_id >= _PERT_OFFSET:
+        # fail loud like the dim-drift guard above: an id collision
+        # between a real vector and a perturbed copy would be
+        # hash-CONSISTENT across both engines, so the oracle could
+        # never flag it
+        raise ValueError(
+            f"max vec_id {max_id} >= _PERT_OFFSET {_PERT_OFFSET}; "
+            "raise the offset before the perturbed-union corpus is valid"
+        )
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(F.col("vec_id"), vd.alias("v"))
     pert = base.select(
@@ -3107,9 +3117,12 @@ def _funnel_sql() -> str:
         f"list(e ORDER BY e) FILTER (WHERE t = '{s}') AS a{i}"
         for i, s in enumerate(steps)
     )
-    chain = ["SELECT u, a1, a2, list_min(a0) AS t0 FROM arrays"]
-    # each r{i} CTE adds t{i} = first a{i} strictly after t{i-1}
-    ctes = [f"r0 AS ({chain[0]})"]
+    # each r{i} CTE adds t{i} = first a{i} strictly after t{i-1};
+    # r0 carries every later step's array forward (generic in
+    # len(steps) — a hardcoded column list broke non-3-step funnels)
+    later0 = ", ".join(f"a{j}" for j in range(1, len(steps)))
+    later0 = (later0 + ", ") if later0 else ""
+    ctes = [f"r0 AS (SELECT u, {later0}list_min(a0) AS t0 FROM arrays)"]
     for i in range(1, len(steps)):
         keep = ", ".join(f"a{j}" for j in range(i + 1, len(steps)))
         keep = (keep + ", ") if keep else ""
@@ -3249,7 +3262,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 73.  Each round's first-50 window is chosen so
+    # registry now holds 81.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -3257,20 +3270,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     q13-q16, q21, q26, q33, q34, q42, q51, q52 — all r2-green,
     #     now due a fresh row);
     #   * q70 (registered r3 at slot 70 — first-ever driver row);
-    #   * the five NEW r4 queries: q20b (sub-quadratic banded LSH),
+    #   * the eleven NEW r4 queries: q20b (sub-quadratic banded LSH),
     #     q63b/q64b (invariant-aggregate oracles for the two rows-only
-    #     queries), q71 (BM25 ranking), q72 (semantic dedup composite);
+    #     queries), q71 (BM25), q72 (semantic dedup), q73 (span
+    #     dedup), q74 (TF-IDF), q75 (funnel), q76 (cohort retention),
+    #     q77 (centroid outliers), q78 (stream-static enrich);
     #   * every query whose KERNEL changed this round and therefore
     #     needs re-evidence: q20 (hot-bucket chunk split), q22
     #     (independent simhash second hash), q59 (pinned whitespace
     #     class), q32 (escaped percentile refs), q57 (pointer-jumping
     #     connected components);
-    #   * 20 r3-green keeps.
+    #   * 14 r3-green keeps.
     # Displaced to the tail — ALL hash-green in CORRECTNESS_r03.json,
     # kernels untouched this round: q02, q07, q08, q12, q17, q18, q19,
     # q23, q24, q25, q27, q28, q29, q30, q31, q35, q36, q43, q44, q45,
-    # q46, q68, q69, plus rows-only q63/q64 (their correctness signal
-    # now lives in q63b/q64b's hash rows).  Ledger: SURVEY.md §8.3.
+    # q46, q60, q61, q62, q65, q66, q67, q68, q69, plus rows-only
+    # q63/q64 (their correctness signal now lives in q63b/q64b's hash
+    # rows).  Ledger: SURVEY.md §8.3.
     return {
         # --- r3 tail rotated back in (19) ---
         "q01_pricing_summary": q01_pricing_summary,
@@ -3306,7 +3322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_percentiles": q32_percentiles,
         "q57_dedup_clusters": q57_dedup_clusters,
         "q59_redact_pii": q59_redact_pii,
-        # --- r3-green keeps (22) ---
+        # --- r3-green keeps (14, interleaved with the late-r4
+        # additions below) ---
         "q37_event_followups": q37_event_followups,
         "q38_above_avg_orders": q38_above_avg_orders,
         "q39_rolling_revenue": q39_rolling_revenue,

@@ -596,10 +596,18 @@ def _banded_embedding_near_dups(
         per-group Arrow/pandas overhead for groups that cannot emit a
         pair, while candidate volume ~B*N^2/2^r is already sub-
         quadratic, so per-pair verification is cheap and stays fully
-        JVM-side.
+        JVM-side. NOTE: ``chunk_cap`` does not apply here — the pairs
+        path has no grouped-materialization step to bound (its memory
+        shape is ordinary join spill), so the cap is a group-path
+        knob only.
     """
     import numpy as np
     import pandas as pd
+
+    if verify not in ("group", "pairs"):
+        raise ValueError(
+            f"verify must be 'group' or 'pairs', got {verify!r}"
+        )
 
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # rebalance: a single parquet file plans as one partition, which

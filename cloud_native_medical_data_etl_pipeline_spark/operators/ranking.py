@@ -60,11 +60,21 @@ def bm25_scores(
         # lambda would receive (element, index))
         return F.size(F.filter(toks, lambda t: t == F.lit(term)))
 
+    from pyspark import StorageLevel
+
+    from .dedup import _with_cached_deps
+
+    # per_doc feeds BOTH the one-row stats aggregate and the scored
+    # projection; without a persist the tokenize + m filter-count
+    # kernel (the CPU-dominant work) would re-evaluate for each — the
+    # same lineage re-evaluation tfidf_top_terms engineers around.
+    # The cached frame is narrow (key + m+1 doubles, spillable) and is
+    # freed via the dedup.release() caller-unpersists contract.
     per_doc = df.select(
         F.col(key_col),
         F.size(toks).cast("double").alias("__dl"),
         *[tf_col(t).cast("double").alias(f"__tf{i}") for i, t in enumerate(terms)],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.avg("__dl").alias("__avgdl"),
@@ -86,7 +96,10 @@ def bm25_scores(
             F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
         )
         score = score + idf * tf * F.lit(k1 + 1.0) / norm
-    return scored.select(F.col(key_col), F.round(score, round_dp).alias("bm25"))
+    return _with_cached_deps(
+        scored.select(F.col(key_col), F.round(score, round_dp).alias("bm25")),
+        per_doc,
+    )
 
 
 def bm25_topk(
@@ -100,10 +113,13 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k documents by BM25 — orderBy on the ROUNDED score with a
     key tie-break, so the boundary of the k-set is engine-stable."""
+    from .dedup import _with_cached_deps
+
     scored = bm25_scores(df, terms, content_col, key_col, k1, b)
-    return scored.orderBy(
-        F.col("bm25").desc(), F.col(key_col).asc()
-    ).limit(k)
+    return _with_cached_deps(
+        scored.orderBy(F.col("bm25").desc(), F.col(key_col).asc()).limit(k),
+        scored,
+    )
 
 
 def tfidf_top_terms(
@@ -195,9 +211,18 @@ def build_term_index(
         .withColumn("bucket", F.substring(F.md5("term"), 1, 2))
     )
     postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    stats = df.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.avg(F.size(toks).cast("double")).alias("avgdl"),
+    # stats from the JUST-WRITTEN postings, not a second tokenize pass:
+    # distinct (doc, dl) covers every non-empty doc; empty docs
+    # contribute dl=0 to the average, so avgdl = sum(dl)/N with N from
+    # a cheap column-less count of the input
+    written = df.sparkSession.read.parquet(path)
+    sum_dl = written.select("doc", "dl").dropDuplicates().agg(
+        F.coalesce(F.sum("dl"), F.lit(0.0)).alias("__sumdl")
+    )
+    stats = (
+        df.agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .crossJoin(sum_dl)
+        .select("n", (F.col("__sumdl") / F.col("n")).alias("avgdl"))
     )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/_corpus_stats")
 

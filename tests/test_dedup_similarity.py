@@ -507,3 +507,15 @@ def test_centroid_outlier_flags_planted_outlier(spark):
     assert min(out[1], out[2], out[3]) > 0.9
     assert out[4] == min(out.values()) and out[4] < 0.0
     assert out[5] == 1.0
+
+
+def test_embedding_near_dups_rejects_bad_verify(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "vec_id long, embedding array<float>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="verify"):
+        dedup.embedding_near_dups(
+            df, threshold=0.5, plane_bands=[[[1.0, 0.0]]], verify="pair"
+        ).count()
