@@ -3253,6 +3253,52 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q79 — batch top-k retrieval (operators/similarity.py
+# cosine_topk_batch): the 5 lowest-id vectors act as the query set,
+# broadcast against ONE corpus scan; per-query ranking rides Spark's
+# WindowGroupLimit pushdown so only each query's running top-k
+# reaches the final shuffle.
+# ---------------------------------------------------------------------------
+_BATCH_NQ, _BATCH_K = 5, 5
+
+
+def q79_batch_retrieval(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.similarity import (
+        cosine_topk_batch,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(_BATCH_NQ)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return cosine_topk_batch(emb, queries, k=_BATCH_K)
+
+
+Q79_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id ASC LIMIT {_BATCH_NQ}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+           AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {_BATCH_K}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -3262,7 +3308,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 81.  Each round's first-50 window is chosen so
+    # registry now holds 82.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -3270,21 +3316,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     q13-q16, q21, q26, q33, q34, q42, q51, q52 — all r2-green,
     #     now due a fresh row);
     #   * q70 (registered r3 at slot 70 — first-ever driver row);
-    #   * the eleven NEW r4 queries: q20b (sub-quadratic banded LSH),
+    #   * the twelve NEW r4 queries: q20b (sub-quadratic banded LSH),
     #     q63b/q64b (invariant-aggregate oracles for the two rows-only
     #     queries), q71 (BM25), q72 (semantic dedup), q73 (span
     #     dedup), q74 (TF-IDF), q75 (funnel), q76 (cohort retention),
-    #     q77 (centroid outliers), q78 (stream-static enrich);
+    #     q77 (centroid outliers), q78 (stream-static enrich), q79
+    #     (batch retrieval);
     #   * every query whose KERNEL changed this round and therefore
     #     needs re-evidence: q20 (hot-bucket chunk split), q22
     #     (independent simhash second hash), q59 (pinned whitespace
     #     class), q32 (escaped percentile refs), q57 (pointer-jumping
     #     connected components);
-    #   * 14 r3-green keeps.
+    #   * 13 r3-green keeps.
     # Displaced to the tail — ALL hash-green in CORRECTNESS_r03.json,
     # kernels untouched this round: q02, q07, q08, q12, q17, q18, q19,
     # q23, q24, q25, q27, q28, q29, q30, q31, q35, q36, q43, q44, q45,
-    # q46, q60, q61, q62, q65, q66, q67, q68, q69, plus rows-only
+    # q46, q58, q60, q61, q62, q65, q66, q67, q68, q69, plus rows-only
     # q63/q64 (their correctness signal now lives in q63b/q64b's hash
     # rows).  Ledger: SURVEY.md §8.3.
     return {
@@ -3322,7 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_percentiles": q32_percentiles,
         "q57_dedup_clusters": q57_dedup_clusters,
         "q59_redact_pii": q59_redact_pii,
-        # --- r3-green keeps (14, interleaved with the late-r4
+        # --- r3-green keeps (13, interleaved with the late-r4
         # additions below) ---
         "q37_event_followups": q37_event_followups,
         "q38_above_avg_orders": q38_above_avg_orders,
@@ -3337,7 +3384,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_sql_surface": q54_sql_surface,
         "q55_streaming_sessions": q55_streaming_sessions,
         "q56_stratified_sample": q56_stratified_sample,
-        "q58_segment_spend_tiers": q58_segment_spend_tiers,
         # --- late r4 additions (2): funnel conversion and cohort
         # retention — displace r3-green q60/q61 to the tail so both
         # get first evidence this round
@@ -3348,6 +3394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail for first evidence this round
         "q77_centroid_outliers": q77_centroid_outliers,
         "q78_stream_static_enrich": q78_stream_static_enrich,
+        # --- late r4 addition: batch retrieval — displaces r3-green
+        # q58 to the tail for first evidence this round
+        "q79_batch_retrieval": q79_batch_retrieval,
         # --- late r4 additions (2): span-level dedup rebuild and
         # TF-IDF keyword extraction — displace r3-green q66/q67 to the
         # tail so both get first evidence this round
@@ -3356,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail (positions 51+, not recorded this round; every entry
         # below is hash-green in CORRECTNESS_r03.json with an unchanged
         # kernel, except q63/q64 whose correctness signal is q63b/q64b)
+        "q58_segment_spend_tiers": q58_segment_spend_tiers,
         "q60_contamination": q60_contamination,
         "q61_cap_per_group": q61_cap_per_group,
         "q62_resample_fill": q62_resample_fill,
@@ -3471,6 +3521,7 @@ def oracle_sql() -> dict[str, str]:
         "q76_cohort_retention": _COHORT_SQL,
         "q77_centroid_outliers": _CENTROID_OUTLIER_SQL,
         "q78_stream_static_enrich": Q78_SQL,
+        "q79_batch_retrieval": Q79_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

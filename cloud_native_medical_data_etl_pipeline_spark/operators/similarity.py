@@ -260,3 +260,53 @@ def centroid_outlier_scores(
             ),
         )
     )
+
+
+def cosine_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact top-k retrieval for a BATCH of query vectors in one corpus
+    pass — the evaluation-retrieval shape (score every benchmark query
+    against the corpus at once) where looping cosine_topk would scan
+    the corpus per query.
+
+    Returns (query_key_col, key_col, cosine, rank), rank 1..k per
+    query by (rounded cosine DESC, corpus key ASC) — rounding before
+    ranking keeps the k-boundary engine-stable.
+
+    Scale shape: the query side BROADCASTS (eval sets are small), each
+    corpus row scores all m queries map-side via a broadcast nested
+    loop — corpus scanned ONCE, m*|corpus| scored rows — and the
+    per-query ranking window gets Spark's WindowGroupLimit pushdown,
+    so only each query's running top-k survives to the final shuffle.
+    Beyond broadcastable query counts, loop over query chunks; beyond
+    exact-scan budgets, IVF (build_ivf_index) is the path.
+    """
+    from pyspark.sql import Window
+
+    cd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qd = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    c = corpus.select(F.col(key_col), cd.alias("__cv"))
+    q = queries.select(F.col(query_key_col), qd.alias("__qv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_key_col,
+        key_col,
+        F.round(V.cosine(F.col("__cv"), F.col("__qv")), round_dp).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.col("cosine").desc(), F.col(key_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_key_col, key_col, "cosine", "rank")
+    )

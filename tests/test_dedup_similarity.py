@@ -519,3 +519,22 @@ def test_embedding_near_dups_rejects_bad_verify(spark):
         dedup.embedding_near_dups(
             df, threshold=0.5, plane_bands=[[[1.0, 0.0]]], verify="pair"
         ).count()
+
+
+def test_cosine_topk_batch_matches_single_query_loop(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    batch = similarity.cosine_topk_batch(emb, queries, k=4).collect()
+    by_q = {}
+    for r in sorted(batch, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    assert set(len(v) for v in by_q.values()) == {4}
+    for qrow in queries.collect():
+        single = similarity.cosine_topk(
+            emb, [float(x) for x in qrow["embedding"]], k=4
+        ).collect()
+        assert by_q[qrow["query_id"]] == [(r["vec_id"], r["cosine"]) for r in single]
