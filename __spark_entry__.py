@@ -3299,6 +3299,38 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {_BATCH_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# q80 — stream-STREAM interval join (streaming/events.py
+# click_purchase_attribution_available_now): clicks join purchases on
+# user within a 30-minute event-time range, BOTH sides watermarked
+# (state bounded by horizon + gap), availableNow drain, append mode.
+# Inner-join append emits exactly the matched rows, so the oracle is
+# the identical batch self-join.  The ts comparison is exact (same
+# micros both engines); no aggregation, no float arithmetic.
+# ---------------------------------------------------------------------------
+_ATTR_GAP_MIN = 30
+
+
+def q80_stream_stream_join(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import events as SE
+
+    _t(spark, sf_dir, "events")  # pins session tz to UTC like every query
+    return SE.click_purchase_attribution_available_now(
+        spark, f"{sf_dir}/events.parquet", gap_minutes=_ATTR_GAP_MIN
+    )
+
+
+Q80_SQL = f"""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL {_ATTR_GAP_MIN} MINUTES
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -3308,7 +3340,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 82.  Each round's first-50 window is chosen so
+    # registry now holds 83.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -3316,22 +3348,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     q13-q16, q21, q26, q33, q34, q42, q51, q52 — all r2-green,
     #     now due a fresh row);
     #   * q70 (registered r3 at slot 70 — first-ever driver row);
-    #   * the twelve NEW r4 queries: q20b (sub-quadratic banded LSH),
-    #     q63b/q64b (invariant-aggregate oracles for the two rows-only
-    #     queries), q71 (BM25), q72 (semantic dedup), q73 (span
-    #     dedup), q74 (TF-IDF), q75 (funnel), q76 (cohort retention),
-    #     q77 (centroid outliers), q78 (stream-static enrich), q79
-    #     (batch retrieval);
+    #   * the thirteen NEW r4 queries: q20b (sub-quadratic banded
+    #     LSH), q63b/q64b (invariant-aggregate oracles for the two
+    #     rows-only queries), q71 (BM25), q72 (semantic dedup), q73
+    #     (span dedup), q74 (TF-IDF), q75 (funnel), q76 (cohort
+    #     retention), q77 (centroid outliers), q78 (stream-static
+    #     enrich), q79 (batch retrieval), q80 (stream-stream join);
     #   * every query whose KERNEL changed this round and therefore
     #     needs re-evidence: q20 (hot-bucket chunk split), q22
     #     (independent simhash second hash), q59 (pinned whitespace
     #     class), q32 (escaped percentile refs), q57 (pointer-jumping
     #     connected components);
-    #   * 13 r3-green keeps.
+    #   * 12 r3-green keeps.
     # Displaced to the tail — ALL hash-green in CORRECTNESS_r03.json,
     # kernels untouched this round: q02, q07, q08, q12, q17, q18, q19,
     # q23, q24, q25, q27, q28, q29, q30, q31, q35, q36, q43, q44, q45,
-    # q46, q58, q60, q61, q62, q65, q66, q67, q68, q69, plus rows-only
+    # q46, q56, q58, q60, q61, q62, q65, q66, q67, q68, q69, plus rows-only
     # q63/q64 (their correctness signal now lives in q63b/q64b's hash
     # rows).  Ledger: SURVEY.md §8.3.
     return {
@@ -3369,7 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_percentiles": q32_percentiles,
         "q57_dedup_clusters": q57_dedup_clusters,
         "q59_redact_pii": q59_redact_pii,
-        # --- r3-green keeps (13, interleaved with the late-r4
+        # --- r3-green keeps (12, interleaved with the late-r4
         # additions below) ---
         "q37_event_followups": q37_event_followups,
         "q38_above_avg_orders": q38_above_avg_orders,
@@ -3383,7 +3415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_grouping_sets": q53_grouping_sets,
         "q54_sql_surface": q54_sql_surface,
         "q55_streaming_sessions": q55_streaming_sessions,
-        "q56_stratified_sample": q56_stratified_sample,
         # --- late r4 additions (2): funnel conversion and cohort
         # retention — displace r3-green q60/q61 to the tail so both
         # get first evidence this round
@@ -3394,9 +3425,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail for first evidence this round
         "q77_centroid_outliers": q77_centroid_outliers,
         "q78_stream_static_enrich": q78_stream_static_enrich,
-        # --- late r4 addition: batch retrieval — displaces r3-green
-        # q58 to the tail for first evidence this round
+        # --- late r4 additions: batch retrieval and the stream-stream
+        # interval join — displace r3-green q58/q56 to the tail for
+        # first evidence this round
         "q79_batch_retrieval": q79_batch_retrieval,
+        "q80_stream_stream_join": q80_stream_stream_join,
         # --- late r4 additions (2): span-level dedup rebuild and
         # TF-IDF keyword extraction — displace r3-green q66/q67 to the
         # tail so both get first evidence this round
@@ -3405,6 +3438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail (positions 51+, not recorded this round; every entry
         # below is hash-green in CORRECTNESS_r03.json with an unchanged
         # kernel, except q63/q64 whose correctness signal is q63b/q64b)
+        "q56_stratified_sample": q56_stratified_sample,
         "q58_segment_spend_tiers": q58_segment_spend_tiers,
         "q60_contamination": q60_contamination,
         "q61_cap_per_group": q61_cap_per_group,
@@ -3522,6 +3556,7 @@ def oracle_sql() -> dict[str, str]:
         "q77_centroid_outliers": _CENTROID_OUTLIER_SQL,
         "q78_stream_static_enrich": Q78_SQL,
         "q79_batch_retrieval": Q79_SQL,
+        "q80_stream_stream_join": Q80_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

@@ -199,3 +199,68 @@ def segment_enriched_daily_available_now(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def click_purchase_attribution_available_now(
+    spark: SparkSession,
+    path: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM interval join: the click stream inner-joins the
+    purchase stream on user with an event-time range condition
+    (purchase strictly after the click, within ``gap_minutes``), both
+    sides watermarked, drained via availableNow into an append-mode
+    memory sink.
+
+    This is the stateful-join capability stream-static (q78) does not
+    exercise: each side buffers rows in the state store until the
+    OTHER side's watermark passes the range bound, so state is bounded
+    by (watermark horizon + gap) x arrival rate — the condition Spark
+    requires before it will even run the join. For an inner join,
+    append mode emits exactly the matched rows, so the drained sink
+    equals the identical batch self-join — what makes it
+    oracle-checkable.
+
+    Returns (user_id, click_id, purchase_id, click_ts, purchase_ts).
+    """
+    global _sink_seq
+    _sink_seq += 1
+    name = f"click_purchase_sink_{_sink_seq}"
+    ev = stream_events(spark, path)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {gap_minutes} MINUTES")
+        ),
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

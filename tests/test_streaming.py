@@ -163,3 +163,32 @@ def test_stream_static_enrich_matches_batch(spark):
     a = sorted(tuple(r) for r in streamed.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert a == b and len(a) > 0
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import events as SE
+
+    sf = "/root/testdata/sf0.001"
+    streamed = SE.click_purchase_attribution_available_now(
+        spark, f"{sf}/events.parquet", gap_minutes=30
+    )
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    a = sorted(tuple(r) for r in streamed.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert a == b and len(a) > 0
