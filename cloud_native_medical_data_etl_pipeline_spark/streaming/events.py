@@ -264,3 +264,53 @@ def click_purchase_attribution_available_now(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_to_lake_upsert(
+    spark: SparkSession,
+    input_path: str,
+    base: str,
+    checkpoint: str,
+    key_cols: list[str] | None = None,
+) -> None:
+    """Streaming ingest INTO the lake with exactly-once day partitions:
+    a foreachBatch sink that splits each micro-batch by event day and
+    key-level-upserts every day via sources.lake.upsert_partition.
+
+    foreachBatch + upsert is the idempotent-sink pattern: the
+    checkpoint makes batch REPLAY the failure mode (a batch can run
+    twice, never half), and the keyed upsert makes replay a no-op —
+    at-least-once delivery composes into exactly-once lake state, with
+    no sink transaction log required. Per batch the day list is tiny
+    (a micro-batch spans minutes), so the driver-side loop over days
+    is bounded; each upsert touches ONE day directory.
+    """
+    from cloud_native_medical_data_etl_pipeline_spark.sources import lake
+
+    keys = key_cols or ["event_id"]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        days = [
+            r["__day"]
+            for r in batch_df.select(
+                F.date_format("ts", "yyyy-MM-dd").alias("__day")
+            )
+            .dropDuplicates()
+            .collect()
+        ]
+        for day in sorted(days):
+            day_rows = batch_df.where(
+                F.date_format("ts", "yyyy-MM-dd") == day
+            )
+            lake.upsert_partition(
+                batch_df.sparkSession, base, day_rows, day, keys
+            )
+
+    q = (
+        stream_events(spark, input_path)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

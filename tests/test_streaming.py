@@ -192,3 +192,28 @@ def test_stream_stream_join_matches_batch(spark):
     a = sorted(tuple(r) for r in streamed.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert a == b and len(a) > 0
+
+
+def test_stream_to_lake_upsert_exactly_once(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cloud_native_medical_data_etl_pipeline_spark.sources import lake
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import events as SE
+
+    sf = "/root/testdata/sf0.001"
+    base = str(tmp_path / "lake")
+    ck1 = str(tmp_path / "ck1")
+
+    SE.stream_to_lake_upsert(spark, f"{sf}/events.parquet", base, ck1)
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    n_src = ev.count()
+    stored = spark.read.parquet(base)
+    assert stored.count() == n_src
+
+    # replay with a FRESH checkpoint (simulates a full redelivery):
+    # the keyed upsert must keep the lake at one row per event_id
+    ck2 = str(tmp_path / "ck2")
+    SE.stream_to_lake_upsert(spark, f"{sf}/events.parquet", base, ck2)
+    stored2 = spark.read.parquet(base)
+    assert stored2.count() == n_src
+    assert stored2.select("event_id").dropDuplicates().count() == n_src
