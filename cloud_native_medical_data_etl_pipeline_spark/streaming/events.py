@@ -284,27 +284,44 @@ def stream_to_lake_upsert(
     no sink transaction log required. Per batch the day list is tiny
     (a micro-batch spans minutes), so the driver-side loop over days
     is bounded; each upsert touches ONE day directory.
+
+    Rows with a NULL ts land in the ``9999-12-31`` sentinel partition
+    (quarantine for later repair) rather than wedging the stream with
+    an unsortable day list or silently dropping out of every day
+    filter. CAVEAT: idempotence is per (day, key) — it assumes a
+    redelivered event carries the SAME ts (the contract of a replayed
+    extraction). A redelivery whose ts moves across midnight lands in
+    a different day directory and would survive alongside the
+    original; cross-day key dedup would require scanning the whole
+    table, which is not a per-batch-sized operation.
     """
     from cloud_native_medical_data_etl_pipeline_spark.sources import lake
 
     keys = key_cols or ["event_id"]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        days = [
-            r["__day"]
-            for r in batch_df.select(
-                F.date_format("ts", "yyyy-MM-dd").alias("__day")
-            )
-            .dropDuplicates()
-            .collect()
-        ]
-        for day in sorted(days):
-            day_rows = batch_df.where(
-                F.date_format("ts", "yyyy-MM-dd") == day
-            )
-            lake.upsert_partition(
-                batch_df.sparkSession, base, day_rows, day, keys
-            )
+        # one source scan per batch: day column computed once, frame
+        # persisted across the days-collect + per-day upserts (each
+        # upsert alone re-reads its input several times — dedup,
+        # anti-join key set, checkpointed union)
+        batch = batch_df.withColumn(
+            "__day",
+            F.coalesce(
+                F.date_format("ts", "yyyy-MM-dd"), F.lit("9999-12-31")
+            ),
+        ).persist()
+        try:
+            days = [
+                r["__day"]
+                for r in batch.select("__day").dropDuplicates().collect()
+            ]
+            for day in sorted(days):
+                day_rows = batch.where(F.col("__day") == day).drop("__day")
+                lake.upsert_partition(
+                    batch_df.sparkSession, base, day_rows, day, keys
+                )
+        finally:
+            batch.unpersist()
 
     q = (
         stream_events(spark, input_path)

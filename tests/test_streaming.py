@@ -151,7 +151,11 @@ def test_stream_static_enrich_matches_batch(spark):
     streamed = SE.segment_enriched_daily_available_now(
         spark, f"{sf}/events.parquet", dim
     )
-    ev = spark.read.parquet(f"{sf}/events.parquet")
+    # read_events, not a raw parquet read: the events table has shipped
+    # as both micros and nanos ts encodings (events_io normalizes)
+    from cloud_native_medical_data_etl_pipeline_spark.sources.events_io import read_events
+
+    ev = read_events(spark, f"{sf}/events.parquet")
     batch = (
         ev.join(dim, "user_id")
         .groupBy("segment", F.to_date("ts").alias("day"))
@@ -174,7 +178,9 @@ def test_stream_stream_join_matches_batch(spark):
     streamed = SE.click_purchase_attribution_available_now(
         spark, f"{sf}/events.parquet", gap_minutes=30
     )
-    ev = spark.read.parquet(f"{sf}/events.parquet")
+    from cloud_native_medical_data_etl_pipeline_spark.sources.events_io import read_events
+
+    ev = read_events(spark, f"{sf}/events.parquet")
     c = ev.where(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
     )
@@ -205,7 +211,9 @@ def test_stream_to_lake_upsert_exactly_once(spark, tmp_path):
     ck1 = str(tmp_path / "ck1")
 
     SE.stream_to_lake_upsert(spark, f"{sf}/events.parquet", base, ck1)
-    ev = spark.read.parquet(f"{sf}/events.parquet")
+    from cloud_native_medical_data_etl_pipeline_spark.sources.events_io import read_events
+
+    ev = read_events(spark, f"{sf}/events.parquet")
     n_src = ev.count()
     stored = spark.read.parquet(base)
     assert stored.count() == n_src
@@ -217,3 +225,32 @@ def test_stream_to_lake_upsert_exactly_once(spark, tmp_path):
     stored2 = spark.read.parquet(base)
     assert stored2.count() == n_src
     assert stored2.select("event_id").dropDuplicates().count() == n_src
+
+
+def test_stream_to_lake_upsert_quarantines_null_ts(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import events as SE
+
+    src = str(tmp_path / "src")
+    rows = [
+        (1, dt.datetime(2024, 1, 5, 10), 1, "view", 1.0, "{}"),
+        (2, None, 2, "click", 2.0, "{}"),  # poison row: null ts
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(src)
+    base, ck = str(tmp_path / "lake"), str(tmp_path / "ck")
+    SE.stream_to_lake_upsert(spark, src, base, ck)
+    stored = spark.read.parquet(base)
+    assert stored.count() == 2  # the null-ts row is kept, not dropped
+    # partition cols are part of the lake layout (read back as ints)
+    days = {
+        tuple(str(x) for x in (r["year"], r["month"], r["day"]))
+        for r in stored.select("year", "month", "day").collect()
+    }
+    assert ("9999", "12", "31") in days
