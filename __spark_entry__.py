@@ -3331,6 +3331,43 @@ FROM events c JOIN events p
 """
 
 
+# ---------------------------------------------------------------------------
+# q81 — skew-salted join (operators/skew.py salted_join): the hot side
+# gets a deterministic row-hash salt, the dim side replicates once per
+# salt value, and the join runs on (key, salt) — shuffle parallelism
+# on a hot key goes from 1 task to salt_factor tasks.  The oracle is
+# the UNSALTED join (salting must never change results), rolled up to
+# segment grain.
+# ---------------------------------------------------------------------------
+def q81_salted_join(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        salted_join(ev, dim, on="user_id", salt_factor=8)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+Q81_SQL = """
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 4) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -3340,7 +3377,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 83.  Each round's first-50 window is chosen so
+    # registry now holds 84.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -3348,24 +3385,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     q13-q16, q21, q26, q33, q34, q42, q51, q52 — all r2-green,
     #     now due a fresh row);
     #   * q70 (registered r3 at slot 70 — first-ever driver row);
-    #   * the thirteen NEW r4 queries: q20b (sub-quadratic banded
+    #   * the fourteen NEW r4 queries: q20b (sub-quadratic banded
     #     LSH), q63b/q64b (invariant-aggregate oracles for the two
     #     rows-only queries), q71 (BM25), q72 (semantic dedup), q73
     #     (span dedup), q74 (TF-IDF), q75 (funnel), q76 (cohort
     #     retention), q77 (centroid outliers), q78 (stream-static
-    #     enrich), q79 (batch retrieval), q80 (stream-stream join);
+    #     enrich), q79 (batch retrieval), q80 (stream-stream join),
+    #     q81 (salted join — upgrades skew.py to driver evidence);
     #   * every query whose KERNEL changed this round and therefore
     #     needs re-evidence: q20 (hot-bucket chunk split), q22
     #     (independent simhash second hash), q59 (pinned whitespace
     #     class), q32 (escaped percentile refs), q57 (pointer-jumping
     #     connected components);
-    #   * 12 r3-green keeps.
+    #   * 11 r3-green keeps.
     # Displaced to the tail — ALL hash-green in CORRECTNESS_r03.json,
     # kernels untouched this round: q02, q07, q08, q12, q17, q18, q19,
     # q23, q24, q25, q27, q28, q29, q30, q31, q35, q36, q43, q44, q45,
-    # q46, q56, q58, q60, q61, q62, q65, q66, q67, q68, q69, plus rows-only
-    # q63/q64 (their correctness signal now lives in q63b/q64b's hash
-    # rows).  Ledger: SURVEY.md §8.3.
+    # q46, q55, q56, q58, q60, q61, q62, q65, q66, q67, q68, q69, plus
+    # rows-only q63/q64 (their correctness signal now lives in
+    # q63b/q64b's hash rows).  Ledger: SURVEY.md §8.3.
     return {
         # --- r3 tail rotated back in (19) ---
         "q01_pricing_summary": q01_pricing_summary,
@@ -3401,7 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_percentiles": q32_percentiles,
         "q57_dedup_clusters": q57_dedup_clusters,
         "q59_redact_pii": q59_redact_pii,
-        # --- r3-green keeps (12, interleaved with the late-r4
+        # --- r3-green keeps (11, interleaved with the late-r4
         # additions below) ---
         "q37_event_followups": q37_event_followups,
         "q38_above_avg_orders": q38_above_avg_orders,
@@ -3414,7 +3452,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_top_orders_per_priority": q50_top_orders_per_priority,
         "q53_grouping_sets": q53_grouping_sets,
         "q54_sql_surface": q54_sql_surface,
-        "q55_streaming_sessions": q55_streaming_sessions,
         # --- late r4 additions (2): funnel conversion and cohort
         # retention — displace r3-green q60/q61 to the tail so both
         # get first evidence this round
@@ -3430,6 +3467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first evidence this round
         "q79_batch_retrieval": q79_batch_retrieval,
         "q80_stream_stream_join": q80_stream_stream_join,
+        # --- late r4 addition: skew-salted join (upgrades skew.py from
+        # unit-only to driver evidence) — displaces r3-green q55
+        "q81_salted_join": q81_salted_join,
         # --- late r4 additions (2): span-level dedup rebuild and
         # TF-IDF keyword extraction — displace r3-green q66/q67 to the
         # tail so both get first evidence this round
@@ -3438,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail (positions 51+, not recorded this round; every entry
         # below is hash-green in CORRECTNESS_r03.json with an unchanged
         # kernel, except q63/q64 whose correctness signal is q63b/q64b)
+        "q55_streaming_sessions": q55_streaming_sessions,
         "q56_stratified_sample": q56_stratified_sample,
         "q58_segment_spend_tiers": q58_segment_spend_tiers,
         "q60_contamination": q60_contamination,
@@ -3557,6 +3598,7 @@ def oracle_sql() -> dict[str, str]:
         "q78_stream_static_enrich": Q78_SQL,
         "q79_batch_retrieval": Q79_SQL,
         "q80_stream_stream_join": Q80_SQL,
+        "q81_salted_join": Q81_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by
