@@ -3368,6 +3368,52 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q82 — MAD robust outlier summary (operators/stats.py
+# mad_outlier_summary): two grouped exact-percentile passes with tiny
+# median tables broadcast back between them, then one counting
+# aggregate.  Exact percentile is the oracle-reproducible form
+# (DuckDB quantile_cont matches Spark's interpolation — q32's
+# precedent); the operator docstring routes hot groups to
+# percentile_approx at scale.
+# ---------------------------------------------------------------------------
+_MAD_K = 2.0
+
+
+def q82_mad_outliers(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        mad_outlier_summary,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outlier_summary(ev, "value", "event_type", k=_MAD_K)
+
+
+Q82_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS median
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.median,
+         ABS(e.value - m.median) AS d
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(d, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       ROUND(ANY_VALUE(d.median), 6) AS median,
+       ROUND(ANY_VALUE(a.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.d > {_MAD_K} * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -3377,7 +3423,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 84.  Each round's first-50 window is chosen so
+    # registry now holds 85.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -3385,24 +3431,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     q13-q16, q21, q26, q33, q34, q42, q51, q52 — all r2-green,
     #     now due a fresh row);
     #   * q70 (registered r3 at slot 70 — first-ever driver row);
-    #   * the fourteen NEW r4 queries: q20b (sub-quadratic banded
+    #   * the fifteen NEW r4 queries: q20b (sub-quadratic banded
     #     LSH), q63b/q64b (invariant-aggregate oracles for the two
     #     rows-only queries), q71 (BM25), q72 (semantic dedup), q73
     #     (span dedup), q74 (TF-IDF), q75 (funnel), q76 (cohort
     #     retention), q77 (centroid outliers), q78 (stream-static
     #     enrich), q79 (batch retrieval), q80 (stream-stream join),
-    #     q81 (salted join — upgrades skew.py to driver evidence);
+    #     q81 (salted join — upgrades skew.py to driver evidence),
+    #     q82 (MAD robust outliers);
     #   * every query whose KERNEL changed this round and therefore
     #     needs re-evidence: q20 (hot-bucket chunk split), q22
     #     (independent simhash second hash), q59 (pinned whitespace
     #     class), q32 (escaped percentile refs), q57 (pointer-jumping
     #     connected components);
-    #   * 11 r3-green keeps.
+    #   * 10 r3-green keeps.
     # Displaced to the tail — ALL hash-green in CORRECTNESS_r03.json,
     # kernels untouched this round: q02, q07, q08, q12, q17, q18, q19,
     # q23, q24, q25, q27, q28, q29, q30, q31, q35, q36, q43, q44, q45,
-    # q46, q55, q56, q58, q60, q61, q62, q65, q66, q67, q68, q69, plus
-    # rows-only q63/q64 (their correctness signal now lives in
+    # q46, q54, q55, q56, q58, q60, q61, q62, q65, q66, q67, q68, q69,
+    # plus rows-only q63/q64 (their correctness signal now lives in
     # q63b/q64b's hash rows).  Ledger: SURVEY.md §8.3.
     return {
         # --- r3 tail rotated back in (19) ---
@@ -3439,7 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_percentiles": q32_percentiles,
         "q57_dedup_clusters": q57_dedup_clusters,
         "q59_redact_pii": q59_redact_pii,
-        # --- r3-green keeps (11, interleaved with the late-r4
+        # --- r3-green keeps (10, interleaved with the late-r4
         # additions below) ---
         "q37_event_followups": q37_event_followups,
         "q38_above_avg_orders": q38_above_avg_orders,
@@ -3451,7 +3498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_union_by_name": q49_union_by_name,
         "q50_top_orders_per_priority": q50_top_orders_per_priority,
         "q53_grouping_sets": q53_grouping_sets,
-        "q54_sql_surface": q54_sql_surface,
         # --- late r4 additions (2): funnel conversion and cohort
         # retention — displace r3-green q60/q61 to the tail so both
         # get first evidence this round
@@ -3470,6 +3516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- late r4 addition: skew-salted join (upgrades skew.py from
         # unit-only to driver evidence) — displaces r3-green q55
         "q81_salted_join": q81_salted_join,
+        # --- late r4 addition: MAD robust outliers — displaces
+        # r3-green q54
+        "q82_mad_outliers": q82_mad_outliers,
         # --- late r4 additions (2): span-level dedup rebuild and
         # TF-IDF keyword extraction — displace r3-green q66/q67 to the
         # tail so both get first evidence this round
@@ -3478,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail (positions 51+, not recorded this round; every entry
         # below is hash-green in CORRECTNESS_r03.json with an unchanged
         # kernel, except q63/q64 whose correctness signal is q63b/q64b)
+        "q54_sql_surface": q54_sql_surface,
         "q55_streaming_sessions": q55_streaming_sessions,
         "q56_stratified_sample": q56_stratified_sample,
         "q58_segment_spend_tiers": q58_segment_spend_tiers,
@@ -3599,6 +3649,7 @@ def oracle_sql() -> dict[str, str]:
         "q79_batch_retrieval": Q79_SQL,
         "q80_stream_stream_join": Q80_SQL,
         "q81_salted_join": Q81_SQL,
+        "q82_mad_outliers": Q82_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

@@ -70,3 +70,53 @@ def group_percentiles(
             for i, p in enumerate(percentiles)
         ],
     )
+
+
+def mad_outlier_summary(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Robust per-group outlier counts via median absolute deviation:
+    an x is an outlier when ``|x - median| > k * MAD`` — the
+    scale-robust replacement for mean/stddev z-scores (one wild value
+    corrupts a mean; it barely moves a median), the standard numeric
+    filter for training-data value columns.
+
+    Returns (group_col, median, mad, n_outliers, n_total).
+
+    Scale shape: two grouped EXACT percentile passes (median of x,
+    then median of |x - median|) with the tiny per-group medians
+    broadcast back between them, then one counting aggregate. Exact
+    percentiles buffer a group's values in one aggregation buffer —
+    the same per-group bound group_percentiles documents — so for hot
+    groups at 100 TB swap the median calls for percentile_approx; the
+    exact form is what gives the operator a bit-reproducible DuckDB
+    oracle (quantile_cont matches Spark's percentile interpolation).
+    """
+    # column API, not an interpolated F.expr SQL string — exotic
+    # column names (dots/spaces/quotes) resolve correctly
+    med = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("median")
+    )
+    with_med = df.join(F.broadcast(med), group_col)
+    dev = F.abs(F.col(value_col) - F.col("median"))
+    mad = (
+        with_med.select(group_col, dev.alias("__dev"))
+        .groupBy(group_col)
+        .agg(F.percentile(F.col("__dev"), F.lit(0.5)).alias("mad"))
+    )
+    flagged = with_med.join(F.broadcast(mad), group_col)
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.round(F.first("median"), round_dp).alias("median"),
+            F.round(F.first("mad"), round_dp).alias("mad"),
+            F.sum(
+                (dev > F.lit(k) * F.col("mad")).cast("int")
+            ).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )

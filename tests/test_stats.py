@@ -79,3 +79,21 @@ def test_approx_plan_is_partial_aggregate(spark, events):
         .toString()
     )
     assert "partial_percentile_approx" in plan or "ObjectHashAggregate" in plan, plan
+
+
+def test_mad_outlier_summary_flags_planted_outlier(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        mad_outlier_summary,
+    )
+
+    rows = [("a", float(x)) for x in [10, 11, 12, 13, 14, 1000]] + [
+        ("b", 5.0),
+        ("b", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in mad_outlier_summary(df, "v", "g", k=3.0).collect()}
+    # group a: median 12.5, MAD 1.5 -> 1000 is the single outlier
+    assert out["a"]["median"] == 12.5
+    assert out["a"]["n_outliers"] == 1 and out["a"]["n_total"] == 6
+    # group b: zero MAD, identical values -> nothing flagged
+    assert out["b"]["mad"] == 0.0 and out["b"]["n_outliers"] == 0
