@@ -3344,7 +3344,10 @@ def q81_salted_join(spark, sf_dir):
         salted_join,
     )
 
-    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    # keep event_id in the projection: salted_join salts on a hash of
+    # ALL columns, and a hot user with quantized values would otherwise
+    # collapse to one salt bucket — the unique id preserves entropy
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
     dim = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
@@ -3397,7 +3400,8 @@ WITH med AS (
 dev AS (
   SELECT e.event_type, e.value, m.median,
          ABS(e.value - m.median) AS d
-  FROM events e JOIN med m USING (event_type)
+  FROM events e JOIN med m
+    ON e.event_type IS NOT DISTINCT FROM m.event_type
 ),
 mad AS (
   SELECT event_type, quantile_cont(d, 0.5) AS mad
@@ -3409,7 +3413,8 @@ SELECT d.event_type,
        CAST(SUM(CASE WHEN d.d > {_MAD_K} * a.mad THEN 1 ELSE 0 END) AS BIGINT)
          AS n_outliers,
        CAST(COUNT(*) AS BIGINT) AS n_total
-FROM dev d JOIN mad a USING (event_type)
+FROM dev d JOIN mad a
+  ON d.event_type IS NOT DISTINCT FROM a.event_type
 GROUP BY d.event_type
 """
 

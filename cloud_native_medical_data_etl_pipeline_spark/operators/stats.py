@@ -95,27 +95,41 @@ def mad_outlier_summary(
     groups at 100 TB swap the median calls for percentile_approx; the
     exact form is what gives the operator a bit-reproducible DuckDB
     oracle (quantile_cont matches Spark's percentile interpolation).
+
+    NULL handling: NULL group keys form their own group (the joins
+    back are null-safe, matching groupBy semantics); rows with a NULL
+    value count toward ``n_total`` but can never be outliers; a group
+    whose values are ALL NULL reports n_outliers = 0, not NULL.
     """
-    # column API, not an interpolated F.expr SQL string — exotic
-    # column names (dots/spaces/quotes) resolve correctly
-    med = df.groupBy(group_col).agg(
-        F.percentile(F.col(value_col), F.lit(0.5)).alias("median")
+
+    # backtick-escaped refs (the group_percentiles pattern) — F.col
+    # would parse a dotted name as struct-field access
+    def _ref(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
+    v, g = _ref(value_col), _ref(group_col)
+    # internal names are __-prefixed so an input frame that already
+    # has a 'median'/'mad' column cannot make the joins ambiguous
+    med = df.groupBy(g.alias("__mg")).agg(
+        F.percentile(v, F.lit(0.5)).alias("__med")
     )
-    with_med = df.join(F.broadcast(med), group_col)
-    dev = F.abs(F.col(value_col) - F.col("median"))
+    with_med = df.join(F.broadcast(med), g.eqNullSafe(F.col("__mg")))
+    dev = F.abs(v - F.col("__med"))
     mad = (
-        with_med.select(group_col, dev.alias("__dev"))
-        .groupBy(group_col)
-        .agg(F.percentile(F.col("__dev"), F.lit(0.5)).alias("mad"))
+        with_med.select(F.col("__mg"), dev.alias("__dev"))
+        .groupBy(F.col("__mg").alias("__ag"))
+        .agg(F.percentile(F.col("__dev"), F.lit(0.5)).alias("__mad"))
     )
-    flagged = with_med.join(F.broadcast(mad), group_col)
+    flagged = with_med.join(
+        F.broadcast(mad), F.col("__mg").eqNullSafe(F.col("__ag"))
+    )
     return (
-        flagged.groupBy(group_col)
+        flagged.groupBy(F.col("__mg").alias(group_col))
         .agg(
-            F.round(F.first("median"), round_dp).alias("median"),
-            F.round(F.first("mad"), round_dp).alias("mad"),
+            F.round(F.first("__med"), round_dp).alias("median"),
+            F.round(F.first("__mad"), round_dp).alias("mad"),
             F.sum(
-                (dev > F.lit(k) * F.col("mad")).cast("int")
+                F.when(dev > F.lit(k) * F.col("__mad"), 1).otherwise(0)
             ).cast("long").alias("n_outliers"),
             F.count(F.lit(1)).alias("n_total"),
         )

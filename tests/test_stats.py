@@ -97,3 +97,32 @@ def test_mad_outlier_summary_flags_planted_outlier(spark):
     assert out["a"]["n_outliers"] == 1 and out["a"]["n_total"] == 6
     # group b: zero MAD, identical values -> nothing flagged
     assert out["b"]["mad"] == 0.0 and out["b"]["n_outliers"] == 0
+
+
+def test_mad_outlier_summary_null_semantics(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        mad_outlier_summary,
+    )
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", None),   # null value counts in total only
+        (None, 7.0), (None, 7.0),              # null group forms its own group
+        ("c", None), ("c", None),              # all-null group -> 0 outliers
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in mad_outlier_summary(df, "v", "g", k=3.0).collect()}
+    assert set(out) == {"a", None, "c"}
+    assert out["a"]["n_total"] == 3 and out["a"]["n_outliers"] == 0
+    assert out[None]["n_total"] == 2 and out[None]["median"] == 7.0
+    assert out["c"]["n_outliers"] == 0 and out["c"]["median"] is None
+
+
+def test_mad_outlier_summary_collision_and_exotic_names(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        mad_outlier_summary,
+    )
+
+    rows = [("a", 1.0, 9.9), ("a", 2.0, 9.9), ("a", 100.0, 9.9)]
+    df = spark.createDataFrame(rows, ["g", "my value", "median"])
+    out = mad_outlier_summary(df, "my value", "g", k=3.0).collect()
+    assert len(out) == 1 and out[0]["n_outliers"] == 1
