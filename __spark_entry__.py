@@ -3419,6 +3419,163 @@ GROUP BY d.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q83 — blocked fuzzy record linkage (operators/linkage.py
+# blocked_fuzzy_join): entity resolution as block-key equi-join +
+# Levenshtein verify — candidates come from a hash shuffle on the
+# block key, never a cross join, and the max_block_size guard drops
+# degenerate hot blocks before the join (the min_df_prune pattern).
+# Instance: customer names with one digit deterministically deleted
+# (position 10 + custkey % 5 — always inside the digit run, never the
+# last 3 chars) matched back to the clean roster, blocking on the
+# final 3 characters.
+# ---------------------------------------------------------------------------
+_FJ_CAP = 100
+
+
+def q83_fuzzy_linkage(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.linkage import (
+        blocked_fuzzy_join,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    dirty = cust.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.expr(
+            "concat(substring(c_name, 1, 9 + c_custkey % 5), "
+            "substring(c_name, 11 + c_custkey % 5, 100))"
+        ).alias("dirty_name"),
+    )
+    out = blocked_fuzzy_join(
+        dirty,
+        cust,
+        left_key="dirty_id",
+        right_key="c_custkey",
+        left_col="dirty_name",
+        right_col="c_name",
+        block=lambda c: F.substring(c, -3, 3),
+        max_dist=1,
+        max_block_size=_FJ_CAP,
+        left_out="dirty_key",
+        right_out="clean_key",
+    )
+    return out.withColumn("distance", F.col("distance").cast("long"))
+
+
+Q83_SQL = f"""
+WITH dirty AS (
+  SELECT c_custkey AS dk,
+         substring(c_name, 1, 9 + c_custkey % 5)
+           || substring(c_name, 11 + c_custkey % 5) AS dname
+  FROM customer
+),
+rb AS (
+  SELECT c_custkey AS ck, c_name, right(c_name, 3) AS blk FROM customer
+),
+ok AS (SELECT blk FROM rb GROUP BY blk HAVING COUNT(*) <= {_FJ_CAP}),
+pruned AS (SELECT rb.* FROM rb SEMI JOIN ok USING (blk))
+SELECT d.dk AS dirty_key, r.ck AS clean_key,
+       CAST(levenshtein(d.dname, r.c_name) AS BIGINT) AS distance
+FROM dirty d JOIN pruned r ON right(d.dname, 3) = r.blk
+WHERE levenshtein(d.dname, r.c_name) <= 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q84 — corpus snapshot diff (operators/delta.py snapshot_diff): the
+# incremental-ingest primitive — classify every key across two corpus
+# snapshots as added / removed / changed by comparing map-side content
+# hashes through ONE full-outer join, so fingerprints (40 bytes)
+# shuffle, never documents.  Instance: old = documents minus every
+# 13th doc with every 7th doc's text revised; new = documents minus
+# every 11th doc.
+# ---------------------------------------------------------------------------
+def q84_snapshot_diff(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.delta import (
+        snapshot_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    new = docs.where(F.col("doc_id") % 11 != 0)
+    return snapshot_diff(old, new, key_col="doc_id", content_col="text")
+
+
+Q84_SQL = """
+WITH oldsnap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+),
+newsnap AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+o AS (SELECT doc_id, md5(COALESCE(text, '')) AS ho FROM oldsnap),
+n AS (SELECT doc_id, md5(COALESCE(text, '')) AS hn FROM newsnap),
+classified AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN ho <> hn THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, status FROM classified WHERE status <> 'unchanged'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q85 — trailing-window z-score anomaly flags (operators/stats.py
+# rolling_zscore_flags): a row is anomalous vs its group's TRAILING
+# 24-hour window — one hash-by-group sort-by-time shuffle, streaming
+# RANGE-frame aggregates, no self-join.  The time-local complement to
+# q82's whole-history MAD.  Both engines filter on the ROUNDED z so
+# the emitted set is identical.  Window sizing: the events table runs
+# ~5 types over 30 days, so a 24 h trailing window holds ~N_sf/150
+# points per type — 30-point warm-up is satisfiable from sf0.01 up
+# (6 h windows never reach 30 points there and flag nothing).
+# ---------------------------------------------------------------------------
+_ZS_WIN_S, _ZS_THRESH, _ZS_MINPTS = 86_400, 3.0, 30
+
+
+def q85_rolling_zscore(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        rolling_zscore_flags,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_zscore_flags(
+        ev,
+        ts_col="ts",
+        group_col="event_type",
+        value_col="value",
+        window_seconds=_ZS_WIN_S,
+        z_thresh=_ZS_THRESH,
+        min_points=_ZS_MINPTS,
+    )
+
+
+Q85_SQL = f"""
+WITH w AS (
+  SELECT event_id, event_type, value,
+         AVG(value) OVER win AS m,
+         STDDEV_SAMP(value) OVER win AS sd,
+         COUNT(value) OVER win AS cnt
+  FROM events
+  WINDOW win AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_ZS_WIN_S * 1_000_000} PRECEDING
+                           AND CURRENT ROW)
+)
+SELECT event_id, event_type, ROUND((value - m) / sd, 4) AS z
+FROM w
+WHERE cnt >= {_ZS_MINPTS} AND sd > 0
+  AND ABS(ROUND((value - m) / sd, 4)) > {_ZS_THRESH}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -3428,7 +3585,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 85.  Each round's first-50 window is chosen so
+    # registry now holds 88.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -3443,7 +3600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     retention), q77 (centroid outliers), q78 (stream-static
     #     enrich), q79 (batch retrieval), q80 (stream-stream join),
     #     q81 (salted join — upgrades skew.py to driver evidence),
-    #     q82 (MAD robust outliers);
+    #     q82 (MAD robust outliers), q83 (blocked fuzzy linkage),
+    #     q84 (corpus snapshot diff), q85 (rolling z-score flags);
     #   * every query whose KERNEL changed this round and therefore
     #     needs re-evidence: q20 (hot-bucket chunk split), q22
     #     (independent simhash second hash), q59 (pinned whitespace
@@ -3491,11 +3649,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_percentiles": q32_percentiles,
         "q57_dedup_clusters": q57_dedup_clusters,
         "q59_redact_pii": q59_redact_pii,
-        # --- r3-green keeps (10, interleaved with the late-r4
+        # --- late r4 additions (3): blocked fuzzy record linkage,
+        # corpus snapshot diff, and trailing-window z-score anomaly
+        # flags — displace r3-green keeps q37/q38/q39 to the tail so
+        # all three get first evidence this round
+        "q83_fuzzy_linkage": q83_fuzzy_linkage,
+        "q84_snapshot_diff": q84_snapshot_diff,
+        "q85_rolling_zscore": q85_rolling_zscore,
+        # --- r3-green keeps (7, interleaved with the late-r4
         # additions below) ---
-        "q37_event_followups": q37_event_followups,
-        "q38_above_avg_orders": q38_above_avg_orders,
-        "q39_rolling_revenue": q39_rolling_revenue,
         "q40_sliding_windows": q40_sliding_windows,
         "q41_streaming_dedup": q41_streaming_dedup,
         "q47_regional_supplier_volume": q47_regional_supplier_volume,
@@ -3532,6 +3694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail (positions 51+, not recorded this round; every entry
         # below is hash-green in CORRECTNESS_r03.json with an unchanged
         # kernel, except q63/q64 whose correctness signal is q63b/q64b)
+        "q37_event_followups": q37_event_followups,
+        "q38_above_avg_orders": q38_above_avg_orders,
+        "q39_rolling_revenue": q39_rolling_revenue,
         "q54_sql_surface": q54_sql_surface,
         "q55_streaming_sessions": q55_streaming_sessions,
         "q56_stratified_sample": q56_stratified_sample,
@@ -3655,6 +3820,9 @@ def oracle_sql() -> dict[str, str]:
         "q80_stream_stream_join": Q80_SQL,
         "q81_salted_join": Q81_SQL,
         "q82_mad_outliers": Q82_SQL,
+        "q83_fuzzy_linkage": Q83_SQL,
+        "q84_snapshot_diff": Q84_SQL,
+        "q85_rolling_zscore": Q85_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -69,6 +69,70 @@ def group_percentiles(
             F.round(F.col("__pcts").getItem(i), round_dp).alias(_alias(p))
             for i, p in enumerate(percentiles)
         ],
+    )
+
+
+def rolling_zscore_flags(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    window_seconds: int = 21_600,
+    z_thresh: float = 3.0,
+    min_points: int = 30,
+    round_dp: int = 4,
+    id_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Time-local anomaly flags: a row is anomalous when its value is
+    more than ``z_thresh`` sample standard deviations from the mean of
+    its group's TRAILING ``window_seconds`` window (current row
+    included).  The trailing-window z-score is the streaming-friendly
+    complement to :func:`mad_outlier_summary` — MAD judges a value
+    against the group's whole history; this judges it against what the
+    group looked like *just before* it, which is what drift/incident
+    detection wants.
+
+    Returns ``(*id_cols, group_col, z)`` for flagged rows only, with
+    ``z`` rounded to ``round_dp``.
+
+    Scale shape: ONE shuffle (hash by group, sort by event time);
+    avg/stddev/count over a RANGE frame are streaming window
+    aggregates with O(window occupancy) state per group, evaluated in
+    a single pass — no self-join, no per-row re-scan.  Rows with
+    fewer than ``min_points`` trailing peers or zero variance are
+    never flagged (warm-up guard).  The frame is keyed on epoch
+    MICROSECONDS so sub-second event times don't collapse into peer
+    groups.
+    """
+
+    def _ref(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
+    v = _ref(value_col)
+    w = (
+        Window.partitionBy(_ref(group_col))
+        .orderBy(F.unix_micros(_ref(ts_col)))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    mean = F.avg(v).over(w)
+    sd = F.stddev_samp(v).over(w)
+    cnt = F.count(v).over(w)
+    z = F.round((v - mean) / sd, round_dp)
+    return (
+        df.select(
+            *[_ref(c) for c in id_cols],
+            _ref(group_col),
+            mean.alias("__m"),
+            sd.alias("__sd"),
+            cnt.alias("__n"),
+            z.alias("z"),
+        )
+        .where(
+            (F.col("__n") >= min_points)
+            & (F.col("__sd") > 0)
+            & (F.abs(F.col("z")) > z_thresh)
+        )
+        .drop("__m", "__sd", "__n")
     )
 
 
