@@ -3594,6 +3594,81 @@ WHERE r.sd > 0 AND ABS(ROUND((e.value - r.m) / r.sd, 4)) > {_ZS_THRESH}
 """
 
 
+# ---------------------------------------------------------------------------
+# q86 — incremental near-dup probe join (operators/dedup.py
+# minhash_lsh_join): the ingest-delta shape — which docs in a new
+# batch near-duplicate something ALREADY IN the corpus?  Same
+# signature family as q17, but candidates come from the band
+# equi-join BETWEEN the two frames, so per-batch cost tracks the
+# batch (plus its band collisions), never |corpus|².  Instance:
+# probe = every 10th document, corpus = the rest (disjoint key sets,
+# like a real delta).
+# ---------------------------------------------------------------------------
+def q86_incremental_neardup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    probe = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return D.minhash_lsh_join(
+        probe,
+        corpus,
+        num_hashes=_MH_H,
+        bands=_MH_BANDS,
+        jaccard_threshold=_MH_THRESH,
+        ngram_n=_MH_N,
+    )
+
+
+def _mh_join_sql() -> str:
+    """Same signature pipeline as _mh_sql (q17), with candidates from
+    the probe-vs-corpus band join instead of the self-join."""
+    n, h, bands = _MH_N, _MH_H, _MH_BANDS
+    r = h // bands
+    mh_terms = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> substr(md5('{i // 4}|' || s), "
+        f"{1 + 8 * (i % 4)}, 8))) AS mh{i}"
+        for i in range(h)
+    )
+    band_elems = ", ".join(
+        "'{b}#' || ".format(b=b)
+        + " || '#' || ".join(f"mh{b * r + j}" for j in range(r))
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS k,
+         list_transform(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), t -> LOWER(t)) AS tk
+  FROM documents WHERE regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+),
+sh AS (
+  SELECT k,
+         list_distinct(list_transform(range(1, len(tk) - {n - 2}),
+                       i -> array_to_string(tk[i:i+{n - 1}], ' '))) AS sh
+  FROM toks WHERE len(tk) >= {n}
+),
+sig AS (
+  SELECT k, sh,
+         {mh_terms}
+  FROM sh
+),
+banded AS (
+  SELECT k, unnest([{band_elems}]) AS bucket FROM sig
+),
+cand AS (
+  SELECT DISTINCT p.k AS pk, c.k AS ck
+  FROM banded p JOIN banded c ON p.bucket = c.bucket
+  WHERE p.k % 10 = 0 AND c.k % 10 <> 0
+),
+scored AS (
+  SELECT cand.pk, cand.ck,
+         ROUND(len(list_intersect(x.sh, y.sh)) * 1.0
+               / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+  FROM cand JOIN sh x ON cand.pk = x.k JOIN sh y ON cand.ck = y.k
+)
+SELECT pk AS probe_key, ck AS corpus_key, jaccard
+FROM scored WHERE jaccard >= {_MH_THRESH}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -3603,7 +3678,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 88.  Each round's first-50 window is chosen so
+    # registry now holds 89.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -3674,9 +3749,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_fuzzy_linkage": q83_fuzzy_linkage,
         "q84_snapshot_diff": q84_snapshot_diff,
         "q85_rolling_zscore": q85_rolling_zscore,
-        # --- r3-green keeps (7, interleaved with the late-r4
+        # --- late r4 addition: incremental near-dup probe join —
+        # displaces r3-green keep q40 to the tail for first evidence
+        "q86_incremental_neardup": q86_incremental_neardup,
+        # --- r3-green keeps (6, interleaved with the late-r4
         # additions below) ---
-        "q40_sliding_windows": q40_sliding_windows,
         "q41_streaming_dedup": q41_streaming_dedup,
         "q47_regional_supplier_volume": q47_regional_supplier_volume,
         "q48_order_line_arrays": q48_order_line_arrays,
@@ -3715,6 +3792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_event_followups": q37_event_followups,
         "q38_above_avg_orders": q38_above_avg_orders,
         "q39_rolling_revenue": q39_rolling_revenue,
+        "q40_sliding_windows": q40_sliding_windows,
         "q54_sql_surface": q54_sql_surface,
         "q55_streaming_sessions": q55_streaming_sessions,
         "q56_stratified_sample": q56_stratified_sample,
@@ -3841,6 +3919,7 @@ def oracle_sql() -> dict[str, str]:
         "q83_fuzzy_linkage": Q83_SQL,
         "q84_snapshot_diff": Q84_SQL,
         "q85_rolling_zscore": Q85_SQL,
+        "q86_incremental_neardup": _mh_join_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

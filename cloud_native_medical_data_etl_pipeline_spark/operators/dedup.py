@@ -386,6 +386,93 @@ def minhash_lsh_pairs(
     return _with_cached_deps(verified, base, pre)
 
 
+def minhash_lsh_join(
+    probe: DataFrame,
+    corpus: DataFrame,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    ngram_n: int = 3,
+    probe_out: str = "probe_key",
+    corpus_out: str = "corpus_key",
+) -> DataFrame:
+    """Asymmetric near-duplicate JOIN: which docs in ``probe`` are
+    near-dups of something already in ``corpus``?  This is the
+    incremental-ingest shape — at 100 TB nobody re-runs all-pairs
+    dedup per batch; the corpus signatures are computed once (and in
+    practice persisted as a table), each delta batch computes only its
+    OWN signatures, and candidates come from the band equi-join
+    BETWEEN the two frames.  Candidate volume is bounded by band-bucket
+    co-occupancy between batch and corpus — proportional to the
+    batch's true-match rate, never to |corpus|².
+
+    Same signature family as :func:`minhash_lsh_pairs` (word-n-gram
+    shingles, md5-lane minhash, Arrow base pass), so a corpus indexed
+    for self-dedup serves probe joins unchanged.  Returns
+    ``(probe_out, corpus_out, jaccard)`` for verified pairs with
+    ``jaccard >= jaccard_threshold``.  Keys shared by both frames are
+    the caller's concern (an ingest delta has fresh keys by
+    construction); call :func:`release` on the result when done.
+    """
+    rows_per_band = num_hashes // bands
+
+    def _base(df: DataFrame) -> DataFrame:
+        pre = rebalance_for_cpu(
+            df.select(
+                F.col(key_col).alias("k"), F.col(content_col).alias("txt")
+            ),
+            persist=False,
+        )
+        return _minhash_base_arrow(pre, ngram_n, num_hashes).persist()
+
+    def _banded(base: DataFrame, out: str) -> DataFrame:
+        band_cols = [
+            F.concat_ws(
+                "#",
+                F.lit(str(b)),
+                *[
+                    F.col(f"mh{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        return base.select(
+            F.col("k").alias(out), F.explode(F.array(*band_cols)).alias("bucket")
+        )
+
+    base_p, base_c = _base(probe), _base(corpus)
+    candidates = (
+        _banded(base_p, probe_out)
+        .join(_banded(base_c, corpus_out), "bucket")
+        .select(probe_out, corpus_out)
+        .dropDuplicates([probe_out, corpus_out])
+    )
+    verified = (
+        candidates.join(
+            base_p.select(F.col("k").alias(probe_out), F.col("sh").alias("sh_p")),
+            probe_out,
+        )
+        .join(
+            base_c.select(F.col("k").alias(corpus_out), F.col("sh").alias("sh_c")),
+            corpus_out,
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_p", "sh_c")).cast("double")
+                / F.size(F.array_union("sh_p", "sh_c")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select(probe_out, corpus_out, "jaccard")
+    )
+    return _with_cached_deps(verified, base_p, base_c)
+
+
 def simhash(text_col: Column | str, bits: int = 60) -> Column:
     """SimHash over whitespace tokens with the portable polynomial
     hash: bit b of the result is 1 iff more tokens have bit b set in

@@ -40,6 +40,47 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert all(a < b for a, b in got)
 
 
+def test_minhash_lsh_join_probe_vs_corpus(spark):
+    """Asymmetric incremental shape: probe docs match only CORPUS
+    near-dups — intra-probe and intra-corpus pairs never appear."""
+    docs = _docs(spark)
+    probe = docs.where(F.col("doc_id").isin(2, 5))
+    corpus = docs.where(~F.col("doc_id").isin(2, 5))
+    out = dedup.minhash_lsh_join(probe, corpus, jaccard_threshold=0.5)
+    got = {
+        (r["probe_key"], r["corpus_key"], r["jaccard"])
+        for r in out.collect()
+    }
+    dedup.release(out)
+    keys = {(p, c) for p, c, _ in got}
+    # doc 2 near-dups 1 and its exact copy 4; doc 5 matches nothing
+    assert keys == {(2, 1), (2, 4)}
+    # and the two corpus hits carry the SAME jaccard (4 is 1's copy)
+    js = {j for _, _, j in got}
+    assert len(js) == 1
+
+
+def test_minhash_lsh_join_matches_pairs_semantics(spark):
+    """On a probe/corpus split of one corpus, the join must emit
+    exactly the cross-set subset of minhash_lsh_pairs' output."""
+    docs = _docs(spark)
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    cross = {
+        frozenset((r["key_a"], r["key_b"]))
+        for r in pairs.collect()
+        if (r["key_a"] in (2, 5)) != (r["key_b"] in (2, 5))
+    }
+    dedup.release(pairs)
+    probe = docs.where(F.col("doc_id").isin(2, 5))
+    corpus = docs.where(~F.col("doc_id").isin(2, 5))
+    out = dedup.minhash_lsh_join(probe, corpus, jaccard_threshold=0.5)
+    got = {
+        frozenset((r["probe_key"], r["corpus_key"])) for r in out.collect()
+    }
+    dedup.release(out)
+    assert got == cross
+
+
 def test_minhash_arrow_equals_sql_engine(spark):
     """The Arrow mapInPandas base path must be bit-identical to the
     expression path — same pairs, same jaccard — on real corpus text."""
