@@ -3669,6 +3669,92 @@ FROM scored WHERE jaccard >= {_MH_THRESH}
 """
 
 
+# ---------------------------------------------------------------------------
+# q87 — mutual-nearest-neighbor embedding alignment (operators/
+# similarity.py mutual_nearest_neighbors): the bitext/dataset-
+# alignment primitive — (x, y) survives iff each is the other's
+# nearest neighbor, which kills one-direction hub matches.  Both
+# directions are cosine_topk_batch legs (smaller side broadcast, ONE
+# scan of the other, WindowGroupLimit top-1), then an equi-join of
+# two top-1 lists.  Ranking on the ROUNDED cosine with key tiebreaks
+# keeps the argmax engine-stable.  Instance: every 17th vector as
+# set A vs the rest as set B.
+# ---------------------------------------------------------------------------
+def q87_mutual_nn(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") % 17 == 0)
+    b = emb.where(F.col("vec_id") % 17 != 0)
+    return S.mutual_nearest_neighbors(a, b)
+
+
+Q87_SQL = """
+WITH a AS (
+  SELECT vec_id AS ak, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id % 17 = 0
+),
+b AS (
+  SELECT vec_id AS bk, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id % 17 <> 0
+),
+ab AS (
+  SELECT ak, bk, ROUND(list_cosine_similarity(a.e, b.e), 6) AS c
+  FROM a, b
+),
+best_ab AS (
+  SELECT ak, bk, c FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ak ORDER BY c DESC, bk ASC) rn
+    FROM ab
+  ) WHERE rn = 1
+),
+best_ba AS (
+  SELECT ak, bk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY bk ORDER BY c DESC, ak ASC) rn
+    FROM ab
+  ) WHERE rn = 1
+)
+SELECT x.ak AS a_key, x.bk AS b_key, x.c AS cosine
+FROM best_ab x JOIN best_ba y ON x.ak = y.ak AND x.bk = y.bk
+"""
+
+
+# ---------------------------------------------------------------------------
+# q88 — binned range-lookup join (operators/joins.py range_lookup_join):
+# tier/threshold lookup as an EQUI-join — dim intervals explode to the
+# bins they cover, fact rows compute their bin map-side, and the exact
+# [lo, hi) check folds into the join; no BroadcastNestedLoopJoin, no
+# per-row interval scan.  Instance: customer balances against a
+# 4-tier table, bin width 500.
+# ---------------------------------------------------------------------------
+_TIERS = [
+    ("debt", -1000.0, 0.0),
+    ("low", 0.0, 1000.0),
+    ("mid", 1000.0, 5000.0),
+    ("high", 5000.0, 10000.0),
+]
+
+
+def q88_range_lookup(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.joins import (
+        range_lookup_join,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    return range_lookup_join(
+        cust, dim, "c_acctbal", "lo", "hi", bin_width=500.0
+    ).select("c_custkey", "tier")
+
+
+Q88_SQL = """
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('debt', -1000.0, 0.0), ('low', 0.0, 1000.0),
+         ('mid', 1000.0, 5000.0), ('high', 5000.0, 10000.0)
+)
+SELECT c.c_custkey, t.tier
+FROM customer c JOIN tiers t ON c.c_acctbal >= t.lo AND c.c_acctbal < t.hi
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -3678,7 +3764,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 89.  Each round's first-50 window is chosen so
+    # registry now holds 91.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -3752,10 +3838,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- late r4 addition: incremental near-dup probe join —
         # displaces r3-green keep q40 to the tail for first evidence
         "q86_incremental_neardup": q86_incremental_neardup,
-        # --- r3-green keeps (6, interleaved with the late-r4
+        # --- late r4 additions: mutual-NN embedding alignment and the
+        # binned range-lookup join — displace r3-green keeps q41/q47
+        # to the tail for first evidence this round
+        "q87_mutual_nn": q87_mutual_nn,
+        "q88_range_lookup": q88_range_lookup,
+        # --- r3-green keeps (4, interleaved with the late-r4
         # additions below) ---
-        "q41_streaming_dedup": q41_streaming_dedup,
-        "q47_regional_supplier_volume": q47_regional_supplier_volume,
         "q48_order_line_arrays": q48_order_line_arrays,
         "q49_union_by_name": q49_union_by_name,
         "q50_top_orders_per_priority": q50_top_orders_per_priority,
@@ -3793,6 +3882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_above_avg_orders": q38_above_avg_orders,
         "q39_rolling_revenue": q39_rolling_revenue,
         "q40_sliding_windows": q40_sliding_windows,
+        "q41_streaming_dedup": q41_streaming_dedup,
+        "q47_regional_supplier_volume": q47_regional_supplier_volume,
         "q54_sql_surface": q54_sql_surface,
         "q55_streaming_sessions": q55_streaming_sessions,
         "q56_stratified_sample": q56_stratified_sample,
@@ -3920,6 +4011,8 @@ def oracle_sql() -> dict[str, str]:
         "q84_snapshot_diff": Q84_SQL,
         "q85_rolling_zscore": Q85_SQL,
         "q86_incremental_neardup": _mh_join_sql(),
+        "q87_mutual_nn": Q87_SQL,
+        "q88_range_lookup": Q88_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

@@ -144,3 +144,48 @@ def asof_join(
         F.col("__match.__ts").alias(f"{prefix}{right_ts}"),
         *[F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_payload],
     )
+
+
+def range_lookup_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bin_width: float = 1.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Attach interval-dimension attributes to fact rows whose
+    ``value_col`` falls in ``[lo, hi)`` — the tier/threshold/geo-range
+    lookup.  The naive form is a non-equi theta-join (BroadcastNested
+    LoopJoin: every fact row probes every interval); this one turns it
+    into an EQUI-join: each dim interval explodes to the bins it
+    covers (``floor(lo/w) .. floor(hi/w)``), the fact side computes
+    its bin map-side, and the join key is the bin.  Each fact row then
+    meets only the intervals overlapping its bin — O(1) for
+    non-overlapping tiers — with the exact ``[lo, hi)`` check folded
+    into the join condition.
+
+    The exploded dim costs ~range/bin_width rows per interval: pick
+    ``bin_width`` near the typical interval width so the dim stays
+    broadcast-sized.  With ``how='left'`` unmatched fact rows survive
+    with null dim columns (gap in the tier table), matching the SQL
+    LEFT JOIN the oracle writes.
+    """
+    w = float(bin_width)
+    binned_dim = dim.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    v = F.col(value_col)
+    cond = (
+        (F.floor(v / w).cast("long") == F.col("__bin"))
+        & (v >= F.col(lo_col))
+        & (v < F.col(hi_col))
+    )
+    return fact.join(F.broadcast(binned_dim), cond, how).drop("__bin")

@@ -310,3 +310,62 @@ def cosine_topk_batch(
         .where(F.col("rank") <= k)
         .select(query_key_col, key_col, "cosine", "rank")
     )
+
+
+def mutual_nearest_neighbors(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+    a_key: str = "vec_id",
+    b_key: str = "vec_id",
+    a_out: str = "a_key",
+    b_out: str = "b_key",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Mutual-nearest-neighbor alignment between two embedding sets —
+    the bitext/dataset-alignment primitive (Artetxe & Schwenk's margin
+    mining starts here): pair (x, y) survives iff y is x's nearest
+    neighbor in ``b`` AND x is y's nearest neighbor in ``a``.  The
+    mutuality condition is what kills the hub problem a one-direction
+    top-1 has (one popular item matching everything).
+
+    Returns ``(a_out, b_out, cosine)``.
+
+    Scale shape: both directions reuse :func:`cosine_topk_batch` with
+    k=1 — the SMALLER side broadcasts against ONE scan of the other,
+    and WindowGroupLimit keeps only each key's running best, so
+    nothing pair-shaped ever shuffles.  The mutual check is then an
+    equi-join of two top-1 lists (each bounded by |a| and |b| rows).
+    Both directions rank on the ROUNDED cosine with key tiebreaks, so
+    the argmax is engine-stable and oracle-reproducible.  Beyond
+    broadcastable set sizes, run per-chunk or swap the scoring legs
+    for IVF (build_ivf_index) — mutuality logic is unchanged.
+    """
+    ab = cosine_topk_batch(
+        b.select(F.col(b_key).alias("__bk"), F.col(vec_col)),
+        a.select(F.col(a_key).alias("__ak"), F.col(vec_col)),
+        k=1,
+        vec_col=vec_col,
+        key_col="__bk",
+        query_vec_col=vec_col,
+        query_key_col="__ak",
+        round_dp=round_dp,
+    ).select("__ak", "__bk", "cosine")
+    ba = cosine_topk_batch(
+        a.select(F.col(a_key).alias("__ak"), F.col(vec_col)),
+        b.select(F.col(b_key).alias("__bk"), F.col(vec_col)),
+        k=1,
+        vec_col=vec_col,
+        key_col="__ak",
+        query_vec_col=vec_col,
+        query_key_col="__bk",
+        round_dp=round_dp,
+    ).select(
+        F.col("__ak").alias("__ak2"), F.col("__bk").alias("__bk2")
+    )
+    return ab.join(
+        ba,
+        (F.col("__ak") == F.col("__ak2")) & (F.col("__bk") == F.col("__bk2")),
+    ).select(
+        F.col("__ak").alias(a_out), F.col("__bk").alias(b_out), "cosine"
+    )

@@ -579,3 +579,34 @@ def test_cosine_topk_batch_matches_single_query_loop(spark):
             emb, [float(x) for x in qrow["embedding"]], k=4
         ).collect()
         assert by_q[qrow["query_id"]] == [(r["vec_id"], r["cosine"]) for r in single]
+
+
+def test_mutual_nn_kills_hub_matches(spark):
+    """a2's best is the hub b1, but b1's best is a1 — mutuality keeps
+    only (a1, b1); likewise b2 -> a2 is one-directional."""
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "vec_id long, embedding array<float>"
+    )
+    b = spark.createDataFrame(
+        [(10, [1.0, 0.01]), (20, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    out = similarity.mutual_nearest_neighbors(a, b).collect()
+    assert [(r["a_key"], r["b_key"]) for r in out] == [(1, 10)]
+    assert out[0]["cosine"] > 0.99
+
+
+def test_mutual_nn_perfect_pairing(spark):
+    """Orthogonal matched sets pair off completely."""
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    b = spark.createDataFrame(
+        [(10, [0.9, 0.1, 0.0]), (20, [0.1, 0.9, 0.0]), (30, [0.0, 0.1, 0.9])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["a_key"], r["b_key"])
+        for r in similarity.mutual_nearest_neighbors(a, b).collect()
+    }
+    assert got == {(1, 10), (2, 20), (3, 30)}

@@ -185,3 +185,57 @@ def test_binned_interval_join_is_equi_shuffle(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# ------------------------------------------------------- range lookup
+def _tier_dim(spark):
+    return spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 50.0), ("high", 50.0, 100.0)],
+        "tier string, lo double, hi double",
+    )
+
+
+def test_range_lookup_boundaries(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.joins import (
+        range_lookup_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 0.0), (2, 9.999), (3, 10.0), (4, 99.9), (5, 100.0), (6, -1.0)],
+        "id long, v double",
+    )
+    out = range_lookup_join(fact, _tier_dim(spark), "v", bin_width=7.0)
+    got = {r["id"]: r["tier"] for r in out.collect()}
+    # lo inclusive, hi exclusive; 100.0 and -1.0 match nothing (inner)
+    assert got == {1: "low", 2: "low", 3: "mid", 4: "high"}
+
+
+def test_range_lookup_left_keeps_gaps(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.joins import (
+        range_lookup_join,
+    )
+
+    fact = spark.createDataFrame([(1, 5.0), (2, 200.0)], "id long, v double")
+    out = range_lookup_join(
+        fact, _tier_dim(spark), "v", bin_width=25.0, how="left"
+    )
+    got = {r["id"]: r["tier"] for r in out.collect()}
+    assert got == {1: "low", 2: None}
+
+
+def test_range_lookup_plan_is_equi_join(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.joins import (
+        range_lookup_join,
+    )
+
+    fact = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    plan = (
+        range_lookup_join(fact, _tier_dim(spark), "v", bin_width=10.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the bin equality must be extracted as the hash-join key — the
+    # whole point vs the naive BroadcastNestedLoopJoin theta-join
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
