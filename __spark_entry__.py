@@ -3755,6 +3755,173 @@ FROM customer c JOIN tiers t ON c.c_acctbal >= t.lo AND c.c_acctbal < t.hi
 """
 
 
+# ---------------------------------------------------------------------------
+# q89 — session co-occurrence / association pairs (operators/assoc.py
+# cooccurrence_pairs): which event types happen in the same (user,
+# day) basket more than independence predicts?  Distinct-first (one
+# shuffle kills in-basket multiplicity), pairs from a basket-key
+# equi-join (C(k,2) per basket, k <= |event types|), N as a one-row
+# broadcast — no driver count, no cross join.
+# ---------------------------------------------------------------------------
+def q89_cooccurrence(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.assoc import (
+        cooccurrence_pairs,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    return cooccurrence_pairs(ev, ["user_id", "day"], "event_type")
+
+
+Q89_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type AS it
+  FROM events
+),
+n_total AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n
+  FROM (SELECT DISTINCT user_id, day FROM d)
+),
+item_n AS (SELECT it, COUNT(*) AS cnt FROM d GROUP BY it),
+pairs AS (
+  SELECT a.it AS item_a, b.it AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS pair_n
+  FROM d a JOIN d b
+    ON a.user_id = b.user_id AND a.day = b.day AND a.it < b.it
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.pair_n,
+       ROUND(p.pair_n * t.n / (x.cnt * y.cnt), 6) AS lift
+FROM pairs p
+JOIN item_n x ON p.item_a = x.it
+JOIN item_n y ON p.item_b = y.it
+CROSS JOIN n_total t
+"""
+
+
+# ---------------------------------------------------------------------------
+# q90 — hybrid retrieval fusion (operators/ranking.py rrf_fuse):
+# reciprocal-rank fusion of two retrievers over the same corpus —
+# q71's BM25 and a token-set Jaccard retriever — the lexical+fuzzy
+# hybrid every RAG pipeline runs (RRF needs no score calibration
+# between heterogeneous scorers).  Fusion operates on retriever
+# OUTPUT volume (k rows per list), so the stage is free next to the
+# retrievers feeding it.  Both lists rank on ROUNDED scores with key
+# tiebreaks; the fused list ranks on the rounded RRF sum — every cut
+# engine-stable.
+# ---------------------------------------------------------------------------
+_RRF_POOL, _RRF_K, _RRF_TOP = 20, 60, 10
+
+
+def q90_hybrid_retrieval(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.ranking import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = bm25_topk(
+        docs, _BM25_TERMS, k=_RRF_POOL, k1=_BM25_K1, b=_BM25_B
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        ),
+    )
+    qset = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    toks = F.array_distinct(X.lower_tokens("text"))
+    jac = F.round(
+        F.size(F.array_intersect(toks, qset)).cast("double")
+        / F.size(F.array_union(toks, qset)).cast("double"),
+        6,
+    )
+    fuzzy = (
+        docs.where(F.size(F.array_distinct(X.lower_tokens("text"))) > 0)
+        .select("doc_id", jac.alias("tjac"))
+        .orderBy(F.col("tjac").desc(), F.col("doc_id").asc())
+        .limit(_RRF_POOL)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("tjac").desc(), F.col("doc_id").asc())
+            ),
+        )
+    )
+    return rrf_fuse(
+        [lex.select("doc_id", "rank"), fuzzy.select("doc_id", "rank")],
+        rrf_k=_RRF_K,
+        top=_RRF_TOP,
+    )
+
+
+def _rrf_sql() -> str:
+    qlist = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(tk, t -> t = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = "\n         + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * tf{i} * {k1 + 1.0} / (tf{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(
+                     regexp_replace(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')
+         END AS tk
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+         {tf_cols}
+  FROM toks
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+         {df_cols}
+  FROM per_doc
+),
+lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT doc_id, ROUND({score}, 6) AS bm25
+    FROM per_doc, stats
+    ORDER BY bm25 DESC, doc_id ASC LIMIT {_RRF_POOL}
+  )
+),
+fuzzy AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY tjac DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT doc_id,
+           ROUND(len(list_intersect(list_distinct(tk), [{qlist}])) * 1.0
+                 / len(list_distinct(list_distinct(tk) || [{qlist}])), 6)
+             AS tjac
+    FROM toks WHERE len(tk) > 0
+    ORDER BY tjac DESC, doc_id ASC LIMIT {_RRF_POOL}
+  )
+)
+SELECT doc_id, ROUND(SUM(1.0 / ({_RRF_K} + rank)), 6) AS rrf
+FROM (SELECT * FROM lex UNION ALL SELECT * FROM fuzzy)
+GROUP BY doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {_RRF_TOP}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -3764,7 +3931,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 91.  Each round's first-50 window is chosen so
+    # registry now holds 93.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -3843,10 +4010,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to the tail for first evidence this round
         "q87_mutual_nn": q87_mutual_nn,
         "q88_range_lookup": q88_range_lookup,
-        # --- r3-green keeps (4, interleaved with the late-r4
+        # --- late r4 additions: session co-occurrence lift and hybrid
+        # retrieval fusion — displace r3-green keeps q48/q49 to the
+        # tail for first evidence this round
+        "q89_cooccurrence": q89_cooccurrence,
+        "q90_hybrid_retrieval": q90_hybrid_retrieval,
+        # --- r3-green keeps (2, interleaved with the late-r4
         # additions below) ---
-        "q48_order_line_arrays": q48_order_line_arrays,
-        "q49_union_by_name": q49_union_by_name,
         "q50_top_orders_per_priority": q50_top_orders_per_priority,
         "q53_grouping_sets": q53_grouping_sets,
         # --- late r4 additions (2): funnel conversion and cohort
@@ -3884,6 +4054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_sliding_windows": q40_sliding_windows,
         "q41_streaming_dedup": q41_streaming_dedup,
         "q47_regional_supplier_volume": q47_regional_supplier_volume,
+        "q48_order_line_arrays": q48_order_line_arrays,
+        "q49_union_by_name": q49_union_by_name,
         "q54_sql_surface": q54_sql_surface,
         "q55_streaming_sessions": q55_streaming_sessions,
         "q56_stratified_sample": q56_stratified_sample,
@@ -4013,6 +4185,8 @@ def oracle_sql() -> dict[str, str]:
         "q86_incremental_neardup": _mh_join_sql(),
         "q87_mutual_nn": Q87_SQL,
         "q88_range_lookup": Q88_SQL,
+        "q89_cooccurrence": Q89_SQL,
+        "q90_hybrid_retrieval": _rrf_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

@@ -278,3 +278,60 @@ def bm25_topk_indexed(
         .orderBy(F.col("bm25").desc(), F.col("doc").asc())
         .limit(k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    query_cols: tuple[str, ...] = (),
+    rrf_k: int = 60,
+    top: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retriever result lists — the
+    standard hybrid-retrieval combiner (Cormack et al. SIGIR'09;
+    lexical BM25 + dense ANN is the shape every RAG pipeline runs):
+    ``score(d) = sum over lists of 1 / (rrf_k + rank_d)``.  Rank-based
+    fusion needs no score calibration between retrievers, which is
+    exactly why it wins over weighted score sums across heterogeneous
+    scorers.
+
+    Each input frame carries ``(*query_cols, doc_col, rank_col)`` with
+    rank 1-based within its (query, list).  Returns
+    ``(*query_cols, doc_col, rrf)`` — the top ``top`` per query by
+    (rounded rrf DESC, doc key ASC), rounding before ranking so the
+    cut is engine-stable.
+
+    Scale shape: result lists are top-k-sized (k rows per query per
+    retriever), so the union + one grouped sum + per-query top window
+    all operate on retriever OUTPUT volume, never corpus volume — the
+    fusion stage is free compared to the retrievers feeding it.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    parts = [
+        r.select(*query_cols, F.col(doc_col), F.col(rank_col))
+        for r in rankings
+    ]
+    u = reduce(lambda x, y: x.unionByName(y), parts)
+    scored = u.groupBy(*query_cols, doc_col).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(rank_col))),
+            round_dp,
+        ).alias("rrf")
+    )
+    if query_cols:
+        w = Window.partitionBy(*query_cols).orderBy(
+            F.col("rrf").desc(), F.col(doc_col).asc()
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= top)
+            .drop("__rn")
+        )
+    return scored.orderBy(F.col("rrf").desc(), F.col(doc_col).asc()).limit(
+        top
+    )
