@@ -561,7 +561,11 @@ def q17_minhash_near_dups(spark, sf_dir):
     )
 
 
-def _mh_sql() -> str:
+def _mh_sig_ctes() -> str:
+    """Shared minhash-signature SQL pipeline (toks -> shingles -> md5
+    lane signature -> exploded band buckets) — ONE definition for the
+    q17 self-join oracle and the q86 probe-join oracle, mirroring the
+    single _minhash_band_cols definition on the Spark side."""
     n, h, bands = _MH_N, _MH_H, _MH_BANDS
     r = h // bands
     mh_terms = ",\n         ".join(
@@ -574,8 +578,7 @@ def _mh_sql() -> str:
         + " || '#' || ".join(f"mh{b * r + j}" for j in range(r))
         for b in range(bands)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id AS k,
          list_transform(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), t -> LOWER(t)) AS tk
   FROM documents WHERE regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
@@ -593,7 +596,12 @@ sig AS (
 ),
 banded AS (
   SELECT k, unnest([{band_elems}]) AS bucket FROM sig
-),
+)"""
+
+
+def _mh_sql() -> str:
+    return f"""
+WITH {_mh_sig_ctes()},
 cand AS (
   SELECT DISTINCT a.k AS key_a, b.k AS key_b
   FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.k < b.k
@@ -2874,7 +2882,11 @@ def q71_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
 
 
-def _bm25_sql() -> str:
+def _bm25_ctes() -> tuple[str, str]:
+    """The shared BM25 SQL pieces — ONE definition of tokenization,
+    per-doc tf/dl, corpus stats, and the scoring expression, used by
+    both the q71 oracle and q90's lexical leg so the two can never
+    drift apart."""
     k1, b = _BM25_K1, _BM25_B
     tf_cols = ",\n         ".join(
         f"CAST(len(list_filter(tk, t -> t = '{t}')) AS DOUBLE) AS tf{i}"
@@ -2889,8 +2901,7 @@ def _bm25_sql() -> str:
         f" * tf{i} * {k1 + 1.0} / (tf{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl))"
         for i in range(len(_BM25_TERMS))
     )
-    return f"""
-WITH toks AS (
+    ctes = f"""toks AS (
   SELECT doc_id,
          CASE WHEN regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') = ''
               THEN CAST([] AS VARCHAR[])
@@ -2908,7 +2919,14 @@ stats AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
          {df_cols}
   FROM per_doc
-)
+)"""
+    return ctes, score
+
+
+def _bm25_sql() -> str:
+    ctes, score = _bm25_ctes()
+    return f"""
+WITH {ctes}
 SELECT doc_id,
        ROUND({score}, 6) AS bm25
 FROM per_doc, stats
@@ -3427,10 +3445,14 @@ GROUP BY d.event_type
 # degenerate hot blocks before the join (the min_df_prune pattern).
 # Instance: customer names with one digit deterministically deleted
 # (position 10 + custkey % 5 — always inside the digit run, never the
-# last 3 chars) matched back to the clean roster, blocking on the
-# final 3 characters.
+# last 4 chars) matched back to the clean roster, blocking on the
+# final 4 characters.  Block occupancy is ~|roster|/10^4 and the cap
+# is 1000, so the guard only fires past sf~60 — the cap protects
+# against degenerate blocks without silently pruning healthy ones at
+# any benchmarked scale (a cap that prunes 100% of blocks would make
+# a green row vacuous).
 # ---------------------------------------------------------------------------
-_FJ_CAP = 100
+_FJ_CAP = 1000
 
 
 def q83_fuzzy_linkage(spark, sf_dir):
@@ -3453,7 +3475,7 @@ def q83_fuzzy_linkage(spark, sf_dir):
         right_key="c_custkey",
         left_col="dirty_name",
         right_col="c_name",
-        block=lambda c: F.substring(c, -3, 3),
+        block=lambda c: F.substring(c, -4, 4),
         max_dist=1,
         max_block_size=_FJ_CAP,
         left_out="dirty_key",
@@ -3470,13 +3492,13 @@ WITH dirty AS (
   FROM customer
 ),
 rb AS (
-  SELECT c_custkey AS ck, c_name, right(c_name, 3) AS blk FROM customer
+  SELECT c_custkey AS ck, c_name, right(c_name, 4) AS blk FROM customer
 ),
 ok AS (SELECT blk FROM rb GROUP BY blk HAVING COUNT(*) <= {_FJ_CAP}),
 pruned AS (SELECT rb.* FROM rb SEMI JOIN ok USING (blk))
 SELECT d.dk AS dirty_key, r.ck AS clean_key,
        CAST(levenshtein(d.dname, r.c_name) AS BIGINT) AS distance
-FROM dirty d JOIN pruned r ON right(d.dname, 3) = r.blk
+FROM dirty d JOIN pruned r ON right(d.dname, 4) = r.blk
 WHERE levenshtein(d.dname, r.c_name) <= 1
 """
 
@@ -3619,40 +3641,11 @@ def q86_incremental_neardup(spark, sf_dir):
 
 
 def _mh_join_sql() -> str:
-    """Same signature pipeline as _mh_sql (q17), with candidates from
-    the probe-vs-corpus band join instead of the self-join."""
-    n, h, bands = _MH_N, _MH_H, _MH_BANDS
-    r = h // bands
-    mh_terms = ",\n         ".join(
-        f"list_min(list_transform(sh, s -> substr(md5('{i // 4}|' || s), "
-        f"{1 + 8 * (i % 4)}, 8))) AS mh{i}"
-        for i in range(h)
-    )
-    band_elems = ", ".join(
-        "'{b}#' || ".format(b=b)
-        + " || '#' || ".join(f"mh{b * r + j}" for j in range(r))
-        for b in range(bands)
-    )
+    """Same signature pipeline as _mh_sql (q17) via _mh_sig_ctes, with
+    candidates from the probe-vs-corpus band join instead of the
+    self-join."""
     return f"""
-WITH toks AS (
-  SELECT doc_id AS k,
-         list_transform(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), t -> LOWER(t)) AS tk
-  FROM documents WHERE regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
-),
-sh AS (
-  SELECT k,
-         list_distinct(list_transform(range(1, len(tk) - {n - 2}),
-                       i -> array_to_string(tk[i:i+{n - 1}], ' '))) AS sh
-  FROM toks WHERE len(tk) >= {n}
-),
-sig AS (
-  SELECT k, sh,
-         {mh_terms}
-  FROM sh
-),
-banded AS (
-  SELECT k, unnest([{band_elems}]) AS bucket FROM sig
-),
+WITH {_mh_sig_ctes()},
 cand AS (
   SELECT DISTINCT p.k AS pk, c.k AS ck
   FROM banded p JOIN banded c ON p.bucket = c.bucket
@@ -3859,40 +3852,9 @@ def q90_hybrid_retrieval(spark, sf_dir):
 
 def _rrf_sql() -> str:
     qlist = ", ".join(f"'{t}'" for t in _BM25_TERMS)
-    k1, b = _BM25_K1, _BM25_B
-    tf_cols = ",\n         ".join(
-        f"CAST(len(list_filter(tk, t -> t = '{t}')) AS DOUBLE) AS tf{i}"
-        for i, t in enumerate(_BM25_TERMS)
-    )
-    df_cols = ",\n         ".join(
-        f"SUM(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
-        for i in range(len(_BM25_TERMS))
-    )
-    score = "\n         + ".join(
-        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
-        f" * tf{i} * {k1 + 1.0} / (tf{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl))"
-        for i in range(len(_BM25_TERMS))
-    )
+    ctes, score = _bm25_ctes()
     return f"""
-WITH toks AS (
-  SELECT doc_id,
-         CASE WHEN regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') = ''
-              THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(
-                     regexp_replace(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')
-         END AS tk
-  FROM documents
-),
-per_doc AS (
-  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
-         {tf_cols}
-  FROM toks
-),
-stats AS (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
-         {df_cols}
-  FROM per_doc
-),
+WITH {ctes},
 lex AS (
   SELECT doc_id,
          ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank

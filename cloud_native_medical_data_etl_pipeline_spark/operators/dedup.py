@@ -154,6 +154,26 @@ def _poly_hash(col: Column, seed: int, mult: int = 31) -> Column:
     )
 
 
+def _minhash_band_cols(num_hashes: int, bands: int) -> list[Column]:
+    """The ONE definition of the band bucket string ('<band>#<lane>#
+    <lane>...'): both the self-join pair generator and the asymmetric
+    probe join derive buckets from it, which is what makes a corpus
+    indexed for self-dedup serve probe joins unchanged (and what the
+    q17/q86 oracles mirror)."""
+    rows_per_band = num_hashes // bands
+    return [
+        F.concat_ws(
+            "#",
+            F.lit(str(b)),
+            *[
+                F.col(f"mh{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ],
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+
+
 def minhash_signature(
     shingles: Column, num_hashes: int = 8, prefix: str = "mh"
 ) -> list[Column]:
@@ -351,14 +371,7 @@ def minhash_lsh_pairs(
             .persist()
         )
     sh = base.select("k", "sh")
-    band_cols = [
-        F.concat_ws(
-            "#",
-            F.lit(str(b)),
-            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
+    band_cols = _minhash_band_cols(num_hashes, bands)
     banded = base.select("k", F.explode(F.array(*band_cols)).alias("bucket"))
     candidates = (
         banded.select(F.col("k").alias("key_a"), "bucket")
@@ -416,8 +429,6 @@ def minhash_lsh_join(
     the caller's concern (an ingest delta has fresh keys by
     construction); call :func:`release` on the result when done.
     """
-    rows_per_band = num_hashes // bands
-
     def _base(df: DataFrame) -> DataFrame:
         pre = rebalance_for_cpu(
             df.select(
@@ -428,17 +439,7 @@ def minhash_lsh_join(
         return _minhash_base_arrow(pre, ngram_n, num_hashes).persist()
 
     def _banded(base: DataFrame, out: str) -> DataFrame:
-        band_cols = [
-            F.concat_ws(
-                "#",
-                F.lit(str(b)),
-                *[
-                    F.col(f"mh{b * rows_per_band + r}")
-                    for r in range(rows_per_band)
-                ],
-            ).alias(f"band{b}")
-            for b in range(bands)
-        ]
+        band_cols = _minhash_band_cols(num_hashes, bands)
         return base.select(
             F.col("k").alias(out), F.explode(F.array(*band_cols)).alias("bucket")
         )

@@ -331,37 +331,47 @@ def mutual_nearest_neighbors(
 
     Returns ``(a_out, b_out, cosine)``.
 
-    Scale shape: both directions reuse :func:`cosine_topk_batch` with
-    k=1 — the SMALLER side broadcasts against ONE scan of the other,
-    and WindowGroupLimit keeps only each key's running best, so
-    nothing pair-shaped ever shuffles.  The mutual check is then an
-    equi-join of two top-1 lists (each bounded by |a| and |b| rows).
-    Both directions rank on the ROUNDED cosine with key tiebreaks, so
-    the argmax is engine-stable and oracle-reproducible.  Beyond
-    broadcastable set sizes, run per-chunk or swap the scoring legs
-    for IVF (build_ivf_index) — mutuality logic is unchanged.
+    Scale shape: the pair scores are computed ONCE — the query set
+    ``a`` (the small side in the bitext framing) broadcasts against a
+    single scan of ``b``, scoring map-side — and BOTH argmaxes derive
+    from that one scored frame via two WindowGroupLimit-pruned top-1
+    windows: the per-a window shuffles at most |a| candidates per
+    input partition, the per-b window at most one row per b (each b's
+    scores are partition-local to its own scan split), so nothing
+    |a|x|b|-shaped ever shuffles and the LARGE side is never
+    broadcast.  Both argmaxes rank on the ROUNDED cosine with key
+    tiebreaks, so the result is engine-stable and
+    oracle-reproducible.  Beyond broadcastable |a|, run per-chunk or
+    swap the scoring leg for IVF (build_ivf_index) — the mutuality
+    logic is unchanged.
     """
-    ab = cosine_topk_batch(
-        b.select(F.col(b_key).alias("__bk"), F.col(vec_col)),
-        a.select(F.col(a_key).alias("__ak"), F.col(vec_col)),
-        k=1,
-        vec_col=vec_col,
-        key_col="__bk",
-        query_vec_col=vec_col,
-        query_key_col="__ak",
-        round_dp=round_dp,
-    ).select("__ak", "__bk", "cosine")
-    ba = cosine_topk_batch(
-        a.select(F.col(a_key).alias("__ak"), F.col(vec_col)),
-        b.select(F.col(b_key).alias("__bk"), F.col(vec_col)),
-        k=1,
-        vec_col=vec_col,
-        key_col="__ak",
-        query_vec_col=vec_col,
-        query_key_col="__bk",
-        round_dp=round_dp,
-    ).select(
-        F.col("__ak").alias("__ak2"), F.col("__bk").alias("__bk2")
+    from pyspark.sql import Window
+
+    cd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bb = b.select(F.col(b_key).alias("__bk"), cd.alias("__bv"))
+    aa = a.select(F.col(a_key).alias("__ak"), cd.alias("__av"))
+    scored = bb.crossJoin(F.broadcast(aa)).select(
+        "__ak",
+        "__bk",
+        F.round(V.cosine(F.col("__av"), F.col("__bv")), round_dp).alias(
+            "cosine"
+        ),
+    )
+    w_ab = Window.partitionBy("__ak").orderBy(
+        F.col("cosine").desc(), F.col("__bk").asc()
+    )
+    w_ba = Window.partitionBy("__bk").orderBy(
+        F.col("cosine").desc(), F.col("__ak").asc()
+    )
+    ab = (
+        scored.withColumn("__rn", F.row_number().over(w_ab))
+        .where(F.col("__rn") == 1)
+        .select("__ak", "__bk", "cosine")
+    )
+    ba = (
+        scored.withColumn("__rn", F.row_number().over(w_ba))
+        .where(F.col("__rn") == 1)
+        .select(F.col("__ak").alias("__ak2"), F.col("__bk").alias("__bk2"))
     )
     return ab.join(
         ba,
