@@ -3901,7 +3901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     q13-q16, q21, q26, q33, q34, q42, q51, q52 — all r2-green,
     #     now due a fresh row);
     #   * q70 (registered r3 at slot 70 — first-ever driver row);
-    #   * the fifteen NEW r4 queries: q20b (sub-quadratic banded
+    #   * the 23 NEW r4 queries: q20b (sub-quadratic banded
     #     LSH), q63b/q64b (invariant-aggregate oracles for the two
     #     rows-only queries), q71 (BM25), q72 (semantic dedup), q73
     #     (span dedup), q74 (TF-IDF), q75 (funnel), q76 (cohort
@@ -3909,13 +3909,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     enrich), q79 (batch retrieval), q80 (stream-stream join),
     #     q81 (salted join — upgrades skew.py to driver evidence),
     #     q82 (MAD robust outliers), q83 (blocked fuzzy linkage),
-    #     q84 (corpus snapshot diff), q85 (rolling z-score flags);
+    #     q84 (corpus snapshot diff), q85 (rolling z-score flags),
+    #     q86 (incremental near-dup probe join), q87 (mutual-NN
+    #     alignment), q88 (range-lookup join), q89 (co-occurrence
+    #     lift), q90 (RRF hybrid retrieval);
     #   * every query whose KERNEL changed this round and therefore
     #     needs re-evidence: q20 (hot-bucket chunk split), q22
     #     (independent simhash second hash), q59 (pinned whitespace
     #     class), q32 (escaped percentile refs), q57 (pointer-jumping
     #     connected components);
-    #   * 10 r3-green keeps.
+    #   * 2 r3-green keeps (q50, q53).
     # Displaced to the tail — ALL hash-green in CORRECTNESS_r03.json,
     # kernels untouched this round: q02, q07, q08, q12, q17, q18, q19,
     # q23, q24, q25, q27, q28, q29, q30, q31, q35, q36, q43, q44, q45,
