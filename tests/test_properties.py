@@ -549,3 +549,118 @@ def test_span_dedup_invariants(spark, docs, chunk):
         assert r["text"] == want_text
         assert r["n_spans_kept"] == len(kept)
         assert r["n_spans_total"] == len(spans)
+
+
+# --------------------------------------------------- snapshot diff (r4)
+_diff_texts = st.one_of(st.none(), st.sampled_from(["a", "b", "c", ""]))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 15), _diff_texts, max_size=12),
+    st.dictionaries(st.integers(0, 15), _diff_texts, max_size=12),
+)
+def test_snapshot_diff_matches_dict_reference(spark, old_d, new_d):
+    """snapshot_diff == the obvious dict-diff on any pair of keyed
+    snapshots (NULL content hashing as '')."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.delta import (
+        snapshot_diff,
+    )
+
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(list(old_d.items()) or [(None, None)], schema)
+    new = spark.createDataFrame(list(new_d.items()) or [(None, None)], schema)
+    if not old_d:
+        old = old.where(F.col("doc_id").isNotNull())
+    if not new_d:
+        new = new.where(F.col("doc_id").isNotNull())
+    got = {
+        r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()
+    }
+    want = {}
+    for k in set(old_d) | set(new_d):
+        if k not in old_d:
+            want[k] = "added"
+        elif k not in new_d:
+            want[k] = "removed"
+        elif (old_d[k] or "") != (new_d[k] or ""):
+            want[k] = "changed"
+    assert got == want
+
+
+# ------------------------------------------------------- rrf fuse (r4)
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 20), min_size=1, max_size=8, unique=True),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_rrf_fuse_matches_python_reference(spark, lists):
+    """Fused scores equal the straight Python RRF sum over the same
+    ranked lists, and ordering is (rounded score desc, key asc)."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.ranking import (
+        rrf_fuse,
+    )
+
+    frames = [
+        spark.createDataFrame(
+            [(d, i + 1) for i, d in enumerate(lst)], "doc_id long, rank int"
+        )
+        for lst in lists
+    ]
+    top = 50
+    out = rrf_fuse(frames, rrf_k=60, top=top).collect()
+    want: dict[int, float] = {}
+    for lst in lists:
+        for i, d in enumerate(lst):
+            want[d] = want.get(d, 0.0) + 1.0 / (60 + i + 1)
+    want_rounded = {d: round(s, 6) for d, s in want.items()}
+    got = {r["doc_id"]: r["rrf"] for r in out}
+    assert got == dict(
+        sorted(want_rounded.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    )
+    order = [r["doc_id"] for r in out]
+    assert order == sorted(got, key=lambda d: (-got[d], d))
+
+
+# ---------------------------------------------- cooccurrence lift (r4)
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from("abcd")),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cooccurrence_matches_bruteforce(spark, rows):
+    """pair_n and lift equal a brute-force basket model, multiplicity
+    and row order notwithstanding."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.assoc import (
+        cooccurrence_pairs,
+    )
+
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["pair_n"], r["lift"])
+        for r in cooccurrence_pairs(df, ["basket"], "item").collect()
+    }
+    baskets: dict[int, set] = {}
+    for b, it in rows:
+        baskets.setdefault(b, set()).add(it)
+    n_total = len(baskets)
+    item_n: dict[str, int] = {}
+    pair_n: dict[tuple, int] = {}
+    for items in baskets.values():
+        for x in items:
+            item_n[x] = item_n.get(x, 0) + 1
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair_n[(s[i], s[j])] = pair_n.get((s[i], s[j]), 0) + 1
+    want = {
+        p: (c, round(c * n_total / (item_n[p[0]] * item_n[p[1]]), 6))
+        for p, c in pair_n.items()
+    }
+    assert got == want
