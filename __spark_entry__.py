@@ -3884,6 +3884,68 @@ LIMIT {_RRF_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# q91 — unpivot/melt + aggregate (the inverse of q33's pivot): four
+# lineitem measures melt to (metric, value) rows map-side
+# (DataFrame.unpivot = one Expand node, no shuffle, no UDF), then one
+# grouped aggregate.  Registered r4 at the tail — first driver
+# evidence rides the r5 window (SURVEY.md §8.3).
+# ---------------------------------------------------------------------------
+_UNPIVOT_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q91_unpivot_metrics(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    melted = l.unpivot(
+        ids=["l_orderkey"],
+        values=_UNPIVOT_COLS,
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return melted.groupBy("metric").agg(
+        F.count("value").alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )
+
+
+Q91_SQL = f"""
+SELECT metric, CAST(COUNT(value) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS total
+FROM (
+  SELECT l_orderkey, metric, value
+  FROM lineitem
+  UNPIVOT (value FOR metric IN ({", ".join(_UNPIVOT_COLS)}))
+)
+GROUP BY metric
+"""
+
+
+# ---------------------------------------------------------------------------
+# q92 — per-group quantile-rank transform (operators/stats.py
+# quantile_buckets): percent_rank deciles of event values within each
+# event type — the distribution-free normalization for curriculum /
+# cohort features; tied values share a bucket, so the result is a
+# pure function of (group, value) and engine-stable.  Registered r4
+# at the tail — first driver evidence rides the r5 window.
+# ---------------------------------------------------------------------------
+def q92_quantile_buckets(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        quantile_buckets,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_buckets(ev, "event_type", "value", n_buckets=10)
+
+
+Q92_SQL = """
+SELECT event_id, event_type,
+       CAST(LEAST(FLOOR(percent_rank() OVER (
+         PARTITION BY event_type ORDER BY value) * 10), 9) AS BIGINT)
+         AS bucket
+FROM events
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -3893,7 +3955,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 93.  Each round's first-50 window is chosen so
+    # registry now holds 95.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -4056,6 +4118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_segment_set_ops": q46_segment_set_ops,
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
+        # --- registered r4 at the tail: first driver evidence rides
+        # the r5 window (local oracle green at sf0.001/sf0.01)
+        "q91_unpivot_metrics": q91_unpivot_metrics,
+        "q92_quantile_buckets": q92_quantile_buckets,
     }
 
 
@@ -4152,6 +4218,8 @@ def oracle_sql() -> dict[str, str]:
         "q88_range_lookup": Q88_SQL,
         "q89_cooccurrence": Q89_SQL,
         "q90_hybrid_retrieval": _rrf_sql(),
+        "q91_unpivot_metrics": Q91_SQL,
+        "q92_quantile_buckets": Q92_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

@@ -226,3 +226,38 @@ def mad_outlier_summary(
             F.count(F.lit(1)).alias("n_total"),
         )
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 10,
+    id_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Rank-normalize ``value_col`` within each group into
+    ``n_buckets`` quantile buckets via ``percent_rank`` — the
+    distribution-free feature transform (per-cohort score deciles,
+    difficulty bands for curriculum sampling).  Unlike ``ntile``,
+    percent_rank gives TIED values the same bucket, so the transform
+    is a pure function of (group, value) — deterministic under any
+    row order, which is what makes it engine-reproducible.
+
+    Returns ``(*id_cols, group_col, bucket)``, bucket 0-based.
+
+    Scale shape: one hash-by-group sort-by-value shuffle; percent_rank
+    is a streaming rank function (O(1) state).  NULL values sort first
+    under Spark AND DuckDB default ascending order and land in bucket
+    0; filter them upstream if that is not the intent.
+    """
+
+    def _ref(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
+    w = Window.partitionBy(_ref(group_col)).orderBy(_ref(value_col))
+    bucket = F.least(
+        F.floor(F.percent_rank().over(w) * n_buckets), F.lit(n_buckets - 1)
+    ).cast("long")
+    return df.select(
+        *[_ref(c) for c in id_cols], _ref(group_col), bucket.alias("bucket")
+    )

@@ -254,3 +254,67 @@ def test_stream_to_lake_upsert_quarantines_null_ts(spark, tmp_path):
         for r in stored.select("year", "month", "day").collect()
     }
     assert ("9999", "12", "31") in days
+
+
+def test_stream_dedup_ingest_gates_near_dups(spark, tmp_path):
+    """End-to-end ingest composite: batch 1 seeds the corpus; batch 2
+    carries an exact redelivery, a near-dup of stored content, and a
+    novel doc — only the novel doc is appended. A full replay of
+    batch 2 appends nothing (exactly-once via key + content guards)."""
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import ingest as SI
+
+    corpus = str(tmp_path / "corpus")
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "spark query engines shuffle data between executors for joins"),
+            (3, "the quick brown fox jumps over the lazy dog near the river bank"),
+        ],
+        "doc_id long, text string",
+    )
+    n1 = SI.ingest_batch(b1, corpus)
+    assert n1 == 2  # 3 collapses into 1 (in-batch exact dedup)
+
+    b2 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # key replay
+            (10, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of stored 1
+            (11, "a completely novel document about watermark semantics in streams"),
+        ],
+        "doc_id long, text string",
+    )
+    n2 = SI.ingest_batch(b2, corpus)
+    assert n2 == 1
+    stored = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert stored == {1, 2, 11}
+
+    # full redelivery of batch 2: both guards make it a no-op
+    assert SI.ingest_batch(b2, corpus) == 0
+    assert spark.read.parquet(corpus).count() == 3
+
+
+def test_stream_dedup_ingest_available_now_drain(spark, tmp_path):
+    """The streaming wrapper drains a parquet directory through
+    ingest_batch with a checkpoint; a second drain over the same
+    checkpoint processes nothing new."""
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import ingest as SI
+
+    src = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 1
+            (3, "entirely different words live in this document body"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    SI.stream_dedup_ingest(spark, src, corpus, ck)
+    stored = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert stored == {1, 3}
+
+    # same checkpoint: nothing new to process, corpus unchanged
+    SI.stream_dedup_ingest(spark, src, corpus, ck)
+    assert spark.read.parquet(corpus).count() == 2
