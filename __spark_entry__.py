@@ -3946,6 +3946,70 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# q93 — SCD-2 validity intervals (operators/scd.py scd2_intervals):
+# collapse each user's event-type log into attribute-value RUNS with
+# [valid_from_us, valid_to_us) bounds, open run -> NULL.  One
+# entity-hash time-sort shuffle, two streaming window passes.
+# Registered r4 at the tail — first driver evidence rides r5.
+# ---------------------------------------------------------------------------
+def q93_scd2_intervals(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.scd import (
+        scd2_intervals,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_intervals(ev, "user_id", "ts", "event_type", "event_id")
+
+
+Q93_SQL = """
+WITH marked AS (
+  SELECT user_id AS __k, epoch_us(ts) AS __ts, event_type AS __a,
+         event_id AS __tb,
+         NOT (lag(event_type) OVER w IS NOT DISTINCT FROM event_type)
+           AS __chg,
+         ROW_NUMBER() OVER w AS __rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+changes AS (SELECT * FROM marked WHERE __rn = 1 OR __chg)
+SELECT __k AS user_id, __a AS event_type, __ts AS valid_from_us,
+       lead(__ts) OVER (PARTITION BY __k ORDER BY __ts, __tb)
+         AS valid_to_us
+FROM changes
+"""
+
+
+# ---------------------------------------------------------------------------
+# q94 — event transition counts (operators/scd.py transition_counts):
+# first-order (from, to) state transitions per user timeline — the
+# Markov / funnel-exploration primitive.  One shuffle + lead() +
+# a count over the |states|^2 result space.  Registered r4 at the
+# tail — first driver evidence rides r5.
+# ---------------------------------------------------------------------------
+def q94_transitions(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.scd import (
+        transition_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_counts(ev, "user_id", "ts", "event_type", "event_id")
+
+
+Q94_SQL = """
+WITH nxt AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER w AS to_state,
+         lead(event_id) OVER w AS nxt_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+FROM nxt WHERE nxt_id IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -3955,7 +4019,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 95.  Each round's first-50 window is chosen so
+    # registry now holds 97.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -4122,6 +4186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r5 window (local oracle green at sf0.001/sf0.01)
         "q91_unpivot_metrics": q91_unpivot_metrics,
         "q92_quantile_buckets": q92_quantile_buckets,
+        "q93_scd2_intervals": q93_scd2_intervals,
+        "q94_transitions": q94_transitions,
     }
 
 
@@ -4220,6 +4286,8 @@ def oracle_sql() -> dict[str, str]:
         "q90_hybrid_retrieval": _rrf_sql(),
         "q91_unpivot_metrics": Q91_SQL,
         "q92_quantile_buckets": Q92_SQL,
+        "q93_scd2_intervals": Q93_SQL,
+        "q94_transitions": Q94_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

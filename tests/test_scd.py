@@ -1,0 +1,99 @@
+"""scd2_intervals / transition_counts: run collapsing, null-safe
+change detection, tiebreak determinism, and transition math on
+planted timelines."""
+
+import datetime
+
+from cloud_native_medical_data_etl_pipeline_spark.operators.scd import (
+    scd2_intervals,
+    transition_counts,
+)
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+def _us(m):
+    return int(_ts(m).replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+
+
+def _log(spark):
+    rows = [
+        # user 1: a a b b a  -> runs a[0,2) b[2,4) a[4,None)
+        (1, _ts(0), "a", 100),
+        (1, _ts(1), "a", 101),
+        (1, _ts(2), "b", 102),
+        (1, _ts(3), "b", 103),
+        (1, _ts(4), "a", 104),
+        # user 2: null null c -> runs NULL[0,5) c[5,None)
+        (2, _ts(0), None, 200),
+        (2, _ts(3), None, 201),
+        (2, _ts(5), "c", 202),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+
+
+def test_scd2_collapses_runs(spark):
+    out = {
+        (r["user_id"], r["valid_from_us"]): (r["event_type"], r["valid_to_us"])
+        for r in scd2_intervals(
+            _log(spark), "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert out == {
+        (1, _us(0)): ("a", _us(2)),
+        (1, _us(2)): ("b", _us(4)),
+        (1, _us(4)): ("a", None),
+        (2, _us(0)): (None, _us(5)),  # NULL -> NULL is NOT a change
+        (2, _us(5)): ("c", None),
+    }
+
+
+def test_scd2_tiebreak_on_equal_ts(spark):
+    # two updates at the SAME ts: event_id order decides run order
+    rows = [(1, _ts(0), "x", 2), (1, _ts(0), "y", 1)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = {
+        r["event_type"]: (r["valid_from_us"], r["valid_to_us"])
+        for r in scd2_intervals(
+            df, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    # y (id 1) comes first: a zero-length run closed at the same
+    # instant by x (id 2), whose run stays open
+    assert out["y"] == (_us(0), _us(0))
+    assert out["x"] == (_us(0), None)
+
+
+def test_transition_counts(spark):
+    got = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in transition_counts(
+            _log(spark), "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    # user 1: a->a, a->b, b->b, b->a; user 2: null->null, null->c
+    assert got == {
+        ("a", "a"): 1,
+        ("a", "b"): 1,
+        ("b", "b"): 1,
+        ("b", "a"): 1,
+        (None, None): 1,
+        (None, "c"): 1,
+    }
+
+
+def test_transitions_single_event_user_emits_nothing(spark):
+    df = spark.createDataFrame(
+        [(9, _ts(0), "solo", 1)],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    assert (
+        transition_counts(df, "user_id", "ts", "event_type", "event_id").count()
+        == 0
+    )
