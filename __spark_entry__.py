@@ -4010,6 +4010,51 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q95 — A-Res weighted sampling without replacement (operators/
+# curate.py weighted_sample): priority = u^(1/w) with a DETERMINISTIC
+# md5 uniform — the one-pass distributed reservoir, reproducible
+# across engines/layouts unlike seeded rand().  Priorities rank
+# ROUNDED (pow can differ by an ulp across libm implementations).
+# Instance: 20 docs per language, weighted by length.  Registered r4
+# at the tail — first driver evidence rides r5.
+# ---------------------------------------------------------------------------
+_WS_N = 20
+
+
+def q95_weighted_sample(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.curate import (
+        weighted_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs, weight_col="n_chars", n=_WS_N, group_col="lang"
+    )
+    return out.select("doc_id", "lang", "priority")
+
+
+Q95_SQL = f"""
+WITH pri AS (
+  SELECT doc_id, lang,
+         ROUND(POWER(
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             + 1.0) / 4294967296.0,
+           1.0 / CAST(n_chars AS DOUBLE)), 9) AS priority
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+ranked AS (
+  SELECT doc_id, lang, priority,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY priority DESC, doc_id ASC
+         ) AS rn
+  FROM pri
+)
+SELECT doc_id, lang, priority FROM ranked WHERE rn <= {_WS_N}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -4019,7 +4064,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 97.  Each round's first-50 window is chosen so
+    # registry now holds 98.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -4188,6 +4233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_quantile_buckets": q92_quantile_buckets,
         "q93_scd2_intervals": q93_scd2_intervals,
         "q94_transitions": q94_transitions,
+        "q95_weighted_sample": q95_weighted_sample,
     }
 
 
@@ -4288,6 +4334,7 @@ def oracle_sql() -> dict[str, str]:
         "q92_quantile_buckets": Q92_SQL,
         "q93_scd2_intervals": Q93_SQL,
         "q94_transitions": Q94_SQL,
+        "q95_weighted_sample": Q95_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

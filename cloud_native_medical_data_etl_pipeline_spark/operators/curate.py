@@ -17,7 +17,7 @@ survivors never carry shingle arrays past the pair stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
@@ -124,3 +124,54 @@ def mix_corpora(
         )
         out = kept if out is None else out.unionByName(kept, allowMissingColumns=True)
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    group_col: str | None = None,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    A-Res priorities: each row gets ``priority = u ** (1/w)`` for a
+    uniform u in (0, 1], and the top-``n`` priorities win — the
+    classic one-pass distributed reservoir, exact in distribution,
+    with no driver state and no rejection loop.  u is DETERMINISTIC
+    (md5 of the key, the mix_corpora trick): the sample is
+    reproducible across partition layouts, re-runs, and engines,
+    unlike seeded rand().
+
+    Returns the sampled rows (all original columns plus ``priority``).
+    Rows with NULL or non-positive weight are excluded (they have no
+    defined priority).  Priorities are ROUNDED before ranking — pow()
+    may differ by an ulp between libm implementations, and ranking on
+    the rounded value with a key tiebreak keeps the selected set
+    engine-stable (the q19/q79 rounded-score pattern).
+
+    Scale shape: the priority is a map-side expression; selection is
+    one top-n window per group (WindowGroupLimit keeps only running
+    winners ahead of the shuffle).  ``group_col=None`` means ONE
+    global sample: that window is single-partition by construction,
+    but only the per-partition top-n survivors reach it.
+    """
+    key = F.col("`" + key_col.replace("`", "``") + "`")
+    w = F.col("`" + weight_col.replace("`", "``") + "`").cast("double")
+    u = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    priority = F.round(F.pow(u, F.lit(1.0) / w), round_dp)
+    win = (
+        Window.partitionBy(F.col(group_col)) if group_col else Window.partitionBy()
+    ).orderBy(F.col("priority").desc(), key.asc())
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("priority", priority)
+        .withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -87,3 +87,49 @@ def test_rrf_fuse_per_query_grouping(spark):
     # q1: doc 10 in both lists wins; q2: 20 and 30 tie, key breaks
     assert got["q1"][0] == 10 and got["q1"][1] == pytest.approx(2 / 61, abs=1e-6)
     assert got["q2"][0] == 20
+
+
+# ------------------------------------------------------ weighted sample
+def test_weighted_sample_deterministic_and_layout_proof(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.curate import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(200)], "doc_id long, w double"
+    )
+    a = {r["doc_id"] for r in weighted_sample(df, "w", 25).collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), "w", 25).collect()
+    }
+    assert a == b and len(a) == 25
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.curate import (
+        weighted_sample,
+    )
+
+    # 100 light (w=1) and 100 heavy (w=50) rows: the top-40 sample
+    # must be dominated by heavy rows (A-Res: heavier -> priority
+    # closer to 1)
+    rows = [(i, 1.0) for i in range(100)] + [
+        (100 + i, 50.0) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [r["doc_id"] for r in weighted_sample(df, "w", 40).collect()]
+    heavy = sum(1 for d in got if d >= 100)
+    assert heavy >= 30, heavy
+
+
+def test_weighted_sample_excludes_bad_weights(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.curate import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 2.0)], "doc_id long, w double"
+    )
+    got = [r["doc_id"] for r in weighted_sample(df, "w", 10).collect()]
+    assert got == [4]
