@@ -664,3 +664,141 @@ def test_cooccurrence_matches_bruteforce(spark, rows):
         for p, c in pair_n.items()
     }
     assert got == want
+
+
+# ------------------------------------------------ fuzzy linkage (r4)
+_names = st.text(alphabet="abc1", min_size=1, max_size=6)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(_names, min_size=1, max_size=8, unique=True),
+    st.lists(_names, min_size=1, max_size=8, unique=True),
+)
+def test_blocked_fuzzy_join_matches_bruteforce_within_blocks(
+    spark, left_names, right_names
+):
+    """Within-block pairs match a brute-force Levenshtein filter;
+    cross-block pairs never appear (the declared blocking loss)."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.linkage import (
+        blocked_fuzzy_join,
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    left = spark.createDataFrame(
+        list(enumerate(left_names)), "id long, name string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, n) for i, n in enumerate(right_names)],
+        "id long, name string",
+    )
+    got = {
+        (r["left_key"], r["right_key"]): r["distance"]
+        for r in blocked_fuzzy_join(
+            left,
+            right,
+            left_key="id",
+            right_key="id",
+            left_col="name",
+            right_col="name",
+            block=lambda c: F.substring(c, 1, 1),
+            max_dist=2,
+        ).collect()
+    }
+    want = {
+        (i, 100 + j): lev(a, b)
+        for i, a in enumerate(left_names)
+        for j, b in enumerate(right_names)
+        if a[0] == b[0] and lev(a, b) <= 2
+    }
+    assert got == want
+
+
+# ---------------------------------------------------- scd2 (r4)
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30), st.sampled_from("xy")),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_scd2_matches_python_reference(spark, rows):
+    """Interval output equals a per-entity run-collapse in Python,
+    with (ts, uid) ordering and open last runs."""
+    import datetime as dt
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.scd import (
+        scd2_intervals,
+    )
+
+    data = [
+        (k, dt.datetime(2024, 1, 1, 0, m), v, uid)
+        for uid, (k, m, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = {
+        (r["user_id"], r["valid_from_us"], r["event_type"], r["valid_to_us"])
+        for r in scd2_intervals(
+            df, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    by_key: dict[int, list] = {}
+    for k, ts, v, uid in data:
+        us = int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        by_key.setdefault(k, []).append((us, uid, v))
+    want = set()
+    for k, events in by_key.items():
+        events.sort()
+        runs = []
+        for us, _uid, v in events:
+            if not runs or runs[-1][1] != v:
+                runs.append((us, v))
+        for i, (us, v) in enumerate(runs):
+            nxt = runs[i + 1][0] if i + 1 < len(runs) else None
+            want.add((k, us, v, nxt))
+    assert got == want
+
+
+# ------------------------------------------- quantile buckets (r4)
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("pq"), st.integers(0, 50)),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_quantile_buckets_matches_percent_rank(spark, rows):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        quantile_buckets,
+    )
+
+    data = [(i, g, float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "event_id long, event_type string, value double")
+    got = {
+        r["event_id"]: r["bucket"]
+        for r in quantile_buckets(df, "event_type", "value", 10).collect()
+    }
+    want = {}
+    for g in {g for _, g, _ in data}:
+        grp = sorted(v for _, gg, v in data if gg == g)
+        n = len(grp)
+        for i, gg, v in data:
+            if gg != g:
+                continue
+            rank = grp.index(v)  # first index == SQL rank-1 for ties
+            pr = 0.0 if n == 1 else rank / (n - 1)
+            want[i] = min(int(pr * 10), 9)
+    assert got == want
