@@ -4055,6 +4055,54 @@ SELECT doc_id, lang, priority FROM ranked WHERE rn <= {_WS_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# q96 — hard-negative mining (operators/similarity.py hard_negatives):
+# for each probe embedding, the top-3 most-similar corpus vectors
+# with a DIFFERENT label — boundary-adjacent negatives for
+# contrastive training.  Query set broadcast vs one corpus scan, the
+# label-mismatch predicate folded in BEFORE the per-query ranking
+# window (WindowGroupLimit).  Instance: every 23rd vector probes the
+# rest.  Registered r4 at the tail — first driver evidence rides r5.
+# ---------------------------------------------------------------------------
+_HN_K = 3
+
+
+def q96_hard_negatives(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 23 == 0)
+    corpus = emb.where(F.col("vec_id") % 23 != 0)
+    return hard_negatives(corpus, probes, k=_HN_K)
+
+
+Q96_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_key, embedding::DOUBLE[] AS e, label
+  FROM embeddings WHERE vec_id % 23 = 0 AND label IS NOT NULL
+),
+c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, label
+  FROM embeddings WHERE vec_id % 23 <> 0 AND label IS NOT NULL
+),
+scored AS (
+  SELECT q.query_key, c.vec_id,
+         ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine
+  FROM q JOIN c ON q.label <> c.label
+),
+ranked AS (
+  SELECT query_key, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_key ORDER BY cosine DESC, vec_id ASC
+         ) AS INT) AS rank
+  FROM scored
+)
+SELECT query_key, vec_id, cosine, rank FROM ranked WHERE rank <= {_HN_K}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -4064,7 +4112,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 98.  Each round's first-50 window is chosen so
+    # registry now holds 99.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -4234,6 +4282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_scd2_intervals": q93_scd2_intervals,
         "q94_transitions": q94_transitions,
         "q95_weighted_sample": q95_weighted_sample,
+        "q96_hard_negatives": q96_hard_negatives,
     }
 
 
@@ -4335,6 +4384,7 @@ def oracle_sql() -> dict[str, str]:
         "q93_scd2_intervals": Q93_SQL,
         "q94_transitions": Q94_SQL,
         "q95_weighted_sample": Q95_SQL,
+        "q96_hard_negatives": Q96_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

@@ -379,3 +379,70 @@ def mutual_nearest_neighbors(
     ).select(
         F.col("__ak").alias(a_out), F.col("__bk").alias(b_out), "cosine"
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    label_col: str = "label",
+    query_key_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    item, the ``k`` most-similar corpus items whose label DIFFERS —
+    the negatives that sit closest to the decision boundary, which
+    are the ones worth training on (random negatives are trivially
+    separable).
+
+    Returns ``(query_key, key_col, cosine, rank)``, rank 1..k per
+    query among different-label corpus items only.
+
+    Scale shape: the query set broadcasts against ONE corpus scan
+    (the cosine_topk_batch shape) with the label-mismatch predicate
+    folded in BEFORE ranking — so rank 1..k is computed over the
+    eligible set, not truncated after the fact — and the per-query
+    window gets WindowGroupLimit pushdown.  Ranking is on the ROUNDED
+    cosine with a key tiebreak (engine-stable).  Beyond broadcastable
+    query sets: chunk the queries, or generate candidates with the
+    IVF index and re-rank — the mismatch predicate composes
+    unchanged.
+    """
+    from pyspark.sql import Window
+
+    cd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = corpus.select(
+        F.col(key_col), cd.alias("__cv"), F.col(label_col).alias("__cl")
+    )
+    q = queries.select(
+        F.col(query_key_col).alias("__qk"),
+        cd.alias("__qv"),
+        F.col(label_col).alias("__ql"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        # NULL-labeled rows match nothing negatively: a NULL label is
+        # "unknown", not "different from everything"
+        .where(
+            F.col("__cl").isNotNull()
+            & F.col("__ql").isNotNull()
+            & (F.col("__cl") != F.col("__ql"))
+        )
+        .select(
+            F.col("__qk").alias("query_key"),
+            F.col(key_col),
+            F.round(V.cosine(F.col("__cv"), F.col("__qv")), round_dp).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_key").orderBy(
+        F.col("cosine").desc(), F.col(key_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_key", key_col, "cosine", "rank")
+    )

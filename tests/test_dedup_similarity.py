@@ -610,3 +610,24 @@ def test_mutual_nn_perfect_pairing(spark):
         for r in similarity.mutual_nearest_neighbors(a, b).collect()
     }
     assert got == {(1, 10), (2, 20), (3, 30)}
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """The nearest neighbor overall shares the probe's label and must
+    NOT appear; ranks cover only different-label items; NULL labels
+    are excluded entirely."""
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 1),    # same label as probe, closest -> excluded
+            (20, [0.9, 0.1], 2),    # different label, very close -> rank 1
+            (30, [0.5, 0.5], 2),    # different label -> rank 2
+            (40, [0.99, 0.01], None),  # null label -> never a negative
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    probe = spark.createDataFrame(
+        [(1, [1.0, 0.0], 1)], "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.hard_negatives(corpus, probe, k=2).collect()
+    assert [(r["vec_id"], r["rank"]) for r in out] == [(20, 1), (30, 2)]
+    assert all(r["query_key"] == 1 for r in out)
