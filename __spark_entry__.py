@@ -4103,6 +4103,77 @@ SELECT query_key, vec_id, cosine, rank FROM ranked WHERE rank <= {_HN_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# q97 — CDC apply / lakehouse MERGE (operators/cdc.py apply_cdc):
+# last-writer-wins fold of an I/U/D change log into a base snapshot —
+# one latest-per-key window over the (small) log, one key join
+# against the base.  Instance: customers with a synthetic log —
+# every 5th key updated (+100 balance, t=1), every 7th deleted (t=2,
+# so D wins on keys divisible by 35).  Registered r4 at the tail —
+# first driver evidence rides r5.
+# ---------------------------------------------------------------------------
+def q97_cdc_apply(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.cdc import (
+        apply_cdc,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    updates = cust.where(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(1).alias("ts"),
+        F.lit("U").alias("op"),
+        F.col("c_custkey").alias("change_id"),
+    )
+    deletes = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit(2).alias("ts"),
+        F.lit("D").alias("op"),
+        (F.col("c_custkey") + 1_000_000).alias("change_id"),
+    )
+    merged = apply_cdc(
+        cust,
+        updates.unionByName(deletes),
+        key_col="c_custkey",
+        ts_col="ts",
+        op_col="op",
+        tiebreak_col="change_id",
+    )
+    return merged.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+    )
+
+
+Q97_SQL = """
+WITH changes AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, 1 AS ts, 'U' AS op
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal, 2 AS ts, 'D' AS op
+  FROM customer WHERE c_custkey % 7 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY c_custkey ORDER BY ts DESC
+    ) AS rn FROM changes
+  ) WHERE rn = 1
+)
+SELECT c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal
+FROM customer c ANTI JOIN latest l ON c.c_custkey = l.c_custkey
+UNION ALL
+SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+FROM latest WHERE op <> 'D'
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -4112,7 +4183,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 99.  Each round's first-50 window is chosen so
+    # registry now holds 100.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -4283,6 +4354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_transitions": q94_transitions,
         "q95_weighted_sample": q95_weighted_sample,
         "q96_hard_negatives": q96_hard_negatives,
+        "q97_cdc_apply": q97_cdc_apply,
     }
 
 
@@ -4385,6 +4457,7 @@ def oracle_sql() -> dict[str, str]:
         "q94_transitions": Q94_SQL,
         "q95_weighted_sample": Q95_SQL,
         "q96_hard_negatives": Q96_SQL,
+        "q97_cdc_apply": Q97_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

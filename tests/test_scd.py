@@ -97,3 +97,42 @@ def test_transitions_single_event_user_emits_nothing(spark):
         transition_counts(df, "user_id", "ts", "event_type", "event_id").count()
         == 0
     )
+
+
+# ---------------------------------------------------------------- cdc
+def test_apply_cdc_last_writer_wins(spark):
+    import pytest as _pytest
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.cdc import (
+        apply_cdc,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 1, "U", 10),  # update
+            (2, None, 1, "D", 11),  # delete
+            (3, "c2", 1, "U", 12),  # update then delete later -> gone
+            (3, None, 2, "D", 13),
+            (5, "e", 1, "I", 14),   # insert new key
+            (6, "f1", 1, "I", 15),  # same ts: higher change_id wins
+            (6, "f2", 1, "I", 16),
+        ],
+        "k long, v string, ts int, op string, change_id long",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_cdc(base, changes, "k", "ts", "op", "change_id")
+        .select("k", "v")
+        .collect()
+    }
+    assert got == {1: "a2", 4: "d", 5: "e", 6: "f2"}
+
+    # unknown op fails loud, not silently
+    bad = spark.createDataFrame(
+        [(9, "x", 1, "u", 1)], "k long, v string, ts int, op string, change_id long"
+    )
+    with _pytest.raises(Exception, match="unknown op"):
+        apply_cdc(base, bad, "k", "ts", "op", "change_id").collect()
