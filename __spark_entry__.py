@@ -4174,6 +4174,54 @@ FROM latest WHERE op <> 'D'
 """
 
 
+# ---------------------------------------------------------------------------
+# q98 — corpus-level source-similarity matrix (operators/dedup.py
+# source_similarity_matrix): pairwise 8-gram Jaccard between document
+# SOURCES — the zoom-out of the doc-pair dedup family (doc pairs ->
+# span dedup -> corpus matrix).  Distinct (source, md5(gram)) rows
+# map-side, one grouped size count, a gram-hash-keyed intersection
+# join emitting <= |sources|² pairs per gram.  Registered r4 at the
+# tail — first driver evidence rides r5.
+# ---------------------------------------------------------------------------
+_SSM_N = 8
+
+
+def q98_source_similarity(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.source_similarity_matrix(
+        docs, group_col="source", ngram_n=_SSM_N, hash_fn="md5"
+    )
+
+
+Q98_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         list_transform(string_split_regex(regexp_replace(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                        t -> t) AS tk
+  FROM documents
+  WHERE regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+),
+grams AS (
+  SELECT DISTINCT source AS g,
+         unnest(list_transform(range(1, len(tk) - {_SSM_N - 2}),
+                i -> md5(array_to_string(tk[i:i+{_SSM_N - 1}], ' ')))) AS gh
+  FROM toks WHERE len(tk) >= {_SSM_N}
+),
+sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY g),
+inter AS (
+  SELECT a.g AS group_a, b.g AS group_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM grams a JOIN grams b ON a.gh = b.gh AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT i.group_a, i.group_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+       ROUND(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.group_a = sa.g
+JOIN sizes sb ON i.group_b = sb.g
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -4183,7 +4231,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 100.  Each round's first-50 window is chosen so
+    # registry now holds 101.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -4355,6 +4403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_weighted_sample": q95_weighted_sample,
         "q96_hard_negatives": q96_hard_negatives,
         "q97_cdc_apply": q97_cdc_apply,
+        "q98_source_similarity": q98_source_similarity,
     }
 
 
@@ -4458,6 +4507,7 @@ def oracle_sql() -> dict[str, str]:
         "q95_weighted_sample": Q95_SQL,
         "q96_hard_negatives": Q96_SQL,
         "q97_cdc_apply": Q97_SQL,
+        "q98_source_similarity": Q98_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

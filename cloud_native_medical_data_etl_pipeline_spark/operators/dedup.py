@@ -1247,3 +1247,81 @@ def span_dedup_rebuild(
             F.col("n_spans_total").cast("long").alias("n_spans_total"),
         )
     )
+
+
+def source_similarity_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    content_col: str = "text",
+    ngram_n: int = 8,
+    hash_fn: str = "xxhash64",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Corpus-LEVEL overlap diagnostics: pairwise n-gram Jaccard
+    between document GROUPS (sources, snapshots, mixture components)
+    — the zoom-out of the doc-pair operators: before designing a
+    mixture or debugging contamination you want "how much does source
+    A repeat source B" as one small matrix, not a million doc pairs.
+
+    Returns ``(group_a, group_b, n_a, n_b, n_common, jaccard)`` with
+    group_a < group_b, over each group's DISTINCT gram-hash set.
+
+    Scale shape: the corpus reduces map-side to distinct
+    (group, hash(gram)) rows — hashes ride the shuffle, never text;
+    per-group set sizes are one grouped count; the intersection
+    self-join is keyed on the gram hash, where each gram shared by k
+    groups emits C(k,2) pairs — bounded by |groups|² per gram, and
+    |groups| is mixture-sized (tens), never corpus-sized.
+    ``hash_fn='md5'`` is the SQL-portable oracle mode (the
+    ngram_contamination switch).
+    """
+    hasher = F.xxhash64 if hash_fn == "xxhash64" else F.md5
+    g = F.col("`" + group_col.replace("`", "``") + "`")
+    grams = (
+        df.select(
+            g.alias("__g"),
+            F.explode(
+                X.word_ngrams_from_tokens(
+                    X.lower_tokens(content_col), ngram_n
+                )
+            ).alias("__gram"),
+        )
+        .select("__g", hasher("__gram").alias("__gh"))
+        .dropDuplicates()
+        .persist()
+    )
+    sizes = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        grams.select(F.col("__g").alias("group_a"), "__gh")
+        .join(grams.select(F.col("__g").alias("group_b"), "__gh"), "__gh")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("__g").alias("group_a"), F.col("__n").alias("n_a"))
+            ),
+            "group_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("__g").alias("group_b"), F.col("__n").alias("n_b"))
+            ),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                round_dp,
+            ).alias("jaccard"),
+        )
+    )
+    return _with_cached_deps(out, grams)

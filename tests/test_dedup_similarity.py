@@ -631,3 +631,24 @@ def test_hard_negatives_excludes_same_label(spark):
     out = similarity.hard_negatives(corpus, probe, k=2).collect()
     assert [(r["vec_id"], r["rank"]) for r in out] == [(20, 1), (30, 2)]
     assert all(r["query_key"] == 1 for r in out)
+
+
+def test_source_similarity_matrix(spark):
+    """Two sources sharing half their grams score the exact Jaccard;
+    a disjoint source scores 0 rows against... nothing shared -> no
+    pair row at all (inner intersection semantics)."""
+    rows = [
+        (1, "one two three four five six seven eight nine", "A"),
+        (2, "one two three four five six seven eight nine", "B"),  # same grams as A
+        (3, "totally different words that never repeat anywhere else ok", "C"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dedup.source_similarity_matrix(df, ngram_n=3, hash_fn="md5")
+    got = {
+        (r["group_a"], r["group_b"]): (r["n_a"], r["n_b"], r["n_common"], r["jaccard"])
+        for r in out.collect()
+    }
+    dedup.release(out)
+    # A and B have identical 3-gram sets (7 grams) -> jaccard 1.0;
+    # C shares nothing with either -> no rows for (A,C)/(B,C)
+    assert got == {("A", "B"): (7, 7, 7, 1.0)}
