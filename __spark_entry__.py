@@ -3940,7 +3940,7 @@ def q92_quantile_buckets(spark, sf_dir):
 Q92_SQL = """
 SELECT event_id, event_type,
        CAST(LEAST(FLOOR(percent_rank() OVER (
-         PARTITION BY event_type ORDER BY value) * 10), 9) AS BIGINT)
+         PARTITION BY event_type ORDER BY value NULLS FIRST) * 10), 9) AS BIGINT)
          AS bucket
 FROM events
 """

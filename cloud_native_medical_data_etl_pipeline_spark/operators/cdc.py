@@ -33,24 +33,17 @@ def apply_cdc(
 
     ``changes`` carries the key, the op ('I'/'U'/'D'), the change
     time, the tiebreak id, and the base's payload columns (ignored —
-    may be NULL — for 'D' rows).  Unknown op values raise at plan
-    build time rather than silently dropping rows.
+    may be NULL — for 'D' rows).  Unknown op values raise at
+    execution rather than silently dropping rows.
     """
     payload_cols = [c for c in base.columns]
 
-    w = Window.partitionBy(key_col).orderBy(
-        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
-    )
-    latest = (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    # fail loud on ops outside the contract: a typo'd 'u' would
-    # otherwise vanish from both the upsert and the delete branch.
-    # The check lives in a FILTER (always true or raising) — an unused
-    # projected column would be pruned away by Catalyst, check and all
-    latest = latest.where(
+    # fail loud on ops outside the contract BEFORE the window: a
+    # typo'd 'u' that loses the latest-per-key race would otherwise be
+    # filtered away unseen.  The check lives in a FILTER (always true
+    # or raising) — an unused projected column would be pruned away by
+    # Catalyst, check and all
+    changes = changes.where(
         F.when(F.col(op_col).isin("I", "U", "D"), F.lit(True)).otherwise(
             F.raise_error(
                 F.concat(
@@ -59,6 +52,14 @@ def apply_cdc(
                 )
             )
         )
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
     touched = latest.select(key_col)

@@ -156,8 +156,10 @@ def weighted_sample(
     global sample: that window is single-partition by construction,
     but only the per-partition top-n survivors reach it.
     """
-    key = F.col("`" + key_col.replace("`", "``") + "`")
-    w = F.col("`" + weight_col.replace("`", "``") + "`").cast("double")
+    from ._common import col_ref
+
+    key = col_ref(key_col)
+    w = col_ref(weight_col).cast("double")
     u = (
         F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
             "double"
@@ -166,7 +168,9 @@ def weighted_sample(
     ) / F.lit(4294967296.0)
     priority = F.round(F.pow(u, F.lit(1.0) / w), round_dp)
     win = (
-        Window.partitionBy(F.col(group_col)) if group_col else Window.partitionBy()
+        Window.partitionBy(col_ref(group_col))
+        if group_col
+        else Window.partitionBy()
     ).orderBy(F.col("priority").desc(), key.asc())
     return (
         df.where(w.isNotNull() & (w > 0))

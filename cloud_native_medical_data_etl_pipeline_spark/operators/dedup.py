@@ -1275,8 +1275,10 @@ def source_similarity_matrix(
     ``hash_fn='md5'`` is the SQL-portable oracle mode (the
     ngram_contamination switch).
     """
+    from ._common import col_ref
+
     hasher = F.xxhash64 if hash_fn == "xxhash64" else F.md5
-    g = F.col("`" + group_col.replace("`", "``") + "`")
+    g = col_ref(group_col)
     grams = (
         df.select(
             g.alias("__g"),

@@ -19,9 +19,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _ref(name: str):
-    return F.col("`" + name.replace("`", "``") + "`")
+from ._common import col_ref as _ref
 
 
 def scd2_intervals(

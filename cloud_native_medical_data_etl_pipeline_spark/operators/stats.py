@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._common import col_ref
+
 
 def _alias(p: float) -> str:
     # 0.5 -> p50, 0.95 -> p95, 0.999 -> p99_9
@@ -44,10 +46,10 @@ def group_percentiles(
     exact=True: SQL ``percentile`` — buffers the whole group; use for
     small groups or oracle-reproducible output only.
     """
-    # exact-name reference (the profile.py _ref pattern): interpolating
-    # the raw name into an F.expr SQL string breaks on dots/spaces/
-    # quotes — or silently resolves to a different expression
-    ref = F.col("`" + value_col.replace("`", "``") + "`")
+    # exact-name reference (shared col_ref): interpolating the raw
+    # name into an F.expr SQL string breaks on dots/spaces/quotes —
+    # or silently resolves to a different expression
+    ref = col_ref(value_col)
     if exact:
         aggs = [
             F.round(F.percentile(ref, F.lit(float(p))), round_dp).alias(
@@ -121,12 +123,9 @@ def rolling_zscore_flags(
     position.
     """
 
-    def _ref(name: str):
-        return F.col("`" + name.replace("`", "``") + "`")
-
-    v, g = _ref(value_col), _ref(group_col)
+    v, g = col_ref(value_col), col_ref(group_col)
     bucket = F.floor(
-        F.unix_micros(_ref(ts_col)) / F.lit(bucket_seconds * 1_000_000)
+        F.unix_micros(col_ref(ts_col)) / F.lit(bucket_seconds * 1_000_000)
     )
 
     partials = df.groupBy(g.alias("__g"), bucket.alias("__b")).agg(
@@ -158,7 +157,7 @@ def rolling_zscore_flags(
             F.broadcast(stats),
             (g.eqNullSafe(F.col("__g"))) & (bucket == F.col("__b")),
         )
-        .select(*[_ref(c) for c in id_cols], g, z.alias("z"), F.col("__sd"))
+        .select(*[col_ref(c) for c in id_cols], g, z.alias("z"), F.col("__sd"))
         .where((F.col("__sd") > 0) & (F.abs(F.col("z")) > z_thresh))
         .drop("__sd")
     )
@@ -194,12 +193,7 @@ def mad_outlier_summary(
     whose values are ALL NULL reports n_outliers = 0, not NULL.
     """
 
-    # backtick-escaped refs (the group_percentiles pattern) — F.col
-    # would parse a dotted name as struct-field access
-    def _ref(name: str):
-        return F.col("`" + name.replace("`", "``") + "`")
-
-    v, g = _ref(value_col), _ref(group_col)
+    v, g = col_ref(value_col), col_ref(group_col)
     # internal names are __-prefixed so an input frame that already
     # has a 'median'/'mad' column cannot make the joins ambiguous
     med = df.groupBy(g.alias("__mg")).agg(
@@ -251,13 +245,15 @@ def quantile_buckets(
     0; filter them upstream if that is not the intent.
     """
 
-    def _ref(name: str):
-        return F.col("`" + name.replace("`", "``") + "`")
-
-    w = Window.partitionBy(_ref(group_col)).orderBy(_ref(value_col))
+    # NULLS FIRST explicitly: Spark's default asc puts NULLs first but
+    # DuckDB >= 0.8 defaults to NULLS LAST — pinning the placement on
+    # both sides keeps NULL values in bucket 0 in either engine
+    w = Window.partitionBy(col_ref(group_col)).orderBy(
+        col_ref(value_col).asc_nulls_first()
+    )
     bucket = F.least(
         F.floor(F.percent_rank().over(w) * n_buckets), F.lit(n_buckets - 1)
     ).cast("long")
     return df.select(
-        *[_ref(c) for c in id_cols], _ref(group_col), bucket.alias("bucket")
+        *[col_ref(c) for c in id_cols], col_ref(group_col), bucket.alias("bucket")
     )

@@ -73,13 +73,19 @@ def ingest_batch(
     # path-not-found class means "first batch, no corpus yet" — any
     # other read failure must raise, or a transient FS error would
     # silently disable the dedup gate and admit duplicates
-    # (the upsert_partition lesson, sources/lake.py).
+    # (the upsert_partition lesson, sources/lake.py — same marker
+    # discrimination, AnalysisException alone is too broad: schema
+    # inference on a half-written directory raises it too).
     from pyspark.errors import AnalysisException
+
+    from ..sources.lake import _is_missing_data_error
 
     try:
         corpus = spark.read.parquet(corpus_path)
         have_corpus = True
-    except AnalysisException:
+    except AnalysisException as exc:
+        if not _is_missing_data_error(exc):
+            raise
         have_corpus = False
     if have_corpus:
         # key guard: a replayed row's id is already stored
@@ -101,10 +107,13 @@ def ingest_batch(
             F.col("probe_key").alias(key_col)
         ).dropDuplicates()
         kept = kept.join(dup_keys, key_col, "left_anti")
-        # the anti-joins read the corpus lazily; materialize the
-        # survivor set BEFORE the append overwrites/extends the same
-        # directory the plan still scans
-        kept = kept.localCheckpoint(eager=True)
+    else:
+        matches = None
+    # materialize survivors BEFORE releasing the caches the lazy plan
+    # still reads (release()'s consume-then-release contract) and
+    # BEFORE the append extends the directory the plan still scans
+    kept = kept.localCheckpoint(eager=True)
+    if matches is not None:
         D.release(matches)
     D.release(pairs)
 

@@ -133,3 +133,33 @@ def test_weighted_sample_excludes_bad_weights(spark):
     )
     got = [r["doc_id"] for r in weighted_sample(df, "w", 10).collect()]
     assert got == [4]
+
+
+def test_quantile_buckets_null_values_bucket_zero(spark):
+    """NULLs sort FIRST on both engines by explicit pinning (Spark
+    defaults NULLS FIRST asc; DuckDB defaults NULLS LAST — the q92
+    oracle pins NULLS FIRST) -> NULL values land in bucket 0."""
+    import duckdb
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        quantile_buckets,
+    )
+
+    rows = [(0, "g", None)] + [(i, "g", float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {
+        r["event_id"]: r["bucket"]
+        for r in quantile_buckets(df, "event_type", "value", 10).collect()
+    }
+    assert got[0] == 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(event_id BIGINT, event_type VARCHAR, value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = dict(
+        con.sql(
+            """SELECT event_id, CAST(LEAST(FLOOR(percent_rank() OVER (
+                 PARTITION BY event_type ORDER BY value NULLS FIRST) * 10), 9)
+                 AS BIGINT) FROM t"""
+        ).fetchall()
+    )
+    assert got == want

@@ -130,9 +130,11 @@ def test_apply_cdc_last_writer_wins(spark):
     }
     assert got == {1: "a2", 4: "d", 5: "e", 6: "f2"}
 
-    # unknown op fails loud, not silently
+    # unknown op fails loud, not silently — even when the malformed
+    # row LOSES the latest-per-key race (the check runs pre-window)
     bad = spark.createDataFrame(
-        [(9, "x", 1, "u", 1)], "k long, v string, ts int, op string, change_id long"
+        [(9, "x", 1, "u", 1), (9, "y", 2, "U", 2)],
+        "k long, v string, ts int, op string, change_id long",
     )
     with _pytest.raises(Exception, match="unknown op"):
         apply_cdc(base, bad, "k", "ts", "op", "change_id").collect()
