@@ -4222,6 +4222,41 @@ JOIN sizes sb ON i.group_b = sb.g
 """
 
 
+# ---------------------------------------------------------------------------
+# q99 — per-group winsorization (operators/stats.py winsorize): clip
+# event values into each type's [p05, p95] band — one grouped exact
+# percentile (the oracle-reproducible form; approx documented for hot
+# groups) broadcast back, clipping map-side.  Registered r4 at the
+# tail — first driver evidence rides r5.
+# ---------------------------------------------------------------------------
+_WZ_LO, _WZ_HI = 0.05, 0.95
+
+
+def q99_winsorize(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        winsorize,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return winsorize(ev, "value", "event_type", lower=_WZ_LO, upper=_WZ_HI)
+
+
+Q99_SQL = f"""
+WITH bounds AS (
+  SELECT event_type AS bg,
+         quantile_cont(value, {_WZ_LO}) AS lo,
+         quantile_cont(value, {_WZ_HI}) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CASE WHEN e.value IS NULL THEN NULL
+            ELSE ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6) END
+         AS clipped
+FROM events e JOIN bounds b
+  ON e.event_type IS NOT DISTINCT FROM b.bg
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -4231,7 +4266,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 101.  Each round's first-50 window is chosen so
+    # registry now holds 102.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -4404,6 +4439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_hard_negatives": q96_hard_negatives,
         "q97_cdc_apply": q97_cdc_apply,
         "q98_source_similarity": q98_source_similarity,
+        "q99_winsorize": q99_winsorize,
     }
 
 
@@ -4508,6 +4544,7 @@ def oracle_sql() -> dict[str, str]:
         "q96_hard_negatives": Q96_SQL,
         "q97_cdc_apply": Q97_SQL,
         "q98_source_similarity": Q98_SQL,
+        "q99_winsorize": Q99_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

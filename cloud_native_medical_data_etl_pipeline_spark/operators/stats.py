@@ -257,3 +257,52 @@ def quantile_buckets(
     return df.select(
         *[col_ref(c) for c in id_cols], col_ref(group_col), bucket.alias("bucket")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    round_dp: int = 6,
+    exact: bool = True,
+    accuracy: int = 10_000,
+    id_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` into the group's
+    ``[p_lower, p_upper]`` percentile band — the tail-taming
+    normalization for reward/score columns where MAD flags outliers
+    but training wants them BOUNDED, not dropped.
+
+    Returns ``(*id_cols, group_col, clipped)`` with ``clipped``
+    rounded; NULL values stay NULL (Spark's ``greatest``/``least``
+    skip NULLs, which would otherwise silently clamp a NULL to the
+    lower bound).
+
+    Scale shape: one grouped percentile aggregate (G rows) broadcast
+    back onto the corpus — clipping is then a pure map-side
+    expression.  ``exact=True`` buffers each group's values in the
+    percentile aggregate (the group_percentiles bound) and is the
+    oracle-reproducible form; ``exact=False`` swaps in the
+    percentile_approx sketch for hot groups at scale.
+    """
+    v, g = col_ref(value_col), col_ref(group_col)
+    if exact:
+        lo = F.percentile(v, F.lit(float(lower)))
+        hi = F.percentile(v, F.lit(float(upper)))
+    else:
+        lo = F.percentile_approx(v, F.lit(float(lower)), F.lit(int(accuracy)))
+        hi = F.percentile_approx(v, F.lit(float(upper)), F.lit(int(accuracy)))
+    bounds = df.groupBy(g.alias("__bg")).agg(
+        lo.alias("__lo"), hi.alias("__hi")
+    )
+    clipped = F.when(
+        v.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.round(F.least(F.greatest(v, F.col("__lo")), F.col("__hi")), round_dp))
+    return (
+        df.join(F.broadcast(bounds), g.eqNullSafe(F.col("__bg")))
+        .select(
+            *[col_ref(c) for c in id_cols], g, clipped.alias("clipped")
+        )
+    )

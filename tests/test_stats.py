@@ -126,3 +126,45 @@ def test_mad_outlier_summary_collision_and_exotic_names(spark):
     df = spark.createDataFrame(rows, ["g", "my value", "median"])
     out = mad_outlier_summary(df, "my value", "g", k=3.0).collect()
     assert len(out) == 1 and out[0]["n_outliers"] == 1
+
+
+def test_winsorize_clips_to_group_band(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        winsorize,
+    )
+
+    rows = [(i, "g", float(i)) for i in range(101)]  # 0..100
+    rows.append((999, "g", None))
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {
+        r["event_id"]: r["clipped"]
+        for r in winsorize(df, "value", "event_type", 0.05, 0.95).collect()
+    }
+    # p05 of 0..100 is 5.0, p95 is 95.0 (exact interpolation)
+    assert out[0] == 5.0 and out[3] == 5.0
+    assert out[100] == 95.0 and out[97] == 95.0
+    assert out[50] == 50.0
+    assert out[999] is None  # NULL stays NULL, not clamped to p05
+
+
+def test_winsorize_approx_tracks_exact(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        winsorize,
+    )
+    from cloud_native_medical_data_etl_pipeline_spark.sources.events_io import (
+        read_events,
+    )
+
+    ev = read_events(spark, "/root/testdata/sf0.001/events.parquet")
+    exact = {
+        r["event_id"]: r["clipped"]
+        for r in winsorize(ev, "value", "event_type", exact=True).collect()
+    }
+    approx = {
+        r["event_id"]: r["clipped"]
+        for r in winsorize(ev, "value", "event_type", exact=False).collect()
+    }
+    # sketch bounds differ only near the clip boundary; values agree
+    # for the overwhelming interior
+    same = sum(1 for k in exact if exact[k] == approx[k])
+    assert same >= 0.95 * len(exact)
