@@ -114,3 +114,53 @@ def test_q27_filters_pushed_topk_no_global_sort(spark):
     assert "LessThan(o_orderdate" in plan, "date not pushed"
     assert "TakeOrderedAndProject" in plan, "top-k became a global sort"
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------- late-r4 operator shapes
+def test_q85_zscore_stats_broadcast_no_per_row_frame(spark):
+    """The anomaly flags must come from the bucket-partials shape:
+    stats BROADCAST back to rows, and the only Window runs over the
+    bucket frame (post-aggregate), never over raw events."""
+    df = entry_mod.queries()["q85_rolling_zscore"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # the Window's child must be the partial-aggregate frame: its sort
+    # keys are the internal __g/__b bucket columns, not raw event time
+    win = plan[plan.find("Window") :]
+    assert "__b ASC" in win.splitlines()[0] or "__b" in win[:400], plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q95_weighted_sample_windowgrouplimit(spark):
+    """Selection must prune to running winners on BOTH sides of the
+    exchange (WindowGroupLimit partial + final)."""
+    df = entry_mod.queries()["q95_weighted_sample"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_q97_cdc_log_broadcasts_against_base(spark):
+    """The touched-key anti-join must broadcast the (small) change log
+    side, never shuffle the base for it."""
+    df = entry_mod.queries()["q97_cdc_apply"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    anti = plan[max(0, plan.find("LeftAnti") - 90) : plan.find("LeftAnti") + 60]
+    assert "BroadcastHashJoin" in anti, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan  # log pruned pre-shuffle
+
+
+def test_q98_gram_frame_cached_once(spark):
+    """Both intersection sides and the size counts must reuse ONE
+    cached distinct-gram aggregate (InMemoryRelation), not recompute
+    the explode per consumer."""
+    df = entry_mod.queries()["q98_source_similarity"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    # the expensive n-gram explode appears only inside the cached
+    # relation's build plan, which the executed plan prints once per
+    # InMemoryRelation reference — every Generate must sit under one
+    import re as _re
+
+    gen_lines = [l for l in plan.splitlines() if "Generate explode" in l]
+    imr_lines = [l for l in plan.splitlines() if "InMemoryRelation" in l]
+    assert gen_lines and imr_lines, plan
