@@ -318,3 +318,74 @@ def test_stream_dedup_ingest_available_now_drain(spark, tmp_path):
     # same checkpoint: nothing new to process, corpus unchanged
     SI.stream_dedup_ingest(spark, src, corpus, ck)
     assert spark.read.parquet(corpus).count() == 2
+
+
+def test_streaming_zscore_matches_python_replay(spark):
+    """The stateful monitor's single-drain output must equal a pure
+    Python Welford replay of the (ts, event_id)-sorted stream —
+    pre-update judging, min-points warm-up, rounded z."""
+    import math
+
+    from cloud_native_medical_data_etl_pipeline_spark.sources.events_io import (
+        read_events,
+    )
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import anomaly as SA
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["event_id"], r["event_type"]): r["z"]
+        for r in SA.zscore_flags_available_now(
+            spark, f"{sf}/events.parquet", z_thresh=2.0, min_points=10
+        ).collect()
+    }
+
+    rows = (
+        read_events(spark, f"{sf}/events.parquet")
+        .select("event_id", "ts", "event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            (int(r["ts"].timestamp() * 1_000_000), r["event_id"], r["value"])
+        )
+    want = {}
+    for et, evs in by_type.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        n, mean, m2 = 0, 0.0, 0.0
+        for _ts, eid, x in evs:
+            if x is None:
+                continue
+            if n >= 10:
+                var = m2 / (n - 1) if n > 1 else 0.0
+                sd = math.sqrt(var) if var > 0 else 0.0
+                if sd > 0:
+                    z = round((x - mean) / sd, 4)
+                    if abs(z) > 2.0:
+                        want[(eid, et)] = z
+            n += 1
+            d = x - mean
+            mean += d / n
+            m2 += d * (x - mean)
+    assert len(got) > 0
+    assert got == want
+
+
+def test_streaming_zscore_planted_spike(spark, tmp_path):
+    import datetime as dt
+
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import anomaly as SA
+
+    src = str(tmp_path / "ev")
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i), "g", 10.0 + (i % 3))
+        for i in range(40)
+    ]
+    rows.append((99, dt.datetime(2024, 1, 1, 0, 50), "g", 500.0))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).write.parquet(src)
+    out = SA.zscore_flags_available_now(spark, src, z_thresh=3.0, min_points=20)
+    flags = out.collect()
+    assert [r["event_id"] for r in flags] == [99]
+    assert flags[0]["z"] > 3.0
