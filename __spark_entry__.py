@@ -4257,6 +4257,41 @@ FROM events e JOIN bounds b
 """
 
 
+# ---------------------------------------------------------------------------
+# q100 — join-key skew diagnostics (operators/skew.py skew_report):
+# the pre-flight check for any planned shuffle key — top heavy keys
+# with share and skew factor (count / mean-per-key).  One counting
+# aggregate + a one-row total broadcast + TakeOrdered; no global
+# sort.  Instance: order counts per customer.  Registered r4 at the
+# tail — first driver evidence rides r5.
+# ---------------------------------------------------------------------------
+def q100_skew_report(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.skew import (
+        skew_report,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return skew_report(o, "o_custkey", top=10)
+
+
+Q100_SQL = """
+WITH counts AS (
+  SELECT o_custkey AS __k, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey
+),
+totals AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS N, CAST(COUNT(*) AS DOUBLE) AS D
+  FROM counts
+)
+SELECT c.__k AS o_custkey, c.n,
+       ROUND(c.n / t.N, 6) AS share,
+       ROUND(c.n * t.D / t.N, 6) AS skew_factor
+FROM counts c CROSS JOIN totals t
+ORDER BY c.n DESC, c.__k ASC NULLS LAST
+LIMIT 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -4266,7 +4301,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 102.  Each round's first-50 window is chosen so
+    # registry now holds 103.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -4440,6 +4475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_cdc_apply": q97_cdc_apply,
         "q98_source_similarity": q98_source_similarity,
         "q99_winsorize": q99_winsorize,
+        "q100_skew_report": q100_skew_report,
     }
 
 
@@ -4545,6 +4581,7 @@ def oracle_sql() -> dict[str, str]:
         "q97_cdc_apply": Q97_SQL,
         "q98_source_similarity": Q98_SQL,
         "q99_winsorize": Q99_SQL,
+        "q100_skew_report": Q100_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

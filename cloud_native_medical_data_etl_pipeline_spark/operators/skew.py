@@ -50,3 +50,47 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
     )
     return left_s.join(right_s, keys + ["__salt"], how).drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Join-key skew diagnostics: the top-``top`` heaviest keys with
+    their row share and skew factor (count / mean-count-per-key) —
+    the number that predicts whether a shuffle on this key needs AQE
+    skew splitting or a salted join BEFORE the job runs, not after it
+    straggles.
+
+    Returns ``(key_col, n, share, skew_factor)`` ordered by count
+    descending (ties by key).  NULL keys are a row like any other —
+    they hash to one partition too, and an unexpected NULL-heavy key
+    column is the most common real-world skew bug.
+
+    Scale shape: one map-side-combinable count aggregate (key-
+    cardinality-sized result), a one-row global total broadcast back,
+    and a TakeOrdered top-k — no global sort, no second scan.
+    """
+    from ._common import col_ref
+
+    k = col_ref(key_col)
+    counts = df.groupBy(k.alias("__k")).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").cast("double").alias("__N"),
+        F.count(F.lit(1)).cast("double").alias("__D"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("__k").alias(key_col),
+            "n",
+            F.round(F.col("n") / F.col("__N"), round_dp).alias("share"),
+            F.round(F.col("n") * F.col("__D") / F.col("__N"), round_dp).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.col("n").desc(), k.asc_nulls_last())
+        .limit(top)
+    )

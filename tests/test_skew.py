@@ -52,3 +52,24 @@ def test_salt_actually_spreads_hot_key(spark):
         .count()
     )
     assert n_salts == 8
+
+
+def test_skew_report_math_and_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.skew import (
+        skew_report,
+    )
+
+    # key 'hot' 6 rows, 'warm' 2, None 2, 'cold' 1, 'cool' 1 -> N=12, D=5
+    rows = (
+        [("hot",)] * 6 + [("warm",)] * 2 + [(None,)] * 2 + [("cold",)] + [("cool",)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, "k", top=3).collect()
+    assert [(r["k"], r["n"]) for r in out] == [("hot", 6), ("warm", 2), (None, 2)]
+    hot = out[0]
+    assert hot["share"] == 0.5
+    assert hot["skew_factor"] == 2.5  # 6 / (12/5)
+    # NULL keys are reported, not dropped (the classic skew bug)
+    assert any(r["k"] is None for r in out)
