@@ -34,7 +34,12 @@ def apply_cdc(
     ``changes`` carries the key, the op ('I'/'U'/'D'), the change
     time, the tiebreak id, and the base's payload columns (ignored —
     may be NULL — for 'D' rows).  Unknown op values raise at
-    execution rather than silently dropping rows.
+    execution rather than silently dropping rows.  Note that Catalyst
+    may reorder a caller's own pre-filter relative to this check, so
+    "filter the bad rows out upstream" is not a reliable way to admit
+    malformed ops — the contract is that EVERY row in ``changes``
+    carries a valid op (materialize a cleaned frame first if the
+    source can't guarantee it).
     """
     payload_cols = [c for c in base.columns]
 

@@ -802,3 +802,52 @@ def test_quantile_buckets_matches_percent_rank(spark, rows):
             pr = 0.0 if n == 1 else rank / (n - 1)
             want[i] = min(int(pr * 10), 9)
     assert got == want
+
+
+# ----------------------------------------------------- cdc apply (r4)
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 8), st.sampled_from("abc"), max_size=6),
+    st.lists(
+        st.tuples(
+            st.integers(0, 8),            # key
+            st.sampled_from("xyz"),       # payload
+            st.integers(0, 3),            # ts
+            st.sampled_from(["I", "U", "D"]),
+        ),
+        max_size=12,
+    ),
+)
+def test_apply_cdc_matches_python_model(spark, base_d, log):
+    """Merged snapshot equals a sequential last-writer-wins fold (by
+    ts, then change id) over a randomized base + change log."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.cdc import (
+        apply_cdc,
+    )
+
+    base_rows = list(base_d.items())
+    change_rows = [
+        (k, v, ts, op, cid) for cid, (k, v, ts, op) in enumerate(log)
+    ]
+    base = spark.createDataFrame(base_rows, "k long, v string")
+    changes = spark.createDataFrame(
+        change_rows, "k long, v string, ts int, op string, change_id long"
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_cdc(base, changes, "k", "ts", "op", "change_id")
+        .select("k", "v")
+        .collect()
+    }
+    state = dict(base_d)
+    latest: dict[int, tuple] = {}
+    for k, v, ts, op, cid in change_rows:
+        cur = latest.get(k)
+        if cur is None or (ts, cid) > (cur[0], cur[1]):
+            latest[k] = (ts, cid, op, v)
+    for k, (_ts, _cid, op, v) in latest.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == state
