@@ -4292,6 +4292,50 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# q101 — exponential-decay attribution (operators/joins.py
+# decay_attribution): each purchase credits its user's clicks in the
+# trailing 6 h with exp(-age/1h) weight — the soft credit assignment
+# between last-touch and linear.  Pair generation is q37's
+# time-bin-blocked interval join; the decay is a map-side expression
+# on the exact microsecond gap; both engines round the summed score.
+# Registered r4 at the tail — first driver evidence rides r5.
+# ---------------------------------------------------------------------------
+_DA_H, _DA_TAU = 21_600.0, 3_600.0
+
+
+def q101_decay_attribution(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.joins import (
+        decay_attribution,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    return decay_attribution(
+        purchases,
+        clicks,
+        on="user_id",
+        horizon_s=_DA_H,
+        tau_s=_DA_TAU,
+    ).select("event_id", "user_id", "n_touches", "score")
+
+
+Q101_SQL = f"""
+SELECT p.event_id, p.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       ROUND(SUM(exp((epoch_us(c.ts) - epoch_us(p.ts))
+                     / {_DA_TAU * 1_000_000.0!r})), 6) AS score
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND epoch_us(c.ts) >  epoch_us(p.ts) - {int(_DA_H * 1_000_000)}
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -4301,7 +4345,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 103.  Each round's first-50 window is chosen so
+    # registry now holds 104.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -4476,6 +4520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_source_similarity": q98_source_similarity,
         "q99_winsorize": q99_winsorize,
         "q100_skew_report": q100_skew_report,
+        "q101_decay_attribution": q101_decay_attribution,
     }
 
 
@@ -4582,6 +4627,7 @@ def oracle_sql() -> dict[str, str]:
         "q98_source_similarity": Q98_SQL,
         "q99_winsorize": Q99_SQL,
         "q100_skew_report": Q100_SQL,
+        "q101_decay_attribution": Q101_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

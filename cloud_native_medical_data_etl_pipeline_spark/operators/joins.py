@@ -189,3 +189,50 @@ def range_lookup_join(
         & (v < F.col(hi_col))
     )
     return fact.join(F.broadcast(binned_dim), cond, how).drop("__bin")
+
+
+def decay_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    on: str,
+    conv_ts: str = "ts",
+    touch_ts: str = "ts",
+    horizon_s: float = 21_600.0,
+    tau_s: float = 3_600.0,
+    id_cols: list[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exponential-decay attribution: each conversion's score is
+    ``sum over same-key touches in (conv - horizon, conv]`` of
+    ``exp(-age / tau)`` — the standard soft credit assignment between
+    last-touch (tau -> 0) and linear (tau -> inf).
+
+    Returns ``(*id_cols, on, n_touches, score)`` for conversions with
+    at least one in-horizon touch (inner semantics — zero-touch
+    conversions carry no credit row).
+
+    Scale shape: pair generation reuses :func:`binned_interval_join`
+    (time-bin-blocked equi-join, <= 2 probe bins per conversion, hot
+    keys split across their timeline), the decay term is a map-side
+    expression on the pair's exact microsecond gap, and the aggregate
+    is map-side combinable.  The score is ROUNDED (libm exp may
+    differ by an ulp across engines).
+    """
+    id_cols = id_cols or ["event_id"]
+    pairs = binned_interval_join(
+        conversions,
+        touches,
+        on=on,
+        left_ts=conv_ts,
+        right_ts=touch_ts,
+        lo_s=-float(horizon_s),
+        hi_s=0.0,
+        right_payload=[],
+    )
+    tau_us = float(tau_s) * 1_000_000.0
+    # gap_us = touch - conversion <= 0, so exp(gap/tau) = exp(-age/tau)
+    decay = F.exp(F.col("gap_us") / F.lit(tau_us))
+    return pairs.groupBy(*id_cols, on).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum(decay), round_dp).alias("score"),
+    )

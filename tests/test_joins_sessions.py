@@ -239,3 +239,55 @@ def test_range_lookup_plan_is_equi_join(spark):
     # whole point vs the naive BroadcastNestedLoopJoin theta-join
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -------------------------------------------------- decay attribution
+def test_decay_attribution_math(spark):
+    import datetime as dt
+    import math
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.joins import (
+        decay_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    conv = spark.createDataFrame(
+        [(100, t0, 7)], "event_id long, ts timestamp, user_id long"
+    )
+    touches = spark.createDataFrame(
+        [
+            (1, t0 - dt.timedelta(hours=1), 7),   # in horizon: exp(-1)
+            (2, t0 - dt.timedelta(hours=2), 7),   # exp(-2)
+            (3, t0 - dt.timedelta(hours=7), 7),   # outside 6h horizon
+            (4, t0 + dt.timedelta(minutes=5), 7), # after conversion
+            (5, t0 - dt.timedelta(hours=1), 8),   # other user
+            (6, t0, 7),                           # at the instant: exp(0)
+        ],
+        "event_id long, ts timestamp, user_id long",
+    )
+    out = decay_attribution(
+        conv, touches, on="user_id", horizon_s=21600, tau_s=3600
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["event_id"], r["user_id"], r["n_touches"]) == (100, 7, 3)
+    assert r["score"] == round(1.0 + math.exp(-1) + math.exp(-2), 6)
+
+
+def test_decay_attribution_zero_touch_conversions_absent(spark):
+    import datetime as dt
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.joins import (
+        decay_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    conv = spark.createDataFrame(
+        [(1, t0, 7)], "event_id long, ts timestamp, user_id long"
+    )
+    touches = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long"
+    )
+    assert (
+        decay_attribution(conv, touches, on="user_id").count() == 0
+    )
