@@ -4336,6 +4336,90 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q102 — chi-square independence crosstab (operators/stats.py
+# chi_square_crosstab): is the event type independent of the hour of
+# day?  One cell-counting aggregate; marginals re-aggregate from the
+# cells, never a second scan.  Registered r4 at the tail — first
+# driver evidence rides r5.
+# ---------------------------------------------------------------------------
+def q102_chi_square(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        chi_square_crosstab,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("hour", F.hour("ts"))
+    return chi_square_crosstab(ev, "event_type", "hour")
+
+
+Q102_SQL = """
+WITH cells AS (
+  SELECT event_type AS a, EXTRACT(hour FROM ts) AS b,
+         CAST(COUNT(*) AS DOUBLE) AS o
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
+ct AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
+nt AS (
+  SELECT SUM(o) AS n, COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb
+  FROM cells
+)
+SELECT ROUND(SUM((c.o - rt.ra * ct.cb / nt.n) * (c.o - rt.ra * ct.cb / nt.n)
+                 / (rt.ra * ct.cb / nt.n)), 6) AS chi2,
+       CAST(ANY_VALUE((nt.ka - 1) * (nt.kb - 1)) AS BIGINT) AS dof,
+       CAST(ANY_VALUE(nt.n) AS BIGINT) AS n
+FROM cells c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nt
+"""
+
+
+# ---------------------------------------------------------------------------
+# q103 — categorical drift monitor (operators/stats.py kl_drift):
+# KL(new || base) + total-variation distance of the event-type mix
+# between two weeks — the corpus reduces to a category-cardinality
+# frame before any distribution math.  Registered r4 at the tail —
+# first driver evidence rides r5.
+# ---------------------------------------------------------------------------
+def q103_kl_drift(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        kl_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "week", F.weekofyear("ts")
+    )
+    return kl_drift(ev, "week", "event_type", base_period=1, new_period=2)
+
+
+Q103_SQL = """
+WITH counts AS (
+  SELECT EXTRACT(week FROM ts) AS p, event_type AS c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE EXTRACT(week FROM ts) IN (1, 2)
+  GROUP BY 1, 2
+),
+base AS (SELECT c, n AS nb FROM counts WHERE p = 1),
+neww AS (SELECT c, n AS nn FROM counts WHERE p = 2),
+cats AS (
+  SELECT COALESCE(base.nb, 0) AS nb, COALESCE(neww.nn, 0) AS nn
+  FROM base FULL OUTER JOIN neww
+    ON base.c IS NOT DISTINCT FROM neww.c
+),
+tot AS (
+  SELECT CAST(SUM(nb) AS DOUBLE) AS tb, CAST(SUM(nn) AS DOUBLE) AS tn,
+         CAST(COUNT(*) AS DOUBLE) AS tk
+  FROM cats
+)
+SELECT
+  ROUND(SUM(CASE WHEN nn / t.tn > 0
+       THEN (nn / t.tn) * ln((nn / t.tn) / ((nb + 1.0) / (t.tb + t.tk)))
+       ELSE 0.0 END), 6) AS kl,
+  ROUND(SUM(ABS(nn / t.tn - nb / t.tb) / 2.0), 6) AS tv,
+  CAST(SUM(nb) AS BIGINT) AS n_base,
+  CAST(SUM(nn) AS BIGINT) AS n_new
+FROM cats CROSS JOIN tot t
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -4345,7 +4429,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 104.  Each round's first-50 window is chosen so
+    # registry now holds 106.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -4521,6 +4605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_winsorize": q99_winsorize,
         "q100_skew_report": q100_skew_report,
         "q101_decay_attribution": q101_decay_attribution,
+        "q102_chi_square": q102_chi_square,
+        "q103_kl_drift": q103_kl_drift,
     }
 
 
@@ -4628,6 +4714,8 @@ def oracle_sql() -> dict[str, str]:
         "q99_winsorize": Q99_SQL,
         "q100_skew_report": Q100_SQL,
         "q101_decay_attribution": Q101_SQL,
+        "q102_chi_square": Q102_SQL,
+        "q103_kl_drift": Q103_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

@@ -306,3 +306,114 @@ def winsorize(
             *[col_ref(c) for c in id_cols], g, clipped.alias("clipped")
         )
     )
+
+
+def chi_square_crosstab(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pearson chi-square independence statistic between two
+    categorical columns — the quick "is this feature informative /
+    is this split biased" test over arbitrarily many rows.
+
+    Returns ONE row ``(chi2, dof, n)`` where
+    ``chi2 = sum over cells of (observed - expected)^2 / expected``
+    with ``expected = row_total * col_total / n``; ``dof =
+    (|A|-1) * (|B|-1)``.  NULL categories are categories.
+
+    Scale shape: one (a, b) counting aggregate (cell-cardinality-
+    sized), marginals re-aggregated FROM THE CELLS (no second corpus
+    scan), expected values computed on the tiny cell frame via two
+    broadcast joins, one final single-row sum.  All arithmetic is
+    exact rationals-in-doubles, so the rounded statistic is
+    engine-reproducible.
+    """
+    a, b = col_ref(col_a), col_ref(col_b)
+    cells = df.groupBy(a.alias("__a"), b.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__o")
+    )
+    row_tot = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    col_tot = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    n_tot = cells.agg(
+        F.sum("__o").cast("double").alias("__n"),
+        F.count_distinct("__a").alias("__ka"),
+        F.count_distinct("__b").alias("__kb"),
+    )
+    joined = (
+        cells.join(F.broadcast(row_tot), "__a")
+        .join(F.broadcast(col_tot), "__b")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    exp = F.col("__ra") * F.col("__cb") / F.col("__n")
+    term = (F.col("__o") - exp) * (F.col("__o") - exp) / exp
+    return joined.agg(
+        F.round(F.sum(term), round_dp).alias("chi2"),
+        ((F.first("__ka") - 1) * (F.first("__kb") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.first("__n").cast("long").alias("n"),
+    )
+
+
+def kl_drift(
+    df: DataFrame,
+    period_col: str,
+    category_col: str,
+    base_period,
+    new_period,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Distribution drift between two periods of a categorical column:
+    ``KL(new || base)`` plus total-variation distance — the mixture /
+    traffic drift monitor (did this week's event mix shift?).
+
+    Returns ONE row ``(kl, tv, n_base, n_new)``.  Categories absent
+    from a period get probability 0; KL uses additive smoothing of
+    one pseudo-count per category on the BASE side only (new-side
+    zeros contribute 0 to KL by the 0*log(0/q)=0 convention), so the
+    divergence is finite and both engines compute the identical
+    closed form.
+
+    Scale shape: one (period, category) counting aggregate — the
+    corpus reduces to a category-cardinality-sized frame before any
+    distribution math; the probability algebra runs on that tiny
+    frame via a full-outer category join.
+    """
+    p, c = col_ref(period_col), col_ref(category_col)
+    counts = (
+        df.where(p.isin([base_period, new_period]))
+        .groupBy(p.alias("__p"), c.alias("__c"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    base = counts.where(F.col("__p") == base_period).select(
+        "__c", F.col("__n").alias("__nb")
+    )
+    new = counts.where(F.col("__p") == new_period).select(
+        F.col("__c").alias("__c2"), F.col("__n").alias("__nn")
+    )
+    cats = base.join(
+        new, F.col("__c").eqNullSafe(F.col("__c2")), "full_outer"
+    ).select(
+        F.coalesce("__nb", F.lit(0)).alias("nb"),
+        F.coalesce("__nn", F.lit(0)).alias("nn"),
+    )
+    # totals get __-prefixed names: Spark resolves case-insensitively
+    # by default, so "Nb" would collide with the cell column "nb"
+    tot = cats.agg(
+        F.sum("nb").cast("double").alias("__tb"),
+        F.sum("nn").cast("double").alias("__tn"),
+        F.count(F.lit(1)).cast("double").alias("__tk"),
+    )
+    j = cats.crossJoin(F.broadcast(tot))
+    q = (F.col("nb") + F.lit(1.0)) / (F.col("__tb") + F.col("__tk"))
+    pr = F.col("nn") / F.col("__tn")
+    kl_term = F.when(pr > 0, pr * F.log(pr / q)).otherwise(F.lit(0.0))
+    tv_term = F.abs(pr - F.col("nb") / F.col("__tb")) / 2.0
+    return j.agg(
+        F.round(F.sum(kl_term), round_dp).alias("kl"),
+        F.round(F.sum(tv_term), round_dp).alias("tv"),
+        F.sum("nb").cast("long").alias("n_base"),
+        F.sum("nn").cast("long").alias("n_new"),
+    )

@@ -168,3 +168,52 @@ def test_winsorize_approx_tracks_exact(spark):
     # for the overwhelming interior
     same = sum(1 for k in exact if exact[k] == approx[k])
     assert same >= 0.95 * len(exact)
+
+
+def test_chi_square_matches_scipy_free_reference(spark):
+    """chi2 equals the hand-computed statistic on a planted 2x2 table
+    (independent -> 0; dependent -> the textbook value)."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        chi_square_crosstab,
+    )
+
+    # perfectly independent 2x2: chi2 = 0
+    rows = [("x", "p")] * 4 + [("x", "q")] * 4 + [("y", "p")] * 4 + [("y", "q")] * 4
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_crosstab(df, "a", "b").collect()[0]
+    assert (r["chi2"], r["dof"], r["n"]) == (0.0, 1, 16)
+
+    # dependent: diag-heavy table [[9,1],[1,9]] -> chi2 = 12.8
+    rows2 = (
+        [("x", "p")] * 9 + [("x", "q")] + [("y", "p")] + [("y", "q")] * 9
+    )
+    df2 = spark.createDataFrame(rows2, "a string, b string")
+    r2 = chi_square_crosstab(df2, "a", "b").collect()[0]
+    assert r2["chi2"] == 12.8 and r2["dof"] == 1
+
+
+def test_kl_drift_zero_for_identical_mix(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        kl_drift,
+    )
+
+    rows = [(1, "a")] * 6 + [(1, "b")] * 2 + [(2, "a")] * 3 + [(2, "b")] * 1
+    df = spark.createDataFrame(rows, "week int, c string")
+    r = kl_drift(df, "week", "c", 1, 2).collect()[0]
+    # identical 75/25 mix both periods: tv exactly 0; kl tiny but
+    # nonzero (base-side smoothing shifts q slightly)
+    assert r["tv"] == 0.0
+    assert abs(r["kl"]) < 0.02
+    assert (r["n_base"], r["n_new"]) == (8, 4)
+
+
+def test_kl_drift_detects_shift_and_new_category(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        kl_drift,
+    )
+
+    rows = [(1, "a")] * 9 + [(1, "b")] + [(2, "b")] * 9 + [(2, "c")]
+    df = spark.createDataFrame(rows, "week int, c string")
+    r = kl_drift(df, "week", "c", 1, 2).collect()[0]
+    assert r["kl"] > 1.0  # massive shift
+    assert r["tv"] > 0.8
