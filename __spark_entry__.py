@@ -4420,6 +4420,72 @@ FROM cats CROSS JOIN tot t
 """
 
 
+# ---------------------------------------------------------------------------
+# q104 — per-dimension embedding health stats (operators/similarity.py
+# embedding_dim_stats): mean/std/zero-fraction per vector dimension —
+# the dead-dim / scale-drift check before trusting any similarity
+# pipeline.  One posexplode + one d-group aggregate.  Registered r4
+# at the tail — first driver evidence rides r5.
+# ---------------------------------------------------------------------------
+def q104_embedding_dim_stats(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.similarity import (
+        embedding_dim_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(emb)
+
+
+Q104_SQL = """
+WITH exploded AS (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+)
+SELECT dim, ROUND(AVG(v), 6) AS mean,
+       ROUND(STDDEV_SAMP(v), 6) AS std,
+       ROUND(AVG(CASE WHEN v = 0.0 THEN 1.0 ELSE 0.0 END), 6) AS zero_frac
+FROM exploded GROUP BY dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# q105 — top event paths (operators/scd.py top_paths): most common
+# 3-step state sequences over user timelines — the path-exploration
+# generalization of q94's transitions.  Same single shuffle, two
+# lead() columns, count over the bounded path space, TakeOrdered
+# top-k.  Registered r4 at the tail — first driver evidence rides r5.
+# ---------------------------------------------------------------------------
+def q105_top_paths(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.scd import (
+        top_paths,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return top_paths(
+        ev, "user_id", "ts", "event_type", "event_id", steps=3, top=20
+    )
+
+
+Q105_SQL = """
+WITH seq AS (
+  SELECT COALESCE(CAST(event_type AS VARCHAR), '^') AS s0,
+         COALESCE(CAST(lead(event_type, 1) OVER w AS VARCHAR), '^') AS s1,
+         COALESCE(CAST(lead(event_type, 2) OVER w AS VARCHAR), '^') AS s2,
+         lead(event_id, 1) OVER w AS g1,
+         lead(event_id, 2) OVER w AS g2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT s0 || '>' || s1 || '>' || s2 AS path,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE g1 IS NOT NULL AND g2 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path ASC
+LIMIT 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -4429,7 +4495,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 106.  Each round's first-50 window is chosen so
+    # registry now holds 108.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -4607,6 +4673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_decay_attribution": q101_decay_attribution,
         "q102_chi_square": q102_chi_square,
         "q103_kl_drift": q103_kl_drift,
+        "q104_embedding_dim_stats": q104_embedding_dim_stats,
+        "q105_top_paths": q105_top_paths,
     }
 
 
@@ -4716,6 +4784,8 @@ def oracle_sql() -> dict[str, str]:
         "q101_decay_attribution": Q101_SQL,
         "q102_chi_square": Q102_SQL,
         "q103_kl_drift": Q103_SQL,
+        "q104_embedding_dim_stats": Q104_SQL,
+        "q105_top_paths": Q105_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

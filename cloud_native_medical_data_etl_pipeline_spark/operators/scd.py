@@ -103,3 +103,49 @@ def transition_counts(
         .groupBy("from_state", "to_state")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def top_paths(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+    steps: int = 3,
+    top: int = 20,
+) -> DataFrame:
+    """Most common ``steps``-long state sequences across entity
+    timelines — the path-exploration generalization of
+    :func:`transition_counts` (which is ``steps=2``).  Returns
+    ``(path, n)`` for the ``top`` most frequent paths, path rendered
+    as ``s1>s2>s3`` (NULL states render as ``^``), ties broken by
+    path string.
+
+    Scale shape: the same single entity-hash time-sort shuffle;
+    ``steps - 1`` lead() columns materialize each window position,
+    every complete window emits one path row, and the count aggregate
+    runs over the (bounded by |states|^steps) path space with a
+    TakeOrdered top-k — no global sort.
+    """
+    k, ts, s, tb = (
+        _ref(key_col), _ref(ts_col), _ref(state_col), _ref(tiebreak_col)
+    )
+    w = Window.partitionBy(k).orderBy(F.unix_micros(ts).asc(), tb.asc())
+    cols = [F.coalesce(s.cast("string"), F.lit("^"))]
+    guard = None
+    for i in range(1, steps):
+        cols.append(
+            F.coalesce(F.lead(s, i).over(w).cast("string"), F.lit("^"))
+        )
+        g = F.lead(tb, i).over(w).isNotNull()  # real row, not frame edge
+        guard = g if guard is None else (guard & g)
+    return (
+        df.select(
+            F.concat_ws(">", *cols).alias("path"), guard.alias("__ok")
+        )
+        .where(F.col("__ok"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(top)
+    )

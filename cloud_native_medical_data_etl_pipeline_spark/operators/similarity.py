@@ -446,3 +446,41 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .select("query_key", key_col, "cosine", "rank")
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-dimension embedding health check: mean, sample std, and
+    zero-fraction for every vector dimension — the quick diagnosis
+    for dead dimensions (std ~ 0), scale drift between embedding
+    versions, and collapsed encoders, run BEFORE any similarity
+    pipeline trusts the vectors.
+
+    Returns ``(dim, mean, std, zero_frac)``, one row per dimension.
+
+    Scale shape: one posexplode to (dim, value) doubles — d x N
+    narrow rows — then a map-side-combinable aggregate keyed on
+    the dimension index (d groups).  The centroid-outlier operator
+    shares this shape; the full d x d covariance is the documented
+    extension (partial outer-product aggregation), not needed for the
+    health check.
+    """
+    exploded = df.select(
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("dim", "v")
+    )
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.round(F.avg("v"), round_dp).alias("mean"),
+            F.round(F.stddev_samp("v"), round_dp).alias("std"),
+            F.round(
+                F.avg(F.when(F.col("v") == 0.0, 1.0).otherwise(0.0)),
+                round_dp,
+            ).alias("zero_frac"),
+        )
+    )

@@ -652,3 +652,21 @@ def test_source_similarity_matrix(spark):
     # A and B have identical 3-gram sets (7 grams) -> jaccard 1.0;
     # C shares nothing with either -> no rows for (A,C)/(B,C)
     assert got == {("A", "B"): (7, 7, 7, 1.0)}
+
+
+def test_embedding_dim_stats_detects_dead_dim(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 2.0]),
+            (2, [3.0, 0.0, 2.0]),
+            (3, [5.0, 0.0, 2.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["dim"]: (r["mean"], r["std"], r["zero_frac"])
+        for r in similarity.embedding_dim_stats(emb).collect()
+    }
+    assert got[0] == (3.0, 2.0, 0.0)
+    assert got[1] == (0.0, 0.0, 1.0)   # dead dimension
+    assert got[2] == (2.0, 0.0, 0.0)   # constant but nonzero

@@ -138,3 +138,46 @@ def test_apply_cdc_last_writer_wins(spark):
     )
     with _pytest.raises(Exception, match="unknown op"):
         apply_cdc(base, bad, "k", "ts", "op", "change_id").collect()
+
+
+# ---------------------------------------------------------------- paths
+def test_top_paths_trigram_counts(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.scd import (
+        top_paths,
+    )
+
+    # user 1: a b a b -> paths a>b>a, b>a>b; user 2: a b a -> a>b>a
+    rows = [
+        (1, _ts(0), "a", 1), (1, _ts(1), "b", 2),
+        (1, _ts(2), "a", 3), (1, _ts(3), "b", 4),
+        (2, _ts(0), "a", 5), (2, _ts(1), "b", 6),
+        (2, _ts(2), "a", 7),
+        (3, _ts(0), "z", 8),  # too short: no path
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = [
+        (r["path"], r["n"])
+        for r in top_paths(
+            df, "user_id", "ts", "event_type", "event_id", steps=3
+        ).collect()
+    ]
+    assert got == [("a>b>a", 2), ("b>a>b", 1)]
+
+
+def test_top_paths_null_state_rendered_not_dropped(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.scd import (
+        top_paths,
+    )
+
+    rows = [
+        (1, _ts(0), "a", 1), (1, _ts(1), None, 2), (1, _ts(2), "b", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = [(r["path"], r["n"]) for r in top_paths(
+        df, "user_id", "ts", "event_type", "event_id", steps=3
+    ).collect()]
+    assert got == [("a>^>b", 1)]
