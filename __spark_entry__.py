@@ -4358,17 +4358,22 @@ WITH cells AS (
          CAST(COUNT(*) AS DOUBLE) AS o
   FROM events GROUP BY 1, 2
 ),
-rt AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
-ct AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
+rt AS (SELECT a AS ra_k, SUM(o) AS ra FROM cells GROUP BY a),
+ct AS (SELECT b AS cb_k, SUM(o) AS cb FROM cells GROUP BY b),
 nt AS (
-  SELECT SUM(o) AS n, COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb
+  SELECT SUM(o) AS n,
+         COUNT(DISTINCT a) + MAX(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS ka,
+         COUNT(DISTINCT b) + MAX(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS kb
   FROM cells
 )
 SELECT ROUND(SUM((c.o - rt.ra * ct.cb / nt.n) * (c.o - rt.ra * ct.cb / nt.n)
                  / (rt.ra * ct.cb / nt.n)), 6) AS chi2,
        CAST(ANY_VALUE((nt.ka - 1) * (nt.kb - 1)) AS BIGINT) AS dof,
        CAST(ANY_VALUE(nt.n) AS BIGINT) AS n
-FROM cells c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nt
+FROM cells c
+JOIN rt ON c.a IS NOT DISTINCT FROM rt.ra_k
+JOIN ct ON c.b IS NOT DISTINCT FROM ct.cb_k
+CROSS JOIN nt
 """
 
 
@@ -4410,10 +4415,11 @@ tot AS (
   FROM cats
 )
 SELECT
-  ROUND(SUM(CASE WHEN nn / t.tn > 0
+  ROUND(SUM(CASE WHEN t.tn > 0 AND nn / t.tn > 0
        THEN (nn / t.tn) * ln((nn / t.tn) / ((nb + 1.0) / (t.tb + t.tk)))
        ELSE 0.0 END), 6) AS kl,
-  ROUND(SUM(ABS(nn / t.tn - nb / t.tb) / 2.0), 6) AS tv,
+  ROUND(SUM(ABS(CASE WHEN t.tn > 0 THEN nn / t.tn ELSE 0.0 END
+            - CASE WHEN t.tb > 0 THEN nb / t.tb ELSE 0.0 END) / 2.0), 6) AS tv,
   CAST(SUM(nb) AS BIGINT) AS n_base,
   CAST(SUM(nn) AS BIGINT) AS n_new
 FROM cats CROSS JOIN tot t

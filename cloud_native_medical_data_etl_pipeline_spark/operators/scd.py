@@ -127,6 +127,11 @@ def top_paths(
     runs over the (bounded by |states|^steps) path space with a
     TakeOrdered top-k — no global sort.
     """
+    if steps < 2:
+        raise ValueError(
+            f"top_paths: steps must be >= 2 (got {steps}); for "
+            "single-state frequencies use a plain groupBy count"
+        )
     k, ts, s, tb = (
         _ref(key_col), _ref(ts_col), _ref(state_col), _ref(tiebreak_col)
     )

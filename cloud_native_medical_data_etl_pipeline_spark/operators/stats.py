@@ -334,16 +334,33 @@ def chi_square_crosstab(
     cells = df.groupBy(a.alias("__a"), b.alias("__b")).agg(
         F.count(F.lit(1)).alias("__o")
     )
-    row_tot = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
-    col_tot = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    # marginal joins are NULL-SAFE and the distinct counts add the
+    # NULL category back in (count_distinct ignores NULLs): a plain
+    # equi-join would silently drop every NULL-category cell — halving
+    # the statistic and zeroing dof on exactly the "is this split
+    # biased" inputs where NULLs matter most
+    row_tot = cells.groupBy(F.col("__a").alias("__ra_k")).agg(
+        F.sum("__o").alias("__ra")
+    )
+    col_tot = cells.groupBy(F.col("__b").alias("__cb_k")).agg(
+        F.sum("__o").alias("__cb")
+    )
     n_tot = cells.agg(
         F.sum("__o").cast("double").alias("__n"),
-        F.count_distinct("__a").alias("__ka"),
-        F.count_distinct("__b").alias("__kb"),
+        (
+            F.count_distinct("__a")
+            + F.max(F.when(F.col("__a").isNull(), 1).otherwise(0))
+        ).alias("__ka"),
+        (
+            F.count_distinct("__b")
+            + F.max(F.when(F.col("__b").isNull(), 1).otherwise(0))
+        ).alias("__kb"),
     )
     joined = (
-        cells.join(F.broadcast(row_tot), "__a")
-        .join(F.broadcast(col_tot), "__b")
+        cells.join(
+            F.broadcast(row_tot), F.col("__a").eqNullSafe(F.col("__ra_k"))
+        )
+        .join(F.broadcast(col_tot), F.col("__b").eqNullSafe(F.col("__cb_k")))
         .crossJoin(F.broadcast(n_tot))
     )
     exp = F.col("__ra") * F.col("__cb") / F.col("__n")
@@ -407,10 +424,19 @@ def kl_drift(
         F.count(F.lit(1)).cast("double").alias("__tk"),
     )
     j = cats.crossJoin(F.broadcast(tot))
+    # empty periods contribute probability 0 everywhere (NOT null: an
+    # unguarded nb/0 is NULL under the repo's non-ANSI session and a
+    # DIVIDE_BY_ZERO crash under ANSI — either way the monitor would
+    # miss the most extreme drift, a fully disjoint period)
     q = (F.col("nb") + F.lit(1.0)) / (F.col("__tb") + F.col("__tk"))
-    pr = F.col("nn") / F.col("__tn")
+    pr = F.when(
+        F.col("__tn") > 0, F.col("nn") / F.col("__tn")
+    ).otherwise(F.lit(0.0))
+    pb = F.when(
+        F.col("__tb") > 0, F.col("nb") / F.col("__tb")
+    ).otherwise(F.lit(0.0))
     kl_term = F.when(pr > 0, pr * F.log(pr / q)).otherwise(F.lit(0.0))
-    tv_term = F.abs(pr - F.col("nb") / F.col("__tb")) / 2.0
+    tv_term = F.abs(pr - pb) / 2.0
     return j.agg(
         F.round(F.sum(kl_term), round_dp).alias("kl"),
         F.round(F.sum(tv_term), round_dp).alias("tv"),

@@ -48,22 +48,22 @@ def _monitor_fn(z_thresh: float, min_points: int, round_dp: int):
 
         rows = []
         for pdf in pdfs:
-            rows.extend(
-                (
-                    int(v.value // 1000),
-                    int(i),
-                    float(x) if x == x else None,  # NaN -> None
-                )
-                for v, i, x in zip(
-                    pd.to_datetime(pdf["ts"]), pdf["event_id"], pdf["value"]
-                )
-            )
+            for v, i, x in zip(
+                pd.to_datetime(pdf["ts"]), pdf["event_id"], pdf["value"]
+            ):
+                # rows without an orderable identity are SKIPPED, not
+                # coerced: NaT.value is int64-min, which would silently
+                # sort a null-ts event first and make the flags depend
+                # on batch partitioning; a NaN event_id would crash
+                # int().  (The lake sink quarantines such rows; a
+                # monitor just ignores them.)
+                if pd.isna(v) or pd.isna(i) or pd.isna(x):
+                    continue
+                rows.append((int(v.value // 1000), int(i), float(x)))
         rows.sort(key=lambda r: (r[0], r[1]))
 
         flagged_ids, flagged_z = [], []
         for _ts_us, event_id, x in rows:
-            if x is None:
-                continue  # NULL values neither flag nor move the stats
             if n >= min_points:
                 var = m2 / (n - 1) if n > 1 else 0.0
                 sd = math.sqrt(var) if var > 0 else 0.0

@@ -155,12 +155,16 @@ def test_q98_gram_frame_cached_once(spark):
     the explode per consumer."""
     df = entry_mod.queries()["q98_source_similarity"](spark, SF_DIR)
     plan = _executed_plan(df)
-    assert "InMemoryTableScan" in plan, plan
-    # the expensive n-gram explode appears only inside the cached
-    # relation's build plan, which the executed plan prints once per
-    # InMemoryRelation reference — every Generate must sit under one
-    import re as _re
-
-    gen_lines = [l for l in plan.splitlines() if "Generate explode" in l]
-    imr_lines = [l for l in plan.splitlines() if "InMemoryRelation" in l]
-    assert gen_lines and imr_lines, plan
+    # four consumers (two intersection sides, two size lookups) must
+    # all read the cache — a recomputation would replace some of these
+    # InMemoryTableScans with fresh Generate+scan branches
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    # and the expensive n-gram explode may only appear INSIDE the
+    # cached relation's build plan (printed under InMemoryRelation),
+    # never above it in the consuming query
+    lines = plan.splitlines()
+    first_imr = min(
+        i for i, l in enumerate(lines) if "InMemoryRelation" in l
+    )
+    gen_idx = [i for i, l in enumerate(lines) if "Generate explode" in l]
+    assert gen_idx and all(i > first_imr for i in gen_idx), plan

@@ -217,3 +217,34 @@ def test_kl_drift_detects_shift_and_new_category(spark):
     r = kl_drift(df, "week", "c", 1, 2).collect()[0]
     assert r["kl"] > 1.0  # massive shift
     assert r["tv"] > 0.8
+
+
+def test_chi_square_null_category_is_a_category(spark):
+    """The confirmed review bug: a NULL row-category must contribute
+    its cells AND count toward dof — [[9,1],[1,9]] with NULL as one
+    category is chi2=12.8, dof=1, not 6.4/0."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        chi_square_crosstab,
+    )
+
+    rows = (
+        [("x", "p")] * 9 + [("x", "q")] + [(None, "p")] + [(None, "q")] * 9
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_crosstab(df, "a", "b").collect()[0]
+    assert (r["chi2"], r["dof"], r["n"]) == (12.8, 1, 20)
+
+
+def test_kl_drift_empty_base_period(spark):
+    """The confirmed review bug: a fully disjoint new period must
+    report maximal tv (1.0), not NULL/crash."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        kl_drift,
+    )
+
+    rows = [(2, "a")] * 3 + [(2, "b")]
+    df = spark.createDataFrame(rows, "week int, c string")
+    r = kl_drift(df, "week", "c", 1, 2).collect()[0]
+    assert r["tv"] == 0.5  # |p-0|/2 summed = 1/2... total mass 1 -> 0.5
+    assert r["n_base"] == 0 and r["n_new"] == 4
+    assert r["kl"] is not None
