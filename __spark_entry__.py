@@ -15,7 +15,9 @@ Determinism rules used throughout (so value-hashes match):
     HUGEINT, which would be a schema mismatch);
   * embeddings are cast to DOUBLE[] on the DuckDB side (list_cosine_
     similarity on FLOAT[] computes in float32 and diverges);
-  * ties in top-k / argmax are broken by key columns.
+  * ties in top-k / argmax are broken by key columns;
+  * internal column names avoid case-only collisions (Nb vs nb):
+    BOTH engines resolve identifiers case-insensitively.
 """
 
 from __future__ import annotations
