@@ -4494,6 +4494,42 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# q106 — token-length histogram per source: fixed-width length bins
+# feeding packing/curriculum decisions (how many 512-token buckets
+# does each source fill?).  Pure map-side binning + one counting
+# aggregate over |sources| x |bins| groups.  Registered r4 at the
+# tail — first driver evidence rides r5.
+# ---------------------------------------------------------------------------
+_TLH_W = 64
+
+
+def q106_length_histogram(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = X.token_count("text")
+    return (
+        docs.select(
+            "source", F.floor(n_tok / F.lit(_TLH_W)).alias("bin")
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+Q106_SQL = f"""
+SELECT source,
+       CAST(FLOOR(
+         CASE WHEN regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') = ''
+              THEN 0
+              ELSE len(string_split_regex(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+         END / {_TLH_W}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -4503,7 +4539,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 108.  Each round's first-50 window is chosen so
+    # registry now holds 109.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 4 window, in priority order:
@@ -4683,6 +4719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_kl_drift": q103_kl_drift,
         "q104_embedding_dim_stats": q104_embedding_dim_stats,
         "q105_top_paths": q105_top_paths,
+        "q106_length_histogram": q106_length_histogram,
     }
 
 
@@ -4794,6 +4831,7 @@ def oracle_sql() -> dict[str, str]:
         "q103_kl_drift": Q103_SQL,
         "q104_embedding_dim_stats": Q104_SQL,
         "q105_top_paths": Q105_SQL,
+        "q106_length_histogram": Q106_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by
