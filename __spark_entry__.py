@@ -4539,171 +4539,33 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry now holds 109.  Each round's first-50 window is chosen so
+    # registry holds 109+.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
-    # Round 4 window, in priority order:
-    #   * the 19 queries r3 parked in the tail (q01, q03-q06, q09-q11,
-    #     q13-q16, q21, q26, q33, q34, q42, q51, q52 — all r2-green,
-    #     now due a fresh row);
-    #   * q70 (registered r3 at slot 70 — first-ever driver row);
-    #   * the 23 NEW r4 queries: q20b (sub-quadratic banded
-    #     LSH), q63b/q64b (invariant-aggregate oracles for the two
-    #     rows-only queries), q71 (BM25), q72 (semantic dedup), q73
-    #     (span dedup), q74 (TF-IDF), q75 (funnel), q76 (cohort
-    #     retention), q77 (centroid outliers), q78 (stream-static
-    #     enrich), q79 (batch retrieval), q80 (stream-stream join),
-    #     q81 (salted join — upgrades skew.py to driver evidence),
-    #     q82 (MAD robust outliers), q83 (blocked fuzzy linkage),
-    #     q84 (corpus snapshot diff), q85 (rolling z-score flags),
-    #     q86 (incremental near-dup probe join), q87 (mutual-NN
-    #     alignment), q88 (range-lookup join), q89 (co-occurrence
-    #     lift), q90 (RRF hybrid retrieval);
-    #   * every query whose KERNEL changed this round and therefore
-    #     needs re-evidence: q20 (hot-bucket chunk split), q22
-    #     (independent simhash second hash), q59 (pinned whitespace
-    #     class), q32 (escaped percentile refs), q57 (pointer-jumping
-    #     connected components);
-    #   * 2 r3-green keeps (q50, q53).
-    # Displaced to the tail — ALL hash-green in CORRECTNESS_r03.json,
-    # kernels untouched this round: q02, q07, q08, q12, q17, q18, q19,
-    # q23, q24, q25, q27, q28, q29, q30, q31, q35, q36, q43, q44, q45,
-    # q46, q54, q55, q56, q58, q60, q61, q62, q65, q66, q67, q68, q69,
-    # plus rows-only q63/q64 (their correctness signal now lives in
-    # q63b/q64b's hash rows).  Ledger: SURVEY.md §8.3.
+    # Round 5 window, in priority order:
+    #   * the SIXTEEN tail-registered late-r4 queries q91-q106 —
+    #     first-ever driver rows (local oracles green at sf0.001/0.01/
+    #     0.1 since r4);
+    #   * every query whose KERNEL changes in r5 and therefore needs
+    #     re-evidence: q23 (trained IVF centroids, seeded k-means),
+    #     q24 (real PNG decode path added behind fake=), q07
+    #     (config-driven quality thresholds), q81 (salted_join salt
+    #     hardened for duplicate-row hot keys);
+    #   * the oldest stale evidence: 30 of the 41 r3-evidenced queries
+    #     parked in the r4 tail (q02, q08, q12, q17-q19, q25, q27-q31,
+    #     q35-q41, q43-q49, q54-q56, q58) — all two rounds stale, now
+    #     due a fresh row.
+    # Displaced to the tail:
+    #   * everything hash-green in CORRECTNESS_r04.json with an
+    #     unchanged kernel (q01, q03-q06, q09-q11, q13-q16, q20/q20b,
+    #     q21, q22, q26, q32-q34, q42, q50-q53, q57, q59, q63b, q64b,
+    #     q70-q80 less window members, q82-q90);
+    #   * the remaining 8 r3-green queries (q60-q62, q65-q69) — rotate
+    #     into the r6 window first;
+    #   * rows-only q63/q64 (correctness signal lives in q63b/q64b).
+    # Ledger: SURVEY.md §8.3.
     return {
-        # --- r3 tail rotated back in (19) ---
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_exact_dedup": q03_exact_dedup,
-        "q04_size_binning": q04_size_binning,
-        "q05_phase_ladder": q05_phase_ladder,
-        "q06_latest_event_per_user": q06_latest_event_per_user,
-        "q09_severity_weighted": q09_severity_weighted,
-        "q10_ship_delay": q10_ship_delay,
-        "q11_normalize_project": q11_normalize_project,
-        "q13_event_counts": q13_event_counts,
-        "q14_hourly_windows": q14_hourly_windows,
-        "q15_text_stats": q15_text_stats,
-        "q16_fingerprint": q16_fingerprint,
-        "q21_age_bins": q21_age_bins,
-        "q26_anti_join": q26_anti_join,
-        "q33_pivot_activity": q33_pivot_activity,
-        "q34_daily_active_users": q34_daily_active_users,
-        "q42_json_props": q42_json_props,
-        "q51_event_navigation": q51_event_navigation,
-        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
-        # --- first-ever driver row (1) ---
-        "q70_winnow_overlap": q70_winnow_overlap,
-        # --- new r4 queries (5) ---
-        "q20b_embedding_near_dups_hi": q20b_embedding_near_dups_hi,
-        "q63b_pack_invariants": q63b_pack_invariants,
-        "q64b_profile_exact": q64b_profile_exact,
-        "q71_bm25_topk": q71_bm25_topk,
-        "q72_semantic_dedup": q72_semantic_dedup,
-        # --- kernels changed in r4, need fresh evidence (5) ---
-        "q20_embedding_near_dups": q20_embedding_near_dups,
-        "q22_simhash_pairs": q22_simhash_pairs,
-        "q32_percentiles": q32_percentiles,
-        "q57_dedup_clusters": q57_dedup_clusters,
-        "q59_redact_pii": q59_redact_pii,
-        # --- late r4 additions (3): blocked fuzzy record linkage,
-        # corpus snapshot diff, and trailing-window z-score anomaly
-        # flags — displace r3-green keeps q37/q38/q39 to the tail so
-        # all three get first evidence this round
-        "q83_fuzzy_linkage": q83_fuzzy_linkage,
-        "q84_snapshot_diff": q84_snapshot_diff,
-        "q85_rolling_zscore": q85_rolling_zscore,
-        # --- late r4 addition: incremental near-dup probe join —
-        # displaces r3-green keep q40 to the tail for first evidence
-        "q86_incremental_neardup": q86_incremental_neardup,
-        # --- late r4 additions: mutual-NN embedding alignment and the
-        # binned range-lookup join — displace r3-green keeps q41/q47
-        # to the tail for first evidence this round
-        "q87_mutual_nn": q87_mutual_nn,
-        "q88_range_lookup": q88_range_lookup,
-        # --- late r4 additions: session co-occurrence lift and hybrid
-        # retrieval fusion — displace r3-green keeps q48/q49 to the
-        # tail for first evidence this round
-        "q89_cooccurrence": q89_cooccurrence,
-        "q90_hybrid_retrieval": q90_hybrid_retrieval,
-        # --- r3-green keeps (2, interleaved with the late-r4
-        # additions below) ---
-        "q50_top_orders_per_priority": q50_top_orders_per_priority,
-        "q53_grouping_sets": q53_grouping_sets,
-        # --- late r4 additions (2): funnel conversion and cohort
-        # retention — displace r3-green q60/q61 to the tail so both
-        # get first evidence this round
-        "q75_funnel": q75_funnel,
-        "q76_cohort_retention": q76_cohort_retention,
-        # --- late r4 additions: embedding outlier scoring and the
-        # stream-static enrich join — displace r3-green q62/q65 to the
-        # tail for first evidence this round
-        "q77_centroid_outliers": q77_centroid_outliers,
-        "q78_stream_static_enrich": q78_stream_static_enrich,
-        # --- late r4 additions: batch retrieval and the stream-stream
-        # interval join — displace r3-green q58/q56 to the tail for
-        # first evidence this round
-        "q79_batch_retrieval": q79_batch_retrieval,
-        "q80_stream_stream_join": q80_stream_stream_join,
-        # --- late r4 addition: skew-salted join (upgrades skew.py from
-        # unit-only to driver evidence) — displaces r3-green q55
-        "q81_salted_join": q81_salted_join,
-        # --- late r4 addition: MAD robust outliers — displaces
-        # r3-green q54
-        "q82_mad_outliers": q82_mad_outliers,
-        # --- late r4 additions (2): span-level dedup rebuild and
-        # TF-IDF keyword extraction — displace r3-green q66/q67 to the
-        # tail so both get first evidence this round
-        "q73_span_dedup": q73_span_dedup,
-        "q74_tfidf_terms": q74_tfidf_terms,
-        # --- tail (positions 51+, not recorded this round; every entry
-        # below is hash-green in CORRECTNESS_r03.json with an unchanged
-        # kernel, except q63/q64 whose correctness signal is q63b/q64b)
-        "q37_event_followups": q37_event_followups,
-        "q38_above_avg_orders": q38_above_avg_orders,
-        "q39_rolling_revenue": q39_rolling_revenue,
-        "q40_sliding_windows": q40_sliding_windows,
-        "q41_streaming_dedup": q41_streaming_dedup,
-        "q47_regional_supplier_volume": q47_regional_supplier_volume,
-        "q48_order_line_arrays": q48_order_line_arrays,
-        "q49_union_by_name": q49_union_by_name,
-        "q54_sql_surface": q54_sql_surface,
-        "q55_streaming_sessions": q55_streaming_sessions,
-        "q56_stratified_sample": q56_stratified_sample,
-        "q58_segment_spend_tiers": q58_segment_spend_tiers,
-        "q60_contamination": q60_contamination,
-        "q61_cap_per_group": q61_cap_per_group,
-        "q62_resample_fill": q62_resample_fill,
-        "q65_chunk_documents": q65_chunk_documents,
-        "q66_unigram_quality": q66_unigram_quality,
-        "q67_mix_corpora": q67_mix_corpora,
-        "q68_repetition": q68_repetition,
-        "q69_winnow_fingerprints": q69_winnow_fingerprints,
-        "q02_containment_enrich": q02_containment_enrich,
-        "q07_quality_metrics": q07_quality_metrics,
-        "q08_duplicate_rows": q08_duplicate_rows,
-        "q12_topk_orders": q12_topk_orders,
-        "q17_minhash_near_dups": q17_minhash_near_dups,
-        "q18_ngram_jaccard": q18_ngram_jaccard,
-        "q19_cosine_topk": q19_cosine_topk,
-        "q23_ivf_topk": q23_ivf_topk,
-        "q24_multimodal_features": q24_multimodal_features,
-        "q25_streaming_hourly": q25_streaming_hourly,
-        "q27_top_revenue": q27_top_revenue,
-        "q28_rollup_revenue": q28_rollup_revenue,
-        "q29_asof_attribution": q29_asof_attribution,
-        "q30_session_stats": q30_session_stats,
-        "q31_curated_corpus": q31_curated_corpus,
-        "q35_cube_flags": q35_cube_flags,
-        "q36_big_spenders": q36_big_spenders,
-        "q43_hash_split": q43_hash_split,
-        "q44_customer_roster": q44_customer_roster,
-        "q45_token_topk": q45_token_topk,
-        "q46_segment_set_ops": q46_segment_set_ops,
-        "q63_pack_sequences": q63_pack_sequences,
-        "q64_profile": q64_profile,
-        # --- registered r4 at the tail: first driver evidence rides
-        # the r5 window (local oracle green at sf0.001/sf0.01)
+        # --- first-ever driver rows: the r4 tail registrations (16) ---
         "q91_unpivot_metrics": q91_unpivot_metrics,
         "q92_quantile_buckets": q92_quantile_buckets,
         "q93_scd2_intervals": q93_scd2_intervals,
@@ -4720,6 +4582,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_embedding_dim_stats": q104_embedding_dim_stats,
         "q105_top_paths": q105_top_paths,
         "q106_length_histogram": q106_length_histogram,
+        # --- kernels changed in r5, need fresh evidence (4) ---
+        "q23_ivf_topk": q23_ivf_topk,
+        "q24_multimodal_features": q24_multimodal_features,
+        "q07_quality_metrics": q07_quality_metrics,
+        "q81_salted_join": q81_salted_join,
+        # --- stale r3 evidence rotated back in (30) ---
+        "q02_containment_enrich": q02_containment_enrich,
+        "q08_duplicate_rows": q08_duplicate_rows,
+        "q12_topk_orders": q12_topk_orders,
+        "q17_minhash_near_dups": q17_minhash_near_dups,
+        "q18_ngram_jaccard": q18_ngram_jaccard,
+        "q19_cosine_topk": q19_cosine_topk,
+        "q25_streaming_hourly": q25_streaming_hourly,
+        "q27_top_revenue": q27_top_revenue,
+        "q28_rollup_revenue": q28_rollup_revenue,
+        "q29_asof_attribution": q29_asof_attribution,
+        "q30_session_stats": q30_session_stats,
+        "q31_curated_corpus": q31_curated_corpus,
+        "q35_cube_flags": q35_cube_flags,
+        "q36_big_spenders": q36_big_spenders,
+        "q37_event_followups": q37_event_followups,
+        "q38_above_avg_orders": q38_above_avg_orders,
+        "q39_rolling_revenue": q39_rolling_revenue,
+        "q40_sliding_windows": q40_sliding_windows,
+        "q41_streaming_dedup": q41_streaming_dedup,
+        "q43_hash_split": q43_hash_split,
+        "q44_customer_roster": q44_customer_roster,
+        "q45_token_topk": q45_token_topk,
+        "q46_segment_set_ops": q46_segment_set_ops,
+        "q47_regional_supplier_volume": q47_regional_supplier_volume,
+        "q48_order_line_arrays": q48_order_line_arrays,
+        "q49_union_by_name": q49_union_by_name,
+        "q54_sql_surface": q54_sql_surface,
+        "q55_streaming_sessions": q55_streaming_sessions,
+        "q56_stratified_sample": q56_stratified_sample,
+        "q58_segment_spend_tiers": q58_segment_spend_tiers,
+        # --- tail (positions 51+, not recorded this round) ---
+        # r3-green remainder — first in line for the r6 window:
+        "q60_contamination": q60_contamination,
+        "q61_cap_per_group": q61_cap_per_group,
+        "q62_resample_fill": q62_resample_fill,
+        "q65_chunk_documents": q65_chunk_documents,
+        "q66_unigram_quality": q66_unigram_quality,
+        "q67_mix_corpora": q67_mix_corpora,
+        "q68_repetition": q68_repetition,
+        "q69_winnow_fingerprints": q69_winnow_fingerprints,
+        # r4-green, kernels untouched this round:
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_exact_dedup": q03_exact_dedup,
+        "q04_size_binning": q04_size_binning,
+        "q05_phase_ladder": q05_phase_ladder,
+        "q06_latest_event_per_user": q06_latest_event_per_user,
+        "q09_severity_weighted": q09_severity_weighted,
+        "q10_ship_delay": q10_ship_delay,
+        "q11_normalize_project": q11_normalize_project,
+        "q13_event_counts": q13_event_counts,
+        "q14_hourly_windows": q14_hourly_windows,
+        "q15_text_stats": q15_text_stats,
+        "q16_fingerprint": q16_fingerprint,
+        "q20_embedding_near_dups": q20_embedding_near_dups,
+        "q20b_embedding_near_dups_hi": q20b_embedding_near_dups_hi,
+        "q21_age_bins": q21_age_bins,
+        "q22_simhash_pairs": q22_simhash_pairs,
+        "q26_anti_join": q26_anti_join,
+        "q32_percentiles": q32_percentiles,
+        "q33_pivot_activity": q33_pivot_activity,
+        "q34_daily_active_users": q34_daily_active_users,
+        "q42_json_props": q42_json_props,
+        "q50_top_orders_per_priority": q50_top_orders_per_priority,
+        "q51_event_navigation": q51_event_navigation,
+        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
+        "q53_grouping_sets": q53_grouping_sets,
+        "q57_dedup_clusters": q57_dedup_clusters,
+        "q59_redact_pii": q59_redact_pii,
+        "q63b_pack_invariants": q63b_pack_invariants,
+        "q64b_profile_exact": q64b_profile_exact,
+        "q70_winnow_overlap": q70_winnow_overlap,
+        "q71_bm25_topk": q71_bm25_topk,
+        "q72_semantic_dedup": q72_semantic_dedup,
+        "q73_span_dedup": q73_span_dedup,
+        "q74_tfidf_terms": q74_tfidf_terms,
+        "q75_funnel": q75_funnel,
+        "q76_cohort_retention": q76_cohort_retention,
+        "q77_centroid_outliers": q77_centroid_outliers,
+        "q78_stream_static_enrich": q78_stream_static_enrich,
+        "q79_batch_retrieval": q79_batch_retrieval,
+        "q80_stream_stream_join": q80_stream_stream_join,
+        "q82_mad_outliers": q82_mad_outliers,
+        "q83_fuzzy_linkage": q83_fuzzy_linkage,
+        "q84_snapshot_diff": q84_snapshot_diff,
+        "q85_rolling_zscore": q85_rolling_zscore,
+        "q86_incremental_neardup": q86_incremental_neardup,
+        "q87_mutual_nn": q87_mutual_nn,
+        "q88_range_lookup": q88_range_lookup,
+        "q89_cooccurrence": q89_cooccurrence,
+        "q90_hybrid_retrieval": q90_hybrid_retrieval,
+        # rows-only (correctness signal lives in q63b/q64b):
+        "q63_pack_sequences": q63_pack_sequences,
+        "q64_profile": q64_profile,
     }
 
 
