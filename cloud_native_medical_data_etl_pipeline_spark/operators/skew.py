@@ -22,6 +22,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_expr(skewed: DataFrame, salt_factor: int):
+    """Salt for the skewed side: hash of every column plus the row's
+    partition-local position.  The positional mixin
+    (`monotonically_increasing_id` = partition index · 2^33 + offset)
+    is what spreads FULLY-duplicate hot-key rows — a content-only hash
+    would land identical rows in one bucket, recreating the straggler
+    the salt exists to split.  Deterministic for a fixed input
+    partitioning; the join result does not depend on which bucket a
+    row lands in, so repartition-induced salt changes are benign.
+    """
+    return F.pmod(
+        F.xxhash64(
+            *[F.col(c) for c in skewed.columns],
+            F.monotonically_increasing_id(),
+        ),
+        F.lit(salt_factor),
+    ).cast("int")
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -35,17 +54,18 @@ def salted_join(
     equals `skewed.join(other, on, how)` for how in
     {'inner', 'left', 'left_outer'}.
 
-    The salt is a hash of ALL the skewed side's columns — deterministic
-    across retries (no rand()), and uniform enough to split a hot key's
-    rows across salt_factor shuffle partitions.
+    The salt is a hash of ALL the skewed side's columns mixed with the
+    row's position (`monotonically_increasing_id`), so a hot key whose
+    rows are FULL duplicates (same key, same payload) still spreads
+    across salt buckets instead of collapsing into one.  The result is
+    salt-invariant — every (key, salt) pair sees the full replicated
+    right side — so positional salting cannot change the join output,
+    only how evenly it shuffles.
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_factor)
-    ).cast("int")
-    left_s = skewed.withColumn("__salt", salt)
+    left_s = skewed.withColumn("__salt", _salt_expr(skewed, salt_factor))
     right_s = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
     )

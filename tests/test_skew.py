@@ -40,18 +40,45 @@ def test_salted_left_keeps_unmatched(spark):
 
 
 def test_salt_actually_spreads_hot_key(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.skew import _salt_expr
+
     left = _skewed(spark)
     n_salts = (
-        left.withColumn(
-            "__salt",
-            F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8)),
-        )
+        left.withColumn("__salt", _salt_expr(left, 8))
         .where(F.col("k") == 1)
         .select("__salt")
         .distinct()
         .count()
     )
     assert n_salts == 8
+
+
+def test_salt_spreads_identical_duplicate_rows(spark):
+    # a hot key of FULL duplicates (same key, same payload): a
+    # content-only hash would put all 800 rows in one salt bucket;
+    # the positional mixin must spread them
+    from cloud_native_medical_data_etl_pipeline_spark.operators.skew import (
+        _salt_expr,
+        salted_join,
+    )
+
+    left = spark.range(0, 800).select(
+        F.lit(1).alias("k"), F.lit("same").alias("payload")
+    )
+    n_salts = (
+        left.withColumn("__salt", _salt_expr(left, 8))
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts >= 2
+
+    # and correctness is unchanged: duplicates join like the plain join
+    right = _dim(spark)
+    salted = salted_join(left, right, "k", salt_factor=8)
+    plain = left.join(right, "k")
+    assert salted.count() == plain.count() == 800
+    assert salted.exceptAll(plain).count() == 0
 
 
 def test_skew_report_math_and_nulls(spark):
