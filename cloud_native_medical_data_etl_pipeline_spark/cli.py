@@ -45,7 +45,8 @@ def _cmd_transform(args) -> int:
 def _cmd_quality(args) -> int:
     spark = get_spark(app_name=f"quality-{args.date}")
     df = lake.read_partition(spark, f"{args.base}/processed", args.date)
-    report = quality.run_quality_checks(df, args.date)
+    cfg = quality.load_quality_config(args.config) if args.config else None
+    report = quality.run_quality_checks(df, args.date, config=cfg)
     print(json.dumps(report, indent=2, default=str))
     return 0 if report["overall_passed"] else 1
 
@@ -63,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
     q = sub.add_parser("quality", help="six-check quality gate, exit 0/1")
     q.add_argument("--date", required=True)
     q.add_argument("--base", required=True)
+    q.add_argument(
+        "--config",
+        default=None,
+        help="pipeline config file; its quality: section overrides "
+        "thresholds (pipeline_config.yaml:42-63 keys)",
+    )
     q.set_defaults(fn=_cmd_quality)
 
     args = parser.parse_args(argv)

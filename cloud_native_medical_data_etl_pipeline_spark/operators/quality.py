@@ -25,6 +25,52 @@ REQUIRED_CT = ["nct_id", "brief_title", "overall_status"]
 MAX_NULL_PCT = 10.0
 MIN_RECORDS_TOTAL = 10
 MIN_RECORDS_PER_SOURCE = 5
+AGE_RANGE = (0, 120)
+SEVERITY_RANGE = (0, 100)
+
+#: Defaults keyed exactly like the reference's `quality:` section
+#: (pipeline_config.yaml:42-63) so a user can hand their existing YAML
+#: straight to `run_quality_checks(df, config=...)`.
+DEFAULT_QUALITY_CONFIG: dict = {
+    "max_missing_percentage": MAX_NULL_PCT,
+    "min_total_records": MIN_RECORDS_TOTAL,
+    "min_records_per_source": MIN_RECORDS_PER_SOURCE,
+    "age_range": list(AGE_RANGE),
+    "severity_range": list(SEVERITY_RANGE),
+    "required_fields": {"fda": REQUIRED_FDA, "clinical_trials": REQUIRED_CT},
+}
+
+
+def load_quality_config(path: str) -> dict:
+    """Read the `quality:` section from a reference-shaped pipeline
+    config file (pipeline_config.yaml:42-63).  Accepts either the full
+    pipeline config (returns its `quality` key) or a bare quality
+    mapping; YAML when pyyaml is present, JSON otherwise.
+    """
+    with open(path) as fh:
+        text = fh.read()
+    try:
+        import yaml  # optional dep; JSON is always a valid fallback
+
+        data = yaml.safe_load(text)
+    except ImportError:
+        import json
+
+        data = json.loads(text)
+    if not isinstance(data, dict):
+        raise ValueError(f"quality config {path!r} is not a mapping")
+    return data.get("quality", data)
+
+
+def _resolve_config(config: dict | None) -> dict:
+    merged = dict(DEFAULT_QUALITY_CONFIG, **(config or {}))
+    req = merged.get("required_fields") or {}
+    merged["required_fields"] = {
+        "fda": list(req.get("fda", REQUIRED_FDA)),
+        "clinical_trials": list(req.get("clinical_trials", REQUIRED_CT)),
+    }
+    return merged
+
 
 _NUMERIC_COLS = ["severity_score", "adverse_event_count", "enrollment_count"]
 _DATE_COLS = ["receivedate", "processed_date", "start_date", "completion_date"]
@@ -39,8 +85,26 @@ def _cnt(cond) -> F.Column:
     return F.sum(F.when(cond, 1).otherwise(0))
 
 
-def run_quality_checks(df: DataFrame, date: str | None = None) -> dict:
-    """Run all six checks; see module docstring for the plan shape."""
+def run_quality_checks(
+    df: DataFrame, date: str | None = None, config: dict | None = None
+) -> dict:
+    """Run all six checks; see module docstring for the plan shape.
+
+    `config` overrides thresholds using the reference's YAML keys
+    (pipeline_config.yaml:42-63): max_missing_percentage,
+    min_total_records, min_records_per_source, age_range,
+    severity_range, required_fields.{fda,clinical_trials}.  Omitted
+    keys keep the module defaults, so existing callers are unchanged.
+    """
+    cfg = _resolve_config(config)
+    max_null_pct = float(cfg["max_missing_percentage"])
+    min_total = int(cfg["min_total_records"])
+    min_per_source = int(cfg["min_records_per_source"])
+    age_lo, age_hi = cfg["age_range"]
+    sev_lo, sev_hi = cfg["severity_range"]
+    required_fda = cfg["required_fields"]["fda"]
+    required_ct = cfg["required_fields"]["clinical_trials"]
+
     cols = set(df.columns)
     has_source = "data_source" in cols
     fda_rows = F.col("data_source") == "FDA_OpenFDA" if has_source else F.lit(True)
@@ -52,22 +116,26 @@ def run_quality_checks(df: DataFrame, date: str | None = None) -> dict:
             _cnt(fda_rows).alias("n_fda"),
             _cnt(ct_rows).alias("n_ct"),
         ]
-        for c in REQUIRED_FDA:
+        for c in required_fda:
             if c in cols:
                 aggs.append(_cnt(fda_rows & F.col(c).isNull()).alias(f"nullfda_{c}"))
-        for c in REQUIRED_CT:
+        for c in required_ct:
             if c in cols:
                 aggs.append(_cnt(ct_rows & F.col(c).isNull()).alias(f"nullct_{c}"))
     # value ranges (data_quality.py:168-202)
     if "severity_score" in cols:
         aggs.append(
-            _cnt((F.col("severity_score") < 0) | (F.col("severity_score") > 100)).alias(
+            _cnt(
+                (F.col("severity_score") < sev_lo) | (F.col("severity_score") > sev_hi)
+            ).alias(
                 "bad_severity"
             )
         )
     if "patient_age" in cols:
         aggs.append(
-            _cnt((F.col("patient_age") < 0) | (F.col("patient_age") > 120)).alias(
+            _cnt(
+                (F.col("patient_age") < age_lo) | (F.col("patient_age") > age_hi)
+            ).alias(
                 "bad_age"
             )
         )
@@ -98,8 +166,8 @@ def run_quality_checks(df: DataFrame, date: str | None = None) -> dict:
     failures = []
     if has_source:
         for src, req, n_key, pfx, label in (
-            ("FDA_OpenFDA", REQUIRED_FDA, "n_fda", "nullfda", "FDA"),
-            ("ClinicalTrials_gov", REQUIRED_CT, "n_ct", "nullct", "CT"),
+            ("FDA_OpenFDA", required_fda, "n_fda", "nullfda", "FDA"),
+            ("ClinicalTrials_gov", required_ct, "n_ct", "nullct", "CT"),
         ):
             n_src = m.get(n_key, 0) or 0
             if n_src == 0:
@@ -111,7 +179,7 @@ def run_quality_checks(df: DataFrame, date: str | None = None) -> dict:
                     nulls = m.get(f"{pfx}_{c}", 0) or 0
                     if nulls > 0:
                         pct = nulls / n_src * 100
-                        if pct > MAX_NULL_PCT:
+                        if pct > max_null_pct:
                             failures.append(
                                 f"{label} column {c} has {pct:.1f}% missing values"
                             )
@@ -165,14 +233,14 @@ def run_quality_checks(df: DataFrame, date: str | None = None) -> dict:
     # 5. record count (data_quality.py:233-260)
     failures = []
     total = m["total"]
-    if total < MIN_RECORDS_TOTAL:
+    if total < min_total:
         failures.append(
-            f"Record count ({total}) is below minimum threshold ({MIN_RECORDS_TOTAL})"
+            f"Record count ({total}) is below minimum threshold ({min_total})"
         )
     if has_source:
         for n_key, src in (("n_fda", "FDA_OpenFDA"), ("n_ct", "ClinicalTrials_gov")):
             n_src = m.get(n_key, 0) or 0
-            if 0 < n_src < MIN_RECORDS_PER_SOURCE:
+            if 0 < n_src < min_per_source:
                 failures.append(f"Data source {src} has only {n_src} records")
     checks.append({"check": "record_count", "passed": not failures, "failures": failures})
 

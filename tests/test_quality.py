@@ -115,3 +115,62 @@ def test_null_rate_gate(spark):
     )
     r = run_quality_checks(broken)
     assert not _check(r, "completeness")["passed"]
+
+
+def test_config_overrides_thresholds(spark):
+    # defaults pass at 12 rows; a raised min_total_records must fail
+    # the record_count check through the same end-to-end path
+    df = _df(spark)
+    assert run_quality_checks(df)["overall_passed"]
+    r = run_quality_checks(df, config={"min_total_records": 100})
+    c = _check(r, "record_count")
+    assert not c["passed"]
+    assert "below minimum threshold (100)" in c["failures"][0]
+
+    # tightened severity range flips value_ranges; loosened one passes
+    # a score the default range rejects
+    r = run_quality_checks(df, config={"severity_range": [0, 5]})
+    assert not _check(r, "value_ranges")["passed"]
+    hot = _df(spark, severity_score=500.0)
+    r = run_quality_checks(hot, config={"severity_range": [0, 1000]})
+    assert _check(r, "value_ranges")["passed"]
+
+    # required_fields override: demand a column that is 100% null
+    r = run_quality_checks(
+        df, config={"required_fields": {"fda": ["safetyreportid", "nct_id"]}}
+    )
+    c = _check(r, "completeness")
+    assert not c["passed"]
+    assert any("nct_id" in f for f in c["failures"])
+
+
+def test_quality_cli_config_exit_code(spark, tmp_path):
+    # reference-shaped YAML config (pipeline_config.yaml:42-63) driven
+    # through the CLI: default thresholds exit 0, raised minimum exits 1
+    from cloud_native_medical_data_etl_pipeline_spark import cli
+    from cloud_native_medical_data_etl_pipeline_spark.sources import lake
+
+    date = "2024-01-15"
+    base = str(tmp_path / "lake")
+    lake.write_partitioned(_df(spark), f"{base}/processed", date)
+
+    cfg = tmp_path / "pipeline_config.yaml"
+    cfg.write_text("quality:\n  min_total_records: 100\n")
+
+    common = ["quality", "--date", date, "--base", base]
+    assert cli.main(common) == 0
+    assert cli.main(common + ["--config", str(cfg)]) == 1
+
+
+def test_load_quality_config_shapes(tmp_path):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.quality import (
+        load_quality_config,
+    )
+
+    full = tmp_path / "full.yaml"
+    full.write_text("quality:\n  max_missing_percentage: 25\nstorage:\n  raw_prefix: raw\n")
+    assert load_quality_config(str(full)) == {"max_missing_percentage": 25}
+
+    bare = tmp_path / "bare.yaml"
+    bare.write_text("min_records_per_source: 2\n")
+    assert load_quality_config(str(bare)) == {"min_records_per_source": 2}
