@@ -7,9 +7,11 @@ Two tiers:
                            (Spark's TakeOrdered is a per-partition heap
                            + driver merge, so it scales linearly)
   ivf_topk                 IVF-style approximate search: deterministic
-                           centroid sample, assign every vector to its
-                           nearest centroid (one map pass), search only
-                           the nprobe closest cells — the 100 TB path
+                           seeded k-means centroids (min-key init,
+                           fixed Lloyd iterations, rounded means),
+                           assign every vector to its nearest centroid
+                           (one map pass), search only the nprobe
+                           closest cells — the 100 TB path
   random_hyperplane_bucket sign-LSH bucketing column for blocked
                            near-dup / join workloads
 """
@@ -43,6 +45,65 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(key_col).asc()).limit(k)
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    num_cells: int = 16,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    iters: int = 2,
+    round_dp: int = 6,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for IVF centroids.
+
+    Fully reproducible by construction: the init is the `num_cells`
+    smallest-key vectors (a seedless deterministic sample, the same
+    choice the pre-r5 IVF used as its FINAL centroids), the iteration
+    count is fixed, and each iteration's per-dimension means are
+    ROUNDED to `round_dp` decimals before reuse — summation order
+    differs run-to-run (and engine-to-engine), so raw means drift by
+    ulps; rounding pins them, which keeps the resulting plan
+    oracle-reproducible in plain SQL (unrolled CTEs, one per
+    iteration — see Q23_SQL in __spark_entry__.py).
+
+    Scale shape: each iteration is one distributed assignment map pass
+    (centroids inlined as literals) plus one posexplode +
+    (cell, dim)-keyed avg — map-side combinable, `num_cells * dim`
+    output rows — and collects only that tiny grid. Cells that lose
+    all members keep their previous centroid (k never shrinks).
+    Cosine assignment, so means are taken over raw vectors; for unit
+    vectors this is spherical k-means without the re-normalize step.
+    """
+    cents = [
+        [float(x) for x in r[1]]
+        for r in df.select(key_col, vec_col)
+        .orderBy(F.col(key_col).asc())
+        .limit(num_cells)
+        .collect()
+    ]
+    dim = len(cents[0]) if cents else 0
+    for _ in range(iters):
+        rows = (
+            assign_cells(df, cents, vec_col)
+            .select(
+                "cell_id",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "pos", "val"
+                ),
+            )
+            .groupBy("cell_id", "pos")
+            .agg(F.round(F.avg("val"), round_dp).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r["cell_id"], {})[r["pos"]] = r["m"]
+        cents = [
+            [by_cell[i][p] for p in range(dim)] if i in by_cell else cents[i]
+            for i in range(len(cents))
+        ]
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -51,28 +112,25 @@ def ivf_topk(
     key_col: str = "vec_id",
     num_cells: int = 16,
     nprobe: int = 4,
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVF approximate top-k.
 
-    Centroids are the `num_cells` vectors with the smallest keys — a
-    deterministic (seedless) sample; real deployments would k-means
-    them, but cell assignment/probing mechanics are identical. The big
-    table gets ONE extra map pass to tag each row with its nearest cell
-    (centroids broadcast as literals); queries touch only `nprobe`
-    cells, i.e. ~nprobe/num_cells of the data. With the table written
-    partitioned by cell_id, partition pruning makes that literal.
+    Centroids come from `train_ivf_centroids` (deterministic seeded
+    k-means; `train_iters=0` reproduces the pre-r5 min-key-sample
+    centroids). The big table gets ONE extra map pass to tag each row
+    with its nearest cell (centroids broadcast as literals); queries
+    touch only `nprobe` cells, i.e. ~nprobe/num_cells of the data.
+    With the table written partitioned by cell_id, partition pruning
+    makes that literal.
     """
-    centroids = [
-        (r[0], [float(x) for x in r[1]])
-        for r in df.select(key_col, vec_col)
-        .orderBy(F.col(key_col).asc())
-        .limit(num_cells)
-        .collect()
-    ]
-    assigned = assign_cells(df, [c[1] for c in centroids], vec_col)
+    centroids = train_ivf_centroids(
+        df, num_cells, vec_col, key_col, iters=train_iters
+    )
+    assigned = assign_cells(df, centroids, vec_col)
     probe_order = sorted(
         range(len(centroids)),
-        key=lambda i: -_py_cosine(query_vec, centroids[i][1]),
+        key=lambda i: -_py_cosine(query_vec, centroids[i]),
     )
     probes = probe_order[:nprobe]
     q = _lit_vec(query_vec)
@@ -112,30 +170,28 @@ def build_ivf_index(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     num_cells: int = 16,
+    train_iters: int = 2,
 ) -> None:
     """Materialize the IVF index as a cell-partitioned parquet table.
 
-    This is the 100 TB shape of ivf_topk: pay the assignment pass ONCE
-    at ingest, write `partitionBy(cell_id)`, and every subsequent query
-    reads only its nprobe cell directories — probe selectivity becomes
-    Catalyst partition pruning (PartitionFilters on the scan, zero
-    bytes read from unprobed cells) instead of a filter over the full
-    corpus. Centroids ride along in an underscore-prefixed side
-    directory, which Spark's file listing ignores.
+    This is the 100 TB shape of ivf_topk: pay the centroid training +
+    assignment pass ONCE at ingest, write `partitionBy(cell_id)`, and
+    every subsequent query reads only its nprobe cell directories —
+    probe selectivity becomes Catalyst partition pruning
+    (PartitionFilters on the scan, zero bytes read from unprobed
+    cells) instead of a filter over the full corpus. Centroids ride
+    along in an underscore-prefixed side directory, which Spark's file
+    listing ignores.
     """
-    centroids = [
-        (r[0], [float(x) for x in r[1]])
-        for r in df.select(key_col, vec_col)
-        .orderBy(F.col(key_col).asc())
-        .limit(num_cells)
-        .collect()
-    ]
-    assigned = assign_cells(df, [c[1] for c in centroids], vec_col)
+    centroids = train_ivf_centroids(
+        df, num_cells, vec_col, key_col, iters=train_iters
+    )
+    assigned = assign_cells(df, centroids, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
     spark = df.sparkSession
     cdf = spark.createDataFrame(
-        [(i, c[1]) for i, c in enumerate(centroids)],
-        f"cell_id int, centroid array<double>",
+        list(enumerate(centroids)),
+        "cell_id int, centroid array<double>",
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/_ivf_centroids")
 
