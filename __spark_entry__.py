@@ -951,37 +951,72 @@ SELECT key_a, key_b, hamming FROM cand WHERE hamming <= {_SH_MAXHAM}
 
 
 # ---------------------------------------------------------------------------
-# q23 — IVF approximate nearest neighbors (rows-only: centroid
-# assignment is iterative/driver-seeded, not SQL-expressible)
+# q23 — IVF approximate nearest neighbors with TRAINED centroids
+# (seeded k-means: min-key init, fixed Lloyd iterations)
 # ---------------------------------------------------------------------------
 def q23_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return S.ivf_topk(emb, q, k=10, num_cells=16, nprobe=4)
+    return S.ivf_topk(emb, q, k=10, num_cells=16, nprobe=4, train_iters=2)
 
 
-# Every IVF ingredient is deterministic and SQL-expressible: centroids
-# are the 16 smallest-key vectors (no Lloyd iterations), the query
-# vector is row 0, cell assignment is an argmax over centroid cosines
-# (ties -> lowest cell, matching array_position-of-max), and probing
-# keeps the nprobe best cells by query-centroid cosine (Python's stable
-# sort == ORDER BY sim DESC, cell_id ASC). Raw-double cosine ordering
-# agrees between the engines on DOUBLE[] input (same precedent as q19).
-Q23_SQL = """
-WITH cents AS (
+# Every IVF ingredient is deterministic and SQL-expressible: the
+# centroid INIT is the 16 smallest-key vectors, each Lloyd iteration
+# (fixed count = 2) is one argmax assignment (ties -> lowest cell,
+# matching Spark's array_position-of-max) plus per-(cell, dim) AVG
+# ROUNDED to 6dp — the rounding is what makes iterated means
+# engine-portable (raw sums drift by ulps with summation order; see
+# similarity.train_ivf_centroids) — unrolled here as one CTE pair per
+# iteration. Cells that lose all members keep their previous centroid
+# (LEFT JOIN + COALESCE == the Spark dict fallback). Probing keeps the
+# nprobe best cells by query-centroid cosine (Python's stable sort ==
+# ORDER BY sim DESC, cell_id ASC). Raw-double cosine ordering agrees
+# between the engines on DOUBLE[] input (same precedent as q19).
+def _ivf_sql(num_cells=16, nprobe=4, k=10, iters=2, round_dp=6) -> str:
+    parts = [
+        f"""
+WITH cents0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
          CAST(embedding AS DOUBLE[]) AS cvec
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16)
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id ASC LIMIT {num_cells})
 ),
-qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
-assigned AS (
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+a{i} AS (
   SELECT e.vec_id, e.emb, c.cell_id,
          ROW_NUMBER() OVER (
            PARTITION BY e.vec_id
            ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC, c.cell_id ASC
          ) AS rn
-  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) e
-  CROSS JOIN cents c
+  FROM emb e CROSS JOIN cents{i} c
+),
+m{i} AS (
+  SELECT cell_id, dim, ROUND(AVG(val), {round_dp}) AS m
+  FROM (SELECT cell_id, unnest(emb) AS val, generate_subscripts(emb, 1) AS dim
+        FROM a{i} WHERE rn = 1)
+  GROUP BY cell_id, dim
+),
+cents{i + 1} AS (
+  SELECT c.cell_id, COALESCE(n.cvec, c.cvec) AS cvec
+  FROM cents{i} c LEFT JOIN (
+    SELECT cell_id, list(m ORDER BY dim) AS cvec FROM m{i} GROUP BY cell_id
+  ) n USING (cell_id)
+)"""
+        )
+    parts.append(
+        f""",
+af AS (
+  SELECT e.vec_id, e.emb, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC, c.cell_id ASC
+         ) AS rn
+  FROM emb e CROSS JOIN cents{iters} c
 ),
 probes AS (
   SELECT cell_id,
@@ -989,16 +1024,20 @@ probes AS (
            ORDER BY list_cosine_similarity(cvec, (SELECT q FROM qv)) DESC,
                     cell_id ASC
          ) AS pr
-  FROM cents
+  FROM cents{iters}
 )
 SELECT a.vec_id,
        ROUND(list_cosine_similarity(a.emb, (SELECT q FROM qv)), 6) AS cosine
-FROM assigned a
-JOIN probes p ON a.cell_id = p.cell_id AND p.pr <= 4
+FROM af a
+JOIN probes p ON a.cell_id = p.cell_id AND p.pr <= {nprobe}
 WHERE a.rn = 1
 ORDER BY cosine DESC, a.vec_id ASC
-LIMIT 10
-"""
+LIMIT {k}"""
+    )
+    return "".join(parts)
+
+
+Q23_SQL = _ivf_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode step itself is STUBBED (codec libraries are not available in
-this environment): `decode_features(..., fake=True)` produces
-deterministic pseudo-features derived from the payload bytes so the
-Spark-side contract — schema, batching, partitioning — is real and
-tested; `fake=False` raises NotImplementedError where a real
-decoder (PIL / torchaudio / pyav) would be called.
+Decode tiers behind the `fake=` switch:
+  fake=True   deterministic pseudo-features derived from the payload
+              bytes — exercises the full Arrow batch path with no
+              codec at all (and stays the oracle-able q24 path);
+  fake=False  a REAL pure-stdlib PNG decode (functions/png.py:
+              zlib inflate + filter reconstruction) for
+              `decode_features` and `resize_images`; formats needing
+              native codec libraries (JPEG, video keyframes in
+              `sample_frames`) still raise NotImplementedError —
+              that seam is sandbox-imposed, not architectural.
 
 At scale the pattern is: keep payloads in their own parquet column
 (Parquet stores binary contiguously; column pruning means metadata-only
@@ -75,16 +79,16 @@ def decode_features(df: DataFrame, dim: int = 8, fake: bool = True) -> DataFrame
     """Decode payloads to fixed-size feature vectors via mapInPandas.
 
     fake=True: deterministic pseudo-features (byte statistics folded
-    into `dim` buckets) — exercises the full Arrow batch path.
-    fake=False: raises NotImplementedError (real codec not bundled).
+    into `dim` buckets over the RAW payload bytes) — exercises the
+    full Arrow batch path with no codec.
+    fake=False: payloads are real PNGs; each is decoded
+    (functions/png.py) and the same bucket statistics run over the
+    DECODED pixel samples, so n_bytes/byte_mean/feature describe
+    image content, not compression artifacts.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real media decoding requires codec libraries not present in "
-            "this environment; use fake=True for the deterministic stub"
-        )
-
     import numpy as np
+
+    from ..functions import png as _png
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-byte work is numpy (frombuffer + reshaped column sums);
@@ -93,9 +97,14 @@ def decode_features(df: DataFrame, dim: int = 8, fake: bool = True) -> DataFrame
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr = np.frombuffer(
-                    payload if payload is not None else b"", dtype=np.uint8
-                )
+                if fake:
+                    buf = payload if payload is not None else b""
+                else:
+                    if payload is None:
+                        buf = b""
+                    else:
+                        _, _, _, buf = _png.decode(bytes(payload))
+                arr = np.frombuffer(buf, dtype=np.uint8)
                 n = int(arr.size)
                 if n:
                     pad = (-n) % dim
@@ -139,23 +148,30 @@ def resize_images(
 
     fake=True emits a deterministic stand-in — the payload truncated/
     cycled to width*height bytes (one 'pixel' per byte) — so batch
-    shape, schema, and partition behavior are real. fake=False is the
-    seam for a PIL/libvips decode-resize-encode."""
-    if not fake:
-        raise NotImplementedError(
-            "real image resize requires codec libraries not present in "
-            "this environment; use fake=True for the deterministic stub"
-        )
+    shape, schema, and partition behavior are real. fake=False is a
+    REAL PNG decode -> nearest-neighbor resample -> PNG re-encode
+    (functions/png.py), channel-count preserving."""
     n_out = width * height
+
+    from ..functions import png as _png
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                resized = (
-                    (b * (n_out // len(b) + 1))[:n_out] if b else bytes(n_out)
-                )
+                if fake:
+                    resized = (
+                        (b * (n_out // len(b) + 1))[:n_out] if b else bytes(n_out)
+                    )
+                else:
+                    w0, h0, ch, px = _png.decode(b)
+                    resized = _png.encode(
+                        _png.resize_nearest(px, w0, h0, ch, width, height),
+                        width,
+                        height,
+                        ch,
+                    )
                 out.append(
                     {
                         "media_id": media_id,

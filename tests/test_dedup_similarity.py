@@ -214,8 +214,10 @@ def test_multimodal_plumbing(spark):
     assert r0["n_bytes"] > 0
     assert len(r0["feature"]) == 4
     assert r0["byte_mean"] > 0
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_features(media, fake=False)
+    # fake=False is the REAL PNG path now (tests/test_png.py); on a
+    # non-PNG payload it must fail loudly inside the executor
+    with pytest.raises(Exception, match="not a PNG"):
+        multimodal.decode_features(media, fake=False).collect()
 
 
 def test_vector_kernels(spark):
@@ -279,8 +281,11 @@ def test_multimodal_resize_and_frames(spark):
     assert all(sorted(v) == list(range(len(v))) for v in per_media.values())
     assert max(len(v) for v in per_media.values()) <= 3
 
-    with _pytest.raises(NotImplementedError):
-        MM.resize_images(media, fake=False)
+    # resize fake=False is the REAL PNG path now (tests/test_png.py);
+    # non-PNG payloads fail loudly. Frame sampling still needs a
+    # video codec -> eager NotImplementedError.
+    with _pytest.raises(Exception, match="not a PNG"):
+        MM.resize_images(media, fake=False).collect()
     with _pytest.raises(NotImplementedError):
         MM.sample_frames(media, fake=False)
 
@@ -670,3 +675,47 @@ def test_embedding_dim_stats_detects_dead_dim(spark):
     assert got[0] == (3.0, 2.0, 0.0)
     assert got[1] == (0.0, 0.0, 1.0)   # dead dimension
     assert got[2] == (2.0, 0.0, 0.0)   # constant but nonzero
+
+
+def test_trained_ivf_recall_on_planted_clusters(spark):
+    # 4 well-separated planted clusters in 8-d, members = center + tiny
+    # jitter. The min-key init (train_iters=0) takes the 16 smallest
+    # keys, i.e. 16 vectors from cluster 0 only; training must migrate
+    # centroids toward the true clusters and lift (or at worst match)
+    # recall of the exact top-10 for a query in the LAST cluster.
+    import random
+
+    rng = random.Random(7)
+    centers = [
+        [10.0 if d == c * 2 else 1.0 for d in range(8)] for c in range(4)
+    ]
+    rows = []
+    for i in range(80):
+        c = i // 20  # keys 0-19 -> cluster 0, ..., 60-79 -> cluster 3
+        vec = [x + rng.gauss(0, 0.05) for x in centers[c]]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[70][1]
+
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+
+    def recall(train_iters):
+        got = {
+            r["vec_id"]
+            for r in similarity.ivf_topk(
+                emb, q, k=10, num_cells=4, nprobe=1, train_iters=train_iters
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_untrained, r_trained = recall(0), recall(2)
+    assert r_trained >= r_untrained
+    assert r_trained == 1.0  # trained cells isolate the planted cluster
+
+
+def test_train_ivf_centroids_deterministic(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = similarity.train_ivf_centroids(emb, num_cells=8, iters=2)
+    b = similarity.train_ivf_centroids(emb, num_cells=8, iters=2)
+    assert a == b  # rounded means pin run-to-run summation order
+    assert len(a) == 8 and all(len(c) == 64 for c in a)
