@@ -4569,6 +4569,104 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q107 — bigram-LM surprisal (operators/lm.py bigram_logprob_score):
+# the CCNet-style conditional-probability quality filter. Bigram
+# extraction is map-side (two slices zipped, no positional self-join);
+# both model joins are shuffle equi-joins (the model is corpus-sized —
+# nothing broadcasts). Add-alpha smoothing over the exact vocab V, so
+# unseen bigrams/histories fall out of the same closed formula and the
+# whole score is SQL-expressible; bits averaged then rounded (libm
+# log2 ulp rule).
+# ---------------------------------------------------------------------------
+_BLM_ALPHA = 0.5
+
+
+def q107_bigram_surprisal(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.lm import (
+        bigram_logprob_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob_score(docs, alpha=_BLM_ALPHA)
+
+
+Q107_SQL = f"""
+WITH tks AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(LOWER(COALESCE(text, '')), '^\\s+|\\s+$', '', 'g') = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(
+                     regexp_replace(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')
+         END AS tk
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(tk[1:len(tk) - 1]) AS w1,
+         unnest(tk[2:len(tk)]) AS w2
+  FROM tks
+),
+uni AS (
+  SELECT token, COUNT(*) AS cu
+  FROM (SELECT unnest(tk) AS token FROM tks)
+  GROUP BY token
+),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vs FROM uni),
+bg AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-log2(
+         (COALESCE(b.cb, 0) + {_BLM_ALPHA!r})
+         / (COALESCE(u.cu, 0) + {_BLM_ALPHA!r} * (SELECT vs FROM v))
+       )), 6) AS bits_per_bigram
+FROM pairs p
+LEFT JOIN bg b ON p.w1 = b.w1 AND p.w2 = b.w2
+LEFT JOIN uni u ON p.w1 = u.token
+GROUP BY p.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q108 — per-source lexical diversity (operators/lm.py
+# lexical_diversity): exact type/token/hapax stats via a
+# (group, token)-keyed counting aggregate + rollup — the exact-distinct
+# shape WITHOUT count_distinct's expand; the shuffle carries
+# (group, token, count) triples, never documents.
+# ---------------------------------------------------------------------------
+def q108_lexical_diversity(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.lm import (
+        lexical_diversity,
+    )
+
+    return lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
+Q108_SQL = """
+WITH per_tok AS (
+  SELECT source, token, COUNT(*) AS cnt
+  FROM (
+    SELECT source,
+           unnest(CASE WHEN regexp_replace(LOWER(COALESCE(text, '')), '^\\s+|\\s+$', '', 'g') = ''
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(
+                              regexp_replace(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')
+                  END) AS token
+    FROM documents
+  )
+  GROUP BY source, token
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 6) AS type_token_ratio,
+       ROUND(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS hapax_ratio
+FROM per_tok
+GROUP BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -4720,6 +4818,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (correctness signal lives in q63b/q64b):
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
+        # registered r5 at the tail: first driver evidence rides the
+        # r6 window (local oracles green at sf0.001/sf0.01/sf0.1)
+        "q107_bigram_surprisal": q107_bigram_surprisal,
+        "q108_lexical_diversity": q108_lexical_diversity,
     }
 
 
@@ -4832,6 +4934,8 @@ def oracle_sql() -> dict[str, str]:
         "q104_embedding_dim_stats": Q104_SQL,
         "q105_top_paths": Q105_SQL,
         "q106_length_histogram": Q106_SQL,
+        "q107_bigram_surprisal": Q107_SQL,
+        "q108_lexical_diversity": Q108_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

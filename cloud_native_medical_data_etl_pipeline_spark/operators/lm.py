@@ -1,7 +1,8 @@
-"""Unigram language-model quality scoring — the distributed skeleton
-of perplexity-based corpus filtering (score each document by how
-"surprising" its tokens are under a corpus-wide unigram model; drop
-the tails).
+"""Count-based language-model scoring and lexical corpus statistics —
+the distributed skeleton of perplexity-based corpus filtering (score
+each document by how "surprising" its tokens are under a corpus-wide
+unigram or bigram model; drop the tails) plus the type/token health
+metrics that gate a corpus before training.
 
 Scale shape, two aggregation passes over narrow columns:
   1. model build: explode tokens -> (token, count) aggregation — one
@@ -75,4 +76,119 @@ def unigram_logprob_score(
     return scored.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_scored"),
         F.round(F.avg("bits"), round_dp).alias("bits_per_token"),
+    )
+
+
+def _bigram_pairs(df: DataFrame, content_col: str, key_col: str) -> DataFrame:
+    """(key, w1, w2) for each consecutive token pair — built map-side
+    from two array slices zipped per row (no positional self-join, no
+    shuffle). Docs with <2 tokens emit nothing."""
+    tk = X.lower_tokens(content_col)
+    n = F.size(tk)
+    pairs = F.zip_with(
+        F.slice(tk, F.lit(1), F.greatest(n - 1, F.lit(0))),
+        F.slice(tk, F.lit(2), F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return df.select(F.col(key_col), F.explode(pairs).alias("b")).select(
+        key_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    min_count: int = 1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document bigram-LM surprisal — the conditional-probability
+    upgrade of `unigram_logprob_score` (the CCNet-style perplexity
+    filter: score docs under an n-gram model of the corpus, drop the
+    high-surprisal tail).
+
+    p(w2|w1) = (C(w1,w2) + alpha) / (C(w1) + alpha·V), add-alpha
+    smoothing over the exact corpus vocabulary V; unseen bigrams and
+    unseen histories fall out of the same formula with C = 0 (an
+    unseen history scores exactly 1/V per continuation). Returns
+    (key_col, n_bigrams, bits_per_bigram); docs with fewer than two
+    tokens are omitted.
+
+    Scale shape: bigram extraction is map-side (two array slices
+    zipped — no positional self-join); the model is corpus-sized, so
+    scoring joins are SHUFFLE equi-joins on (w1, w2) and w1 — neither
+    side broadcasts. `min_count` prunes singleton bigrams from the
+    model (they then score as unseen), which at 100 TB bounds the
+    model table by the non-hapax bigram vocabulary — the standard
+    memory/size lever for count-based LMs.
+    """
+    pairs = _bigram_pairs(df, content_col, key_col)
+    uni = (
+        df.select(F.explode(X.lower_tokens(content_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab_size = uni.count()  # exact |V|: one aggregate, a scalar
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    if min_count > 1:
+        bg = bg.where(F.col("cb") >= min_count)
+    a = float(alpha)
+    scored = (
+        pairs.join(bg, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("token", "w1"), "w1", "left")
+        .select(
+            key_col,
+            (
+                -F.log2(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(a))
+                    / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(a * vocab_size))
+                )
+            ).alias("bits"),
+        )
+    )
+    return scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("bits"), round_dp).alias("bits_per_bigram"),
+    )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    content_col: str = "text",
+    group_col: str = "source",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group lexical diversity: exact token/type counts,
+    type-token ratio, and hapax ratio (share of types seen once) —
+    the corpus-health numbers that catch template spam (TTR collapses)
+    and OCR noise (hapax ratio explodes) before training.
+
+    Returns (group_col, n_tokens, n_types, type_token_ratio,
+    hapax_ratio). Groups whose documents have no tokens are omitted.
+
+    Scale shape: exact distincts WITHOUT count_distinct's expand —
+    one (group, token)-keyed counting aggregate (map-side combinable)
+    then one group-keyed rollup of that already-distinct frame; the
+    shuffle carries (group, token, count), never documents.
+    """
+    per_tok = (
+        df.select(
+            F.col(group_col),
+            F.explode(X.lower_tokens(content_col)).alias("token"),
+        )
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_tok.groupBy(group_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("cnt"), round_dp).alias(
+            "type_token_ratio"
+        ),
+        F.round(
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            round_dp,
+        ).alias("hapax_ratio"),
     )

@@ -132,3 +132,76 @@ def test_repetition_ratios(spark):
     assert got[2]["t"] == 0.0 and got[2]["g2"] == 0.0
     assert got[3]["t"] == 0.0 and got[3]["g2"] == 0.0
     assert got[4]["g2"] == 0.0  # single bigram, nothing repeated
+
+
+def test_bigram_score_hand_computed(spark):
+    import math
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.lm import (
+        bigram_logprob_score,
+    )
+
+    # corpus: "a b a" and "a b"; vocab V = {a, b} -> 2
+    # C(a)=3, C(b)=2; C(a,b)=2, C(b,a)=1
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob_score(df, alpha=0.5).collect()}
+    V = 3  # {a, b, x}
+    p_ab = (2 + 0.5) / (3 + 0.5 * V)
+    p_ba = (1 + 0.5) / (2 + 0.5 * V)
+    exp1 = round((-math.log2(p_ab) - math.log2(p_ba)) / 2, 6)
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["bits_per_bigram"] == pytest.approx(exp1, abs=1e-6)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["bits_per_bigram"] == pytest.approx(round(-math.log2(p_ab), 6), abs=1e-6)
+    assert 3 not in out  # single-token doc emits no bigrams
+
+
+def test_bigram_unseen_history_scores_one_over_v(spark):
+    import math
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.lm import (
+        bigram_logprob_score,
+    )
+
+    # score a target doc against a model built from a reference corpus
+    # by unioning: "z q" appears once, so C(z)=1, C(z,q)=1; with
+    # min_count=2 the bigram is pruned -> p = 0.5/(1+0.5V)
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "z q")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bigram_logprob_score(df, alpha=0.5, min_count=2).collect()
+    }
+    V = 4  # {a, b, z, q}
+    p_pruned = 0.5 / (1 + 0.5 * V)
+    assert out[2]["bits_per_bigram"] == pytest.approx(
+        round(-math.log2(p_pruned), 6), abs=1e-6
+    )
+
+
+def test_lexical_diversity_hand_computed(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.lm import (
+        lexical_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("web", "a a b c"),   # tokens=4 types={a,b,c} hapax={b,c}
+            ("web", "a d"),       # +2 tokens, d new hapax
+            ("books", "x x x"),   # tokens=3 types={x} hapax={}
+            ("empty", "   "),     # no tokens -> group omitted
+        ],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in lexical_diversity(df).collect()}
+    assert set(out) == {"web", "books"}
+    w = out["web"]
+    assert (w["n_tokens"], w["n_types"]) == (6, 4)
+    assert w["type_token_ratio"] == pytest.approx(round(4 / 6, 6))
+    assert w["hapax_ratio"] == pytest.approx(0.75)  # b, c, d of {a,b,c,d}
+    b = out["books"]
+    assert (b["n_tokens"], b["n_types"]) == (3, 1)
+    assert b["hapax_ratio"] == 0.0
