@@ -4667,6 +4667,88 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q109 — row-wise symmetric int8 embedding quantization
+# (operators/quantize.py): pure map-side array expressions (no corpus
+# pass, no shuffle, no UDF); qvec emitted as a comma-joined string
+# (array-hash canonicalizer limitation — q24/q48 precedent). The
+# elementwise error recomputes round(v/scale)*scale - v from v alone,
+# so Spark's zip_with and the SQL single-transform are the same
+# arithmetic in the same order.
+# ---------------------------------------------------------------------------
+def q109_quantize_embeddings(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.quantize import (
+        quantize_embeddings_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantize_embeddings_int8(emb)
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform("qvec", lambda q: q.cast("string")), ",").alias(
+            "qvec_str"
+        ),
+        "mean_abs_err",
+    )
+
+
+Q109_SQL = """
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0
+           AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       CASE WHEN scale = 0
+            THEN array_to_string(list_transform(v, x -> 0), ',')
+            ELSE array_to_string(
+                   list_transform(v, x -> CAST(round(x / scale) AS INTEGER)), ',')
+       END AS qvec_str,
+       CASE WHEN scale = 0 THEN 0.0
+            ELSE ROUND(
+                   list_sum(list_transform(v, x -> abs(round(x / scale) * scale - x)))
+                   / len(v), 6)
+       END AS mean_abs_err
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# q110 — temperature-scaled mixture weights (operators/curate.py
+# temperature_weights): one counting aggregate + one-row broadcast;
+# pow() ulp drift across libm implementations is absorbed by rounding
+# the SHARES (weighted_sample precedent).
+# ---------------------------------------------------------------------------
+_TEMP_TAU = 0.3
+
+
+def q110_temperature_mixture(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.curate import (
+        temperature_weights,
+    )
+
+    return temperature_weights(_t(spark, sf_dir, "documents"), tau=_TEMP_TAU)
+
+
+Q110_SQL = f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+             SUM(pow(CAST(n AS DOUBLE), {_TEMP_TAU!r})) AS tt
+      FROM c)
+SELECT source,
+       CAST(n AS BIGINT) AS n,
+       ROUND(n / (SELECT nn FROM t), 6) AS raw_share,
+       ROUND(pow(CAST(n AS DOUBLE), {_TEMP_TAU!r}) / (SELECT tt FROM t), 6)
+         AS temp_share,
+       ROUND((pow(CAST(n AS DOUBLE), {_TEMP_TAU!r}) / (SELECT tt FROM t))
+             / (n / (SELECT nn FROM t)), 6) AS sample_factor
+FROM c
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -4822,6 +4904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6 window (local oracles green at sf0.001/sf0.01/sf0.1)
         "q107_bigram_surprisal": q107_bigram_surprisal,
         "q108_lexical_diversity": q108_lexical_diversity,
+        "q109_quantize_embeddings": q109_quantize_embeddings,
+        "q110_temperature_mixture": q110_temperature_mixture,
     }
 
 
@@ -4936,6 +5020,8 @@ def oracle_sql() -> dict[str, str]:
         "q106_length_histogram": Q106_SQL,
         "q107_bigram_surprisal": Q107_SQL,
         "q108_lexical_diversity": Q108_SQL,
+        "q109_quantize_embeddings": Q109_SQL,
+        "q110_temperature_mixture": Q110_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

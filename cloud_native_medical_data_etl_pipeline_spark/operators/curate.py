@@ -179,3 +179,52 @@ def weighted_sample(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    tau: float = 0.3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Temperature-scaled mixture weights over sources — the standard
+    multilingual/multi-source rebalancing rule (sample source i with
+    probability n_i^tau / sum_j n_j^tau): tau=1 keeps natural
+    proportions, tau->0 approaches uniform, lifting low-resource
+    sources without flattening the mixture entirely.
+
+    Returns per group: ``n`` (row count), ``raw_share`` (natural
+    proportion), ``temp_share`` (temperature-scaled sampling
+    probability) and ``sample_factor`` (temp_share / raw_share — the
+    up/down-sampling multiplier a sampler like `mix_corpora` or
+    `weighted_sample` should apply). Shares are rounded: pow() may
+    differ by ulps across libm implementations (the weighted_sample
+    precedent).
+
+    Scale shape: ONE map-side-combinable counting aggregate to
+    group-cardinality rows, then a one-row broadcast of the totals —
+    the corpus is scanned once, counts only.
+    """
+    from ._common import col_ref
+
+    counts = df.groupBy(col_ref(group_col).alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = float(tau)
+    totals = counts.agg(
+        F.sum("n").cast("double").alias("__N"),
+        F.sum(F.pow(F.col("n").cast("double"), F.lit(t))).alias("__T"),
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("__N"), round_dp).alias("raw_share"),
+        F.round(
+            F.pow(F.col("n").cast("double"), F.lit(t)) / F.col("__T"), round_dp
+        ).alias("temp_share"),
+        F.round(
+            (F.pow(F.col("n").cast("double"), F.lit(t)) / F.col("__T"))
+            / (F.col("n") / F.col("__N")),
+            round_dp,
+        ).alias("sample_factor"),
+    )

@@ -1,0 +1,85 @@
+"""int8 embedding quantization + temperature mixture weights."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_native_medical_data_etl_pipeline_spark.operators.quantize import (
+    dequantize_int8,
+    quantize_embeddings_int8,
+)
+
+
+def test_quantize_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [127.0, -127.0, 0.0, 63.5]),  # scale exactly 1.0
+            (2, [0.0, 0.0, 0.0, 0.0]),        # all-zero -> zeros, no NaN
+            (3, [1.0, -0.5, 0.25, 0.125]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+    r1 = out[1]
+    assert r1["scale"] == 1.0
+    assert r1["qvec"] == [127, -127, 0, 64]  # 63.5 rounds away from zero
+    r2 = out[2]
+    assert r2["scale"] == 0.0
+    assert r2["qvec"] == [0, 0, 0, 0]
+    assert r2["mean_abs_err"] == 0.0
+    r3 = out[3]
+    assert r3["scale"] == pytest.approx(1.0 / 127.0, abs=1e-6)  # 6dp output
+    assert r3["qvec"][0] == 127
+    assert all(-127 <= q <= 127 for q in r3["qvec"])
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    # reconstruction error is bounded by scale/2 per element by
+    # construction of round(); verify on real data and via dequantize
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_embeddings_int8(emb)
+    bad = q.where(
+        (F.col("scale") > 0) & (F.col("mean_abs_err") > F.col("scale") / 2 + 1e-9)
+    ).count()
+    assert bad == 0
+
+    recon = q.select("vec_id", "scale", "qvec").select(
+        "vec_id", dequantize_int8().alias("approx")
+    )
+    joined = recon.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).select(
+        F.aggregate(
+            F.zip_with(
+                "approx",
+                F.transform("embedding", lambda x: x.cast("double")),
+                lambda a, b: F.abs(a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        ).alias("l1")
+    )
+    max_l1 = joined.agg(F.max("l1")).first()[0]
+    # 64 dims, each off by at most scale/2; scales here are ~1e-2
+    assert max_l1 < 64 * 0.05
+
+
+def test_temperature_weights_limits(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.curate import (
+        temperature_weights,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 80 + [("b",)] * 16 + [("c",)] * 4, "source string"
+    )
+    # tau=1 reproduces natural proportions; sample_factor == 1
+    nat = {r["source"]: r for r in temperature_weights(df, tau=1.0).collect()}
+    assert nat["a"]["raw_share"] == nat["a"]["temp_share"] == 0.8
+    assert all(r["sample_factor"] == 1.0 for r in nat.values())
+    # tau=0 is uniform over sources
+    uni = {r["source"]: r for r in temperature_weights(df, tau=0.0).collect()}
+    assert all(r["temp_share"] == pytest.approx(1 / 3, abs=1e-6) for r in uni.values())
+    # 0 < tau < 1 lifts the rare source, damps the dominant one
+    mid = {r["source"]: r for r in temperature_weights(df, tau=0.5).collect()}
+    assert mid["c"]["sample_factor"] > 1.0 > mid["a"]["sample_factor"]
+    # shares always sum to 1
+    assert sum(r["temp_share"] for r in mid.values()) == pytest.approx(1.0, abs=1e-5)
