@@ -18,6 +18,12 @@ def _executed_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _final_plan(df) -> str:
+    """AQE's finalized plan only — toString() after collect() appends
+    the '== Initial Plan ==' section too, which double-counts nodes."""
+    return _executed_plan(df).split("== Initial Plan ==")[0]
+
+
 def test_q47_dims_broadcast_and_filters_pushed(spark):
     df = entry_mod.q47_regional_supplier_volume(spark, SF_DIR)
     plan = _executed_plan(df)
@@ -168,3 +174,49 @@ def test_q98_gram_frame_cached_once(spark):
     )
     gen_idx = [i for i, l in enumerate(lines) if "Generate explode" in l]
     assert gen_idx and all(i > first_imr for i in gen_idx), plan
+
+
+def test_q109_quantize_is_single_map_stage(spark):
+    # the whole quantization must be one Project over the scan:
+    # zero exchanges, zero Python nodes
+    df = entry_mod.queries()["q109_quantize_embeddings"](spark, SF_DIR)
+    df.collect()
+    plan = _final_plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_q107_bigram_no_python_no_positional_selfjoin(spark):
+    df = entry_mod.queries()["q107_bigram_surprisal"](spark, SF_DIR)
+    df.collect()
+    plan = _final_plan(df)
+    assert "Python" not in plan and "Pandas" not in plan
+    # pair extraction is a map-side explode of zipped slices, never a
+    # (doc, pos)-keyed self-join: no join keyed on doc_id may appear
+    assert "zip_with" in plan and "explode" in plan
+    for line in plan.splitlines():
+        if "Join" in line and "doc_id" in line:
+            raise AssertionError(f"positional self-join crept in: {line}")
+
+
+def test_q108_lexical_diversity_two_exchanges(spark):
+    df = entry_mod.queries()["q108_lexical_diversity"](spark, SF_DIR)
+    df.collect()
+    plan = _final_plan(df)
+    assert plan.count("Exchange") == 2  # (source, token) agg + rollup
+    assert "Python" not in plan and "expand" not in plan.lower()
+
+
+def test_q110_totals_broadcast_one_shuffle(spark):
+    df = entry_mod.queries()["q110_temperature_mixture"](spark, SF_DIR)
+    df.collect()
+    plan = _final_plan(df)
+    # one physical counting shuffle (the totals branch must REUSE it,
+    # not rescan); the one-row totals come back via broadcast
+    real = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(real) == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan
