@@ -4749,6 +4749,55 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# q111 — quality-aware cluster representatives
+# (operators/components.py cluster_representatives): the curation rule
+# real pipelines use instead of min-id keep-first — per near-dup
+# cluster (CC over minhash pairs, q57's graph), keep the member with
+# the most characters (ties -> smaller id). Oracle: the q57 recursive-
+# CTE component labeling + a window argmax.
+# ---------------------------------------------------------------------------
+def q111_cluster_representatives(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import (
+        components as CC,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, jaccard_threshold=_MH_THRESH)
+    return CC.cluster_representatives(pairs, docs, score_col="n_chars")
+
+
+def _q111_sql() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT key_a, key_b FROM ({_mh_sql()})),
+edges AS (
+  SELECT key_a AS a, key_b AS b FROM pairs
+  UNION
+  SELECT key_b AS a, key_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS v, a AS label FROM edges
+  UNION
+  SELECT e.a AS v, r.label FROM edges e JOIN reach r ON r.v = e.b
+),
+cc AS (SELECT v, MIN(label) AS component FROM reach GROUP BY v),
+scored AS (
+  SELECT c.component, c.v, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.component ORDER BY d.n_chars DESC, c.v ASC
+         ) AS rn
+  FROM cc c JOIN documents d ON d.doc_id = c.v
+)
+SELECT component,
+       MAX(CASE WHEN rn = 1 THEN v END) AS keep,
+       CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keep_score,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(*) - 1 AS BIGINT) AS dropped
+FROM scored GROUP BY component
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -4906,6 +4955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_lexical_diversity": q108_lexical_diversity,
         "q109_quantize_embeddings": q109_quantize_embeddings,
         "q110_temperature_mixture": q110_temperature_mixture,
+        "q111_cluster_representatives": q111_cluster_representatives,
     }
 
 
@@ -5022,6 +5072,7 @@ def oracle_sql() -> dict[str, str]:
         "q108_lexical_diversity": Q108_SQL,
         "q109_quantize_embeddings": Q109_SQL,
         "q110_temperature_mixture": Q110_SQL,
+        "q111_cluster_representatives": _q111_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

@@ -120,3 +120,57 @@ def dedup_clusters(
         F.count(F.lit(1)).alias("n_members"),
         F.max("vertex").alias("max_member"),
     )
+
+
+def cluster_representatives(
+    pairs: DataFrame,
+    docs: DataFrame,
+    score_col: str,
+    key_col: str = "doc_id",
+    src: str = "key_a",
+    dst: str = "key_b",
+) -> DataFrame:
+    """Quality-aware keep: for each near-dup cluster (connected
+    component of the pair graph), keep the HIGHEST-scoring member —
+    the curation rule real pipelines use instead of min-id keep-first
+    (keep the longest / highest-quality copy, drop the rest).
+
+    Returns one row per cluster: (component, keep, keep_score,
+    n_members, dropped) where ``dropped = n_members - 1``. Documents
+    in no pair are their own singleton clusters and are NOT returned
+    (nothing to decide); union them back as keepers downstream via an
+    anti-join against the pair vertices.
+
+    Ties break on the smaller key for determinism. Scale shape: the
+    component labeling is pointer-jumping `connected_components`
+    (O(log diameter) rounds); scoring joins the vertex frame (pair
+    vertices only, not the corpus) to the docs table once, and the
+    argmax is one component-keyed WindowGroupLimit window.
+    """
+    from pyspark.sql import Window
+
+    from ._common import col_ref
+
+    cc = connected_components(pairs, src, dst)
+    scored = cc.join(
+        docs.select(
+            col_ref(key_col).alias("vertex"),
+            col_ref(score_col).alias("__score"),
+        ),
+        "vertex",
+    )
+    win = Window.partitionBy("component").orderBy(
+        F.col("__score").desc(), F.col("vertex").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(win))
+        .groupBy("component")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("vertex"))).alias("keep"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__score"))).alias(
+                "keep_score"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - 1).alias("dropped"),
+        )
+    )

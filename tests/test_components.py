@@ -77,3 +77,27 @@ def test_path_graph_converges_logarithmically(spark):
     assert len(rows) == n
     assert all(r["component"] == 0 for r in rows)
     assert stats["rounds"] <= 2 * int(math.log2(n)) + 4, stats
+
+
+def test_cluster_representatives_quality_keep(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.components import (
+        cluster_representatives,
+    )
+
+    # cluster {1,2,3} via chain 1-2, 2-3; cluster {8,9}; doc 5 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], "key_a long, key_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (8, 7), (9, 7), (5, 1000)],
+        "doc_id long, n_chars long",
+    )
+    out = {
+        r["component"]: r
+        for r in cluster_representatives(pairs, docs, "n_chars").collect()
+    }
+    assert set(out) == {1, 8}  # isolated doc 5 not returned
+    assert out[1]["keep"] == 2 and out[1]["keep_score"] == 99
+    assert out[1]["n_members"] == 3 and out[1]["dropped"] == 2
+    # tie on score -> smaller id wins
+    assert out[8]["keep"] == 8 and out[8]["dropped"] == 1
