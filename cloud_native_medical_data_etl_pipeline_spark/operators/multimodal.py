@@ -5,12 +5,14 @@ Decode tiers behind the `fake=` switch:
   fake=True   deterministic pseudo-features derived from the payload
               bytes — exercises the full Arrow batch path with no
               codec at all (and stays the oracle-able q24 path);
-  fake=False  a REAL pure-stdlib PNG decode (functions/png.py:
+  fake=False  REAL pure-stdlib parsers: PNG decode (functions/png.py:
               zlib inflate + filter reconstruction) for
-              `decode_features` and `resize_images`; formats needing
-              native codec libraries (JPEG, video keyframes in
-              `sample_frames`) still raise NotImplementedError —
-              that seam is sandbox-imposed, not architectural.
+              `decode_features` and `resize_images`, PCM WAV decode
+              (functions/riff.py) for `decode_audio_features`, and
+              AVI container demux for `sample_frames`. Only decoding
+              a compressed codec payload INSIDE a demuxed video frame
+              (H.264 etc.) remains out of scope — that genuinely
+              needs native libraries.
 
 At scale the pattern is: keep payloads in their own parquet column
 (Parquet stores binary contiguously; column pruning means metadata-only
@@ -202,26 +204,88 @@ def sample_frames(
     1:1 with input rows — the shape a real video decoder produces).
 
     fake=True treats every `every_n_bytes` slice as a 'frame';
-    fake=False is the seam for pyav keyframe extraction."""
-    if not fake:
-        raise NotImplementedError(
-            "real frame sampling requires codec libraries not present in "
-            "this environment; use fake=True for the deterministic stub"
-        )
+    fake=False DEMUXES real AVI containers (functions/riff.py) and
+    emits the first `max_frames` video frame chunks — container
+    parsing, which is what keyframe sampling needs; decoding the
+    codec payload inside a frame (H.264 etc.) stays out of scope."""
+
+    from ..functions import riff as _riff
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                for idx in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                if fake:
+                    chunks = [
+                        b[i * every_n_bytes : (i + 1) * every_n_bytes]
+                        for i in range(
+                            min(max_frames, max(1, len(b) // every_n_bytes))
+                        )
+                    ]
+                else:
+                    chunks = _riff.avi_frames(b)[:max_frames]
+                for idx, frame in enumerate(chunks):
                     out.append(
-                        {
-                            "media_id": media_id,
-                            "frame_idx": idx,
-                            "frame": b[idx * every_n_bytes:(idx + 1) * every_n_bytes],
-                        }
+                        {"media_id": media_id, "frame_idx": idx, "frame": frame}
                     )
             yield pd.DataFrame(out, columns=[f.name for f in FRAMES_SCHEMA.fields])
 
     return df.select("media_id", "payload").mapInPandas(_sample, FRAMES_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_cross_rate", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Audio decode → waveform features via mapInPandas.
+
+    fake=True: payload bytes act as centered int8 samples at a nominal
+    rate — deterministic, codec-free batch-path exercise.
+    fake=False: payloads are real PCM WAVs (functions/riff.py); RMS and
+    zero-crossing rate are computed over the decoded int16 samples —
+    the two features that let a curation pass drop silence and
+    clipped/noise-floor clips before feature extraction proper.
+    """
+    import numpy as np
+
+    from ..functions import riff as _riff
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                if fake:
+                    rate = 8000
+                    arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64) - 128.0
+                else:
+                    rate, _, samples = _riff.wav_decode(b)
+                    arr = np.asarray(samples, dtype=np.float64)
+                n = int(arr.size)
+                if n:
+                    rms = float(np.sqrt(np.mean(arr * arr)))
+                    signs = np.signbit(arr)
+                    zcr = float(np.count_nonzero(signs[1:] != signs[:-1])) / n
+                else:
+                    rms, zcr = 0.0, 0.0
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "n_samples": n,
+                        "sample_rate": rate,
+                        "rms": rms,
+                        "zero_cross_rate": zcr,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return df.select("media_id", "payload").mapInPandas(_decode, AUDIO_SCHEMA)

@@ -281,13 +281,12 @@ def test_multimodal_resize_and_frames(spark):
     assert all(sorted(v) == list(range(len(v))) for v in per_media.values())
     assert max(len(v) for v in per_media.values()) <= 3
 
-    # resize fake=False is the REAL PNG path now (tests/test_png.py);
-    # non-PNG payloads fail loudly. Frame sampling still needs a
-    # video codec -> eager NotImplementedError.
+    # fake=False runs the REAL parsers now (tests/test_png.py,
+    # tests/test_riff.py); non-media payloads fail loudly
     with _pytest.raises(Exception, match="not a PNG"):
         MM.resize_images(media, fake=False).collect()
-    with _pytest.raises(NotImplementedError):
-        MM.sample_frames(media, fake=False)
+    with _pytest.raises(Exception, match="not an AVI"):
+        MM.sample_frames(media, fake=False).collect()
 
 
 def test_redact_pii_and_normalize(spark):
