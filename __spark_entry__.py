@@ -4798,6 +4798,38 @@ FROM scored GROUP BY component
 """
 
 
+# ---------------------------------------------------------------------------
+# q112 — per-doc character entropy (operators/lm.py char_entropy): the
+# gibberish/encoding-noise detector. One explode with map-side partial
+# aggregation — the shuffle carries |docs|×|charset| triples, not one
+# row per character; entropy reduces on that frame.
+# ---------------------------------------------------------------------------
+def q112_char_entropy(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.lm import (
+        char_entropy,
+    )
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+Q112_SQL = """
+WITH pc AS (
+  SELECT doc_id, ch, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(COALESCE(text, ''), '')) AS ch
+        FROM documents)
+  WHERE ch != ''
+  GROUP BY doc_id, ch
+),
+t AS (SELECT doc_id, SUM(cnt) AS n FROM pc GROUP BY doc_id)
+SELECT p.doc_id,
+       CAST(MAX(t.n) AS BIGINT) AS n_chars,
+       ROUND(-SUM((p.cnt / CAST(t.n AS DOUBLE))
+                  * log2(p.cnt / CAST(t.n AS DOUBLE))), 6) AS char_entropy
+FROM pc p JOIN t USING (doc_id)
+GROUP BY p.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -4956,6 +4988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_quantize_embeddings": q109_quantize_embeddings,
         "q110_temperature_mixture": q110_temperature_mixture,
         "q111_cluster_representatives": q111_cluster_representatives,
+        "q112_char_entropy": q112_char_entropy,
     }
 
 
@@ -5073,6 +5106,7 @@ def oracle_sql() -> dict[str, str]:
         "q109_quantize_embeddings": Q109_SQL,
         "q110_temperature_mixture": Q110_SQL,
         "q111_cluster_representatives": _q111_sql(),
+        "q112_char_entropy": Q112_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

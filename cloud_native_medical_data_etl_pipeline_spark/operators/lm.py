@@ -192,3 +192,52 @@ def lexical_diversity(
             round_dp,
         ).alias("hapax_ratio"),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (bits) —
+    the classic gibberish/encoding-noise detector: natural text sits
+    in a narrow entropy band, base64 blobs and mojibake score high,
+    template spam scores low. Complements `lexical_diversity` (token
+    level) and `functions.text` repetition (span level).
+
+    Returns (key_col, n_chars, char_entropy); empty/NULL docs are
+    omitted (entropy of nothing is undefined, not 0).
+
+    Scale shape: one explode to (doc, char) with map-side partial
+    aggregation — the shuffle carries at most |docs| x |charset|
+    triples (charset ~100 for text), NOT one row per character; the
+    entropy reduction is a second doc-keyed aggregate over those
+    triples.
+    """
+    per_char = (
+        df.select(
+            F.col(key_col),
+            F.explode(F.split(F.coalesce(F.col(content_col), F.lit("")), "")).alias(
+                "ch"
+            ),
+        )
+        .where(F.col("ch") != "")
+        .groupBy(key_col, "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = per_char.groupBy(key_col).agg(F.sum("cnt").alias("n"))
+    return (
+        per_char.join(totals, key_col)
+        .groupBy(key_col)
+        .agg(
+            F.max("n").cast("bigint").alias("n_chars"),
+            F.round(
+                -F.sum(
+                    (F.col("cnt") / F.col("n"))
+                    * F.log2(F.col("cnt") / F.col("n"))
+                ),
+                round_dp,
+            ).alias("char_entropy"),
+        )
+    )

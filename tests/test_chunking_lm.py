@@ -205,3 +205,24 @@ def test_lexical_diversity_hand_computed(spark):
     b = out["books"]
     assert (b["n_tokens"], b["n_types"]) == (3, 1)
     assert b["hapax_ratio"] == 0.0
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.lm import (
+        char_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert set(out) == {1, 2, 3}  # empty/null omitted
+    assert out[1]["char_entropy"] == 0.0  # single symbol
+    assert out[2]["char_entropy"] == pytest.approx(1.0)  # two equiprobable
+    assert out[3]["char_entropy"] == pytest.approx(2.0)  # four equiprobable
+    assert out[3]["n_chars"] == 4
+    # monotone: more uniform distribution -> higher entropy
+    assert out[1]["char_entropy"] < out[2]["char_entropy"] < out[3]["char_entropy"]
