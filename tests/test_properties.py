@@ -851,3 +851,42 @@ def test_apply_cdc_matches_python_model(spark, base_d, log):
         else:
             state[k] = v
     assert got == state
+
+
+# --- pure-stdlib codecs: arbitrary payloads must round-trip exactly ---
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 2, 3, 4]),
+    st.randoms(use_true_random=False),
+)
+def test_png_roundtrip_property(width, height, channels, rng):
+    from cloud_native_medical_data_etl_pipeline_spark.functions import png
+
+    px = bytes(rng.randrange(256) for _ in range(width * height * channels))
+    w, h, ch, out = png.decode(png.encode(px, width, height, channels))
+    assert (w, h, ch, out) == (width, height, channels, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    from cloud_native_medical_data_etl_pipeline_spark.functions import riff
+
+    r, ch, out = riff.wav_decode(riff.wav_encode(samples, rate))
+    assert (r, ch, out) == (rate, 1, samples)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=64), min_size=0, max_size=8))
+def test_avi_demux_roundtrip_property(frames):
+    from cloud_native_medical_data_etl_pipeline_spark.functions import riff
+
+    assert riff.avi_frames(riff.avi_encode(frames)) == frames
