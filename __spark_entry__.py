@@ -4830,6 +4830,89 @@ GROUP BY p.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q113 — Gopher-style rule-flag quality filter (functions/text.py
+# gopher_quality_flags): per-rule boolean attribution + the keep
+# conjunction, all map-side expressions that fold into the scan.
+# The stoplist is the per-corpus knob — the synthetic vocabulary has
+# no English stopwords, so the instance uses domain markers actually
+# present in the corpus (otherwise the stop_hits rule would be
+# vacuously false at every row).
+# ---------------------------------------------------------------------------
+_GOPHER_STOPS = ["data", "value", "table", "row", "order"]
+_GOPHER_MIN_WORDS = 50
+
+
+def q113_gopher_flags(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.gopher_quality_flags(
+            F.col("text"),
+            min_words=_GOPHER_MIN_WORDS,
+            stopwords=_GOPHER_STOPS,
+        ).alias("g"),
+    ).select("doc_id", "g.*")
+
+
+def _q113_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+    tk = (
+        "CASE WHEN regexp_replace(LOWER(COALESCE(text, '')), '^\\s+|\\s+$', '', 'g') = ''"
+        " THEN CAST([] AS VARCHAR[])"
+        " ELSE string_split_regex(regexp_replace(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         COALESCE(text, '') AS s,
+         {tk} AS tk
+  FROM documents
+),
+m AS (
+  SELECT doc_id, s, tk,
+         len(tk) AS n,
+         string_split(s, chr(10)) AS lines
+  FROM base
+),
+r AS (
+  SELECT doc_id, n,
+         CASE WHEN n > 0
+              THEN list_sum(list_transform(tk, t -> len(t))) / CAST(n AS DOUBLE)
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN n > 0
+              THEN len(regexp_extract_all(s, '#|\\.\\.\\.')) / CAST(n AS DOUBLE)
+              ELSE 0.0 END AS symbol_ratio,
+         len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+           / CAST(len(lines) AS DOUBLE) AS bullet_ratio,
+         len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$')))
+           / CAST(len(lines) AS DOUBLE) AS ellipsis_ratio,
+         len(list_intersect(list_distinct(tk), [{stops}])) AS stop_hits,
+         CASE WHEN n > 0
+              THEN len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+                   / CAST(n AS DOUBLE)
+              ELSE 0.0 END AS alpha_ratio
+  FROM m
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       ROUND(mean_len, 6) AS mean_word_len,
+       (n >= {_GOPHER_MIN_WORDS} AND n <= 100000) AS word_count,
+       (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_len_ok,
+       (symbol_ratio <= 0.1) AS symbol_ratio,
+       (bullet_ratio <= 0.9) AS bullet_lines,
+       (ellipsis_ratio <= 0.3) AS ellipsis_lines,
+       (stop_hits >= 2) AS stop_hits,
+       (alpha_ratio >= 0.8) AS alpha_ratio,
+       ((n >= {_GOPHER_MIN_WORDS} AND n <= 100000)
+        AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        AND (symbol_ratio <= 0.1) AND (bullet_ratio <= 0.9)
+        AND (ellipsis_ratio <= 0.3) AND (stop_hits >= 2)
+        AND (alpha_ratio >= 0.8)) AS keep
+FROM r
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -4989,6 +5072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_temperature_mixture": q110_temperature_mixture,
         "q111_cluster_representatives": q111_cluster_representatives,
         "q112_char_entropy": q112_char_entropy,
+        "q113_gopher_flags": q113_gopher_flags,
     }
 
 
@@ -5107,6 +5191,7 @@ def oracle_sql() -> dict[str, str]:
         "q110_temperature_mixture": Q110_SQL,
         "q111_cluster_representatives": _q111_sql(),
         "q112_char_entropy": Q112_SQL,
+        "q113_gopher_flags": _q113_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

@@ -289,3 +289,91 @@ def normalize_text(text: Column | str) -> Column:
     s = F.regexp_replace(s, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
     s = F.regexp_replace(s, r"[ \t\n\r]+", " ")
     return F.trim(s)
+
+
+def gopher_quality_flags(
+    text: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_stop_hits: int = 2,
+    stopwords: list[str] | None = None,
+    min_alpha_ratio: float = 0.8,
+    round_dp: int = 6,
+) -> Column:
+    """Gopher-style rule-based quality filter as a STRUCT of named
+    boolean flags plus the conjunction `keep` — the per-rule
+    attribution is the point: a curation dashboard needs to know WHY
+    documents die, not just that they did.
+
+    Rules (each flag is True when the rule PASSES):
+      word_count      min_words <= n <= max_words
+      mean_word_len   mean token length in [min, max]
+      symbol_ratio    ('#' or '...') occurrences / words <= max
+      bullet_lines    lines starting with a bullet <= max ratio
+      ellipsis_lines  lines ending in '...' <= max ratio
+      stop_hits       >= min_stop_hits DISTINCT stopwords present
+      alpha_ratio     fraction of tokens containing a letter >= min
+
+    Everything is a map-side column expression (one struct per row,
+    no shuffle, no UDF) — the filter folds into the scan stage at any
+    scale. Thresholds and the stoplist are per-corpus knobs.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    s = F.coalesce(c, F.lit(""))
+    toks = lower_tokens(s)
+    n = F.size(toks)
+    nd = n.cast("double")
+    sw = [w.lower() for w in (stopwords or EN_STOPWORDS)]
+
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / nd,
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        n > 0, F.regexp_count(s, F.lit(r"#|\.\.\.")).cast("double") / nd
+    ).otherwise(F.lit(0.0))
+    lines = F.split(s, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_ratio = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    ).cast("double") / n_lines
+    ellipsis_ratio = F.size(
+        F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))
+    ).cast("double") / n_lines
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in sw])
+        )
+    )
+    alpha_ratio = F.when(
+        n > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / nd,
+    ).otherwise(F.lit(0.0))
+
+    flags = {
+        "word_count": (n >= min_words) & (n <= max_words),
+        "mean_word_len_ok": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "bullet_lines": bullet_ratio <= max_bullet_line_ratio,
+        "ellipsis_lines": ellipsis_ratio <= max_ellipsis_line_ratio,
+        "stop_hits": stop_hits >= min_stop_hits,
+        "alpha_ratio": alpha_ratio >= min_alpha_ratio,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    return F.struct(
+        n.cast("bigint").alias("n_words"),
+        F.round(mean_len, round_dp).alias("mean_word_len"),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    )

@@ -718,3 +718,36 @@ def test_train_ivf_centroids_deterministic(spark):
     b = similarity.train_ivf_centroids(emb, num_cells=8, iters=2)
     assert a == b  # rounded means pin run-to-run summation order
     assert len(a) == 8 and all(len(c) == 64 for c in a)
+
+
+def test_gopher_quality_flags_rules(spark):
+    long_good = ("the quick brown fox jumps over a lazy dog " * 10).strip()
+    rows = [
+        (1, long_good),                                # passes everything
+        (2, "too short to keep"),                      # word_count fails
+        (3, long_good + " ##### ### " + "# " * 30),    # symbol_ratio fails
+        (4, "\n".join(["- bullet item " + long_good] * 10)),  # bullets only
+        (5, ("a b c d e " * 20).strip()),              # mean_word_len < 3
+        (6, long_good.replace("the", "123").replace("over", "456")),  # alpha+stops
+        (7, None),                                     # null -> everything fails
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", X.gopher_quality_flags("text", min_words=50).alias("g")
+        ).select("doc_id", "g.*").collect()
+    }
+    assert out[1]["keep"]
+    assert not out[2]["word_count"] and not out[2]["keep"]
+    assert not out[3]["symbol_ratio"] and not out[3]["keep"]
+    assert not out[4]["bullet_lines"]  # 10/10 bullet lines > 0.9
+    assert not out[5]["mean_word_len_ok"]
+    assert not out[6]["stop_hits"]  # 'the' removed -> only 1 distinct stopword
+    assert not out[7]["word_count"] and out[7]["n_words"] == 0
+    # every flag is attributable: struct carries one boolean per rule
+    rule_cols = [
+        "word_count", "mean_word_len_ok", "symbol_ratio", "bullet_lines",
+        "ellipsis_lines", "stop_hits", "alpha_ratio",
+    ]
+    assert all(isinstance(out[1][c], bool) for c in rule_cols)
