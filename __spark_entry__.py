@@ -4913,6 +4913,53 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# q114 — streaming running z-score anomaly flags
+# (streaming/anomaly.py): upgrades the monitor from unit-only to
+# driver-oracled evidence. The stateful Welford replay over the
+# (ts, event_id)-sorted stream equals a batch prefix-window
+# computation: each event is judged against COUNT/AVG/VAR_SAMP over
+# the rows strictly before it (the monitor updates state AFTER
+# judging), and the flag fires on the ROUNDED z — which is also what
+# absorbs Welford-vs-sum-of-squares ulp drift across engines.
+# ---------------------------------------------------------------------------
+_ZS_THRESH, _ZS_MIN_POINTS = 2.5, 30
+
+
+def q114_stream_zscore(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.streaming.anomaly import (
+        zscore_flags_available_now,
+    )
+
+    return zscore_flags_available_now(
+        spark,
+        f"{sf_dir}/events.parquet",
+        z_thresh=_ZS_THRESH,
+        min_points=_ZS_MIN_POINTS,
+    )
+
+
+Q114_SQL = f"""
+WITH e AS (
+  SELECT event_id, event_type, value,
+         COUNT(*) OVER w AS n_prev,
+         AVG(value) OVER w AS mean_prev,
+         VAR_SAMP(value) OVER w AS var_prev
+  FROM events
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT event_id, event_type,
+         ROUND((value - mean_prev) / sqrt(var_prev), 4) AS z
+  FROM e
+  WHERE n_prev >= {_ZS_MIN_POINTS} AND var_prev > 0
+)
+SELECT event_id, event_type, z FROM z WHERE abs(z) > {_ZS_THRESH!r}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -5073,6 +5120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_cluster_representatives": q111_cluster_representatives,
         "q112_char_entropy": q112_char_entropy,
         "q113_gopher_flags": q113_gopher_flags,
+        "q114_stream_zscore": q114_stream_zscore,
     }
 
 
@@ -5192,6 +5240,7 @@ def oracle_sql() -> dict[str, str]:
         "q111_cluster_representatives": _q111_sql(),
         "q112_char_entropy": Q112_SQL,
         "q113_gopher_flags": _q113_sql(),
+        "q114_stream_zscore": Q114_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by
