@@ -563,11 +563,13 @@ def q17_minhash_near_dups(spark, sf_dir):
     )
 
 
-def _mh_sig_ctes() -> str:
+def _mh_sig_ctes(src: str = "documents") -> str:
     """Shared minhash-signature SQL pipeline (toks -> shingles -> md5
     lane signature -> exploded band buckets) — ONE definition for the
-    q17 self-join oracle and the q86 probe-join oracle, mirroring the
-    single _minhash_band_cols definition on the Spark side."""
+    q17 self-join oracle, the q86 probe-join oracle, and the q115
+    ingest oracle (which points ``src`` at the exact-deduped CTE),
+    mirroring the single _minhash_band_cols definition on the Spark
+    side."""
     n, h, bands = _MH_N, _MH_H, _MH_BANDS
     r = h // bands
     mh_terms = ",\n         ".join(
@@ -583,7 +585,7 @@ def _mh_sig_ctes() -> str:
     return f"""toks AS (
   SELECT doc_id AS k,
          list_transform(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), t -> LOWER(t)) AS tk
-  FROM documents WHERE regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+  FROM {src} WHERE regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
 ),
 sh AS (
   SELECT k,
@@ -4960,6 +4962,60 @@ SELECT event_id, event_type, z FROM z WHERE abs(z) > {_ZS_THRESH!r}
 """
 
 
+# ---------------------------------------------------------------------------
+# q115 — streaming dedup ingest drain (streaming/ingest.py
+# stream_dedup_ingest): upgrades the last unit-only streaming op to
+# driver-oracled evidence. A single-batch availableNow drain into an
+# empty corpus reduces to: exact dedup (min-key per text) -> minhash
+# pairs over the KEPT set -> drop every key_b. Identical texts carry
+# identical signatures, so restricting the pair CTEs to the
+# exact-dedup keepers (src="docs_d") reproduces the kernel's
+# sequential composition exactly. Ingest params == the q17 oracle
+# constants (n=3, h=8, bands=4, thresh=0.5).
+# ---------------------------------------------------------------------------
+def q115_stream_ingest(spark, sf_dir):
+    import tempfile
+
+    from cloud_native_medical_data_etl_pipeline_spark.streaming.ingest import (
+        stream_dedup_ingest,
+    )
+
+    work = tempfile.mkdtemp(prefix="q115_")
+    stream_dedup_ingest(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        f"{work}/corpus",
+        f"{work}/ckpt",
+        jaccard_threshold=_MH_THRESH,
+    )
+    corpus = spark.read.parquet(f"{work}/corpus")
+    return corpus.select("doc_id", "source", "n_chars")
+
+
+def _q115_sql() -> str:
+    return f"""
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+),
+docs_d AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+{_mh_sig_ctes(src="docs_d")},
+cand AS (
+  SELECT DISTINCT a.k AS key_a, b.k AS key_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.k < b.k
+),
+scored AS (
+  SELECT c.key_a, c.key_b,
+         len(list_intersect(x.sh, y.sh)) * 1.0
+           / len(list_distinct(x.sh || y.sh)) AS jaccard
+  FROM cand c JOIN sh x ON c.key_a = x.k JOIN sh y ON c.key_b = y.k
+),
+losers AS (SELECT DISTINCT key_b FROM scored WHERE jaccard >= {_MH_THRESH!r})
+SELECT doc_id, source, n_chars
+FROM docs_d
+WHERE doc_id NOT IN (SELECT key_b FROM losers)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -5121,6 +5177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_char_entropy": q112_char_entropy,
         "q113_gopher_flags": q113_gopher_flags,
         "q114_stream_zscore": q114_stream_zscore,
+        "q115_stream_ingest": q115_stream_ingest,
     }
 
 
@@ -5241,6 +5298,7 @@ def oracle_sql() -> dict[str, str]:
         "q112_char_entropy": Q112_SQL,
         "q113_gopher_flags": _q113_sql(),
         "q114_stream_zscore": Q114_SQL,
+        "q115_stream_ingest": _q115_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

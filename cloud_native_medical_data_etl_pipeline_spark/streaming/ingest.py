@@ -132,10 +132,14 @@ def stream_dedup_ingest(
     key_col: str = "doc_id",
     jaccard_threshold: float = 0.5,
 ) -> None:
-    """Drain ``input_path`` (a directory of parquet document files)
-    into the deduplicated corpus at ``corpus_path`` with an
-    availableNow trigger — each micro-batch flows through
-    :func:`ingest_batch`."""
+    """Drain ``input_path`` (a directory of parquet document files, or
+    a single ``.parquet`` file — split into (parent dir, glob filter)
+    the way `sources.events_io.stream_events` does, since the file
+    stream source only accepts directories) into the deduplicated
+    corpus at ``corpus_path`` with an availableNow trigger — each
+    micro-batch flows through :func:`ingest_batch`."""
+    import os
+
     schema = spark.read.parquet(input_path).schema
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -147,9 +151,15 @@ def stream_dedup_ingest(
             jaccard_threshold=jaccard_threshold,
         )
 
+    reader = spark.readStream.schema(schema)
+    if input_path.endswith(".parquet") and not os.path.isdir(input_path):
+        reader = reader.option(
+            "pathGlobFilter", os.path.basename(input_path)
+        )
+        input_path = os.path.dirname(input_path)
+
     q = (
-        spark.readStream.schema(schema)
-        .parquet(input_path)
+        reader.parquet(input_path)
         .writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
