@@ -751,3 +751,12 @@ def test_gopher_quality_flags_rules(spark):
         "ellipsis_lines", "stop_hits", "alpha_ratio",
     ]
     assert all(isinstance(out[1][c], bool) for c in rule_cols)
+
+
+def test_train_ivf_centroids_partitioning_invariant(spark):
+    # the rounded-means claim: summation order (partition layout) must
+    # not change the trained centroids
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = similarity.train_ivf_centroids(emb.repartition(1), num_cells=8, iters=2)
+    b = similarity.train_ivf_centroids(emb.repartition(13), num_cells=8, iters=2)
+    assert a == b
