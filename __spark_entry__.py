@@ -5016,6 +5016,95 @@ WHERE doc_id NOT IN (SELECT key_b FROM losers)
 """
 
 
+# ---------------------------------------------------------------------------
+# q116 — interval×interval overlap join (operators/joins.py
+# interval_overlap_join): sessions (gap sessionization, q30's kernel)
+# overlap-joined against "incident" minutes (global per-minute event
+# count > 1.5× the average minute (the factor keeps incidents non-empty at every SF: the sparsest fixture tops out at 2 events/minute)) — which sessions were exposed to
+# load spikes. Both sides bin-explode; each overlapping pair is
+# claimed only in the bin of greatest(starts), so there is NO dedup
+# shuffle. Closed-interval semantics; exact microsecond longs.
+# ---------------------------------------------------------------------------
+_OVL_BIN_US = 60_000_000  # 1-minute bins ≈ the incident length
+
+
+def q116_session_incident_overlap(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import (
+        joins as J,
+        sessions as SS,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sess = SS.session_stats(ev, gap_minutes=30).select(
+        "user_id",
+        "session_id",
+        F.unix_micros("session_start").alias("s_us"),
+        F.unix_micros("session_end").alias("e_us"),
+    )
+    per_min = (
+        ev.groupBy(
+            (F.floor(F.unix_micros("ts") / F.lit(60_000_000)) * 60_000_000)
+            .cast("bigint")
+            .alias("m_us")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    avg = per_min.agg(F.avg("n").alias("__avg"))
+    incidents = (
+        per_min.crossJoin(F.broadcast(avg))
+        .where(F.col("n") > 1.5 * F.col("__avg"))
+        .select("m_us", (F.col("m_us") + 59_999_999).alias("m_end_us"))
+    )
+    pairs = J.interval_overlap_join(
+        sess,
+        incidents,
+        "s_us",
+        "e_us",
+        "m_us",
+        "m_end_us",
+        bin_span_us=_OVL_BIN_US,
+    )
+    return pairs.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_incidents")
+    )
+
+
+Q116_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS st
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, session_id,
+         epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+  FROM numbered GROUP BY user_id, session_id
+),
+per_min AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 60000000) * 60000000 AS BIGINT) AS m_us,
+         COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+incidents AS (
+  SELECT m_us, m_us + 59999999 AS m_end_us
+  FROM per_min WHERE n > 1.5 * (SELECT AVG(n) FROM per_min)
+)
+SELECT s.user_id, s.session_id, CAST(COUNT(*) AS BIGINT) AS n_incidents
+FROM sess s JOIN incidents i
+  ON s.s_us <= i.m_end_us AND i.m_us <= s.e_us
+GROUP BY s.user_id, s.session_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -5178,6 +5267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_gopher_flags": q113_gopher_flags,
         "q114_stream_zscore": q114_stream_zscore,
         "q115_stream_ingest": q115_stream_ingest,
+        "q116_session_incident_overlap": q116_session_incident_overlap,
     }
 
 
@@ -5299,6 +5389,7 @@ def oracle_sql() -> dict[str, str]:
         "q113_gopher_flags": _q113_sql(),
         "q114_stream_zscore": Q114_SQL,
         "q115_stream_ingest": _q115_sql(),
+        "q116_session_incident_overlap": Q116_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

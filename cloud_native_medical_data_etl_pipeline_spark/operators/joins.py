@@ -236,3 +236,61 @@ def decay_attribution(
         F.count(F.lit(1)).alias("n_touches"),
         F.round(F.sum(decay), round_dp).alias("score"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: str | None = None,
+    bin_span_us: int = 3_600_000_000,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Interval×interval overlap join: pairs where
+    ``left_start <= right_end AND right_start <= left_end`` (closed
+    intervals), optionally also matching an equality key ``on`` —
+    the shape of "which sessions intersect which incident windows",
+    span-conflict detection, and meeting-room problems. The *_start/
+    *_end columns are epoch-microsecond longs (the q37 lesson: double
+    epochs lose microseconds to cancellation).
+
+    Scale shape: both sides explode to the time bins their interval
+    covers (``sequence(floor(start/span), floor(end/span))``) and the
+    join is an equi-join on (key, bin) with the overlap predicate as
+    a post-condition — a hot key's pairs spread across its timeline
+    exactly like `binned_interval_join`. A pair overlapping several
+    shared bins would normally need a distinct pass; instead each
+    pair is claimed ONLY in its canonical bin — the bin of
+    ``greatest(left_start, right_start)``, which every genuinely
+    overlapping pair's two intervals both cover — so there is no
+    dedup shuffle at all. Replication per row is interval-length /
+    bin_span: pick the span near the typical interval length.
+
+    Emits left columns plus the prefixed right columns.
+    """
+    ls, le = F.col(left_start), F.col(left_end)
+    span = F.lit(int(bin_span_us))
+    lb = left.withColumn(
+        "__bin", F.explode(F.sequence(F.floor(ls / span), F.floor(le / span)))
+    )
+    keep = [c for c in right.columns if on is None or c != on]
+    r = right.select(
+        *([F.col(on).alias("__k")] if on else []),
+        *[F.col(c).alias(f"{prefix}{c}") for c in keep],
+    )
+    rs, re_ = F.col(f"{prefix}{right_start}"), F.col(f"{prefix}{right_end}")
+    rb = r.withColumn(
+        "__bin", F.explode(F.sequence(F.floor(rs / span), F.floor(re_ / span)))
+    )
+    cond = lb["__bin"] == rb["__bin"]
+    if on:
+        cond = cond & (lb[on] == rb["__k"])
+    joined = lb.join(rb, cond)
+    return (
+        joined.where((ls <= re_) & (rs <= le))
+        .where(lb["__bin"] == F.floor(F.greatest(ls, rs) / span))
+        .drop("__bin", *(["__k"] if on else []))
+    )

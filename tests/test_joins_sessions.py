@@ -291,3 +291,48 @@ def test_decay_attribution_zero_touch_conversions_absent(spark):
     assert (
         decay_attribution(conv, touches, on="user_id").count() == 0
     )
+
+
+def test_interval_overlap_join_semantics(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    M = 1_000_000
+    left = spark.createDataFrame(
+        [(1, 0 * M, 100 * M), (2, 500 * M, 600 * M), (3, 7200 * M, 7300 * M)],
+        "lid long, s long, e long",
+    )
+    right = spark.createDataFrame(
+        [(10, 90 * M, 95 * M),      # inside interval 1
+         (11, 100 * M, 150 * M),    # touches 1's end exactly (closed)
+         (12, 601 * M, 700 * M),    # just misses 2
+         (13, 0 * M, 10000 * M)],   # spans everything
+        "rid long, rs long, re long",
+    )
+    out = interval_overlap_join(
+        left, right, "s", "e", "rs", "re", bin_span_us=60 * M
+    )
+    got = sorted((r["lid"], r["r_rid"]) for r in out.collect())
+    assert got == [(1, 10), (1, 11), (1, 13), (2, 13), (3, 13)]
+    # no duplicates even though pair (1, 13) shares many bins
+    assert len(got) == len(set(got))
+
+
+def test_interval_overlap_join_keyed(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    M = 1_000_000
+    left = spark.createDataFrame(
+        [("a", 0, 100 * M), ("b", 0, 100 * M)], "k string, s long, e long"
+    )
+    right = spark.createDataFrame(
+        [("a", 50 * M, 60 * M)], "k string, rs long, re long"
+    )
+    out = interval_overlap_join(
+        left, right, "s", "e", "rs", "re", on="k", bin_span_us=60 * M
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["k"] == "a"  # key gates the match
