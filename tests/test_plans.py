@@ -220,3 +220,20 @@ def test_q110_totals_broadcast_one_shuffle(spark):
     ]
     assert len(real) == 1, plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q116_overlap_join_no_cartesian(spark):
+    df = entry_mod.queries()["q116_session_incident_overlap"](spark, SF_DIR)
+    df.collect()
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan
+    # the only NLJ is the one-row threshold broadcast; the pair join
+    # must be an equi-join keyed on the time bin
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "__bin" in plan
+    # gap sessionization pays exactly one user-keyed shuffle
+    assert sum(
+        "Exchange hashpartitioning(user_id" in ln
+        and "session_id" not in ln
+        for ln in plan.splitlines()
+    ) == 1
