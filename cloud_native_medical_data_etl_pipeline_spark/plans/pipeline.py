@@ -58,6 +58,7 @@ def run(
     output_base: str,
     processed_ts=None,
     validate: bool = True,
+    quality_config: dict | None = None,
 ) -> RunResult:
     """Transform both inputs, enrich, write the processed partition and
     CSV head, run the quality suite. Inputs arrive as DataFrames (from
@@ -92,7 +93,52 @@ def run(
         combined = parts[0]
         for p in parts[1:]:
             combined = combined.unionByName(p, allowMissingColumns=True)
-        result.quality = quality.run_quality_checks(combined, date)
+        result.quality = quality.run_quality_checks(
+            combined, date, config=quality_config
+        )
         if not result.quality["overall_passed"]:
             result.status = "quality_failed"
     return result
+
+
+def backfill(
+    spark: SparkSession,
+    dates: list[str],
+    load_inputs,
+    output_base: str,
+    stop_on_failure: bool = False,
+    quality_config: dict | None = None,
+) -> list[RunResult]:
+    """Multi-day backfill: the reference's daily DAG replayed over a
+    date range (the operation a new deployment or a schema fix always
+    needs, which the reference leaves to manually re-triggering
+    Airflow runs one day at a time).
+
+    ``load_inputs(spark, date) -> (fda_df | None, ct_df | None)``
+    supplies each day's raw inputs — from `lake.read_partition`, a
+    REST fetch, or a test fixture. Days run sequentially and
+    independently: each day's `run()` writes only its own partition
+    (dynamic partition overwrite), so a failed day leaves every other
+    day intact and re-running the backfill is idempotent. A day whose
+    loader or run raises records a RunResult with status "error"
+    instead of killing the rest (matching Airflow's per-run isolation)
+    unless ``stop_on_failure`` is set.
+    """
+    results: list[RunResult] = []
+    for date in dates:
+        try:
+            fda_df, ct_df = load_inputs(spark, date)
+            r = run(
+                spark,
+                date,
+                fda_df,
+                ct_df,
+                output_base,
+                quality_config=quality_config,
+            )
+        except Exception as exc:  # noqa: BLE001 — per-day isolation
+            r = RunResult(date=date, status=f"error: {exc}"[:200])
+        results.append(r)
+        if stop_on_failure and r.status != "success":
+            break
+    return results

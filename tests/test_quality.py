@@ -174,3 +174,65 @@ def test_load_quality_config_shapes(tmp_path):
     bare = tmp_path / "bare.yaml"
     bare.write_text("min_records_per_source: 2\n")
     assert load_quality_config(str(bare)) == {"min_records_per_source": 2}
+
+
+def test_backfill_runs_days_isolated(spark, tmp_path):
+    from cloud_native_medical_data_etl_pipeline_spark.plans import pipeline
+    from cloud_native_medical_data_etl_pipeline_spark import schemas
+
+    base = str(tmp_path / "lake")
+    raw = spark.createDataFrame(
+        [
+            {
+                "safetyreportid": "r1",
+                "receivedate": dt.date(2024, 1, 15),
+                "serious": 1,
+                "seriousnessdeath": 0,
+                "seriousnesshospitalization": 0,
+                "reaction": "HEADACHE",
+                "patient_age": 40.0,
+                "patient_sex": "1",
+                "drug_name": "ASPIRIN",
+                "drug_indication": "PAIN",
+            }
+        ],
+        schema=schemas.FDA_EVENTS,
+    )
+
+    def load(spark_, date):
+        if date == "2024-01-16":
+            raise RuntimeError("upstream fetch failed")
+        return raw, None
+
+    # the 1-row fixture needs relaxed minimums — which also exercises
+    # the config threading through run()
+    cfg = {"min_total_records": 1, "min_records_per_source": 1}
+    res = pipeline.backfill(
+        spark,
+        ["2024-01-15", "2024-01-16", "2024-01-17"],
+        load,
+        base,
+        quality_config=cfg,
+    )
+    assert [r.date for r in res] == ["2024-01-15", "2024-01-16", "2024-01-17"]
+    assert res[1].status.startswith("error:")
+    # the failed middle day does not poison its neighbors
+    ok = [r for r in res if r.status == "success"]
+    assert len(ok) == 2 and all(r.enriched_records >= 1 for r in ok)
+    # each good day wrote exactly its own partition
+    from cloud_native_medical_data_etl_pipeline_spark.sources import lake
+
+    assert lake.list_partition_dates(spark, f"{base}/processed") == [
+        "2024-01-15",
+        "2024-01-17",
+    ]
+    # stop_on_failure halts at the bad day
+    res2 = pipeline.backfill(
+        spark,
+        ["2024-01-15", "2024-01-16", "2024-01-17"],
+        load,
+        str(tmp_path / "lake2"),
+        stop_on_failure=True,
+        quality_config=cfg,
+    )
+    assert len(res2) == 2 and res2[-1].status.startswith("error")
