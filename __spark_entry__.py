@@ -5105,6 +5105,57 @@ GROUP BY s.user_id, s.session_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q117 — per-source duplication report (operators/dedup.py
+# duplication_report): exact-copy and near-dup rates attributed to the
+# copy's OWN source — the corpus-health number that decides which
+# upstream source gets throttled. Exact dedup = one content-hash
+# shuffle; near-dups = the q17 band kernel over the deduped set;
+# the report reduces to |sources| rows.
+# ---------------------------------------------------------------------------
+def q117_duplication_report(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.duplication_report(docs, jaccard_threshold=_MH_THRESH)
+
+
+def _q117_sql() -> str:
+    return f"""
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+),
+docs_d AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+{_mh_sig_ctes(src="docs_d")},
+cand AS (
+  SELECT DISTINCT a.k AS key_a, b.k AS key_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.k < b.k
+),
+scored AS (
+  SELECT c.key_a, c.key_b,
+         len(list_intersect(x.sh, y.sh)) * 1.0
+           / len(list_distinct(x.sh || y.sh)) AS jaccard
+  FROM cand c JOIN sh x ON c.key_a = x.k JOIN sh y ON c.key_b = y.k
+),
+losers AS (SELECT DISTINCT key_b FROM scored WHERE jaccard >= {_MH_THRESH!r}),
+per AS (
+  SELECT d.source,
+         COUNT(*) AS n_docs,
+         SUM(CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END) AS exact_dups,
+         SUM(CASE WHEN k.doc_id IS NOT NULL AND l.key_b IS NOT NULL
+                  THEN 1 ELSE 0 END) AS near_dups
+  FROM documents d
+  LEFT JOIN keepers k ON d.doc_id = k.doc_id
+  LEFT JOIN losers l ON d.doc_id = l.key_b
+  GROUP BY d.source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(exact_dups AS BIGINT) AS exact_dups,
+       CAST(near_dups AS BIGINT) AS near_dups,
+       ROUND((exact_dups + near_dups) / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+FROM per
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -5268,6 +5319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_stream_zscore": q114_stream_zscore,
         "q115_stream_ingest": q115_stream_ingest,
         "q116_session_incident_overlap": q116_session_incident_overlap,
+        "q117_duplication_report": q117_duplication_report,
     }
 
 
@@ -5390,6 +5442,7 @@ def oracle_sql() -> dict[str, str]:
         "q114_stream_zscore": Q114_SQL,
         "q115_stream_ingest": _q115_sql(),
         "q116_session_incident_overlap": Q116_SQL,
+        "q117_duplication_report": _q117_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

@@ -1327,3 +1327,76 @@ def source_similarity_matrix(
         )
     )
     return _with_cached_deps(out, grams)
+
+
+def duplication_report(
+    df: DataFrame,
+    group_col: str = "source",
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    round_dp: int = 6,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Per-group duplication health report: how much of each source is
+    exact-duplicate or near-duplicate content — the number that decides
+    which upstream source gets throttled or re-crawled, and the first
+    thing to check when a mixture suddenly trains worse.
+
+    A document counts as `exact_dups` if it is a non-minimal copy of
+    identical content (the copies `exact_dedup` would drop, attributed
+    to THEIR source, so a scraper mirroring another source is charged
+    for the copies) and as `near_dups` if it survives exact dedup but
+    is the greater key of a minhash near-dup pair (the row
+    `minhash_lsh_pairs`-based removal drops). Returns
+    (group_col, n_docs, exact_dups, near_dups, dup_rate).
+
+    Scale shape: exact dedup is one content-hash shuffle; near-dup is
+    the q17 band-join kernel over the already-deduped set; everything
+    aggregates to |groups| rows with map-side combine.
+    """
+    keys = df.select(key_col, group_col)
+    totals = keys.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+
+    kept = exact_dedup(df, content_col, key_col)
+    exact_removed = (
+        keys.join(kept.select(key_col), key_col, "left_anti")
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("exact_dups"))
+    )
+
+    pairs = minhash_lsh_pairs(
+        kept,
+        content_col=content_col,
+        key_col=key_col,
+        jaccard_threshold=jaccard_threshold,
+        **lsh_kwargs,
+    )
+    near_removed = (
+        pairs.select(F.col("key_b").alias(key_col))
+        .dropDuplicates()
+        .join(keys, key_col)
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("near_dups"))
+    )
+
+    out = (
+        totals.join(exact_removed, group_col, "left")
+        .join(near_removed, group_col, "left")
+        .select(
+            group_col,
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce("exact_dups", F.lit(0)).cast("bigint").alias("exact_dups"),
+            F.coalesce("near_dups", F.lit(0)).cast("bigint").alias("near_dups"),
+            F.round(
+                (F.coalesce("exact_dups", F.lit(0)) + F.coalesce("near_dups", F.lit(0)))
+                / F.col("n_docs"),
+                round_dp,
+            ).alias("dup_rate"),
+        )
+    )
+    # the pair frame persists its signature scan (caller-unpersists
+    # contract); the report is small, so materialize then release
+    out = out.localCheckpoint(eager=True)
+    release(pairs)
+    return out

@@ -760,3 +760,26 @@ def test_train_ivf_centroids_partitioning_invariant(spark):
     a = similarity.train_ivf_centroids(emb.repartition(1), num_cells=8, iters=2)
     b = similarity.train_ivf_centroids(emb.repartition(13), num_cells=8, iters=2)
     assert a == b
+
+
+def test_duplication_report_attribution(spark):
+    # srcA holds the originals; srcB mirrors doc 1 exactly (charged to
+    # srcB) and near-duplicates doc 2 (charged to srcB as key_b > 2)
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank", "srcA"),
+        (2, "spark shuffles data between executors for wide joins and aggs", "srcA"),
+        (3, "completely unrelated content about medical trial enrollment", "srcA"),
+        (10, "the quick brown fox jumps over the lazy dog near the river bank", "srcB"),
+        (11, "spark shuffles data between executors for wide joins and sorts", "srcB"),
+        (12, "another unique document with entirely fresh words inside", "srcB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["source"]: r
+        for r in dedup.duplication_report(df, jaccard_threshold=0.5).collect()
+    }
+    assert out["srcA"]["n_docs"] == 3
+    assert out["srcA"]["exact_dups"] == 0 and out["srcA"]["near_dups"] == 0
+    assert out["srcB"]["exact_dups"] == 1  # doc 10, the mirror copy
+    assert out["srcB"]["near_dups"] == 1   # doc 11, near-dup of 2
+    assert out["srcB"]["dup_rate"] == pytest.approx(2 / 3, abs=1e-6)
