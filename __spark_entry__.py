@@ -4925,7 +4925,7 @@ FROM r
 # judging), and the flag fires on the ROUNDED z — which is also what
 # absorbs Welford-vs-sum-of-squares ulp drift across engines.
 # ---------------------------------------------------------------------------
-_ZS_THRESH, _ZS_MIN_POINTS = 2.5, 30
+_SZF_THRESH, _SZF_MIN_POINTS = 2.5, 30
 
 
 def q114_stream_zscore(spark, sf_dir):
@@ -4936,8 +4936,8 @@ def q114_stream_zscore(spark, sf_dir):
     return zscore_flags_available_now(
         spark,
         f"{sf_dir}/events.parquet",
-        z_thresh=_ZS_THRESH,
-        min_points=_ZS_MIN_POINTS,
+        z_thresh=_SZF_THRESH,
+        min_points=_SZF_MIN_POINTS,
     )
 
 
@@ -4956,9 +4956,9 @@ z AS (
   SELECT event_id, event_type,
          ROUND((value - mean_prev) / sqrt(var_prev), 4) AS z
   FROM e
-  WHERE n_prev >= {_ZS_MIN_POINTS} AND var_prev > 0
+  WHERE n_prev >= {_SZF_MIN_POINTS} AND var_prev > 0
 )
-SELECT event_id, event_type, z FROM z WHERE abs(z) > {_ZS_THRESH!r}
+SELECT event_id, event_type, z FROM z WHERE abs(z) > {_SZF_THRESH!r}
 """
 
 
