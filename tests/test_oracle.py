@@ -147,3 +147,27 @@ def test_registry_invariants():
     assert not orphans, f"oracles without queries: {orphans}"
     rows_only = {q for q in qs if q not in ORACLES}
     assert rows_only == {"q63_pack_sequences", "q64_profile"}, rows_only
+
+
+def test_no_duplicate_module_constants():
+    """Every module-level name in __spark_entry__.py may be assigned
+    exactly once: a later query redefining an earlier query's constant
+    silently changes the earlier SPARK plan at call time while its
+    oracle SQL keeps the value baked at definition time (the r5
+    q85/q114 _ZS_THRESH collision — caught only by the sf0.01
+    replica)."""
+    import ast
+    import collections
+    import os
+
+    src = os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    tree = ast.parse(open(src).read())
+    names = collections.Counter()
+    for node in tree.body:
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                for n in t.elts if isinstance(t, ast.Tuple) else [t]:
+                    if isinstance(n, ast.Name):
+                        names[n.id] += 1
+    dups = {k: v for k, v in names.items() if v > 1}
+    assert not dups, f"module names assigned more than once: {dups}"
