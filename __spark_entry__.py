@@ -5156,6 +5156,94 @@ FROM per
 """
 
 
+# ---------------------------------------------------------------------------
+# q118 — per-source vocabulary coverage / OOV rate (operators/lm.py
+# vocab_coverage): tokenizer-fit check against the top-V corpus vocab
+# (V=25 of the synthetic corpus's 31 types, so OOV rates are real
+# numbers, not zeros). Top-V ties break lexicographically (the q66
+# rule).
+# ---------------------------------------------------------------------------
+_VC_V = 25
+
+
+def q118_vocab_coverage(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.lm import (
+        vocab_coverage,
+    )
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"), vocab=_VC_V)
+
+
+Q118_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(CASE WHEN regexp_replace(LOWER(COALESCE(text, '')), '^\\s+|\\s+$', '', 'g') = ''
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(
+                            regexp_replace(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')
+                END) AS token
+  FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+top AS (SELECT token FROM counts ORDER BY cnt DESC, token ASC LIMIT {_VC_V}),
+per AS (
+  SELECT t.source, t.token, COUNT(*) AS n,
+         MAX(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS oov
+  FROM toks t LEFT JOIN top v ON t.token = v.token
+  GROUP BY t.source, t.token
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN oov = 1 THEN n ELSE 0 END) AS BIGINT) AS oov_tokens,
+       ROUND(SUM(CASE WHEN oov = 1 THEN n ELSE 0 END) / CAST(SUM(n) AS DOUBLE), 6)
+         AS oov_rate
+FROM per GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q119 — training-mix planner (operators/curate.py mix_plan): token
+# budget × temperature → per-source token targets and epoch
+# (oversampling) factors. One map-side token-count aggregate + a
+# one-row totals broadcast.
+# ---------------------------------------------------------------------------
+_MP_BUDGET, _MP_TAU = 1_000_000, 0.3
+
+
+def q119_mix_plan(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.curate import (
+        mix_plan,
+    )
+
+    return mix_plan(
+        _t(spark, sf_dir, "documents"), token_budget=_MP_BUDGET, tau=_MP_TAU
+    )
+
+
+Q119_SQL = f"""
+WITH avail AS (
+  SELECT source,
+         SUM(CASE WHEN regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') = ''
+                  THEN 0
+                  ELSE len(string_split_regex(
+                         regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+             END) AS tokens_available
+  FROM documents GROUP BY source
+),
+t AS (SELECT SUM(pow(CAST(tokens_available AS DOUBLE), {_MP_TAU!r})) AS tt FROM avail)
+SELECT source,
+       CAST(tokens_available AS BIGINT) AS tokens_available,
+       ROUND(pow(CAST(tokens_available AS DOUBLE), {_MP_TAU!r}) / (SELECT tt FROM t), 6)
+         AS share,
+       CAST(FLOOR(pow(CAST(tokens_available AS DOUBLE), {_MP_TAU!r})
+                  / (SELECT tt FROM t) * {_MP_BUDGET}.0) AS BIGINT) AS tokens_target,
+       ROUND(CAST(FLOOR(pow(CAST(tokens_available AS DOUBLE), {_MP_TAU!r})
+                        / (SELECT tt FROM t) * {_MP_BUDGET}.0) AS BIGINT)
+             / CAST(tokens_available AS DOUBLE), 6) AS epochs
+FROM avail
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -5320,6 +5408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_stream_ingest": q115_stream_ingest,
         "q116_session_incident_overlap": q116_session_incident_overlap,
         "q117_duplication_report": q117_duplication_report,
+        "q118_vocab_coverage": q118_vocab_coverage,
+        "q119_mix_plan": q119_mix_plan,
     }
 
 
@@ -5443,6 +5533,8 @@ def oracle_sql() -> dict[str, str]:
         "q115_stream_ingest": _q115_sql(),
         "q116_session_incident_overlap": Q116_SQL,
         "q117_duplication_report": _q117_sql(),
+        "q118_vocab_coverage": Q118_SQL,
+        "q119_mix_plan": Q119_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

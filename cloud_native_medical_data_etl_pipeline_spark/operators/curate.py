@@ -228,3 +228,49 @@ def temperature_weights(
             round_dp,
         ).alias("sample_factor"),
     )
+
+
+def mix_plan(
+    df: DataFrame,
+    token_budget: int,
+    group_col: str = "source",
+    content_col: str = "text",
+    tau: float = 0.3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Training-mix planner: given a TOKEN budget and a temperature,
+    how many tokens to draw from each source and how many epochs of
+    each source that implies — the actual planning artifact behind
+    `temperature_weights` (a share is advice; a token count and an
+    oversampling factor are a plan, and epochs > ~4 on a small source
+    is the standard early-warning for memorization).
+
+    Per group: ``tokens_available`` (whitespace tokens), ``share``
+    (available^tau normalized), ``tokens_target`` (floor of share ×
+    budget), ``epochs`` (target / available — >1 means oversampling).
+
+    Scale shape: ONE map-side token-count aggregate to |groups| rows
+    and a one-row totals broadcast; the corpus is scanned once.
+    """
+    from ._common import col_ref
+
+    t = float(tau)
+    avail = df.groupBy(col_ref(group_col).alias(group_col)).agg(
+        F.sum(X.token_count(content_col)).alias("tokens_available")
+    )
+    totals = avail.agg(
+        F.sum(F.pow(F.col("tokens_available").cast("double"), F.lit(t))).alias(
+            "__T"
+        )
+    )
+    share = (
+        F.pow(F.col("tokens_available").cast("double"), F.lit(t)) / F.col("__T")
+    )
+    target = F.floor(share * F.lit(float(token_budget))).cast("bigint")
+    return avail.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        F.col("tokens_available").cast("bigint").alias("tokens_available"),
+        F.round(share, round_dp).alias("share"),
+        target.alias("tokens_target"),
+        F.round(target / F.col("tokens_available"), round_dp).alias("epochs"),
+    )

@@ -241,3 +241,54 @@ def char_entropy(
             ).alias("char_entropy"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: int = 50_000,
+    content_col: str = "text",
+    group_col: str = "source",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Tokenizer-fit check: per-group out-of-vocabulary rate against
+    the corpus's own top-``vocab`` token list — the number that says
+    whether a fixed vocabulary (or a tokenizer trained on one slice)
+    actually covers each source before committing to it. A source
+    whose OOV rate is an outlier will fragment into subwords and
+    effectively get a worse compression ratio than its mixture weight
+    assumes.
+
+    Returns (group_col, n_tokens, oov_tokens, oov_rate).
+
+    Scale shape: the vocab is a top-V TakeOrdered over one token-keyed
+    counting shuffle (the q66 model-build shape, ties broken
+    lexicographically); coverage is one (group, token) counting
+    aggregate LEFT-joined to the broadcast vocab, rolled up to
+    |groups| rows.
+    """
+    counts = (
+        df.select(F.explode(X.lower_tokens(content_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(vocab).select("token")
+    per = (
+        df.select(
+            F.col(group_col),
+            F.explode(X.lower_tokens(content_col)).alias("token"),
+        )
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(top.withColumn("__in", F.lit(1))), "token", "left")
+    )
+    return per.groupBy(group_col).agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("oov_tokens"),
+        F.round(
+            F.sum(F.when(F.col("__in").isNull(), F.col("n")).otherwise(0))
+            / F.sum("n"),
+            round_dp,
+        ).alias("oov_rate"),
+    )

@@ -226,3 +226,41 @@ def test_char_entropy_hand_computed(spark):
     assert out[3]["n_chars"] == 4
     # monotone: more uniform distribution -> higher entropy
     assert out[1]["char_entropy"] < out[2]["char_entropy"] < out[3]["char_entropy"]
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.lm import (
+        vocab_coverage,
+    )
+
+    # corpus counts: a=5, b=3, c=1, d=1 -> top-2 vocab {a, b}
+    df = spark.createDataFrame(
+        [("s1", "a a a b b"), ("s2", "a a b c d")],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in vocab_coverage(df, vocab=2).collect()}
+    assert out["s1"]["oov_tokens"] == 0 and out["s1"]["oov_rate"] == 0.0
+    assert out["s2"]["n_tokens"] == 5 and out["s2"]["oov_tokens"] == 2  # c, d
+    assert out["s2"]["oov_rate"] == pytest.approx(0.4)
+
+
+def test_mix_plan_budget_and_epochs(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.curate import (
+        mix_plan,
+    )
+
+    df = spark.createDataFrame(
+        [("big", "w " * 900), ("small", "w " * 100)],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in mix_plan(df, token_budget=1000, tau=0.5).collect()}
+    # shares: sqrt(900)=30, sqrt(100)=10 -> 0.75 / 0.25
+    assert out["big"]["share"] == pytest.approx(0.75)
+    assert out["small"]["share"] == pytest.approx(0.25)
+    assert out["big"]["tokens_target"] == 750
+    assert out["small"]["tokens_target"] == 250
+    # small source must be oversampled 2.5 epochs; big undersampled
+    assert out["small"]["epochs"] == pytest.approx(2.5)
+    assert out["big"]["epochs"] == pytest.approx(750 / 900, abs=1e-6)
+    # targets never exceed the budget
+    assert sum(r["tokens_target"] for r in out.values()) <= 1000
