@@ -237,3 +237,23 @@ def test_q116_overlap_join_no_cartesian(spark):
         and "session_id" not in ln
         for ln in plan.splitlines()
     ) == 1
+
+
+def test_q113_gopher_is_single_map_stage(spark):
+    df = entry_mod.queries()["q113_gopher_flags"](spark, SF_DIR)
+    df.collect()
+    plan = _final_plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_q112_entropy_shuffles_triples_not_chars(spark):
+    df = entry_mod.queries()["q112_char_entropy"](spark, SF_DIR)
+    df.collect()
+    plan = _final_plan(df)
+    # partial aggregation must sit BELOW the (doc, ch) exchange so the
+    # shuffle carries counted triples, not raw exploded characters
+    ex = plan.find("Exchange hashpartitioning(doc_id, ch")
+    assert ex >= 0, plan
+    below = plan[ex:]
+    assert "partial_count" in below, plan
