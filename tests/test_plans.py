@@ -253,7 +253,8 @@ def test_q112_entropy_shuffles_triples_not_chars(spark):
     plan = _final_plan(df)
     # partial aggregation must sit BELOW the (doc, ch) exchange so the
     # shuffle carries counted triples, not raw exploded characters
-    ex = plan.find("Exchange hashpartitioning(doc_id, ch")
-    assert ex >= 0, plan
-    below = plan[ex:]
-    assert "partial_count" in below, plan
+    import re
+
+    m = re.search(r"Exchange hashpartitioning\(doc_id#\d+L?, ch#\d+", plan)
+    assert m, plan
+    assert "partial_count" in plan[m.start() :], plan
