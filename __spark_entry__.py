@@ -5244,6 +5244,50 @@ FROM avail
 """
 
 
+# ---------------------------------------------------------------------------
+# q120 — per-doc n-gram novelty (operators/dedup.py ngram_novelty):
+# the graded form of q60's contamination check — probe docs (1% split)
+# scored by the fraction of their 4-grams absent from the REST of the
+# corpus (disjoint split; probe ⊆ corpus would be vacuously 0).
+# md5 gram hashes ride the shuffle (the q60 SQL-portable mode).
+# n=4 keeps the metric graded on this corpus (n=8 is all-novel at
+# sf0.01; n=3 nearly all-known — both vacuous).
+# ---------------------------------------------------------------------------
+_NV_N = 4
+
+
+def q120_ngram_novelty(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    probe = docs.where(F.col("doc_id") % 100 == 0)
+    corpus = docs.where(F.col("doc_id") % 100 != 0)
+    return D.ngram_novelty(corpus, probe, ngram_n=_NV_N, hash_fn="md5")
+
+
+Q120_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS k,
+         list_transform(string_split_regex(regexp_replace(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                        t -> t) AS tk
+  FROM documents WHERE regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+),
+grams AS (
+  SELECT k,
+         unnest(list_distinct(list_transform(range(1, len(tk) - {_NV_N - 2}),
+                i -> md5(array_to_string(tk[i:i+{_NV_N - 1}], ' '))))) AS gh
+  FROM toks WHERE len(tk) >= {_NV_N}
+),
+corpus_g AS (SELECT DISTINCT gh FROM grams WHERE k % 100 <> 0),
+probe_g AS (SELECT k, gh FROM grams WHERE k % 100 = 0)
+SELECT p.k AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN c.gh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS known_grams,
+       ROUND(1.0 - SUM(CASE WHEN c.gh IS NULL THEN 0 ELSE 1 END)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_rate
+FROM probe_g p LEFT JOIN corpus_g c USING (gh)
+GROUP BY p.k
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -5410,6 +5454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_duplication_report": q117_duplication_report,
         "q118_vocab_coverage": q118_vocab_coverage,
         "q119_mix_plan": q119_mix_plan,
+        "q120_ngram_novelty": q120_ngram_novelty,
     }
 
 
@@ -5535,6 +5580,7 @@ def oracle_sql() -> dict[str, str]:
         "q117_duplication_report": _q117_sql(),
         "q118_vocab_coverage": Q118_SQL,
         "q119_mix_plan": Q119_SQL,
+        "q120_ngram_novelty": Q120_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

@@ -1400,3 +1400,66 @@ def duplication_report(
     out = out.localCheckpoint(eager=True)
     release(pairs)
     return out
+
+
+def ngram_novelty(
+    corpus: DataFrame,
+    probe: DataFrame,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    ngram_n: int = 8,
+    hash_fn: str = "xxhash64",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-probe-document n-gram novelty: the fraction of each probe
+    doc's distinct ``ngram_n``-grams that do NOT appear anywhere in the
+    corpus — the graded form of `ngram_contamination` (which answers
+    "any overlap at all?"). Low novelty on an eval set means the
+    benchmark leaks into training data; low novelty on candidate
+    training data means it adds nothing the corpus doesn't have —
+    both are drop signals, read from opposite ends.
+
+    Returns (key_col, n_grams, known_grams, novelty_rate) — probe docs
+    with fewer than ``ngram_n`` tokens emit nothing (no grams to
+    judge).
+
+    Scale shape: both sides explode to distinct (key, hash(gram)) rows
+    — the hash, never the gram text, rides the shuffle — known-gram
+    detection is one equi-join against the corpus's distinct gram
+    hashes, then one probe-keyed rollup.
+    """
+    hasher = F.xxhash64 if hash_fn == "xxhash64" else F.md5
+
+    def grams(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(key_col).alias(out),
+                F.explode(
+                    X.word_ngrams_from_tokens(
+                        X.lower_tokens(content_col), ngram_n
+                    )
+                ).alias("g"),
+            )
+            .select(out, hasher("g").alias("gh"))
+            .dropDuplicates()
+        )
+
+    corpus_hashes = grams(corpus, "ck").select("gh").dropDuplicates()
+    pg = grams(probe, key_col)
+    return (
+        pg.join(
+            corpus_hashes.withColumn("__known", F.lit(1)), "gh", "left"
+        )
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__known", F.lit(0)))
+            .cast("bigint")
+            .alias("known_grams"),
+            F.round(
+                1.0
+                - F.sum(F.coalesce("__known", F.lit(0))) / F.count(F.lit(1)),
+                round_dp,
+            ).alias("novelty_rate"),
+        )
+    )

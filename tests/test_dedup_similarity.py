@@ -783,3 +783,29 @@ def test_duplication_report_attribution(spark):
     assert out["srcB"]["exact_dups"] == 1  # doc 10, the mirror copy
     assert out["srcB"]["near_dups"] == 1   # doc 11, near-dup of 2
     assert out["srcB"]["dup_rate"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_ngram_novelty_graded(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),  # fully known
+            (11, "alpha beta gamma delta nine ten eleven twelve"),  # partial
+            (12, "one two three four five six"),  # fully novel
+            (13, "too short"),  # < n tokens -> omitted
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.ngram_novelty(corpus, probe, ngram_n=4, hash_fn="md5").collect()
+    }
+    assert set(out) == {10, 11, 12}
+    assert out[10]["novelty_rate"] == 0.0
+    assert out[12]["novelty_rate"] == 1.0
+    # doc 11: grams = 5, known = 1 ("alpha beta gamma delta")
+    assert out[11]["n_grams"] == 5 and out[11]["known_grams"] == 1
+    assert out[11]["novelty_rate"] == pytest.approx(0.8)
