@@ -5288,6 +5288,56 @@ GROUP BY p.k
 """
 
 
+# ---------------------------------------------------------------------------
+# q121 — mix-plan execution (operators/curate.py execute_mix_plan):
+# q119's epoch factors become per-doc repeat counts — floor(epochs)
+# guaranteed + one more with probability frac(epochs) via the
+# md5-of-(source, key) uniform (q67's engine-portable trick). Plan
+# broadcast back; repeat decision is map-side, zero document shuffle.
+# ---------------------------------------------------------------------------
+def q121_execute_mix_plan(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.curate import (
+        execute_mix_plan,
+    )
+
+    return execute_mix_plan(
+        _t(spark, sf_dir, "documents"), token_budget=_MP_BUDGET, tau=_MP_TAU
+    )
+
+
+Q121_SQL = f"""
+WITH avail AS (
+  SELECT source,
+         SUM(CASE WHEN regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') = ''
+                  THEN 0
+                  ELSE len(string_split_regex(
+                         regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+             END) AS tokens_available
+  FROM documents GROUP BY source
+),
+t AS (SELECT SUM(pow(CAST(tokens_available AS DOUBLE), {_MP_TAU!r})) AS tt FROM avail),
+plan AS (
+  SELECT source,
+         ROUND(CAST(FLOOR(pow(CAST(tokens_available AS DOUBLE), {_MP_TAU!r})
+                          / (SELECT tt FROM t) * {_MP_BUDGET}.0) AS BIGINT)
+               / CAST(tokens_available AS DOUBLE), 6) AS epochs
+  FROM avail
+)
+SELECT d.doc_id, d.source,
+       CAST(FLOOR(p.epochs)
+            + CASE WHEN ('0x' || substr(md5(d.source || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967295.0
+                        <= ROUND(p.epochs - FLOOR(p.epochs), 6)
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+FROM documents d JOIN plan p USING (source)
+WHERE FLOOR(p.epochs)
+      + CASE WHEN ('0x' || substr(md5(d.source || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  / 4294967295.0
+                  <= ROUND(p.epochs - FLOOR(p.epochs), 6)
+             THEN 1 ELSE 0 END > 0
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -5455,6 +5505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_vocab_coverage": q118_vocab_coverage,
         "q119_mix_plan": q119_mix_plan,
         "q120_ngram_novelty": q120_ngram_novelty,
+        "q121_execute_mix_plan": q121_execute_mix_plan,
     }
 
 
@@ -5581,6 +5632,7 @@ def oracle_sql() -> dict[str, str]:
         "q118_vocab_coverage": Q118_SQL,
         "q119_mix_plan": Q119_SQL,
         "q120_ngram_novelty": Q120_SQL,
+        "q121_execute_mix_plan": Q121_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

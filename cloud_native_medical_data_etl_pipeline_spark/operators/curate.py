@@ -274,3 +274,57 @@ def mix_plan(
         target.alias("tokens_target"),
         F.round(target / F.col("tokens_available"), round_dp).alias("epochs"),
     )
+
+
+def execute_mix_plan(
+    df: DataFrame,
+    token_budget: int,
+    group_col: str = "source",
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    tau: float = 0.3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Turn `mix_plan`'s epoch factors into a concrete sampled corpus:
+    every document gets ``floor(epochs)`` guaranteed repeats plus one
+    more with probability ``frac(epochs)``, decided by the md5-of-
+    (source, key) uniform (the `mix_corpora` trick) — deterministic
+    across partition layouts, engines, and re-runs, and in expectation
+    each source delivers exactly its token target.
+
+    Returns (key_col, group_col, n_repeats) for documents with
+    n_repeats >= 1; a downstream writer expands repeats (posexplode of
+    `sequence(1, n_repeats)`) or feeds them to a dataloader as sample
+    weights.
+
+    Scale shape: the plan is |sources| rows broadcast back; the repeat
+    decision is a map-side expression — one corpus scan for counting,
+    one for assignment, no shuffle of documents at all.
+    """
+    plan = mix_plan(df, token_budget, group_col, content_col, tau, round_dp)
+    j = df.join(
+        F.broadcast(plan.select(group_col, "epochs")), group_col
+    )
+    full = F.floor(F.col("epochs")).cast("bigint")
+    # epochs is already rounded; re-round the fractional part to kill
+    # float residue so both engines compare u against the same double
+    frac = F.round(F.col("epochs") - F.floor(F.col("epochs")), round_dp)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(group_col), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(0xFFFFFFFF))
+    )
+    n_repeats = full + F.when(u <= frac, F.lit(1)).otherwise(F.lit(0))
+    return (
+        j.select(
+            key_col, group_col, n_repeats.cast("bigint").alias("n_repeats")
+        )
+        .where(F.col("n_repeats") > 0)
+    )

@@ -83,3 +83,40 @@ def test_temperature_weights_limits(spark):
     assert mid["c"]["sample_factor"] > 1.0 > mid["a"]["sample_factor"]
     # shares always sum to 1
     assert sum(r["temp_share"] for r in mid.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_execute_mix_plan_expectation_and_determinism(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.curate import (
+        execute_mix_plan,
+        mix_plan,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "big", "w " * 90) for i in range(100)] + [
+        (1000 + i, "small", "w " * 10) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = execute_mix_plan(df, token_budget=10_000, tau=0.5)
+    plan = {
+        r["source"]: r for r in mix_plan(df, 10_000, tau=0.5).collect()
+    }
+    got = (
+        out.groupBy("source")
+        .agg(F.sum("n_repeats").alias("r"), F.min("n_repeats").alias("lo"),
+             F.max("n_repeats").alias("hi"))
+        .collect()
+    )
+    for row in got:
+        p = plan[row["source"]]
+        import math
+        # per-doc repeats bracket the epoch factor
+        assert row["lo"] >= math.floor(p["epochs"])
+        assert row["hi"] <= math.floor(p["epochs"]) + 1
+        # realized repeats track the planned epochs in expectation
+        # (md5 uniform; 100 docs -> a few % tolerance)
+        assert abs(row["r"] / 100 - p["epochs"]) < 0.15
+
+    # deterministic across partition layouts
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, execute_mix_plan(df.repartition(7), 10_000, tau=0.5).collect()))
+    assert a == b
