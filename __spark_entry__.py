@@ -5338,6 +5338,46 @@ WHERE FLOOR(p.epochs)
 """
 
 
+# ---------------------------------------------------------------------------
+# q122 — entity-consistent split (operators/curate.py
+# hash_split_by_group): all of a user's EVENTS land in one split (the
+# leakage-safe form of q43's doc-level split); per-split user/event
+# summary. Split = md5-of-user uniform vs cumulative thresholds —
+# deterministic, map-side.
+# ---------------------------------------------------------------------------
+def q122_group_split(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.curate import (
+        hash_split_by_group,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        hash_split_by_group(ev, "user_id")
+        .groupBy("split")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+Q122_SQL = """
+WITH assigned AS (
+  SELECT user_id, event_id,
+         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967295.0 <= 0.8 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967295.0 <= 0.9000000000000001 THEN 'val'
+              ELSE 'test' END AS split
+  FROM events
+)
+SELECT split,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM assigned GROUP BY split
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -5506,6 +5546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_mix_plan": q119_mix_plan,
         "q120_ngram_novelty": q120_ngram_novelty,
         "q121_execute_mix_plan": q121_execute_mix_plan,
+        "q122_group_split": q122_group_split,
     }
 
 
@@ -5633,6 +5674,7 @@ def oracle_sql() -> dict[str, str]:
         "q119_mix_plan": Q119_SQL,
         "q120_ngram_novelty": Q120_SQL,
         "q121_execute_mix_plan": Q121_SQL,
+        "q122_group_split": Q122_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

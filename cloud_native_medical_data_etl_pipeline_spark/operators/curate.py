@@ -328,3 +328,56 @@ def execute_mix_plan(
         )
         .where(F.col("n_repeats") > 0)
     )
+
+
+def hash_split_by_group(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is decided by
+    an md5 hash of the GROUP key (user, session, patient...), so every
+    row of a group lands in the same split — the invariant row-level
+    splitting (q43's shape) silently violates whenever rows of one
+    entity correlate, which is how eval metrics end up optimistic.
+
+    ``fractions`` maps split name -> fraction (must sum to ~1);
+    assignment walks cumulative thresholds in the dict's insertion
+    order. ``salt`` re-rolls the assignment without touching the data
+    (a new experiment = a new salt). Deterministic across partition
+    layouts, engines, and re-runs — no seeded rand().
+
+    Returns ``df`` plus a ``split`` column; pure map-side expression.
+    """
+    from ._common import col_ref
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), col_ref(group_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(0xFFFFFFFF))
+    )
+    names = list(fractions)
+    # the last split is the otherwise-branch: it absorbs the float
+    # residue of the cumulative thresholds
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = u <= F.lit(float(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    )
+    return df.withColumn("split", expr)

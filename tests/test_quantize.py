@@ -120,3 +120,41 @@ def test_execute_mix_plan_expectation_and_determinism(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, execute_mix_plan(df.repartition(7), 10_000, tau=0.5).collect()))
     assert a == b
+
+
+def test_hash_split_group_integrity(spark):
+    from pyspark.sql import functions as F
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.curate import (
+        hash_split_by_group,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    out = hash_split_by_group(ev, "user_id")
+    # THE invariant: every user appears in exactly one split
+    leaky = (
+        out.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert leaky == 0
+    # fractions roughly respected at the USER grain
+    per = {r["split"]: r["n"] for r in
+           out.groupBy("split").agg(F.count_distinct("user_id").alias("n")).collect()}
+    total = sum(per.values())
+    assert 0.7 < per["train"] / total < 0.9
+    # salt re-rolls membership but preserves integrity
+    out2 = hash_split_by_group(ev, "user_id", salt="exp2")
+    moved = (
+        out.select("user_id", "split").distinct().withColumnRenamed("split", "a")
+        .join(out2.select("user_id", "split").distinct().withColumnRenamed("split", "b"), "user_id")
+        .where(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert moved > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split_by_group(ev, "user_id", fractions={"a": 0.5, "b": 0.2})
