@@ -184,7 +184,7 @@ def q03_exact_dedup(spark, sf_dir):
 Q03_SQL = """
 SELECT doc_id, lang, source FROM (
   SELECT doc_id, lang, source,
-         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         ROW_NUMBER() OVER (PARTITION BY COALESCE(text, '') ORDER BY doc_id) AS rn
   FROM documents
 ) WHERE rn = 1
 """
@@ -4765,8 +4765,12 @@ def q111_cluster_representatives(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, jaccard_threshold=_MH_THRESH)
-    return CC.cluster_representatives(pairs, docs, score_col="n_chars")
+    # r6: exact copies are collapsed BEFORE pair generation (quadratic
+    # pair volume in replica-dense clusters -> linear), then expanded
+    # back — row-identical to the full-graph form the oracle models.
+    return CC.collapsed_cluster_representatives(
+        docs, score_col="n_chars", jaccard_threshold=_MH_THRESH
+    )
 
 
 def _q111_sql() -> str:
@@ -4995,7 +4999,7 @@ def q115_stream_ingest(spark, sf_dir):
 def _q115_sql() -> str:
     return f"""
 WITH keepers AS (
-  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY COALESCE(text, '')
 ),
 docs_d AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
 {_mh_sig_ctes(src="docs_d")},
@@ -5121,7 +5125,7 @@ def q117_duplication_report(spark, sf_dir):
 def _q117_sql() -> str:
     return f"""
 WITH keepers AS (
-  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY COALESCE(text, '')
 ),
 docs_d AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
 {_mh_sig_ctes(src="docs_d")},

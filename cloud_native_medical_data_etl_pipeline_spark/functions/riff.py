@@ -49,8 +49,15 @@ def wav_decode(data: bytes) -> tuple[int, int, list[int]]:
         pos += 8 + length + (length & 1)  # RIFF chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("missing fmt/data chunk")
+    if len(raw) % 2:
+        # a 16-bit PCM stream must be an even byte count; an odd data
+        # chunk means the file was truncated mid-sample — fail loud
+        # like every other malformed-input branch in this codec
+        raise ValueError(
+            f"odd data-chunk length {len(raw)} for 16-bit PCM (truncated file?)"
+        )
     n = len(raw) // 2
-    samples = list(struct.unpack(f"<{n}h", raw[: n * 2]))
+    samples = list(struct.unpack(f"<{n}h", raw))
     return fmt[0], fmt[1], samples
 
 

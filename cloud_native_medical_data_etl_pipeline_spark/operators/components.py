@@ -147,11 +147,19 @@ def cluster_representatives(
     vertices only, not the corpus) to the docs table once, and the
     argmax is one component-keyed WindowGroupLimit window.
     """
+    cc = connected_components(pairs, src, dst)
+    return _pick_representatives(cc, docs, score_col, key_col)
+
+
+def _pick_representatives(
+    cc: DataFrame, docs: DataFrame, score_col: str, key_col: str
+) -> DataFrame:
+    """Shared argmax tail: (vertex, component) + docs -> one row per
+    component with the highest-scoring member (ties -> smaller key)."""
     from pyspark.sql import Window
 
     from ._common import col_ref
 
-    cc = connected_components(pairs, src, dst)
     scored = cc.join(
         docs.select(
             col_ref(key_col).alias("vertex"),
@@ -174,3 +182,106 @@ def cluster_representatives(
             (F.count(F.lit(1)) - 1).alias("dropped"),
         )
     )
+
+
+def collapsed_cluster_representatives(
+    docs: DataFrame,
+    score_col: str,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    ngram_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """`cluster_representatives` over the MinHash pair graph of `docs`,
+    with exact duplicates COLLAPSED before pair generation — the fix
+    for the quadratic pair blowup of replica-heavy corpora.
+
+    Exact copies (identical `content_col`) have identical shingle sets,
+    so in the full pair graph every copy pairs with every other copy
+    AND with everything its text pairs with: a group of m replicas
+    inflates pair volume by O(m^2) while adding zero information. This
+    variant hash-groups exact copies first, runs the MinHash kernel
+    over one CANONICAL doc per group (the minimum key, mirroring
+    `dedup.exact_dedup`'s sha2(coalesce(text,'')) key), labels
+    components over canonical pairs only, then expands membership back
+    to every copy. Pair volume tracks the DEDUPED corpus.
+
+    Output is row-identical to
+    ``cluster_representatives(minhash_lsh_pairs(docs), docs)``:
+
+      * components: copies inherit exactly their canonical's
+        connectivity (same shingle set => same verified neighbors at
+        the same jaccard), so expanded components equal full-graph
+        components; labels match because each canonical is the minimum
+        key of its copy group, so the min over a component's canonicals
+        IS the min over its full member set;
+      * multi-copy groups whose canonical sits in no canonical pair are
+        still clusters in the full graph (copies pair with each other
+        at jaccard 1.0) — emitted with component = canonical, gated on
+        the same shingle-producing-text test the MinHash kernel applies
+        (empty/whitespace texts produce no shingles, hence no pairs,
+        hence no cluster — in either formulation);
+      * the score argmax runs over the EXPANDED member set, so a copy
+        with a higher `score_col` than its canonical still wins keep.
+    """
+    from . import dedup as D
+    from ..functions import text as X
+    from ._common import col_ref
+
+    members = docs.select(
+        col_ref(key_col).alias("member"),
+        F.sha2(
+            F.coalesce(col_ref(content_col).cast("string"), F.lit("")), 256
+        ).alias("__h"),
+        (
+            F.size(
+                X.word_ngrams_from_tokens(
+                    X.lower_tokens(col_ref(content_col)), ngram_n
+                )
+            )
+            > 0
+        ).alias("__shingleable"),
+    )
+    groups = members.groupBy("__h").agg(
+        F.min("member").alias("canonical"),
+        F.count(F.lit(1)).alias("__n"),
+        F.max("__shingleable").alias("__ok"),
+    )
+    canon_docs = docs.join(
+        groups.select(F.col("canonical").alias(key_col)),
+        key_col,
+        "semi",
+    )
+    pairs = D.minhash_lsh_pairs(
+        canon_docs,
+        content_col=content_col,
+        key_col=key_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        ngram_n=ngram_n,
+    )
+    cc_canon = connected_components(pairs)
+    # multi-copy groups whose canonical is in no canonical pair are
+    # clusters of exact copies (pairwise jaccard 1.0 in the full graph)
+    solo_groups = (
+        groups.where((F.col("__n") >= 2) & F.col("__ok"))
+        .join(
+            cc_canon.select(F.col("vertex").alias("canonical")),
+            "canonical",
+            "anti",
+        )
+        .select("canonical", F.col("canonical").alias("component"))
+    )
+    canon_to_comp = cc_canon.select(
+        F.col("vertex").alias("canonical"), "component"
+    ).unionByName(solo_groups)
+    expanded = (
+        members.join(groups.select("__h", "canonical"), "__h")
+        .join(canon_to_comp, "canonical")
+        .select(F.col("member").alias("vertex"), "component")
+    )
+    out = _pick_representatives(expanded, docs, score_col, key_col)
+    return D._with_cached_deps(out, pairs)

@@ -32,6 +32,32 @@ HASH_MOD = 2147483647  # 2^31 - 1, fits every SQL engine's int64
 _REBALANCE_MIN_STATS_BYTES = 128 << 10  # absolute floor, see below
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate for ``df``, via the
+    private ``_jdf.queryExecution()`` bridge.
+
+    The py4j path (`queryExecution().optimizedPlan().stats()
+    .sizeInBytes()`) is not public API and has no cross-version
+    stability guarantee, so any failure degrades to ``sys.maxsize``:
+    rebalance_for_cpu then repartitions whenever the partition count is
+    below the slot count. Over-parallelizing a CPU-bound kernel costs
+    ~0.2 s of scheduling; silently serializing it on one core costs
+    multiples of the kernel time — so the fail-open direction is the
+    cheap one."""
+    try:
+        return _plan_size_bytes_raw(df)
+    except Exception:
+        import sys
+
+        return sys.maxsize
+
+
+def _plan_size_bytes_raw(df: DataFrame) -> int:
+    # the private py4j probe, isolated so version-drift tests can break
+    # it in place
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
 def rebalance_for_cpu(df: DataFrame, persist: bool = True) -> DataFrame:
     """Spread CPU-bound per-row kernels across all cores — but only
     when the input is big enough for parallelism to pay.
@@ -64,9 +90,7 @@ def rebalance_for_cpu(df: DataFrame, persist: bool = True) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
-    size = int(
-        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
+    size = _plan_size_bytes(df)
     if size > _REBALANCE_MIN_STATS_BYTES:
         out = df.repartition(target)
         if persist:
@@ -288,11 +312,18 @@ def _minhash_base_arrow(
                 per_gram = [gram_lanes(gram) for gram in grams]
                 for i in range(num_hashes):
                     lanes[i].append(min(pl[i] for pl in per_gram))
+            # dtype=object throughout: a batch whose docs ALL filtered
+            # out (e.g. a partition of empty texts) would otherwise
+            # produce float64 empty columns, which pyarrow cannot
+            # convert to list<string>/string and the task dies
             yield pd.DataFrame(
                 {
-                    "k": keys,
-                    "sh": shingles,
-                    **{f"mh{i}": lanes[i] for i in range(num_hashes)},
+                    "k": pd.Series(keys, dtype=object),
+                    "sh": pd.Series(shingles, dtype=object),
+                    **{
+                        f"mh{i}": pd.Series(lanes[i], dtype=object)
+                        for i in range(num_hashes)
+                    },
                 }
             )
 

@@ -152,7 +152,13 @@ def resize_images(
     cycled to width*height bytes (one 'pixel' per byte) — so batch
     shape, schema, and partition behavior are real. fake=False is a
     REAL PNG decode -> nearest-neighbor resample -> PNG re-encode
-    (functions/png.py), channel-count preserving."""
+    (functions/png.py), channel-count preserving.
+
+    NULL-payload contract (both paths, matching decode_features): a
+    NULL payload row passes through with a NULL resized payload — a
+    missing image is a data condition, not a job-killing error. A
+    non-NULL payload that is not a valid PNG still fails loud on the
+    real path."""
     n_out = width * height
 
     from ..functions import png as _png
@@ -162,7 +168,9 @@ def resize_images(
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                if fake:
+                if payload is None:
+                    resized = None
+                elif fake:
                     resized = (
                         (b * (n_out // len(b) + 1))[:n_out] if b else bytes(n_out)
                     )

@@ -51,12 +51,27 @@ def load_quality_config(path: str) -> dict:
         text = fh.read()
     try:
         import yaml  # optional dep; JSON is always a valid fallback
-
-        data = yaml.safe_load(text)
     except ImportError:
+        yaml = None
+    if yaml is not None:
+        try:
+            data = yaml.safe_load(text)
+        except yaml.YAMLError as exc:
+            raise ValueError(
+                f"quality config {path!r} is not valid YAML (JSON is "
+                f"also accepted): {exc}"
+            ) from exc
+    else:
         import json
 
-        data = json.loads(text)
+        try:
+            data = json.loads(text)
+        except json.JSONDecodeError as exc:
+            raise ValueError(
+                f"quality config {path!r} could not be parsed: pyyaml "
+                f"is not installed, so only JSON is accepted here "
+                f"(JSON error: {exc})"
+            ) from exc
     if not isinstance(data, dict):
         raise ValueError(f"quality config {path!r} is not a mapping")
     return data.get("quality", data)

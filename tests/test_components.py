@@ -101,3 +101,42 @@ def test_cluster_representatives_quality_keep(spark):
     assert out[1]["n_members"] == 3 and out[1]["dropped"] == 2
     # tie on score -> smaller id wins
     assert out[8]["keep"] == 8 and out[8]["dropped"] == 1
+
+
+def test_collapsed_representatives_match_full_graph(spark):
+    """collapsed_cluster_representatives must be row-identical to the
+    full-graph form on a replica-dense corpus — including a solo
+    exact-copy group (no canonical pair), a copy whose score beats its
+    canonical's, and empty-text copies (never clustered, matching the
+    MinHash kernel's shingle filter)."""
+    base_a = "the quick brown fox jumps over the lazy dog again and again"
+    base_b = "the quick brown fox jumps over the lazy dog again and again today"
+    solo = "completely different content about medical trial enrollment records"
+    rows = [
+        (1, base_a, 10),
+        (2, base_a, 99),   # exact copy of 1 with HIGHER score -> must win keep
+        (3, base_b, 50),   # near-dup of the {1,2} text
+        (4, base_b, 50),
+        (10, solo, 5),     # exact-copy group with no near-dup neighbor
+        (11, solo, 7),
+        (20, "", 1),       # empty-text copies: no shingles -> no cluster
+        (21, "", 1),
+        (30, "unique standalone text never repeated anywhere", 3),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, score long")
+
+    full_pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.3)
+    want = sorted(
+        tuple(r) for r in C.cluster_representatives(full_pairs, docs, "score").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in C.collapsed_cluster_representatives(
+            docs, "score", jaccard_threshold=0.3
+        ).collect()
+    )
+    assert got == want
+    comps = {r[0]: r for r in got}
+    assert comps[1][1] == 2 and comps[1][2] == 99  # copy outscores canonical
+    assert 10 in comps and comps[10][3] == 2       # solo exact group emitted
+    assert 20 not in comps and 30 not in comps     # empty/singleton excluded

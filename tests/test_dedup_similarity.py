@@ -809,3 +809,53 @@ def test_ngram_novelty_graded(spark):
     # doc 11: grams = 5, known = 1 ("alpha beta gamma delta")
     assert out[11]["n_grams"] == 5 and out[11]["known_grams"] == 1
     assert out[11]["novelty_rate"] == pytest.approx(0.8)
+
+
+def test_rebalance_stats_probe_failure_fails_open(spark, monkeypatch):
+    """If the private queryExecution stats bridge breaks (Spark version
+    drift), rebalance_for_cpu must degrade to repartitioning (fail-open
+    for parallelism), never raise."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators import dedup as D
+
+    df = spark.range(100).coalesce(1)
+
+    def boom(_df):
+        raise AttributeError("queryExecution bridge gone")
+
+    monkeypatch.setattr(D, "_plan_size_bytes_raw", boom)
+    out = D.rebalance_for_cpu(df, persist=False)
+    # fail-open: with the probe gone the frame still gets repartitioned
+    target = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == target
+    assert out.count() == 100
+
+
+def test_resize_images_null_payload_passthrough(spark):
+    """NULL payloads pass through as NULL resized payloads on BOTH the
+    fake and the real decode path (matching decode_features): a missing
+    image is a data condition, not a job-killing error."""
+    from cloud_native_medical_data_etl_pipeline_spark.functions import png as _png
+    from cloud_native_medical_data_etl_pipeline_spark.operators import multimodal as MM
+
+    real = _png.encode(bytes(range(12)), 2, 2, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(real)), (2, None)], "media_id long, payload binary"
+    )
+    for fake in (True, False):
+        rows = {
+            r["media_id"]: r["payload"]
+            for r in MM.resize_images(df, width=2, height=2, fake=fake).collect()
+        }
+        assert rows[2] is None
+        assert rows[1] is not None and len(rows[1]) > 0
+
+
+def test_minhash_arrow_survives_all_filtered_partition(spark):
+    """A partition whose docs ALL drop below the shingle threshold must
+    yield an empty Arrow batch, not a float64-typed frame pyarrow
+    cannot convert (regression: empty pd.DataFrame dtype bug)."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators import dedup as D
+
+    rows = [(1, ""), (2, "one two"), (3, None), (4, "")]  # all < 3 tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    assert D.minhash_lsh_pairs(docs, jaccard_threshold=0.1).count() == 0

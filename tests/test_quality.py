@@ -236,3 +236,21 @@ def test_backfill_runs_days_isolated(spark, tmp_path):
         quality_config=cfg,
     )
     assert len(res2) == 2 and res2[-1].status.startswith("error")
+
+
+def test_load_quality_config_error_paths(tmp_path):
+    import pytest as _pytest
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.quality import (
+        load_quality_config,
+    )
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("quality: [unclosed\n  - ]broken: {{\n")
+    with _pytest.raises(ValueError, match="bad.yaml"):
+        load_quality_config(str(bad))
+
+    scalar = tmp_path / "scalar.yaml"
+    scalar.write_text("42\n")
+    with _pytest.raises(ValueError, match="not a mapping"):
+        load_quality_config(str(scalar))

@@ -85,3 +85,16 @@ def test_sample_frames_real_avi(spark):
     rows = multimodal.sample_frames(df, max_frames=3, fake=False).collect()
     assert [r["frame_idx"] for r in rows] == [0, 1, 2]
     assert [bytes(r["frame"]) for r in rows] == frames[:3]
+
+
+def test_wav_rejects_odd_pcm_data_chunk():
+    """A truncated 16-bit stream (odd data-chunk byte count) must fail
+    loud, not silently drop the trailing byte."""
+    good = riff.wav_encode([1, -2, 3], 8000)
+    # rebuild with a data chunk one byte short: RIFF(12) + fmt(8+16) + data hdr(8)
+    fmt_chunk = good[12 : 12 + 24]
+    raw = good[12 + 24 + 8 :][:5]  # 5 of the 6 PCM bytes
+    body = fmt_chunk + b"data" + struct.pack("<I", 5) + raw + b"\x00"  # pad byte
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="odd data-chunk"):
+        riff.wav_decode(data)
