@@ -45,6 +45,7 @@ def main() -> None:
 
     from cloud_native_medical_data_etl_pipeline_spark.session import get_spark
 
+    t_boot = time.perf_counter()
     spark = get_spark(
         app_name=f"bench-sf{sf}",
         master=f"local[{cpus}]",
@@ -90,11 +91,19 @@ def main() -> None:
     except Exception:
         pass
 
+    # session-start cost (JVM boot + import/registration + warmup) is
+    # reported SEPARATELY from query time: entry-module growth inflates
+    # this number, never the per-query timings — the r5 bench
+    # investigation's disaggregation ask
+    startup = round(time.perf_counter() - t_boot, 3)
+
     # two passes, keep the per-query MIN: a transient co-tenant load
     # spike on the shared host otherwise records a 5x-noise outlier as
-    # the round's number. min-of-2 is the standard defense.
+    # the round's number. min-of-2 is the standard defense; raise via
+    # SPARK_GRAFT_BENCH_PASSES when bracketing host variance.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(passes):
         for name in HEADLINE:
             fn = queries[name]
             t0 = time.perf_counter()
@@ -116,6 +125,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "startup_sec": startup,
+                "passes": passes,
                 "sf": sf,
             }
         )

@@ -330,6 +330,34 @@ def _minhash_base_arrow(
     return pre.mapInPandas(gen, out_schema)
 
 
+def minhash_base(
+    df: DataFrame,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 8,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """The reusable MinHash signature frame ``(k, sh, mh0..mhN-1)`` for
+    ``df`` — the persistable INDEX the banded operators consume.
+
+    This is the word-mode Arrow base pass of :func:`minhash_lsh_pairs`
+    exposed as a first-class product: compute it once, write it to
+    parquet alongside the corpus, and every later
+    :func:`minhash_lsh_pairs` / :func:`minhash_lsh_join` call can take
+    it via their ``base=`` / ``corpus_base=`` hooks instead of
+    re-hashing the corpus text (the per-batch cost of incremental
+    ingest then tracks the DELTA, not the corpus). Signatures are pure
+    functions of the text, so a stored base is bit-identical to a
+    recomputed one. Docs producing no shingles (< ``ngram_n`` tokens)
+    have no row. NOT persisted/cached here — callers decide (a
+    parquet-backed base needs no cache at all)."""
+    pre = rebalance_for_cpu(
+        df.select(F.col(key_col).alias("k"), F.col(content_col).alias("txt")),
+        persist=False,
+    )
+    return _minhash_base_arrow(pre, ngram_n, num_hashes)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -341,6 +369,7 @@ def minhash_lsh_pairs(
     shingle_mode: str = "word",
     ngram_n: int = 3,
     engine: str = "arrow",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -369,6 +398,13 @@ def minhash_lsh_pairs(
     # (the CPU-bound kernels) then run post-shuffle across all slots
     # instead of map-side on the scan's partitions. The Arrow engine
     # needs no persist barrier — mapInPandas itself blocks pushdown.
+    # base= (a minhash_base product, possibly parquet-backed) skips the
+    # signature computation entirely.
+    if base is not None:
+        verified = _minhash_verify_pairs(
+            base, num_hashes, bands, jaccard_threshold
+        )
+        return _with_cached_deps(verified, base)
     use_arrow = shingle_mode == "word" and engine == "arrow"
     pre = rebalance_for_cpu(
         df.select(F.col(key_col).alias("k"), F.col(content_col).alias("txt")),
@@ -401,6 +437,15 @@ def minhash_lsh_pairs(
             .select("k", "sh", *minhash_signature(F.col("sh"), num_hashes))
             .persist()
         )
+    verified = _minhash_verify_pairs(base, num_hashes, bands, jaccard_threshold)
+    return _with_cached_deps(verified, base, pre)
+
+
+def _minhash_verify_pairs(
+    base: DataFrame, num_hashes: int, bands: int, jaccard_threshold: float
+) -> DataFrame:
+    """Band-bucket self-join + exact-Jaccard verification over a
+    (k, sh, mh*) base frame -> (key_a, key_b, jaccard), key_a < key_b."""
     sh = base.select("k", "sh")
     band_cols = _minhash_band_cols(num_hashes, bands)
     banded = base.select("k", F.explode(F.array(*band_cols)).alias("bucket"))
@@ -411,7 +456,7 @@ def minhash_lsh_pairs(
         .select("key_a", "key_b")
         .dropDuplicates(["key_a", "key_b"])
     )
-    verified = (
+    return (
         candidates.join(
             sh.select(F.col("k").alias("key_a"), F.col("sh").alias("sh_a")), "key_a"
         )
@@ -427,7 +472,6 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("key_a", "key_b", "jaccard")
     )
-    return _with_cached_deps(verified, base, pre)
 
 
 def minhash_lsh_join(
@@ -441,6 +485,8 @@ def minhash_lsh_join(
     ngram_n: int = 3,
     probe_out: str = "probe_key",
     corpus_out: str = "corpus_key",
+    probe_base: DataFrame | None = None,
+    corpus_base: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-duplicate JOIN: which docs in ``probe`` are
     near-dups of something already in ``corpus``?  This is the
@@ -459,6 +505,12 @@ def minhash_lsh_join(
     ``jaccard >= jaccard_threshold``.  Keys shared by both frames are
     the caller's concern (an ingest delta has fresh keys by
     construction); call :func:`release` on the result when done.
+
+    ``probe_base`` / ``corpus_base`` take PRECOMPUTED signature frames
+    (:func:`minhash_base` products — in the persisted-index ingest
+    path, the corpus side is a parquet scan of the signature table, so
+    per-batch hashing cost tracks the batch alone); when supplied, the
+    corresponding text frame is not touched (and may be None).
     """
     def _base(df: DataFrame) -> DataFrame:
         pre = rebalance_for_cpu(
@@ -475,7 +527,8 @@ def minhash_lsh_join(
             F.col("k").alias(out), F.explode(F.array(*band_cols)).alias("bucket")
         )
 
-    base_p, base_c = _base(probe), _base(corpus)
+    base_p = probe_base if probe_base is not None else _base(probe)
+    base_c = corpus_base if corpus_base is not None else _base(corpus)
     candidates = (
         _banded(base_p, probe_out)
         .join(_banded(base_c, corpus_out), "bucket")

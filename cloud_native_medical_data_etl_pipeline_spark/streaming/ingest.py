@@ -21,14 +21,20 @@ exactly-once corpus without a sink transaction log — the
 stream_to_lake_upsert argument, extended from key identity to content
 identity.
 
-Scale shape per batch: batch-sized signature work (the corpus side of
-the probe recomputes signatures from the stored parquet — at real
-scale you persist the corpus signature table once and band-join the
-delta against it, which is exactly what minhash_lsh_join's contract
-allows), candidates from band equi-joins only, and one append write.
-The corpus store is plain parquet here; swapping in a day-partitioned
-lake layout is `sources.lake.write_partitioned` plumbing, not an
-algorithm change.
+Scale shape per batch: batch-sized signature work ONLY. The corpus
+side of the near-dup probe reads the PERSISTED signature table at
+``<corpus_path>_sigs`` (a `dedup.minhash_base` product maintained by
+this module: survivors' signatures are appended right after the
+corpus append), so per-batch md5/shingle cost tracks the batch, never
+the corpus; candidates come from band equi-joins between the batch
+signatures and the parquet-backed index; one corpus append + one
+signature append per batch. A crash between the two appends leaves
+signature rows missing for the just-appended docs — every batch
+self-heals by signing any corpus keys absent from the index (normally
+zero rows; gated by a metadata-only row-count compare, which is why
+unsigned short docs still get PLACEHOLDER rows). The corpus store is
+plain parquet here; swapping in a day-partitioned lake layout is
+`sources.lake.write_partitioned` plumbing, not an algorithm change.
 """
 
 from __future__ import annotations
@@ -52,19 +58,35 @@ def ingest_batch(
     """Accept one batch of documents into the corpus at
     ``corpus_path``; returns the number of rows appended.  Idempotent:
     re-running the same batch appends nothing.
+
+    Signature index: survivors' MinHash signatures land in
+    ``<corpus_path>_sigs`` (schema = `dedup.minhash_base` output, plus
+    all-null placeholder rows for docs too short to shingle, so the
+    index row count equals the corpus row count and the per-batch
+    self-heal check stays metadata-only).
     """
     spark = batch.sparkSession
+    sig_path = corpus_path.rstrip("/") + "_sigs"
 
-    # 1. in-batch exact + near-dup collapse (keep the min-key copy)
+    # 1. in-batch exact + near-dup collapse (keep the min-key copy).
+    # The batch's signature base is computed ONCE and persisted: the
+    # in-batch pair kernel, the corpus probe, and the index append all
+    # read it.
     kept = D.exact_dedup(batch, content_col, key_col)
-    pairs = D.minhash_lsh_pairs(
+    batch_base = D.minhash_base(
         kept,
         content_col=content_col,
         key_col=key_col,
         num_hashes=num_hashes,
+        ngram_n=ngram_n,
+    ).persist()
+    pairs = D.minhash_lsh_pairs(
+        kept,
+        key_col=key_col,
+        num_hashes=num_hashes,
         bands=bands,
         jaccard_threshold=jaccard_threshold,
-        ngram_n=ngram_n,
+        base=batch_base,
     )
     losers = pairs.select(F.col("key_b").alias(key_col)).dropDuplicates()
     kept = kept.join(losers, key_col, "left_anti")
@@ -92,16 +114,25 @@ def ingest_batch(
         kept = kept.join(
             corpus.select(key_col), key_col, "left_anti"
         )
-        # content guard: near-dups of stored content are dropped
+        # content guard: near-dups of stored content are dropped.
+        # The corpus side comes from the persisted signature index —
+        # self-healed first, so a crash between the corpus append and
+        # the signature append of a prior batch cannot silently admit
+        # near-dups of the unsigned rows.
+        corpus_sigs = _heal_signature_index(
+            spark, corpus, sig_path, content_col, key_col, num_hashes, ngram_n
+        )
         matches = D.minhash_lsh_join(
             kept,
-            corpus,
-            content_col=content_col,
+            None,
             key_col=key_col,
             num_hashes=num_hashes,
             bands=bands,
             jaccard_threshold=jaccard_threshold,
-            ngram_n=ngram_n,
+            probe_base=batch_base.join(
+                kept.select(F.col(key_col).alias("k")), "k", "semi"
+            ),
+            corpus_base=corpus_sigs.where(F.size("sh") > 0),
         )
         dup_keys = matches.select(
             F.col("probe_key").alias(key_col)
@@ -113,14 +144,92 @@ def ingest_batch(
     # still reads (release()'s consume-then-release contract) and
     # BEFORE the append extends the directory the plan still scans
     kept = kept.localCheckpoint(eager=True)
+    # survivors' signature rows (placeholders for unshingleable docs),
+    # materialized before the cache release for the same reason
+    new_sigs = _sig_rows_for(
+        batch_base, kept.select(key_col), key_col
+    ).localCheckpoint(eager=True)
     if matches is not None:
         D.release(matches)
     D.release(pairs)
+    batch_base.unpersist()
 
     n = kept.count()
     if n:
+        # corpus first, signatures second: replay recovers a missing
+        # signature via the self-heal; the reverse order would let a
+        # replayed row near-dup-match its OWN orphaned signature and
+        # never reach the corpus
         kept.write.mode("append").parquet(corpus_path)
+        new_sigs.write.mode("append").parquet(sig_path)
     return n
+
+
+def _sig_rows_for(
+    base: DataFrame, keys: DataFrame, key_col: str
+) -> DataFrame:
+    """Signature-index rows for every key in ``keys``: the base row
+    when one exists, else an all-null PLACEHOLDER (sh = [], mh* null) —
+    keeps index row count == corpus row count so the heal check is
+    metadata-only. Placeholder rows never produce band candidates:
+    exploding an empty sh contributes nothing and their concat_ws
+    bucket rows are filtered out by the probe's size(sh) > 0 guard."""
+    keyed = keys.select(F.col(key_col).alias("k"))
+    present = base.join(keyed, "k", "semi")
+    mh_cols = [c for c in base.columns if c.startswith("mh")]
+    missing = keyed.join(base.select("k"), "k", "anti").select(
+        "k",
+        F.array().cast("array<string>").alias("sh"),
+        *[F.lit(None).cast("string").alias(c) for c in mh_cols],
+    )
+    return present.unionByName(missing)
+
+
+def _heal_signature_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    sig_path: str,
+    content_col: str,
+    key_col: str,
+    num_hashes: int,
+    ngram_n: int,
+) -> DataFrame:
+    """Return the corpus signature index, first appending rows for any
+    corpus keys it is missing (bootstrap of a pre-index corpus, or
+    recovery from a crash between the corpus and signature appends).
+    The no-drift fast path is a metadata-only row-count compare —
+    placeholder rows keep the counts comparable."""
+    from pyspark.errors import AnalysisException
+
+    from ..sources.lake import _is_missing_data_error
+
+    try:
+        sigs = spark.read.parquet(sig_path)
+        have_sigs = True
+    except AnalysisException as exc:
+        if not _is_missing_data_error(exc):
+            raise
+        have_sigs = False
+
+    if have_sigs and sigs.count() == corpus.count():
+        return sigs
+
+    missing_docs = corpus
+    if have_sigs:
+        missing_docs = corpus.join(
+            sigs.select(F.col("k").alias(key_col)), key_col, "anti"
+        )
+    missing_base = D.minhash_base(
+        missing_docs,
+        content_col=content_col,
+        key_col=key_col,
+        num_hashes=num_hashes,
+        ngram_n=ngram_n,
+    )
+    _sig_rows_for(
+        missing_base, missing_docs.select(key_col), key_col
+    ).write.mode("append").parquet(sig_path)
+    return spark.read.parquet(sig_path)
 
 
 def stream_dedup_ingest(

@@ -389,3 +389,62 @@ def test_streaming_zscore_planted_spike(spark, tmp_path):
     flags = out.collect()
     assert [r["event_id"] for r in flags] == [99]
     assert flags[0]["z"] > 3.0
+
+
+def test_ingest_signature_index_maintained_and_reused(spark, tmp_path):
+    """The persisted signature index at <corpus>_sigs tracks the corpus
+    (placeholders included, so row counts match), and the probe path
+    reads it instead of re-hashing the corpus."""
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import ingest as SI
+
+    corpus = str(tmp_path / "corpus")
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "hi"),  # too short to shingle -> placeholder sig row
+        ],
+        "doc_id long, text string",
+    )
+    assert SI.ingest_batch(b1, corpus) == 2
+    sigs = spark.read.parquet(corpus + "_sigs")
+    assert sigs.count() == spark.read.parquet(corpus).count() == 2
+    ph = {r["k"]: len(r["sh"]) for r in sigs.collect()}
+    assert ph[1] > 0 and ph[2] == 0  # real sig vs placeholder
+
+    # near-dup of stored 1 must be gated THROUGH the index
+    b2 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog near the river bend")],
+        "doc_id long, text string",
+    )
+    assert SI.ingest_batch(b2, corpus) == 0
+    assert spark.read.parquet(corpus + "_sigs").count() == 2
+
+
+def test_ingest_signature_index_self_heals(spark, tmp_path):
+    """Bootstrap (pre-index corpus) and crash recovery (corpus rows
+    unsigned) both resolve via the per-batch heal: missing keys get
+    signed before the probe, so near-dups of unsigned content are
+    still rejected."""
+    import shutil
+
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import ingest as SI
+
+    corpus = str(tmp_path / "corpus")
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string",
+    )
+    assert SI.ingest_batch(b1, corpus) == 1
+    shutil.rmtree(corpus + "_sigs")  # simulate a pre-index corpus
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog near the river bend"),
+            (11, "entirely novel content concerning checkpoint recovery paths"),
+        ],
+        "doc_id long, text string",
+    )
+    assert SI.ingest_batch(b2, corpus) == 1  # near-dup 10 rejected via healed index
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 11}
+    # heal rebuilt + batch appended: index complete again
+    assert spark.read.parquet(corpus + "_sigs").count() == 2
