@@ -5382,6 +5382,66 @@ FROM assigned GROUP BY split
 """
 
 
+# ---------------------------------------------------------------------------
+# q123 — END-TO-END fetch layer through the Spark 4 Python DataSource
+# (sources/fda_datasource.py OpenFDADataSource, S1/S2/S5): partitioned
+# paginated scan (3 page-window InputPartitions at limit=250) with the
+# deterministic mock transport -> from_json(FDA_RAW) -> flatten_fda
+# (P1-P6) -> per-sponsor aggregate. The mock record for index i is a
+# closed-form function of i (fda_datasource.py:_mock_page), so the
+# DuckDB oracle reconstructs the expected flattened aggregate from
+# generate_series — the driver-visible record the fetch layer lacked
+# through r5 (its coverage was unit-only).
+# ---------------------------------------------------------------------------
+_FDA_DS_LIMIT = 250
+
+
+def q123_fda_datasource_agg(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark import schemas
+    from cloud_native_medical_data_etl_pipeline_spark.operators.ingest import (
+        flatten_fda,
+    )
+    from cloud_native_medical_data_etl_pipeline_spark.sources.fda_datasource import (
+        OpenFDADataSource,
+    )
+
+    spark.dataSource.register(OpenFDADataSource)
+    raw = (
+        spark.read.format("openfda")
+        .option("mock", "true")
+        .option("limit", str(_FDA_DS_LIMIT))
+        .option("mock_total", str(_FDA_DS_LIMIT))
+        .load()
+    )
+    flat = flatten_fda(
+        raw.select(F.from_json("value", schemas.FDA_RAW).alias("r")).select("r.*")
+    )
+    return flat.groupBy("sponsor_name").agg(
+        F.count(F.lit(1)).alias("n_apps"),
+        F.count_distinct("openfda_generic_name").alias("n_generics"),
+        F.min("application_number").alias("first_app"),
+        F.max("latest_submission_date").alias("last_sub_date"),
+    )
+
+
+Q123_SQL = f"""
+WITH src AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(0, {_FDA_DS_LIMIT - 1}) t(i)),
+flat AS (
+  SELECT printf('NDA%06d', i) AS application_number,
+         'SPONSOR ' || (i % 7) AS sponsor_name,
+         'generic' || (i % 13) AS openfda_generic_name,
+         make_date(2024, CAST(1 + i % 12 AS INTEGER), CAST(1 + i % 28 AS INTEGER)) AS latest_submission_date
+  FROM src
+)
+SELECT sponsor_name,
+       CAST(COUNT(*) AS BIGINT) AS n_apps,
+       CAST(COUNT(DISTINCT openfda_generic_name) AS BIGINT) AS n_generics,
+       MIN(application_number) AS first_app,
+       MAX(latest_submission_date) AS last_sub_date
+FROM flat GROUP BY sponsor_name
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -5391,33 +5451,114 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry holds 109+.  Each round's first-50 window is chosen so
+    # registry holds 126.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
-    # Round 5 window, in priority order:
-    #   * the SIXTEEN tail-registered late-r4 queries q91-q106 —
-    #     first-ever driver rows (local oracles green at sf0.001/0.01/
-    #     0.1 since r4);
-    #   * every query whose KERNEL changes in r5 and therefore needs
-    #     re-evidence: q23 (trained IVF centroids, seeded k-means),
-    #     q24 (real PNG decode path added behind fake=), q07
-    #     (config-driven quality thresholds), q81 (salted_join salt
-    #     hardened for duplicate-row hot keys);
-    #   * the oldest stale evidence: 30 of the 41 r3-evidenced queries
-    #     parked in the r4 tail (q02, q08, q12, q17-q19, q25, q27-q31,
-    #     q35-q41, q43-q49, q54-q56, q58) — all two rounds stale, now
-    #     due a fresh row.
-    # Displaced to the tail:
-    #   * everything hash-green in CORRECTNESS_r04.json with an
-    #     unchanged kernel (q01, q03-q06, q09-q11, q13-q16, q20/q20b,
-    #     q21, q22, q26, q32-q34, q42, q50-q53, q57, q59, q63b, q64b,
-    #     q70-q80 less window members, q82-q90);
-    #   * the remaining 8 r3-green queries (q60-q62, q65-q69) — rotate
-    #     into the r6 window first;
+    # Round 6 window, in priority order:
+    #   * the SIXTEEN r5 tail registrations q107-q122 — first-ever
+    #     driver rows (local oracles green at sf0.001/0.01/0.1 since
+    #     r5; q111 re-verified after its r6 collapsed-form kernel
+    #     change, q115 after the persisted-signature-index change);
+    #   * q123 (NEW in r6): the fetch layer end-to-end through the
+    #     Spark 4 Python DataSource — S1/S2/S5's first driver row;
+    #   * q03 — kernel-adjacent oracle change in r6 (exact-dedup
+    #     oracles now COALESCE NULL/'' like the operator), re-evidence;
+    #   * the 8 oldest stale greens (r3-evidenced): q60-q62, q65-q69;
+    #   * 24 of the 48 one-round-stale r4 greens: q01, q04-q06,
+    #     q09-q11, q13-q16, q20/q20b, q21, q22, q26, q32-q34, q42,
+    #     q50-q53.
+    # Displaced to the tail (all r4∪r5 green, kernels untouched):
+    #   * the remaining 24 r4 greens (q57, q59, q63b/q64b, q70-q80,
+    #     q82-q90) — they LEAD the r7 window (r4 evidence turns 3
+    #     rounds old there, the ledger's staleness ceiling);
+    #   * every r5-green window member (q91-q106, q23, q24, q07, q81,
+    #     q02, q08, q12, q17-q19, q25, q27-q31, q35-q41, q43-q49,
+    #     q54-q56, q58);
     #   * rows-only q63/q64 (correctness signal lives in q63b/q64b).
     # Ledger: SURVEY.md §8.3.
     return {
-        # --- first-ever driver rows: the r4 tail registrations (16) ---
+        # --- first-ever driver rows: the r5 tail registrations (16) ---
+        "q107_bigram_surprisal": q107_bigram_surprisal,
+        "q108_lexical_diversity": q108_lexical_diversity,
+        "q109_quantize_embeddings": q109_quantize_embeddings,
+        "q110_temperature_mixture": q110_temperature_mixture,
+        "q111_cluster_representatives": q111_cluster_representatives,
+        "q112_char_entropy": q112_char_entropy,
+        "q113_gopher_flags": q113_gopher_flags,
+        "q114_stream_zscore": q114_stream_zscore,
+        "q115_stream_ingest": q115_stream_ingest,
+        "q116_session_incident_overlap": q116_session_incident_overlap,
+        "q117_duplication_report": q117_duplication_report,
+        "q118_vocab_coverage": q118_vocab_coverage,
+        "q119_mix_plan": q119_mix_plan,
+        "q120_ngram_novelty": q120_ngram_novelty,
+        "q121_execute_mix_plan": q121_execute_mix_plan,
+        "q122_group_split": q122_group_split,
+        # --- new in r6: fetch layer through the Python DataSource ---
+        "q123_fda_datasource_agg": q123_fda_datasource_agg,
+        # --- r6 oracle-semantics change, re-evidence ---
+        "q03_exact_dedup": q03_exact_dedup,
+        # --- oldest stale evidence (r3-green), rotated back in (8) ---
+        "q60_contamination": q60_contamination,
+        "q61_cap_per_group": q61_cap_per_group,
+        "q62_resample_fill": q62_resample_fill,
+        "q65_chunk_documents": q65_chunk_documents,
+        "q66_unigram_quality": q66_unigram_quality,
+        "q67_mix_corpora": q67_mix_corpora,
+        "q68_repetition": q68_repetition,
+        "q69_winnow_fingerprints": q69_winnow_fingerprints,
+        # --- one-round-stale r4 greens, first half of the rotation (24) ---
+        "q01_pricing_summary": q01_pricing_summary,
+        "q04_size_binning": q04_size_binning,
+        "q05_phase_ladder": q05_phase_ladder,
+        "q06_latest_event_per_user": q06_latest_event_per_user,
+        "q09_severity_weighted": q09_severity_weighted,
+        "q10_ship_delay": q10_ship_delay,
+        "q11_normalize_project": q11_normalize_project,
+        "q13_event_counts": q13_event_counts,
+        "q14_hourly_windows": q14_hourly_windows,
+        "q15_text_stats": q15_text_stats,
+        "q16_fingerprint": q16_fingerprint,
+        "q20_embedding_near_dups": q20_embedding_near_dups,
+        "q20b_embedding_near_dups_hi": q20b_embedding_near_dups_hi,
+        "q21_age_bins": q21_age_bins,
+        "q22_simhash_pairs": q22_simhash_pairs,
+        "q26_anti_join": q26_anti_join,
+        "q32_percentiles": q32_percentiles,
+        "q33_pivot_activity": q33_pivot_activity,
+        "q34_daily_active_users": q34_daily_active_users,
+        "q42_json_props": q42_json_props,
+        "q50_top_orders_per_priority": q50_top_orders_per_priority,
+        "q51_event_navigation": q51_event_navigation,
+        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
+        "q53_grouping_sets": q53_grouping_sets,
+        # --- tail (positions 51+, not recorded this round) ---
+        # second half of the r4-green rotation — leads the r7 window:
+        "q57_dedup_clusters": q57_dedup_clusters,
+        "q59_redact_pii": q59_redact_pii,
+        "q63b_pack_invariants": q63b_pack_invariants,
+        "q64b_profile_exact": q64b_profile_exact,
+        "q70_winnow_overlap": q70_winnow_overlap,
+        "q71_bm25_topk": q71_bm25_topk,
+        "q72_semantic_dedup": q72_semantic_dedup,
+        "q73_span_dedup": q73_span_dedup,
+        "q74_tfidf_terms": q74_tfidf_terms,
+        "q75_funnel": q75_funnel,
+        "q76_cohort_retention": q76_cohort_retention,
+        "q77_centroid_outliers": q77_centroid_outliers,
+        "q78_stream_static_enrich": q78_stream_static_enrich,
+        "q79_batch_retrieval": q79_batch_retrieval,
+        "q80_stream_stream_join": q80_stream_stream_join,
+        "q82_mad_outliers": q82_mad_outliers,
+        "q83_fuzzy_linkage": q83_fuzzy_linkage,
+        "q84_snapshot_diff": q84_snapshot_diff,
+        "q85_rolling_zscore": q85_rolling_zscore,
+        "q86_incremental_neardup": q86_incremental_neardup,
+        "q87_mutual_nn": q87_mutual_nn,
+        "q88_range_lookup": q88_range_lookup,
+        "q89_cooccurrence": q89_cooccurrence,
+        "q90_hybrid_retrieval": q90_hybrid_retrieval,
+        # r5-green window members, kernels untouched this round:
         "q91_unpivot_metrics": q91_unpivot_metrics,
         "q92_quantile_buckets": q92_quantile_buckets,
         "q93_scd2_intervals": q93_scd2_intervals,
@@ -5434,12 +5575,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_embedding_dim_stats": q104_embedding_dim_stats,
         "q105_top_paths": q105_top_paths,
         "q106_length_histogram": q106_length_histogram,
-        # --- kernels changed in r5, need fresh evidence (4) ---
         "q23_ivf_topk": q23_ivf_topk,
         "q24_multimodal_features": q24_multimodal_features,
         "q07_quality_metrics": q07_quality_metrics,
         "q81_salted_join": q81_salted_join,
-        # --- stale r3 evidence rotated back in (30) ---
         "q02_containment_enrich": q02_containment_enrich,
         "q08_duplicate_rows": q08_duplicate_rows,
         "q12_topk_orders": q12_topk_orders,
@@ -5470,87 +5609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_streaming_sessions": q55_streaming_sessions,
         "q56_stratified_sample": q56_stratified_sample,
         "q58_segment_spend_tiers": q58_segment_spend_tiers,
-        # --- tail (positions 51+, not recorded this round) ---
-        # r3-green remainder — first in line for the r6 window:
-        "q60_contamination": q60_contamination,
-        "q61_cap_per_group": q61_cap_per_group,
-        "q62_resample_fill": q62_resample_fill,
-        "q65_chunk_documents": q65_chunk_documents,
-        "q66_unigram_quality": q66_unigram_quality,
-        "q67_mix_corpora": q67_mix_corpora,
-        "q68_repetition": q68_repetition,
-        "q69_winnow_fingerprints": q69_winnow_fingerprints,
-        # r4-green, kernels untouched this round:
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_exact_dedup": q03_exact_dedup,
-        "q04_size_binning": q04_size_binning,
-        "q05_phase_ladder": q05_phase_ladder,
-        "q06_latest_event_per_user": q06_latest_event_per_user,
-        "q09_severity_weighted": q09_severity_weighted,
-        "q10_ship_delay": q10_ship_delay,
-        "q11_normalize_project": q11_normalize_project,
-        "q13_event_counts": q13_event_counts,
-        "q14_hourly_windows": q14_hourly_windows,
-        "q15_text_stats": q15_text_stats,
-        "q16_fingerprint": q16_fingerprint,
-        "q20_embedding_near_dups": q20_embedding_near_dups,
-        "q20b_embedding_near_dups_hi": q20b_embedding_near_dups_hi,
-        "q21_age_bins": q21_age_bins,
-        "q22_simhash_pairs": q22_simhash_pairs,
-        "q26_anti_join": q26_anti_join,
-        "q32_percentiles": q32_percentiles,
-        "q33_pivot_activity": q33_pivot_activity,
-        "q34_daily_active_users": q34_daily_active_users,
-        "q42_json_props": q42_json_props,
-        "q50_top_orders_per_priority": q50_top_orders_per_priority,
-        "q51_event_navigation": q51_event_navigation,
-        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
-        "q53_grouping_sets": q53_grouping_sets,
-        "q57_dedup_clusters": q57_dedup_clusters,
-        "q59_redact_pii": q59_redact_pii,
-        "q63b_pack_invariants": q63b_pack_invariants,
-        "q64b_profile_exact": q64b_profile_exact,
-        "q70_winnow_overlap": q70_winnow_overlap,
-        "q71_bm25_topk": q71_bm25_topk,
-        "q72_semantic_dedup": q72_semantic_dedup,
-        "q73_span_dedup": q73_span_dedup,
-        "q74_tfidf_terms": q74_tfidf_terms,
-        "q75_funnel": q75_funnel,
-        "q76_cohort_retention": q76_cohort_retention,
-        "q77_centroid_outliers": q77_centroid_outliers,
-        "q78_stream_static_enrich": q78_stream_static_enrich,
-        "q79_batch_retrieval": q79_batch_retrieval,
-        "q80_stream_stream_join": q80_stream_stream_join,
-        "q82_mad_outliers": q82_mad_outliers,
-        "q83_fuzzy_linkage": q83_fuzzy_linkage,
-        "q84_snapshot_diff": q84_snapshot_diff,
-        "q85_rolling_zscore": q85_rolling_zscore,
-        "q86_incremental_neardup": q86_incremental_neardup,
-        "q87_mutual_nn": q87_mutual_nn,
-        "q88_range_lookup": q88_range_lookup,
-        "q89_cooccurrence": q89_cooccurrence,
-        "q90_hybrid_retrieval": q90_hybrid_retrieval,
         # rows-only (correctness signal lives in q63b/q64b):
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
-        # registered r5 at the tail: first driver evidence rides the
-        # r6 window (local oracles green at sf0.001/sf0.01/sf0.1)
-        "q107_bigram_surprisal": q107_bigram_surprisal,
-        "q108_lexical_diversity": q108_lexical_diversity,
-        "q109_quantize_embeddings": q109_quantize_embeddings,
-        "q110_temperature_mixture": q110_temperature_mixture,
-        "q111_cluster_representatives": q111_cluster_representatives,
-        "q112_char_entropy": q112_char_entropy,
-        "q113_gopher_flags": q113_gopher_flags,
-        "q114_stream_zscore": q114_stream_zscore,
-        "q115_stream_ingest": q115_stream_ingest,
-        "q116_session_incident_overlap": q116_session_incident_overlap,
-        "q117_duplication_report": q117_duplication_report,
-        "q118_vocab_coverage": q118_vocab_coverage,
-        "q119_mix_plan": q119_mix_plan,
-        "q120_ngram_novelty": q120_ngram_novelty,
-        "q121_execute_mix_plan": q121_execute_mix_plan,
-        "q122_group_split": q122_group_split,
     }
 
 
@@ -5679,6 +5740,7 @@ def oracle_sql() -> dict[str, str]:
         "q120_ngram_novelty": Q120_SQL,
         "q121_execute_mix_plan": Q121_SQL,
         "q122_group_split": Q122_SQL,
+        "q123_fda_datasource_agg": Q123_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by
