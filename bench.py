@@ -99,9 +99,11 @@ def main() -> None:
 
     # two passes, keep the per-query MIN: a transient co-tenant load
     # spike on the shared host otherwise records a 5x-noise outlier as
-    # the round's number. min-of-2 is the standard defense; raise via
-    # SPARK_GRAFT_BENCH_PASSES when bracketing host variance.
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # the round's number. r6: default raised to min-of-3 — bracketing
+    # runs showed this host swings individual passes by ±15% with NO
+    # code change (7.14/8.53/8.23 s across 3 back-to-back 2-pass runs),
+    # and a third pass recovers most of that at ~4 s extra wall time.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
     for _pass in range(passes):
         for name in HEADLINE:
