@@ -974,17 +974,22 @@ def q23_ivf_topk(spark, sf_dir):
 # nprobe best cells by query-centroid cosine (Python's stable sort ==
 # ORDER BY sim DESC, cell_id ASC). Raw-double cosine ordering agrees
 # between the engines on DOUBLE[] input (same precedent as q19).
-def _ivf_sql(num_cells=16, nprobe=4, k=10, iters=2, round_dp=6) -> str:
+def _ivf_lloyd_ctes(
+    num_cells=16, iters=2, round_dp=6, src="embeddings"
+) -> str:
+    """The seeded-k-means unroll shared by the q23 IVF oracle and the
+    q126 index-append oracle: cents0 (the num_cells smallest-key
+    vectors of ``src``) plus one (assignment, mean) CTE pair per Lloyd
+    iteration, ending at cents{iters}. ``src`` is any relation with
+    (vec_id, embedding)."""
     parts = [
-        f"""
-WITH cents0 AS (
+        f"""cents0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
          CAST(embedding AS DOUBLE[]) AS cvec
-  FROM (SELECT vec_id, embedding FROM embeddings
+  FROM (SELECT vec_id, embedding FROM {src}
         ORDER BY vec_id ASC LIMIT {num_cells})
 ),
-emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)"""
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM {src})"""
     ]
     for i in range(iters):
         parts.append(
@@ -1010,6 +1015,16 @@ cents{i + 1} AS (
   ) n USING (cell_id)
 )"""
         )
+    return "".join(parts)
+
+
+def _ivf_sql(num_cells=16, nprobe=4, k=10, iters=2, round_dp=6) -> str:
+    parts = [
+        "\nWITH "
+        + _ivf_lloyd_ctes(num_cells, iters, round_dp)
+        + """,
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)"""
+    ]
     parts.append(
         f""",
 af AS (
@@ -5021,6 +5036,69 @@ WHERE doc_id NOT IN (SELECT key_b FROM losers)
 
 
 # ---------------------------------------------------------------------------
+# q124 — persisted signature INDEX state after a drain (r6's
+# streaming/ingest.py `<corpus>_sigs` table): the index rows must be
+# exactly the minhash signatures of the accepted survivors, with
+# all-null PLACEHOLDER rows (sh = [], mh* null) for accepted docs too
+# short to shingle — the invariant that keeps the per-batch self-heal
+# check metadata-only (index row count == corpus row count). Oracle =
+# the q115 survivor pipeline joined LEFT to the shared _mh_sig_ctes
+# signature CTEs; verifying the 8 mh lanes hash-exact proves the
+# stored index bytes, not just the accept/reject decisions.
+# ---------------------------------------------------------------------------
+def q124_signature_index(spark, sf_dir):
+    import tempfile
+
+    from cloud_native_medical_data_etl_pipeline_spark.streaming.ingest import (
+        stream_dedup_ingest,
+    )
+
+    work = tempfile.mkdtemp(prefix="q124_")
+    stream_dedup_ingest(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        f"{work}/corpus",
+        f"{work}/ckpt",
+        jaccard_threshold=_MH_THRESH,
+    )
+    sigs = spark.read.parquet(f"{work}/corpus_sigs")
+    return sigs.select(
+        "k",
+        F.size("sh").cast("long").alias("n_shingles"),
+        *[F.col(f"mh{i}") for i in range(_MH_H)],
+    )
+
+
+def _q124_sql() -> str:
+    mh_cols = ", ".join(f"s.mh{i}" for i in range(_MH_H))
+    return f"""
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY COALESCE(text, '')
+),
+docs_d AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+{_mh_sig_ctes(src="docs_d")},
+cand AS (
+  SELECT DISTINCT a.k AS key_a, b.k AS key_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.k < b.k
+),
+scored AS (
+  SELECT c.key_a, c.key_b,
+         len(list_intersect(x.sh, y.sh)) * 1.0
+           / len(list_distinct(x.sh || y.sh)) AS jaccard
+  FROM cand c JOIN sh x ON c.key_a = x.k JOIN sh y ON c.key_b = y.k
+),
+losers AS (SELECT DISTINCT key_b FROM scored WHERE jaccard >= {_MH_THRESH!r}),
+survivors AS (
+  SELECT doc_id FROM docs_d WHERE doc_id NOT IN (SELECT key_b FROM losers)
+)
+SELECT v.doc_id AS k,
+       CAST(COALESCE(len(s.sh), 0) AS BIGINT) AS n_shingles,
+       {mh_cols}
+FROM survivors v LEFT JOIN sig s ON v.doc_id = s.k
+"""
+
+
+# ---------------------------------------------------------------------------
 # q116 — interval×interval overlap join (operators/joins.py
 # interval_overlap_join): sessions (gap sessionization, q30's kernel)
 # overlap-joined against "incident" minutes (global per-minute event
@@ -5442,6 +5520,144 @@ FROM flat GROUP BY sponsor_name
 """
 
 
+# ---------------------------------------------------------------------------
+# q125 — Bloom-filter contamination gate (operators/bloom.py): the
+# sketch form of q60's exact contamination join. src0's n-grams pack
+# into an m-bit Bloom filter (m/64 longs, BROADCAST); every other
+# doc's grams probe it map-side (k deterministic md5 positions per
+# gram), and the only shuffle is the doc-keyed hit count. The oracle
+# reconstructs the same position sets in SQL — membership against the
+# distinct inserted-position set is bit-identical to the packed-long
+# probe, INCLUDING the sketch's false positives, so the driver check
+# verifies the Bloom decision itself.
+# ---------------------------------------------------------------------------
+_BLOOM_N, _BLOOM_M, _BLOOM_K, _BLOOM_FLAG = 3, 1 << 16, 3, 0.5
+
+
+def q125_bloom_contamination(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import bloom as B
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    filt = B.build_ngram_bloom(
+        ev, n=_BLOOM_N, m=_BLOOM_M, k=_BLOOM_K
+    )
+    return B.bloom_contamination(
+        corpus,
+        filt,
+        n=_BLOOM_N,
+        m=_BLOOM_M,
+        k=_BLOOM_K,
+        flag_threshold=_BLOOM_FLAG,
+    )
+
+
+def _q125_sql() -> str:
+    n, m, k, flag = _BLOOM_N, _BLOOM_M, _BLOOM_K, _BLOOM_FLAG
+    pos_list = ", ".join(
+        f"('0x' || substr(md5('{j}|' || gram), 1, 8))::BIGINT % {m}"
+        for j in range(k)
+    )
+    return f"""
+WITH ev_toks AS (
+  SELECT list_transform(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), t -> LOWER(t)) AS tk
+  FROM documents
+  WHERE source = 'src0'
+    AND regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+),
+ev_grams AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(tk) - {n - 2}),
+                         i -> array_to_string(tk[i:i+{n - 1}], ' '))) AS gram
+  FROM ev_toks WHERE len(tk) >= {n}
+),
+bloom_bits AS (
+  SELECT DISTINCT unnest([{pos_list}]) AS pos FROM ev_grams
+),
+probe_toks AS (
+  SELECT doc_id AS k,
+         list_transform(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), t -> LOWER(t)) AS tk
+  FROM documents
+  WHERE source <> 'src0'
+    AND regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+),
+probe_grams AS (
+  SELECT DISTINCT k,
+         unnest(list_transform(range(1, len(tk) - {n - 2}),
+                i -> array_to_string(tk[i:i+{n - 1}], ' '))) AS gram
+  FROM probe_toks WHERE len(tk) >= {n}
+),
+gram_hits AS (
+  SELECT k, gram,
+         (SELECT COUNT(*) FROM (SELECT unnest([{pos_list}]) AS p) q
+          WHERE p IN (SELECT pos FROM bloom_bits)) = {k} AS gram_hit
+  FROM probe_grams
+),
+per_doc AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(*) FILTER (WHERE gram_hit) AS BIGINT) AS n_hit
+  FROM gram_hits GROUP BY k
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_hit, 0) AS n_hit,
+       COALESCE(p.n_hit >= p.n_grams * {flag}, FALSE) AS contaminated
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.k
+WHERE d.source <> 'src0'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q126 — incremental IVF index maintenance (similarity.py
+# append_to_ivf_index): build the cell-partitioned index from the 90%
+# corpus (vec_id % 10 != 0), append the 10% delta batch against the
+# FIXED trained centroids, and report per-cell occupancy (total +
+# batch additions). Oracle: the shared _ivf_lloyd_ctes unroll trained
+# on the same corpus subset, then ONE assignment of all vectors
+# against cents{iters} — batch rows must land exactly where Spark's
+# map-side literal assignment put them.
+# ---------------------------------------------------------------------------
+_IVF_CELLS, _IVF_ITERS = 16, 2
+
+
+def q126_ivf_append(spark, sf_dir):
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    path = tempfile.mkdtemp(prefix="q126_") + "/index"
+    S.build_ivf_index(
+        corpus, path, num_cells=_IVF_CELLS, train_iters=_IVF_ITERS
+    )
+    S.append_to_ivf_index(spark, batch, path)
+    idx = spark.read.parquet(path)
+    return idx.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("vec_id") % 10 == 0).alias("n_batch"),
+    )
+
+
+def _q126_sql() -> str:
+    return f"""
+WITH {_ivf_lloyd_ctes(_IVF_CELLS, _IVF_ITERS, src="(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0)")},
+alla AS (
+  SELECT e.vec_id, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                    c.cell_id ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents{_IVF_ITERS} c
+)
+SELECT cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE vec_id % 10 = 0) AS BIGINT) AS n_batch
+FROM alla WHERE rn = 1
+GROUP BY cell_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -5609,6 +5825,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_streaming_sessions": q55_streaming_sessions,
         "q56_stratified_sample": q56_stratified_sample,
         "q58_segment_spend_tiers": q58_segment_spend_tiers,
+        # registered r6 at the tail: first driver evidence rides the
+        # r7 window (local oracles green at all three SFs)
+        "q124_signature_index": q124_signature_index,
+        "q125_bloom_contamination": q125_bloom_contamination,
+        "q126_ivf_append": q126_ivf_append,
         # rows-only (correctness signal lives in q63b/q64b):
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
@@ -5741,6 +5962,9 @@ def oracle_sql() -> dict[str, str]:
         "q121_execute_mix_plan": Q121_SQL,
         "q122_group_split": Q122_SQL,
         "q123_fda_datasource_agg": Q123_SQL,
+        "q124_signature_index": _q124_sql(),
+        "q125_bloom_contamination": _q125_sql(),
+        "q126_ivf_append": _q126_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

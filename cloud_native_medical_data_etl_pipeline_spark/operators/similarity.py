@@ -196,6 +196,39 @@ def build_ivf_index(
     cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/_ivf_centroids")
 
 
+def append_to_ivf_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> None:
+    """Incremental IVF maintenance: assign a delta batch of vectors to
+    the index's EXISTING trained centroids and append them to their
+    cell partitions — the per-ingest path that keeps `build_ivf_index`
+    a one-time cost.
+
+    Centroids stay fixed (standard IVF practice: retraining moves cell
+    boundaries and would strand previously-assigned vectors; re-run
+    `build_ivf_index` offline when drift accumulates — compare
+    `embedding_dim_stats` over time to decide). Cost per batch: one
+    map-side assignment pass against the centroid literals + one
+    partitioned append; the stored corpus is never read or rewritten.
+    A replayed batch appends duplicate rows — callers needing
+    exactly-once wrap this with the key anti-join guard the
+    streaming-ingest module uses.
+    """
+    rows = spark.read.parquet(f"{path}/_ivf_centroids").collect()
+    centroids = [
+        [float(x) for x in r["centroid"]]
+        for r in sorted(rows, key=lambda r: r["cell_id"])
+    ]
+    assigned = assign_cells(
+        batch.select(key_col, vec_col), centroids, vec_col
+    )
+    assigned.write.mode("append").partitionBy("cell_id").parquet(path)
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

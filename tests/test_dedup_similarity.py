@@ -859,3 +859,80 @@ def test_minhash_arrow_survives_all_filtered_partition(spark):
     rows = [(1, ""), (2, "one two"), (3, None), (4, "")]  # all < 3 tokens
     docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
     assert D.minhash_lsh_pairs(docs, jaccard_threshold=0.1).count() == 0
+
+
+def test_bloom_contamination_no_false_negatives_and_broadcast(spark):
+    """Bloom membership can false-positive but never false-negative: a
+    doc whose grams all come from the eval set MUST flag, a doc with
+    entirely novel vocabulary must not (at default m the fixture's
+    collision odds are nil), and the filter side must broadcast."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators import bloom as B
+
+    ev = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),          # fully contained
+            (11, "totally different words about nothing"),   # novel
+            (12, "xy"),                                      # no grams
+        ],
+        "doc_id long, text string",
+    )
+    filt = B.build_ngram_bloom(ev)
+    out = B.bloom_contamination(docs, filt)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[10]["contaminated"] and rows[10]["n_hit"] == rows[10]["n_grams"] > 0
+    assert not rows[11]["contaminated"] and rows[11]["n_hit"] == 0
+    assert rows[12]["n_grams"] == 0 and not rows[12]["contaminated"]
+
+
+def test_ivf_append_lands_in_trained_cells(spark, tmp_path):
+    """Appending a delta batch must reuse the STORED centroids (no
+    retrain): appended vectors land in the cell assign_cells gives
+    them, the index stays partition-pruned for queries, and the
+    centroid sidecar is unchanged."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "index")
+    S.build_ivf_index(corpus, path, num_cells=8, train_iters=1)
+    cents_before = sorted(
+        (r["cell_id"], tuple(r["centroid"]))
+        for r in spark.read.parquet(path + "/_ivf_centroids").collect()
+    )
+    S.append_to_ivf_index(spark, batch, path)
+    assert sorted(
+        (r["cell_id"], tuple(r["centroid"]))
+        for r in spark.read.parquet(path + "/_ivf_centroids").collect()
+    ) == cents_before
+
+    idx = spark.read.parquet(path)
+    assert idx.count() == emb.count()
+    # appended rows sit exactly where a fresh assignment puts them
+    centroids = [
+        [float(x) for x in r["centroid"]]
+        for r in sorted(
+            spark.read.parquet(path + "/_ivf_centroids").collect(),
+            key=lambda r: r["cell_id"],
+        )
+    ]
+    want = {
+        r["vec_id"]: r["cell_id"]
+        for r in S.assign_cells(batch, centroids).collect()
+    }
+    got = {
+        r["vec_id"]: r["cell_id"]
+        for r in idx.where(F.col("vec_id") % 10 == 0).collect()
+    }
+    assert got == want
+    # queries still prune partitions after the append
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    df = S.ivf_topk_indexed(spark, path, q, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan
