@@ -5658,6 +5658,161 @@ GROUP BY cell_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q127 — token-budget curriculum batching (operators/curate.py
+# budget_batches): per source, docs walk in (n_chars DESC, doc_id)
+# order and cut a new batch whenever the running token total crosses
+# the budget — batch_id = floor(exclusive-prefix-sum / budget), so
+# boundaries never split a doc and the assignment is a pure function
+# of the running sum (partitioning-independent). One source-keyed
+# shuffle + a streaming window. Output: per-(source, batch) sizing.
+# ---------------------------------------------------------------------------
+_BB_BUDGET = 2000
+
+
+def q127_budget_batches(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.curate import (
+        budget_batches,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    b = budget_batches(
+        docs, _BB_BUDGET, order_col="n_chars", descending=True
+    )
+    return b.groupBy("source", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("batch_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+Q127_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') = '' THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT)
+         END AS n_tokens
+  FROM documents
+),
+batched AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (
+            PARTITION BY source ORDER BY n_chars DESC NULLS LAST, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens) / {_BB_BUDGET}.0) AS BIGINT) AS batch_id
+  FROM toks
+)
+SELECT source, batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+       MIN(doc_id) AS first_doc
+FROM batched GROUP BY source, batch_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q128 — per-source PII incidence report (operators/quality.py
+# pii_report): doc- and span-level counts per PII class, counted with
+# q59's exact sequential-redaction semantics (pattern i runs on the
+# text with patterns 0..i-1 already replaced, so spans never
+# double-count across classes). Map-side regexp battery + one source
+# aggregate — the compliance-reporting face of redact_pii.
+# ---------------------------------------------------------------------------
+def q128_pii_report(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.quality import (
+        pii_report,
+    )
+
+    # The synthetic documents corpus contains no digits or '@' at any
+    # SF, so the raw report would be all-zero (vacuous oracle, the q85
+    # lesson). Deterministic PII is spliced in as a pure function of
+    # doc_id — identical expression in the oracle — so every class
+    # counter and the sequential-redaction interplay (the URL below
+    # swallows its own path) are genuinely exercised.
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" see https://ex.com/9876543210/p"), F.col("doc_id")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" mail u"), F.col("doc_id"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" ref 9876543210")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return pii_report(docs)
+
+
+Q128_SQL = r"""
+WITH s0 AS (
+  SELECT source,
+         COALESCE(text, '')
+         || CASE WHEN doc_id % 5 = 0 THEN ' see https://ex.com/9876543210/p' || doc_id ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' mail u' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' ref 9876543210' ELSE '' END
+         AS t
+  FROM documents
+),
+c1 AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS c_url,
+         regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t
+  FROM s0
+),
+c2 AS (
+  SELECT source, c_url,
+         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS c_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM c1
+),
+c3 AS (
+  SELECT source, c_url, c_email,
+         CAST(len(regexp_extract_all(t, '\+\d{1,3}[\s.-]?\(?\d{2,4}\)?[\s.-]?\d{3}[\s.-]?\d{3,4}\b')) AS BIGINT) AS p1,
+         regexp_replace(t, '\+\d{1,3}[\s.-]?\(?\d{2,4}\)?[\s.-]?\d{3}[\s.-]?\d{3,4}\b', '<PHONE>', 'g') AS t
+  FROM c2
+),
+c4 AS (
+  SELECT source, c_url, c_email, p1,
+         CAST(len(regexp_extract_all(t, '\(\d{3}\)[\s.-]?\d{3}[\s.-]\d{4}\b')) AS BIGINT) AS p2,
+         regexp_replace(t, '\(\d{3}\)[\s.-]?\d{3}[\s.-]\d{4}\b', '<PHONE>', 'g') AS t
+  FROM c3
+),
+c5 AS (
+  SELECT source, c_url, c_email, p1, p2,
+         CAST(len(regexp_extract_all(t, '\b\d{3}[\s.-]\d{3}[\s.-]\d{4}\b')) AS BIGINT) AS p3,
+         regexp_replace(t, '\b\d{3}[\s.-]\d{3}[\s.-]\d{4}\b', '<PHONE>', 'g') AS t
+  FROM c4
+),
+c6 AS (
+  SELECT source, c_url, c_email, p1 + p2 + p3 AS c_phone,
+         CAST(len(regexp_extract_all(t, '\b\d{9,}\b')) AS BIGINT) AS c_id
+  FROM c5
+)
+SELECT source,
+       CAST(SUM(c_url) AS BIGINT) AS n_url,
+       CAST(COUNT(*) FILTER (WHERE c_url > 0) AS BIGINT) AS docs_url,
+       CAST(SUM(c_email) AS BIGINT) AS n_email,
+       CAST(COUNT(*) FILTER (WHERE c_email > 0) AS BIGINT) AS docs_email,
+       CAST(SUM(c_phone) AS BIGINT) AS n_phone,
+       CAST(COUNT(*) FILTER (WHERE c_phone > 0) AS BIGINT) AS docs_phone,
+       CAST(SUM(c_id) AS BIGINT) AS n_id,
+       CAST(COUNT(*) FILTER (WHERE c_id > 0) AS BIGINT) AS docs_id,
+       CAST(COUNT(*) FILTER (WHERE c_url + c_email + c_phone + c_id > 0) AS BIGINT) AS docs_any_pii,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM c6 GROUP BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -5830,6 +5985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_signature_index": q124_signature_index,
         "q125_bloom_contamination": q125_bloom_contamination,
         "q126_ivf_append": q126_ivf_append,
+        "q127_budget_batches": q127_budget_batches,
+        "q128_pii_report": q128_pii_report,
         # rows-only (correctness signal lives in q63b/q64b):
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
@@ -5965,6 +6122,8 @@ def oracle_sql() -> dict[str, str]:
         "q124_signature_index": _q124_sql(),
         "q125_bloom_contamination": _q125_sql(),
         "q126_ivf_append": _q126_sql(),
+        "q127_budget_batches": Q127_SQL,
+        "q128_pii_report": Q128_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

@@ -381,3 +381,62 @@ def hash_split_by_group(
         expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
     )
     return df.withColumn("split", expr)
+
+
+def budget_batches(
+    df: DataFrame,
+    budget_tokens: int,
+    order_col: str,
+    group_col: str = "source",
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    descending: bool = False,
+) -> DataFrame:
+    """Deterministic curriculum batching: within each ``group_col``,
+    walk docs in (order_col, key_col) order and cut a new batch every
+    time the running token total crosses ``budget_tokens`` — the
+    "fill each training batch to ~N tokens" step between curation and
+    packing (q63 packs WITHIN a sequence budget; this slices the
+    corpus into sequential GLOBAL batches a trainer consumes in
+    order).
+
+    A doc belongs to the batch its EXCLUSIVE prefix sum falls in
+    (batch_id = floor(prefix/budget)), so batch boundaries never split
+    a document and a batch can overshoot by at most one doc — the
+    greedy rule whose determinism survives any partitioning because it
+    is a pure function of the running sum, not of task boundaries.
+
+    Scale shape: one hash-partition shuffle on ``group_col`` + a
+    streaming window (running SUM is O(1) state per row); the batch id
+    is a map-side expression on the sum. Per-group ordering means no
+    global sort — groups batch independently, which is also what
+    data-parallel loaders want. Docs with zero tokens get batched like
+    any other (they consume no budget).
+
+    Returns ``df`` plus ``n_tokens``, ``batch_id``. Deterministic:
+    ties on ``order_col`` break on ``key_col``.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import text as X
+    from ._common import col_ref
+
+    oc = col_ref(order_col)
+    w = (
+        Window.partitionBy(col_ref(group_col))
+        .orderBy(
+            oc.desc() if descending else oc.asc(), col_ref(key_col).asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_tokens = df.withColumn(
+        "n_tokens",
+        X.token_count(F.coalesce(col_ref(content_col), F.lit(""))),
+    )
+    return with_tokens.withColumn(
+        "batch_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(budget_tokens)
+        ).cast("long"),
+    )

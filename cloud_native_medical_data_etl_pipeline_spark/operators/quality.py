@@ -277,3 +277,58 @@ def run_quality_checks(
         "overall_passed": all(c["passed"] for c in checks),
         "checks": checks,
     }
+
+
+def pii_report(
+    df: DataFrame,
+    content_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group PII incidence: how many documents contain each PII
+    class (URL / email / phone / long-id) and how many total spans —
+    the compliance-reporting companion to `functions.text.redact_pii`
+    (which removes them, q59). The reference's quality suite counts
+    nulls and dupes (data_quality.py:101-140); this extends the same
+    reporting shape to content-level risk.
+
+    Counting model mirrors redaction EXACTLY: pattern i is counted on
+    the text with patterns 0..i-1 already replaced (the sequential
+    `redact_pii` semantics), so a span never double-counts across
+    classes (a phone inside a URL counts as URL) and the class totals
+    sum to the number of placeholders redaction would have inserted.
+
+    Pure map-side expression battery (one regexp_extract_all +
+    regexp_replace chain per pattern, all codegen) + one group_col
+    aggregate — the q113 Gopher-flags scale shape.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import PII_PATTERNS
+    from ._common import col_ref
+
+    cur = F.coalesce(col_ref(content_col), F.lit(""))
+    class_counts: dict[str, Column] = {}
+    for pat, repl in PII_PATTERNS:
+        name = repl.strip("<>").lower()
+        cnt = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        class_counts[name] = class_counts.get(name, F.lit(0)) + cnt
+        cur = F.regexp_replace(cur, pat, repl)
+    counted = df.select(
+        col_ref(group_col).alias("grp"),
+        *[c.alias(f"n_{name}") for name, c in class_counts.items()],
+    )
+    aggs = []
+    for name in class_counts:
+        aggs.append(F.sum(f"n_{name}").cast("long").alias(f"n_{name}"))
+        aggs.append(
+            F.count_if(F.col(f"n_{name}") > 0).cast("long").alias(f"docs_{name}")
+        )
+    aggs.append(
+        F.count_if(
+            sum((F.col(f"n_{n}") for n in class_counts), F.lit(0)) > 0
+        )
+        .cast("long")
+        .alias("docs_any_pii")
+    )
+    aggs.append(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return counted.groupBy(F.col("grp").alias(group_col)).agg(*aggs)
