@@ -240,13 +240,19 @@ def stream_dedup_ingest(
     content_col: str = "text",
     key_col: str = "doc_id",
     jaccard_threshold: float = 0.5,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Drain ``input_path`` (a directory of parquet document files, or
     a single ``.parquet`` file — split into (parent dir, glob filter)
     the way `sources.events_io.stream_events` does, since the file
     stream source only accepts directories) into the deduplicated
     corpus at ``corpus_path`` with an availableNow trigger — each
-    micro-batch flows through :func:`ingest_batch`."""
+    micro-batch flows through :func:`ingest_batch`.
+
+    ``max_files_per_trigger`` bounds the files per micro-batch (the
+    file source's knob) — a multi-batch drain through the persisted
+    signature index is property-tested equal to sequential
+    :func:`ingest_batch` calls over the same file splits."""
     import os
 
     schema = spark.read.parquet(input_path).schema
@@ -261,6 +267,8 @@ def stream_dedup_ingest(
         )
 
     reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if input_path.endswith(".parquet") and not os.path.isdir(input_path):
         reader = reader.option(
             "pathGlobFilter", os.path.basename(input_path)

@@ -448,3 +448,54 @@ def test_ingest_signature_index_self_heals(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 11}
     # heal rebuilt + batch appended: index complete again
     assert spark.read.parquet(corpus + "_sigs").count() == 2
+
+
+def test_multi_batch_drain_equals_sequential_ingest(spark, tmp_path):
+    """A 2-micro-batch drain (maxFilesPerTrigger=1) through the
+    persisted signature index must produce the same corpus as calling
+    ingest_batch sequentially on the same file splits — cross-batch
+    near-dup gating flows through the index, not batch co-residence."""
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import ingest as SI
+
+    f1 = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "spark query engines shuffle data between executors for joins"),
+    ]
+    f2 = [
+        (10, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+        (11, "a completely novel document about watermark semantics in streams"),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    # one parquet FILE per batch, named so file order matches ingest order
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(str(src / "b"))
+    import glob as _glob
+    import shutil as _shutil
+
+    for sub in ("a", "b"):
+        part = _glob.glob(str(src / sub / "part-*.parquet"))[0]
+        _shutil.move(part, str(src / f"{sub}.parquet"))
+        _shutil.rmtree(str(src / sub))
+
+    stream_corpus = str(tmp_path / "stream_corpus")
+    SI.stream_dedup_ingest(
+        spark, str(src), stream_corpus, str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+    )
+
+    seq_corpus = str(tmp_path / "seq_corpus")
+    SI.ingest_batch(spark.createDataFrame(f1, schema), seq_corpus)
+    SI.ingest_batch(spark.createDataFrame(f2, schema), seq_corpus)
+
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(stream_corpus).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(seq_corpus).collect()
+    )
+    assert got == want
+    assert {d for d, _ in got} == {1, 2, 11}  # 10 gated cross-batch
+    # index tracked both appends
+    assert spark.read.parquet(stream_corpus + "_sigs").count() == 3
