@@ -5813,6 +5813,68 @@ FROM c6 GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q129 — Count-Min heavy hitters (operators/sketch.py): estimate the
+# top tokens' frequencies from a d×w sketch (state capped at d·w
+# counters however large the vocabulary) and report exact vs estimate
+# side by side — est >= exact always (collisions only inflate), and
+# with deterministic md5 rows the oracle reproduces the estimates
+# EXACTLY, overestimates included. Ranked top-15 by exact count with
+# token tiebreak.
+# ---------------------------------------------------------------------------
+_CMS_D, _CMS_W, _CMS_TOPK = 4, 1 << 10, 15
+
+
+def q129_count_min_topk(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import sketch as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    cms = SK.build_count_min(docs, d=_CMS_D, w=_CMS_W)
+    exact = (
+        docs.select(
+            F.explode(X.lower_tokens(F.coalesce("text", F.lit("")))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("tok").asc())
+        .limit(_CMS_TOPK)
+    )
+    est = SK.count_min_estimate(exact, cms, d=_CMS_D, w=_CMS_W)
+    return exact.join(est, "tok").select("tok", "n_exact", "n_est")
+
+
+def _q129_sql() -> str:
+    d, w, k = _CMS_D, _CMS_W, _CMS_TOPK
+    pos = lambda j, col: (
+        f"('0x' || substr(md5('{j}|' || {col}), 1, 8))::BIGINT % {w}"
+    )
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {pos(j, 'tok')} AS pos FROM toks" for j in range(d)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT tok, n_exact, {j} AS j, {pos(j, 'tok')} AS pos FROM topk"
+        for j in range(d)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_transform(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), t -> LOWER(t))) AS tok
+  FROM documents
+  WHERE regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+),
+cells AS ({cell_rows}),
+cms AS (SELECT j, pos, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY j, pos),
+topk AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM toks GROUP BY tok
+  ORDER BY n_exact DESC, tok ASC LIMIT {k}
+),
+probes AS ({probe_rows})
+SELECT p.tok, p.n_exact, MIN(COALESCE(c.cnt, 0)) AS n_est
+FROM probes p LEFT JOIN cms c ON p.j = c.j AND p.pos = c.pos
+GROUP BY p.tok, p.n_exact
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -5987,6 +6049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_ivf_append": q126_ivf_append,
         "q127_budget_batches": q127_budget_batches,
         "q128_pii_report": q128_pii_report,
+        "q129_count_min_topk": q129_count_min_topk,
         # rows-only (correctness signal lives in q63b/q64b):
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
@@ -6124,6 +6187,7 @@ def oracle_sql() -> dict[str, str]:
         "q126_ivf_append": _q126_sql(),
         "q127_budget_batches": Q127_SQL,
         "q128_pii_report": Q128_SQL,
+        "q129_count_min_topk": _q129_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

@@ -936,3 +936,31 @@ def test_ivf_append_lands_in_trained_cells(spark, tmp_path):
     df = S.ivf_topk_indexed(spark, path, q, k=5, nprobe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell_id" in plan
+
+
+def test_count_min_overestimates_never_under(spark):
+    """CMS property: estimate >= exact for every token that was in the
+    build stream; with w far above the vocabulary, estimates are
+    exact. The sketch must stay <= d*w rows and broadcast on probe."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators import sketch as SK
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d d"), (3, None)],
+        "doc_id long, text string",
+    )
+    cms = SK.build_count_min(docs, d=3, w=64)
+    assert cms.count() <= 3 * 64
+    toks = spark.createDataFrame(
+        [("a",), ("b",), ("d",), ("zz",)], "tok string"
+    )
+    est = {r["tok"]: r["n_est"] for r in SK.count_min_estimate(toks, cms, d=3, w=64).collect()}
+    exact = {"a": 4, "b": 3, "d": 2}
+    for t, n in exact.items():
+        assert est[t] >= n
+    # tiny vocabulary in a 64-wide sketch: collisions vanish, est exact
+    assert est == {**exact, "zz": est["zz"]}
+    assert est["zz"] >= 0  # unseen probe may collide but never negative
+
+    out = SK.count_min_estimate(toks, cms, d=3, w=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
