@@ -5875,6 +5875,73 @@ GROUP BY p.tok, p.n_exact
 """
 
 
+# ---------------------------------------------------------------------------
+# q130 — split-leakage audit (operators/curate.py
+# split_leakage_report): assign q43's row-level hash split, then ask
+# the question that split's metrics can't answer — per lang, how many
+# EVAL docs near-duplicate a TRAIN doc (minhash probe join, q86's
+# asymmetric kernel). The synthetic corpus carries real duplicate
+# clusters, so a row-level split leaks by construction and the report
+# is non-vacuous at every SF.
+# ---------------------------------------------------------------------------
+def q130_split_leakage(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.curate import (
+        split_leakage_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "split",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "3",
+            F.lit("eval"),
+        ).otherwise(F.lit("train")),
+    )
+    return split_leakage_report(
+        docs,
+        jaccard_threshold=_MH_THRESH,
+        num_hashes=_MH_H,
+        bands=_MH_BANDS,
+        ngram_n=_MH_N,
+    )
+
+
+def _q130_sql() -> str:
+    return f"""
+WITH {_mh_sig_ctes()},
+splits AS (
+  SELECT doc_id, lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '3'
+              THEN 'eval' ELSE 'train' END AS split
+  FROM documents
+),
+cand AS (
+  SELECT DISTINCT p.k AS pk, c.k AS ck
+  FROM banded p
+  JOIN splits sp ON p.k = sp.doc_id AND sp.split = 'eval'
+  JOIN banded c ON p.bucket = c.bucket
+  JOIN splits sc ON c.k = sc.doc_id AND sc.split = 'train'
+),
+scored AS (
+  SELECT cand.pk,
+         ROUND(len(list_intersect(x.sh, y.sh)) * 1.0
+               / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+  FROM cand JOIN sh x ON cand.pk = x.k JOIN sh y ON cand.ck = y.k
+),
+per_doc AS (
+  SELECT pk, CAST(COUNT(*) AS BIGINT) AS pairs
+  FROM scored WHERE jaccard >= {_MH_THRESH} GROUP BY pk
+)
+SELECT s.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(COUNT(*) FILTER (WHERE p.pairs IS NOT NULL) AS BIGINT) AS n_leaked,
+       CAST(SUM(COALESCE(p.pairs, 0)) AS BIGINT) AS n_leak_pairs,
+       ROUND(COUNT(*) FILTER (WHERE p.pairs IS NOT NULL) * 1.0 / COUNT(*), 6) AS leak_rate
+FROM splits s LEFT JOIN per_doc p ON s.doc_id = p.pk
+WHERE s.split = 'eval'
+GROUP BY s.lang
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -5884,7 +5951,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry holds 126.  Each round's first-50 window is chosen so
+    # registry holds 133.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 6 window, in priority order:
@@ -6050,6 +6117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_budget_batches": q127_budget_batches,
         "q128_pii_report": q128_pii_report,
         "q129_count_min_topk": q129_count_min_topk,
+        "q130_split_leakage": q130_split_leakage,
         # rows-only (correctness signal lives in q63b/q64b):
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
@@ -6188,6 +6256,7 @@ def oracle_sql() -> dict[str, str]:
         "q127_budget_batches": Q127_SQL,
         "q128_pii_report": Q128_SQL,
         "q129_count_min_topk": _q129_sql(),
+        "q130_split_leakage": _q130_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

@@ -440,3 +440,65 @@ def budget_batches(
             / F.lit(budget_tokens)
         ).cast("long"),
     )
+
+
+def split_leakage_report(
+    docs: DataFrame,
+    split_col: str = "split",
+    eval_split: str = "eval",
+    train_split: str = "train",
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    group_col: str = "lang",
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Eval-hygiene audit: per ``group_col``, how many eval-split docs
+    are near-duplicates of a train-split doc — the contamination a
+    row-level split silently admits and the reason
+    `hash_split_by_group` exists. Pure-split metrics (q43) say the
+    SIZES are right; this says the CONTENT is disjoint.
+
+    Composition: the asymmetric `minhash_lsh_join` probes eval against
+    train (candidate volume tracks eval's true-match rate, never
+    |train|²), then one group aggregate:
+    (group, n_eval, n_leaked, n_leak_pairs, leak_rate). Eval docs with
+    no group (NULL) report under the NULL group rather than dropping —
+    the null-safe aggregation convention every categorical stat here
+    follows.
+    """
+    from . import dedup as D
+    from ._common import col_ref
+
+    ev = docs.where(F.col(split_col) == eval_split)
+    tr = docs.where(F.col(split_col) == train_split)
+    leaks = D.minhash_lsh_join(
+        ev,
+        tr,
+        content_col=content_col,
+        key_col=key_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        ngram_n=ngram_n,
+    )
+    per_doc = leaks.groupBy(F.col("probe_key").alias("__k")).agg(
+        F.count(F.lit(1)).alias("__pairs")
+    )
+    return (
+        ev.select(col_ref(key_col).alias("__k"), col_ref(group_col).alias("grp"))
+        .join(per_doc, "__k", "left")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.count_if(F.col("__pairs").isNotNull()).cast("long").alias("n_leaked"),
+            F.sum(F.coalesce("__pairs", F.lit(0))).cast("long").alias("n_leak_pairs"),
+            F.round(
+                F.count_if(F.col("__pairs").isNotNull())
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("leak_rate"),
+        )
+    )
