@@ -123,16 +123,20 @@ def bloom_contamination(
     those groups. Docs with no grams (fewer than n tokens) are kept
     with n_grams = 0 and contaminated = false.
 
-    Two alternative formulations were measured SLOWER at sf0.1 and
-    rejected (r6): inlining the packed filter as a dense array literal
-    with the probe in a `size(filter(grams, g -> ...))` Project is
-    shuffle-free but higher-order-function lambdas evaluate
-    interpreted — 2.0 s vs 0.41 s here; the same literal probed from
-    exploded gram rows re-derives each position twice and pays
-    1024-literal plan analysis per run — 3.0 s. The broadcast join
-    keeps every expression inside whole-stage codegen and its shuffle
-    carries one narrow row per distinct (doc, gram), the same volume
-    the MinHash band path ships.
+    Measurement note (r6, with results FORCED via a full aggregate —
+    a bare count() lets Catalyst eliminate the left-outer join against
+    the unique-keyed hit frame and skip the md5 work entirely, which
+    invalidated a first round of comparisons): this form and the
+    shuffle-free alternative (packed filter inlined as a dense array
+    literal, probe in a `size(filter(grams, g -> ...))` Project) tie
+    at sf0.1 (~2.5 s for 4.75k docs) — the interpreted-lambda penalty
+    of the HOF form roughly cancels the join+shuffle cost of this one.
+    This form is kept because every expression stays inside
+    whole-stage codegen, the shuffle volume (one narrow row per
+    distinct (doc, gram)) matches what the MinHash band family already
+    ships, and a literal-free plan avoids re-analyzing a 1024-element
+    array literal per run. Measured: 2.38 s / 2.88 s / 11.24 s at
+    4.75k / 47.5k / 475k docs — linear in gram volume, as designed.
     """
     probe = _gram_frame(docs, content_col, key_col, n).select(
         "k", "gram", F.posexplode(_positions(F.col("gram"), m, k))
