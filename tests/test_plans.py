@@ -258,3 +258,37 @@ def test_q112_entropy_shuffles_triples_not_chars(spark):
     m = re.search(r"Exchange hashpartitioning\(doc_id#\d+L?, ch#\d+", plan)
     assert m, plan
     assert "partial_count" in plan[m.start() :], plan
+
+
+def test_q127_single_exchange_token_count_below(spark):
+    """budget_batches: token counting must fold into the scan-side
+    Project BELOW the one source-hash exchange; the (source, batch)
+    rollup reuses the source partitioning (no second exchange)."""
+    df = entry_mod.queries()["q127_budget_batches"](spark, SF_DIR)
+    df.collect()
+    plan = _final_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan
+    # the size(...) token-count expression must appear below the exchange
+    ex = plan.index("Exchange hashpartitioning")
+    assert "size(" in plan[ex:], plan
+
+
+def test_q129_sketch_probe_broadcasts(spark):
+    """Count-Min: the sketch side of the estimate join must broadcast
+    (it is <= d*w rows by construction), never shuffle the probe
+    against it."""
+    df = entry_mod.queries()["q129_count_min_topk"](spark, SF_DIR)
+    df.collect()
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q130_leakage_probe_no_cartesian(spark):
+    """Split-leakage audit: candidates come from the band equi-join —
+    no cartesian/nested-loop product between eval and train sides."""
+    df = entry_mod.queries()["q130_split_leakage"](spark, SF_DIR)
+    df.collect()
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
