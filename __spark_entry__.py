@@ -5942,6 +5942,86 @@ GROUP BY s.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q131 — HyperLogLog cardinality per source (operators/sketch.py
+# hll_cardinality): fixed-memory distinct-count next to the exact
+# answer, so the result exhibits the sketch's real (deterministic)
+# error.  md5-hex registers + string-op rho make every register state
+# reproducible in DuckDB — the oracle rebuilds the SAME sketch, not a
+# tolerance band.
+# ---------------------------------------------------------------------------
+_HLL_P = 8
+
+
+def q131_hll_cardinality(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import sketch as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    est = SK.hll_cardinality(docs, "text", "source", p=_HLL_P)
+    exact = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.coalesce("text", F.lit(""))).alias("n_exact"),
+    )
+    return exact.join(F.broadcast(est), "source").select(
+        "source", "n_rows", "n_exact", "hll_est"
+    )
+
+
+def _q131_sql() -> str:
+    from cloud_native_medical_data_etl_pipeline_spark.operators.sketch import (
+        _hll_alpha,
+    )
+
+    m = 1 << _HLL_P
+    alpha = repr(_hll_alpha(m))
+    return f"""
+WITH h AS (
+  SELECT source, md5(COALESCE(text, '')) AS h FROM documents
+),
+cells AS (
+  SELECT source,
+         ('0x' || substr(h, 1, {_HLL_P // 4}))::BIGINT AS reg,
+         regexp_replace(substr(h, {_HLL_P // 4 + 1}, 16), '^0+', '') AS stripped
+  FROM h
+),
+rho AS (
+  SELECT source, reg,
+         CASE WHEN stripped = '' THEN 65
+              ELSE (16 - length(stripped)) * 4
+                   + CASE WHEN substr(stripped, 1, 1) = '1' THEN 3
+                          WHEN substr(stripped, 1, 1) IN ('2', '3') THEN 2
+                          WHEN substr(stripped, 1, 1) IN ('4', '5', '6', '7') THEN 1
+                          ELSE 0 END
+                   + 1 END AS rho
+  FROM cells
+),
+regs AS (SELECT source, reg, MAX(rho) AS mx FROM rho GROUP BY source, reg),
+agg AS (
+  SELECT source,
+         SUM(POWER(2.0, -mx)) AS z_hit,
+         COUNT(*) AS touched
+  FROM regs GROUP BY source
+),
+est AS (
+  SELECT source,
+         CAST({alpha} AS DOUBLE) * {m} * {m} / (z_hit + ({m} - touched)) AS raw,
+         {m} - touched AS v
+  FROM agg
+),
+ex AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT COALESCE(text, '')) AS BIGINT) AS n_exact
+  FROM documents GROUP BY source
+)
+SELECT ex.source, ex.n_rows, ex.n_exact,
+       ROUND(CASE WHEN est.raw <= 2.5 * {m} AND est.v > 0
+                  THEN {m} * LN(CAST({m} AS DOUBLE) / est.v)
+                  ELSE est.raw END, 3) AS hll_est
+FROM ex JOIN est USING (source)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -6118,6 +6198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_pii_report": q128_pii_report,
         "q129_count_min_topk": q129_count_min_topk,
         "q130_split_leakage": q130_split_leakage,
+        "q131_hll_cardinality": q131_hll_cardinality,
         # rows-only (correctness signal lives in q63b/q64b):
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
@@ -6257,6 +6338,7 @@ def oracle_sql() -> dict[str, str]:
         "q128_pii_report": Q128_SQL,
         "q129_count_min_topk": _q129_sql(),
         "q130_split_leakage": _q130_sql(),
+        "q131_hll_cardinality": _q131_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

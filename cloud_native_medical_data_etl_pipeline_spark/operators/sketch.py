@@ -1,4 +1,4 @@
-"""Count-Min sketch: sublinear-memory token frequency estimation.
+"""Sublinear-memory frequency & cardinality sketches (Count-Min, HLL).
 
 The exact token count (q45's shape) shuffles one row per distinct
 token — fine until the vocabulary itself is the problem (web-scale
@@ -100,4 +100,94 @@ def count_min_estimate(
         probes.join(F.broadcast(sketch), ["j", "pos"], "left")
         .groupBy("tok")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("n_est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: fixed-memory distinct-count estimation
+# ---------------------------------------------------------------------------
+def _hll_alpha(m: int) -> float:
+    """Flajolet's bias constant for m >= 128 registers, written as the
+    exact expression the oracle repeats so both engines evaluate the
+    same double."""
+    return 0.7213 / (1.0 + 1.079 / float(m))
+
+
+def hll_register_maxes(
+    df: DataFrame,
+    content_col: str = "text",
+    group_col: str = "source",
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HLL registers: (group, reg, mx) with at most 2^p rows
+    per group surviving the map-side combine, no matter how many input
+    rows feed it.  `p` must be a multiple of 4 (the register index is a
+    hex-prefix slice of md5, the repo's engine-portable hash).
+
+    rho — the 1-based position of the first set bit in the 64-bit
+    stream after the register bits — is computed with pure string/int
+    ops (strip leading hex zeros, then a 16-way CASE on the first
+    nonzero digit), so DuckDB reproduces it exactly; no float log2.
+    """
+    if p % 4 or p <= 0:
+        raise ValueError(f"p must be a positive multiple of 4, got {p}")
+    h = F.md5(F.coalesce(col_ref(content_col), F.lit("")))
+    reg = F.conv(F.substring(h, 1, p // 4), 16, 10).cast("long")
+    suffix = F.substring(h, p // 4 + 1, 16)
+    stripped = F.regexp_replace(suffix, "^0+", "")
+    first = F.substring(stripped, 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = (
+        F.when(stripped == "", F.lit(65))
+        .otherwise((16 - F.length(stripped)) * 4 + extra + 1)
+        .cast("int")
+    )
+    return (
+        df.select(
+            col_ref(group_col).alias("grp"),
+            reg.alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+
+
+def hll_cardinality(
+    df: DataFrame,
+    content_col: str = "text",
+    group_col: str = "source",
+    p: int = 8,
+) -> DataFrame:
+    """Estimated distinct `content_col` values per group: (group,
+    hll_est).  Standard raw-HLL harmonic mean over 2^p registers with
+    the small-range linear-counting correction; untouched registers
+    contribute 2^0 to the harmonic sum without materializing them
+    (m - touched), so no group×register crossjoin exists anywhere.
+
+    Scale shape: one bounded-key aggregate (≤ groups·2^p shuffle rows
+    after partial combine) + one group-keyed rollup.  The 2^p-register
+    state is what a 1000-executor run shuffles per group — constant,
+    unlike exact count-distinct whose shuffle carries every distinct
+    value.  Typical relative error 1.04/sqrt(2^p) (6.5% at p=8)."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    regs = hll_register_maxes(df, content_col, group_col, p)
+    agg = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("z_hit"),
+        F.count(F.lit(1)).alias("touched"),
+    )
+    raw = F.lit(alpha) * m * m / (F.col("z_hit") + (m - F.col("touched")))
+    v = m - F.col("touched")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), m * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.round(est, 3).alias("hll_est"),
     )

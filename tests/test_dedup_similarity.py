@@ -964,3 +964,35 @@ def test_count_min_overestimates_never_under(spark):
     out = SK.count_min_estimate(toks, cms, d=3, w=64)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_hll_tracks_exact_within_error_bound(spark):
+    """HLL property: at p=8 the standard error is 1.04/sqrt(256)=6.5%;
+    the estimate over n distinct values must land within 4 sigma of
+    exact, register state must stay <= 2^p rows per group regardless
+    of input size, and duplicate values must not move the estimate
+    (cardinality, not count)."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators import sketch as SK
+
+    n = 2000
+    rows = [(i, f"value-{i}", "s1") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    est = SK.hll_cardinality(df, "text", "source", p=8).first()["hll_est"]
+    assert abs(est - n) / n < 4 * 1.04 / 16
+
+    regs = SK.hll_register_maxes(df, "text", "source", p=8)
+    assert regs.count() <= 256
+
+    # duplicating every row leaves all register maxes — and hence the
+    # estimate — bit-identical
+    dup = df.union(df).union(df)
+    est_dup = SK.hll_cardinality(dup, "text", "source", p=8).first()["hll_est"]
+    assert est_dup == est
+
+    # small-range linear counting: a tiny group is near-exact
+    small = spark.createDataFrame(
+        [(i, f"v{i}", "s2") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    est_small = SK.hll_cardinality(small, "text", "source", p=8).first()["hll_est"]
+    assert abs(est_small - 20) <= 2
