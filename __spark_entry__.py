@@ -6022,6 +6022,53 @@ FROM ex JOIN est USING (source)
 """
 
 
+# ---------------------------------------------------------------------------
+# q132 — per-segment OLS trend (operators/stats.py group_trend): is
+# value drifting over time per event_type?  Closed-form least squares
+# from one sufficient-sums aggregate; x is HOURS since the corpus
+# epoch (centered per the operator's determinism contract — raw
+# epoch-seconds would push the nΣxx−Σx² cancellation past the
+# rounding grain).
+# ---------------------------------------------------------------------------
+_TREND_BASE_US = 1704067200000000  # 2024-01-01T00:00:00Z in microseconds
+
+
+def q132_value_trend(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        group_trend,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    x = (F.unix_micros(F.col("ts")) - F.lit(_TREND_BASE_US)) / F.lit(3600000000.0)
+    return group_trend(ev, "event_type", x, F.col("value"))
+
+
+def _q132_sql() -> str:
+    return f"""
+WITH pts AS (
+  SELECT event_type,
+         (epoch_us(ts) - {_TREND_BASE_US}) / 3600000000.0 AS x,
+         value AS y
+  FROM events
+),
+sums AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+         SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(CASE WHEN n * sxx - sx * sx != 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+       ROUND(CASE WHEN n * sxx - sx * sx != 0
+                  THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END, 6) AS intercept,
+       ROUND(CASE WHEN n * sxx - sx * sx != 0 AND n * syy - sy * sy != 0
+                  THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+FROM sums
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -6199,6 +6246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_count_min_topk": q129_count_min_topk,
         "q130_split_leakage": q130_split_leakage,
         "q131_hll_cardinality": q131_hll_cardinality,
+        "q132_value_trend": q132_value_trend,
         # rows-only (correctness signal lives in q63b/q64b):
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
@@ -6339,6 +6387,7 @@ def oracle_sql() -> dict[str, str]:
         "q129_count_min_topk": _q129_sql(),
         "q130_split_leakage": _q130_sql(),
         "q131_hll_cardinality": _q131_sql(),
+        "q132_value_trend": _q132_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

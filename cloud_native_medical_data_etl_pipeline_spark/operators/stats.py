@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._common import col_ref
@@ -442,4 +442,58 @@ def kl_drift(
         F.round(F.sum(tv_term), round_dp).alias("tv"),
         F.sum("nb").cast("long").alias("n_base"),
         F.sum("nn").cast("long").alias("n_new"),
+    )
+
+
+def group_trend(
+    df: DataFrame,
+    group_col: str,
+    x: Column | str,
+    y: Column | str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group OLS trend line: ``(group, n, slope, intercept, r2)``
+    — "is this segment's metric drifting over time?" as one pass.
+
+    Closed-form least squares from the five sufficient sums
+    (n, Σx, Σy, Σxx, Σxy, Σyy): slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²),
+    intercept = (Σy − slope·Σx)/n, r² the squared Pearson ratio.
+    Groups with zero x-variance (or fewer than 2 rows) emit NULL
+    slope/r2 rather than a divide-by-zero.
+
+    Determinism contract: callers should CENTER x near zero (e.g.
+    hours since the corpus epoch, not raw epoch-seconds) — with
+    |mean(x)|² ≫ var(x) the nΣxx − Σx² cancellation amplifies
+    fp-summation noise past the rounding grain; centered, the
+    residual cross-engine error is ~1e-10 relative, far below 6dp.
+
+    Scale shape: ONE aggregate with map-side partial combine — six
+    doubles of state per group, no window, no second pass; the
+    downstream algebra is per-group scalar arithmetic in codegen.
+    """
+    xc = col_ref(x) if isinstance(x, str) else x
+    yc = col_ref(y) if isinstance(y, str) else y
+    sums = df.groupBy(col_ref(group_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(xc * xc).alias("sxx"),
+        F.sum(xc * yc).alias("sxy"),
+        F.sum(yc * yc).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(den_x != 0, num / den_x)
+    intercept = F.when(
+        den_x != 0, (F.col("sy") - (num / den_x) * F.col("sx")) / n
+    )
+    r2 = F.when((den_x != 0) & (den_y != 0), num * num / (den_x * den_y))
+    return sums.select(
+        col_ref(group_col),
+        n,
+        F.round(slope, round_dp).alias("slope"),
+        F.round(intercept, round_dp).alias("intercept"),
+        F.round(r2, round_dp).alias("r2"),
     )

@@ -248,3 +248,39 @@ def test_kl_drift_empty_base_period(spark):
     assert r["tv"] == 0.5  # |p-0|/2 summed = 1/2... total mass 1 -> 0.5
     assert r["n_base"] == 0 and r["n_new"] == 4
     assert r["kl"] is not None
+
+
+def test_group_trend_recovers_known_lines(spark):
+    """Exact fit: y = 2x + 3 gives slope 2, intercept 3, r2 1; a
+    zero-x-variance group yields NULL slope/r2 instead of a crash."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        group_trend,
+    )
+
+    rows = [("a", float(x), 2.0 * x + 3.0) for x in range(10)]
+    rows += [("b", float(x), 5.0 - 0.5 * x + (1.0 if x % 2 else -1.0)) for x in range(8)]
+    rows += [("c", 4.0, float(y)) for y in range(3)]  # vertical: no trend
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r.asDict() for r in group_trend(df, "g", "x", "y").collect()}
+    assert got["a"]["slope"] == 2.0
+    assert got["a"]["intercept"] == 3.0
+    assert got["a"]["r2"] == 1.0
+    assert got["b"]["slope"] == pytest.approx(-0.5, abs=0.2)
+    assert 0.0 <= got["b"]["r2"] < 1.0
+    assert got["c"]["slope"] is None and got["c"]["r2"] is None
+    assert got["c"]["n"] == 3
+
+
+def test_group_trend_single_aggregate_plan(spark):
+    """One sufficient-sums aggregate: exactly one Exchange, no window,
+    partial (map-side) aggregation present."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        group_trend,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0)], "g string, x double, y double"
+    )
+    plan = group_trend(df, "g", "x", "y")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
