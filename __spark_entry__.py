@@ -6069,6 +6069,50 @@ FROM sums
 """
 
 
+# ---------------------------------------------------------------------------
+# q133 — embedding covariance matrix (operators/similarity.py
+# embedding_covariance): the d×d feature-correlation pass that
+# embedding_dim_stats (q104) documents as its extension.  treeAggregate
+# shape — per-task d×d Gram partials via Arrow/BLAS, one bounded-key
+# merge — NOT the N·d² exploded self-join the oracle uses (DuckDB can
+# afford it at sf<=0.1; Spark at 100 TB cannot).
+# ---------------------------------------------------------------------------
+def q133_embedding_covariance(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding", dim=64)
+
+
+Q133_SQL = """
+WITH x AS (
+  SELECT vec_id,
+         unnest(CAST(embedding AS DOUBLE[])) AS val,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+g AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.val * b.val) AS v
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+),
+s AS (SELECT i, SUM(val) AS s FROM x GROUP BY i),
+n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM embeddings
+  WHERE embedding IS NOT NULL
+)
+SELECT g.i, g.j,
+       ROUND(g.v / n.nn - (si.s / n.nn) * (sj.s / n.nn), 6) + 0.0 AS cov
+FROM g
+CROSS JOIN n
+JOIN s si ON g.i = si.i
+JOIN s sj ON g.j = sj.i
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -6247,6 +6291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_split_leakage": q130_split_leakage,
         "q131_hll_cardinality": q131_hll_cardinality,
         "q132_value_trend": q132_value_trend,
+        "q133_embedding_covariance": q133_embedding_covariance,
         # rows-only (correctness signal lives in q63b/q64b):
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
@@ -6388,6 +6433,7 @@ def oracle_sql() -> dict[str, str]:
         "q130_split_leakage": _q130_sql(),
         "q131_hll_cardinality": _q131_sql(),
         "q132_value_trend": _q132_sql(),
+        "q133_embedding_covariance": Q133_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from ._common import col_ref
 
 
 def _lit_vec(vec: list[float]) -> Column:
@@ -571,5 +572,97 @@ def embedding_dim_stats(
                 F.avg(F.when(F.col("v") == 0.0, 1.0).otherwise(0.0)),
                 round_dp,
             ).alias("zero_frac"),
+        )
+    )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Full d×d population covariance of the embedding columns — the
+    partial outer-product extension `embedding_dim_stats` documents:
+    feature-correlation diagnosis (redundant dimensions, whitening
+    input, PCA preprocessing) as ONE corpus pass.
+
+    Returns the upper triangle ``(i, j, cov)`` with 0-based i <= j
+    (q104's dim convention), d(d+1)/2 rows.
+
+    Scale shape — the treeAggregate pattern, NOT the N·d² exploded
+    self-join: each Arrow batch folds into a d×d Gram partial
+    (``X.T @ X``, BLAS), so every task ships d(d+1)/2 + d + 1 partial
+    rows no matter how many vectors it read; one bounded-key groupBy
+    merges partials and the mean/covariance algebra runs on the d²
+    frame.  Per-task state is d² doubles (32 KB at d=64, 8 MB at
+    d=1024) — constant in corpus size, which is what survives a
+    100 TB scan on 1000 executors.  Sentinel rows carry the sums:
+    (i, -1) per-dimension Σx, (-1, -1) the row count.
+    """
+    src = df.select(col_ref(vec_col).alias("v")).where(F.col("v").isNotNull())
+    d = dim
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        G = np.zeros((d, d))
+        s = np.zeros(d)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            if X.shape[1] != d:
+                raise ValueError(
+                    f"expected {d}-dim vectors, got {X.shape[1]}"
+                )
+            G += X.T @ X
+            s += X.sum(axis=0)
+            n += X.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate(
+                    [iu, np.arange(d), [-1]]
+                ).astype("int32"),
+                "j": np.concatenate(
+                    [ju, np.full(d, -1), [-1]]
+                ).astype("int32"),
+                "v": np.concatenate([G[iu, ju], s, [float(n)]]),
+            }
+        )
+
+    partials = src.mapInPandas(gen, "i int, j int, v double")
+    agg = partials.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    n_df = agg.where((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("v").alias("nn")
+    )
+    s_df = agg.where((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        F.col("i").alias("k"), F.col("v").alias("s")
+    )
+    g_df = agg.where(F.col("j") >= 0)
+    si = s_df.select(F.col("k").alias("ki"), F.col("s").alias("si"))
+    sj = s_df.select(F.col("k").alias("kj"), F.col("s").alias("sj"))
+    return (
+        g_df.crossJoin(F.broadcast(n_df))
+        .join(F.broadcast(si), F.col("i") == F.col("ki"))
+        .join(F.broadcast(sj), F.col("j") == F.col("kj"))
+        .select(
+            "i",
+            "j",
+            # + 0.0 canonicalizes the sign of zero: a covariance of
+            # ~ -1e-8 rounds to -0.0, whose sign bit is engine- and
+            # summation-order-dependent; -0.0 + 0.0 == 0.0 by IEEE 754
+            (
+                F.round(
+                    F.col("v") / F.col("nn")
+                    - (F.col("si") / F.col("nn"))
+                    * (F.col("sj") / F.col("nn")),
+                    round_dp,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
         )
     )

@@ -996,3 +996,42 @@ def test_hll_tracks_exact_within_error_bound(spark):
     )
     est_small = SK.hll_cardinality(small, "text", "source", p=8).first()["hll_est"]
     assert abs(est_small - 20) <= 2
+
+
+def test_embedding_covariance_exact_and_partition_invariant(spark):
+    """Covariance of a known 2-vector set is exact; the Gram-partial
+    merge makes the result invariant to partitioning (the property
+    that lets every task ship d(d+1)/2+d+1 rows instead of N*d^2)."""
+    import numpy as np
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(50, 4)).round(3)
+    rows = [(int(i), [float(v) for v in X[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df, dim=4).collect()
+    }
+    C = np.cov(X, rowvar=False, ddof=0)
+    assert len(got) == 10
+    for (i, j), v in got.items():
+        assert v == pytest.approx(round(C[i, j], 6), abs=2e-6)
+
+    re7 = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df.repartition(7), dim=4).collect()
+    }
+    assert re7 == got
+
+    # wrong-width vectors fail loud, not silently truncated
+    with pytest.raises(Exception, match="expected 4-dim"):
+        embedding_covariance(
+            spark.createDataFrame(
+                [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+            ),
+            dim=4,
+        ).collect()
