@@ -6113,6 +6113,95 @@ JOIN s sj ON g.j = sj.i
 """
 
 
+# ---------------------------------------------------------------------------
+# q134 — weighted PageRank over the token-adjacency graph
+# (operators/graph.py adjacency_edges + pagerank): co-occurrence
+# centrality of the corpus vocabulary — the canonical iterative-join
+# workload (fixed 8 damped iterations, dangling-mass redistribution,
+# per-iteration rounding so the DuckDB unrolled-CTE oracle stays in
+# lockstep hop by hop).
+# ---------------------------------------------------------------------------
+_PR_DAMPING, _PR_ITERS, _PR_ITER_DP = 0.85, 8, 10
+
+
+def q134_token_pagerank(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = G.adjacency_edges(docs, "text", "doc_id")
+    return G.pagerank(
+        edges, damping=_PR_DAMPING, iterations=_PR_ITERS, iter_dp=_PR_ITER_DP
+    )
+
+
+def _q134_sql() -> str:
+    tp = repr(1.0 - _PR_DAMPING)
+    d = repr(_PR_DAMPING)
+    parts = [
+        f"""WITH tl AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(string_split_regex(regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g'), '\\s+'), t -> LOWER(t)) AS ts
+  FROM documents
+  WHERE regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) - 1 AS pos
+  FROM tl
+),
+edges AS MATERIALIZED (
+  SELECT a.tok AS src, b.tok AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.tok, b.tok
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+outw AS MATERIALIZED (SELECT src, SUM(CAST(w AS DOUBLE)) AS ow FROM edges GROUP BY src),
+enorm AS MATERIALIZED (
+  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.ow AS wn
+  FROM edges e JOIN outw o ON e.src = o.src
+),
+dang AS MATERIALIZED (
+  SELECT n.node FROM nodes n LEFT JOIN outw o ON n.node = o.src
+  WHERE o.src IS NULL
+),
+r0 AS MATERIALIZED (
+  SELECT node, CAST(1 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS rank
+  FROM nodes CROSS JOIN nn
+)"""
+    ]
+    for t in range(_PR_ITERS):
+        parts.append(
+            f""",
+dm{t} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+  FROM r{t} r JOIN dang g ON r.node = g.node
+),
+c{t} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(r.rank * e.wn) AS c
+  FROM r{t} r JOIN enorm e ON r.node = e.src
+  GROUP BY e.dst
+),
+r{t + 1} AS MATERIALIZED (
+  SELECT n.node,
+         ROUND(CAST({tp} AS DOUBLE) / CAST(nn.n AS DOUBLE)
+               + CAST({d} AS DOUBLE)
+                 * (COALESCE(c.c, 0.0) + dm{t}.dm / CAST(nn.n AS DOUBLE)),
+               {_PR_ITER_DP}) AS rank
+  FROM nodes n CROSS JOIN nn CROSS JOIN dm{t}
+  LEFT JOIN c{t} c ON n.node = c.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, ROUND(rank, 6) AS rank FROM r{_PR_ITERS}
+"""
+    )
+    return "".join(parts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -6292,6 +6381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_hll_cardinality": q131_hll_cardinality,
         "q132_value_trend": q132_value_trend,
         "q133_embedding_covariance": q133_embedding_covariance,
+        "q134_token_pagerank": q134_token_pagerank,
         # rows-only (correctness signal lives in q63b/q64b):
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
@@ -6434,6 +6524,7 @@ def oracle_sql() -> dict[str, str]:
         "q131_hll_cardinality": _q131_sql(),
         "q132_value_trend": _q132_sql(),
         "q133_embedding_covariance": Q133_SQL,
+        "q134_token_pagerank": _q134_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

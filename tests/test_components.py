@@ -140,3 +140,63 @@ def test_collapsed_representatives_match_full_graph(spark):
     assert comps[1][1] == 2 and comps[1][2] == 99  # copy outscores canonical
     assert 10 in comps and comps[10][3] == 2       # solo exact group emitted
     assert 20 not in comps and 30 not in comps     # empty/singleton excluded
+
+
+def _py_pagerank(edges, d=0.85, iters=8, iter_dp=10):
+    """Reference implementation mirroring operators/graph.py exactly."""
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    n = len(nodes)
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + float(w)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dm = sum(r[v] for v in nodes if v not in outw)
+        c = {v: 0.0 for v in nodes}
+        for s, t, w in edges:
+            c[t] += r[s] * float(w) / outw[s]
+        r = {
+            v: round((1.0 - d) / n + d * (c[v] + dm / n), iter_dp)
+            for v in nodes
+        }
+    return {v: round(r[v], 6) for v in nodes}
+
+
+def test_pagerank_matches_reference_and_conserves_mass(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import graph as G
+
+    edges = [
+        ("a", "b", 2), ("b", "a", 1), ("b", "c", 1),
+        ("c", "a", 3), ("a", "c", 1), ("d", "a", 1),  # d has no inlinks
+        ("c", "e", 1),  # e is dangling (no outlinks)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r["node"]: r["rank"] for r in G.pagerank(df).collect()}
+    assert got == _py_pagerank(edges)
+    # dangling-mass redistribution conserves total mass
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    # hub 'a' outranks the no-inlink node 'd'
+    assert got["a"] > got["d"]
+
+
+def test_pagerank_two_node_cycle_is_uniform(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import graph as G
+
+    df = spark.createDataFrame(
+        [("x", "y", 1), ("y", "x", 1)], "src string, dst string, w long"
+    )
+    got = {r["node"]: r["rank"] for r in G.pagerank(df).collect()}
+    assert got == {"x": 0.5, "y": 0.5}
+
+
+def test_adjacency_edges_counts_ordered_bigrams(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import graph as G
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "B c"), (3, None), (4, "  ")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["src"], r["dst"]): r["w"] for r in G.adjacency_edges(df).collect()
+    }
+    assert got == {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1}
