@@ -292,3 +292,40 @@ def test_q130_leakage_probe_no_cartesian(spark):
     plan = _final_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q131_hll_bounded_aggregate(spark):
+    """HLL: exactly two hash aggregates on the sketch side (register
+    maxes, then the per-group rollup) with map-side partial combine —
+    the shuffle between them carries <= groups*2^p rows; the exact
+    side joins via broadcast (the estimate frame is |groups| rows)."""
+    df = entry_mod.queries()["q131_hll_cardinality"](spark, SF_DIR)
+    df.collect()
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q133_covariance_partials_not_explode_join(spark):
+    """Embedding covariance: the Spark plan must be the Gram-partial
+    aggregate — NO self-join of an exploded (vec_id, dim, val) frame
+    (that is the oracle's N*d^2 luxury), and the mean/count frames
+    join back via broadcast."""
+    df = entry_mod.queries()["q133_embedding_covariance"](spark, SF_DIR)
+    df.collect()
+    plan = _final_plan(df)
+    assert "FlatMapsInPandas" in plan or "MapInPandas" in plan, plan
+    assert "Generate" not in plan, plan  # no posexplode path
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q134_pagerank_iteration_is_checkpointed(spark):
+    """PageRank: the returned frame must hang off a checkpointed scan
+    (lineage truncated per hop), not re-derive 8 iterations of joins
+    in one mega-plan."""
+    df = entry_mod.queries()["q134_token_pagerank"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+    assert "PageRank" not in plan  # sanity: plan is tiny, no join tree
+    assert plan.count("Join") == 0, plan
