@@ -174,7 +174,13 @@ def hll_cardinality(
     after partial combine) + one group-keyed rollup.  The 2^p-register
     state is what a 1000-executor run shuffles per group — constant,
     unlike exact count-distinct whose shuffle carries every distinct
-    value.  Typical relative error 1.04/sqrt(2^p) (6.5% at p=8)."""
+    value.  Typical relative error 1.04/sqrt(2^p) (6.5% at p=8).
+
+    When cross-engine reproducibility is NOT required, prefer Spark's
+    native ``approx_count_distinct`` (HLL++, JVM-side sparse registers
+    + bias correction — `operators/profile.py` uses it); this operator
+    exists for the oracle-checkable path: every register value is a
+    pure md5/string expression DuckDB reproduces bit-exactly."""
     m = 1 << p
     alpha = _hll_alpha(m)
     regs = hll_register_maxes(df, content_col, group_col, p)
