@@ -6202,6 +6202,165 @@ SELECT node, ROUND(rank, 6) AS rank FROM r{_PR_ITERS}
     return "".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# q135 — in-engine LEARNED quality classifier (operators/classifier.py):
+# logistic regression trained by full-batch gradient descent on
+# cross-engine-exact features (token count / char count as power-of-two
+# scalings, alpha ratio as one integer division) against an
+# integer-arithmetic weak label.  Each GD step is ONE sufficient-stats
+# aggregate (d+1 doubles leave the executors); per-row sigmoids and the
+# gradient means are rounded so the DuckDB oracle — which unrolls all
+# 6 training iterations as MATERIALIZED CTEs — replays training to
+# bit-identical weights (lr = 0.25 is a power of two, so each weight
+# update is an exact scaling + one correctly-rounded subtraction).
+# ---------------------------------------------------------------------------
+_LRC_LR, _LRC_ITERS = 2.0, 32
+_LRC_SIGMA_DP, _LRC_GRAD_DP = 10, 8
+_LRC_MIN_T, _LRC_MAX_T, _LRC_APCT = 40, 300, 82
+_LRC_BAND_MID = (_LRC_MIN_T + _LRC_MAX_T) // 2
+
+
+def q135_quality_classifier(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.classifier import (
+        featurize_documents,
+        score_logreg,
+        train_logreg,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feat = featurize_documents(
+        docs, "text", "doc_id", _LRC_MIN_T, _LRC_MAX_T, _LRC_APCT
+    ).localCheckpoint()
+    w = train_logreg(
+        feat,
+        lr=_LRC_LR,
+        iterations=_LRC_ITERS,
+        sigma_dp=_LRC_SIGMA_DP,
+        grad_dp=_LRC_GRAD_DP,
+    )
+    return score_logreg(feat, w, sigma_dp=_LRC_SIGMA_DP)
+
+
+def _q135_sql() -> str:
+    # z must use the SAME left-to-right association as classifier._dot:
+    # ((b + w1*f1) + w2*f2) + w3*f3
+    z = "(((w.b + w.w1 * f.f1) + w.w2 * f.f2) + w.w3 * f.f3)"
+    sig = f"ROUND(1.0 / (1.0 + EXP(-{z})), {_LRC_SIGMA_DP})"
+    parts = [
+        f"""WITH raw AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') = '' THEN 0
+              ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+         END AS nt,
+         length(COALESCE(text, '')) AS nc,
+         len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]')) AS na
+  FROM documents
+),
+feat AS MATERIALIZED (
+  SELECT doc_id AS key,
+         nt / 64.0 AS f1,
+         abs(nt - {_LRC_BAND_MID}) / 128.0 AS f2,
+         CASE WHEN nc > 0 THEN (na / nc - {_LRC_APCT / 100.0!r}) * 64.0
+              ELSE 0.0 END AS f3,
+         CAST(CASE WHEN nt BETWEEN {_LRC_MIN_T} AND {_LRC_MAX_T}
+                    AND na * 100 >= nc * {_LRC_APCT} THEN 1 ELSE 0 END AS INT) AS y
+  FROM raw
+),
+w0 AS MATERIALIZED (
+  SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
+         CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3
+)"""
+    ]
+    for t in range(_LRC_ITERS):
+        parts.append(
+            f""",
+g{t} AS MATERIALIZED (
+  SELECT ROUND(COALESCE(AVG(s - y), 0.0), {_LRC_GRAD_DP}) AS g0,
+         ROUND(COALESCE(AVG((s - y) * f1), 0.0), {_LRC_GRAD_DP}) AS g1,
+         ROUND(COALESCE(AVG((s - y) * f2), 0.0), {_LRC_GRAD_DP}) AS g2,
+         ROUND(COALESCE(AVG((s - y) * f3), 0.0), {_LRC_GRAD_DP}) AS g3
+  FROM (SELECT f.y, f.f1, f.f2, f.f3, {sig} AS s
+        FROM feat f CROSS JOIN w{t} w)
+),
+w{t + 1} AS MATERIALIZED (
+  SELECT w.b - {_LRC_LR} * g.g0 AS b, w.w1 - {_LRC_LR} * g.g1 AS w1,
+         w.w2 - {_LRC_LR} * g.g2 AS w2, w.w3 - {_LRC_LR} * g.g3 AS w3
+  FROM w{t} w CROSS JOIN g{t} g
+)"""
+        )
+    parts.append(
+        f"""
+SELECT key, y, ROUND(s, 6) AS p, CAST(s >= 0.5 AS INT) AS pred
+FROM (SELECT f.key, f.y, {sig} AS s
+      FROM feat f CROSS JOIN w{_LRC_ITERS} w)
+"""
+    )
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# q136 — greedy k-center diverse selection over embeddings
+# (operators/similarity.py kcenter_select): farthest-point traversal,
+# the 2-approximate k-center rule for coreset / annotation-budget
+# selection.  Per hop: one map-side least(dmin, d2-to-newest-center)
+# update (center rides as a literal — zero shuffle) + one
+# TakeOrdered(1) argmax on ROUNDED distances with key tiebreak.  The
+# oracle unrolls the same 8 hops as MATERIALIZED CTEs; squared
+# distances fold left-to-right on both engines.
+# ---------------------------------------------------------------------------
+_KC_K, _KC_DIST_DP = 8, 9
+
+
+def q136_kcenter_select(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, k=_KC_K, dist_dp=_KC_DIST_DP)
+
+
+def _q136_sql() -> str:
+    def d2(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_reduce(list_transform(range(1, len({a}) + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+            f"(x, y) -> x + y), {_KC_DIST_DP})"
+        )
+
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+  SELECT vec_id AS key, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+c1 AS MATERIALIZED (SELECT key, v FROM e ORDER BY key ASC LIMIT 1),
+d1 AS MATERIALIZED (
+  SELECT e.key, e.v, {d2('e.v', 'c.v')} AS dmin
+  FROM e CROSS JOIN c1 c
+)"""
+    ]
+    for r in range(2, _KC_K + 1):
+        parts.append(
+            f""",
+c{r} AS MATERIALIZED (
+  SELECT key, v, dmin FROM d{r - 1} ORDER BY dmin DESC, key ASC LIMIT 1
+),
+d{r} AS MATERIALIZED (
+  SELECT d.key, d.v, LEAST(d.dmin, {d2('d.v', 'c.v')}) AS dmin
+  FROM d{r - 1} d CROSS JOIN c{r} c
+)"""
+        )
+    sel = [
+        "SELECT 1 AS sel_rank, key, CAST(NULL AS DOUBLE) AS radius FROM c1"
+    ] + [
+        f"SELECT {r} AS sel_rank, key, ROUND(dmin, 6) AS radius FROM c{r}"
+        for r in range(2, _KC_K + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(sel) + "\n")
+    return "".join(parts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -6211,7 +6370,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry holds 137.  Each round's first-50 window is chosen so
+    # registry holds 139.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green.
     #
     # Round 6 window, in priority order:
@@ -6382,6 +6541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_value_trend": q132_value_trend,
         "q133_embedding_covariance": q133_embedding_covariance,
         "q134_token_pagerank": q134_token_pagerank,
+        "q135_quality_classifier": q135_quality_classifier,
+        "q136_kcenter_select": q136_kcenter_select,
         # rows-only (correctness signal lives in q63b/q64b):
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
@@ -6525,6 +6686,8 @@ def oracle_sql() -> dict[str, str]:
         "q132_value_trend": _q132_sql(),
         "q133_embedding_covariance": Q133_SQL,
         "q134_token_pagerank": _q134_sql(),
+        "q135_quality_classifier": _q135_sql(),
+        "q136_kcenter_select": _q136_sql(),
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

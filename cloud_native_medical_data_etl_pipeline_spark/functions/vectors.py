@@ -44,3 +44,21 @@ def normalize(a: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     n = norm(ca)
     return F.transform(ca, lambda v: v.cast("double") / n)
+
+
+def sqdist(a: Column | str, b: Column | str) -> Column:
+    """Squared euclidean distance, left-to-right fold over dimensions
+    (F.aggregate is a deterministic in-order fold, so two engines that
+    walk the array in index order sum in the same association)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(
+            ca,
+            cb,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

@@ -666,3 +666,89 @@ def embedding_covariance(
             ).alias("cov"),
         )
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    dist_dp: int = 9,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Greedy k-center (farthest-point traversal) coreset selection:
+    ``(sel_rank, key, radius)`` — the k most mutually-distant vectors,
+    the classic diverse-subset rule for training-data selection /
+    annotation budgeting (each pick is the point worst covered by the
+    picks so far, so the selection 2-approximates the optimal k-center
+    cover radius).
+
+    Spark shape: the frame ``(key, vec, dmin)`` carries each point's
+    distance to its nearest selected center.  Per iteration: ONE
+    map-side ``least(dmin, d2(vec, newest_center))`` update (the newest
+    center rides in as a literal array — no join, no shuffle) and one
+    TakeOrdered(1) argmax (per-partition heap + driver merge).  The
+    frame is localCheckpoint-ed per hop — `graph.py`'s lineage lesson:
+    k self-referencing map steps would otherwise stack k regex/scan
+    recomputes deep.  Driver traffic is one (key, vec) row per
+    iteration — d floats, metadata-sized, same contract as
+    `train_ivf_centroids`.
+
+    Determinism contract (the DuckDB oracle unrolls the same k hops):
+    distances are ROUNDED to ``dist_dp`` before both the ``least`` and
+    the argmax, the argmax tiebreaks on ascending key, and the seed is
+    the minimum key — no randomness anywhere.  Squared distance is a
+    fixed left-to-right fold (`functions/vectors.py sqdist`).
+
+    At 100 TB: each hop is a full scan of the narrow (key, vec, dmin)
+    frame — k scans total, embarrassingly parallel, zero shuffle; for
+    very large k switch to batched variants (pick per-partition
+    farthest candidates first), documented rather than implemented.
+    """
+    base = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(key_col).alias("key"), F.col(vec_col).alias("vec"))
+        .localCheckpoint()
+    )
+    key_sql_type = base.schema["key"].dataType.simpleString()
+    out_schema = f"sel_rank int, key {key_sql_type}, radius double"
+    n = base.count()
+    if n == 0:
+        return df.sparkSession.createDataFrame([], out_schema)
+    seed = base.orderBy(F.col("key").asc()).limit(1).collect()[0]
+    selected = [(1, seed["key"], None)]
+    cur = base.select(
+        "key",
+        "vec",
+        F.round(
+            V.sqdist(F.col("vec"), _lit_vec([float(x) for x in seed["vec"]])),
+            dist_dp,
+        ).alias("dmin"),
+    ).localCheckpoint()
+    for rank in range(2, min(k, n) + 1):
+        far = (
+            cur.orderBy(F.col("dmin").desc(), F.col("key").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((rank, far["key"], float(far["dmin"])))
+        cur = cur.select(
+            "key",
+            "vec",
+            F.least(
+                F.col("dmin"),
+                F.round(
+                    V.sqdist(
+                        F.col("vec"),
+                        _lit_vec([float(x) for x in far["vec"]]),
+                    ),
+                    dist_dp,
+                ),
+            ).alias("dmin"),
+        ).localCheckpoint()
+    out = df.sparkSession.createDataFrame(
+        [(r, key, d) for r, key, d in selected], out_schema
+    )
+    return out.select(
+        "sel_rank", "key", F.round("radius", round_dp).alias("radius")
+    )
