@@ -329,3 +329,72 @@ def test_q134_pagerank_iteration_is_checkpointed(spark):
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
     assert "PageRank" not in plan  # sanity: plan is tiny, no join tree
     assert plan.count("Join") == 0, plan
+
+
+def test_q135_classifier_scoring_is_map_side(spark):
+    """Learned classifier: the returned scoring frame must be pure
+    map-side expressions over the checkpointed feature frame — zero
+    joins, zero exchanges (training's gradient aggregates already ran
+    eagerly; the served plan is just projection)."""
+    df = entry_mod.queries()["q135_quality_classifier"](spark, SF_DIR)
+    plan = _final_plan(df)
+    assert "ExistingRDD" in plan, plan  # hangs off the localCheckpoint
+    assert plan.count("Join") == 0, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_q135_gradient_step_is_partial_aggregate(spark):
+    """One GD step = one sufficient-stats aggregate with map-side
+    partial combine: two HashAggregate nodes around a single-row
+    exchange, never a sort or join."""
+    from pyspark.sql import functions as F
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.classifier import (
+        featurize_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    feat = featurize_documents(docs)
+    step = feat.agg(
+        F.avg("f1").alias("g1"), F.avg("f2").alias("g2")
+    )  # the exact shape train_logreg submits per iteration
+    step.collect()
+    plan = _final_plan(step)
+    assert plan.count("HashAggregate") == 2, plan
+    assert "SortAggregate" not in plan, plan
+    assert plan.count("Join") == 0, plan
+
+
+def test_q136_kcenter_output_is_metadata_sized(spark):
+    """k-center: the result is the k selected rows materialized on the
+    driver (metadata-sized by contract) — a LocalTableScan with no
+    joins; the heavy lifting happened in per-hop map-side updates."""
+    df = entry_mod.queries()["q136_kcenter_select"](spark, SF_DIR)
+    plan = _final_plan(df)
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan, plan
+    assert plan.count("Join") == 0, plan
+
+
+def test_q136_kcenter_hop_update_is_shuffle_free(spark):
+    """The per-hop dmin update (least of stored dmin and distance to
+    the newest literal center) must not shuffle: no Exchange anywhere
+    in the update frame's plan."""
+    from pyspark.sql import functions as F
+
+    from cloud_native_medical_data_etl_pipeline_spark.functions import vectors as V
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
+    center = F.array(*[F.lit(0.1)] * 64)
+    upd = emb.select(
+        "vec_id",
+        F.least(
+            F.lit(1e9), F.round(V.sqdist(F.col("embedding"), center), 9)
+        ).alias("dmin"),
+    )
+    plan = _final_plan(upd)
+    assert "Exchange" not in plan, plan
+    assert plan.count("Join") == 0, plan
