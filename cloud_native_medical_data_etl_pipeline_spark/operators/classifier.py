@@ -176,6 +176,7 @@ def quality_classifier_scores(
     id_col: str = "doc_id",
     lr: float = 2.0,
     iterations: int = 32,
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """End-to-end: featurize -> train (GD, driver sees only d+1
     scalars per step) -> score every document with the learned model.
@@ -184,7 +185,22 @@ def quality_classifier_scores(
     gradient aggregates and the final scoring pass all reuse the same
     materialized narrow frame instead of re-deriving the regex counts
     from raw text each step.
+
+    ``train_sample_mod`` is the 100 TB lever: train on the
+    deterministic 1/mod hash-sample of documents (pure function of the
+    key — stable under repartitioning, same rule as q43's hash split)
+    while still SCORING every document.  A 4-parameter model's
+    gradient saturates at ~10^4 rows; running 32 aggregate passes over
+    10^11 rows to estimate it is pure waste.  None trains on the full
+    corpus (the oracle-checked configuration).
     """
     feat = featurize_documents(df, content_col, id_col).localCheckpoint()
-    w = train_logreg(feat, lr=lr, iterations=iterations)
+    train = feat
+    if train_sample_mod is not None:
+        if train_sample_mod < 1:
+            raise ValueError(f"train_sample_mod must be >= 1, got {train_sample_mod}")
+        train = feat.where(
+            F.pmod(F.xxhash64(F.col("key")), F.lit(train_sample_mod)) == 0
+        )
+    w = train_logreg(train, lr=lr, iterations=iterations)
     return score_logreg(feat, w)

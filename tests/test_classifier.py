@@ -195,3 +195,23 @@ def test_kcenter_seed_is_min_key(spark):
     out = kcenter_select(_emb(spark, rows), k=2).collect()
     seed = next(r for r in out if r["sel_rank"] == 1)
     assert seed["key"] == 3
+
+
+def test_sampled_training_scores_everyone(spark):
+    texts = []
+    for i in range(200):
+        if i % 2:
+            texts.append((i, " ".join(["abcdefghij"] * 60)))
+        else:
+            texts.append((i, " ".join(["@@"] * 3)))
+    df = _docs(spark, texts)
+    out = quality_classifier_scores(df, train_sample_mod=4).collect()
+    assert len(out) == 200  # sampling affects training, never scoring
+    acc = sum(1 for r in out if r["pred"] == r["y"]) / len(out)
+    assert acc >= 0.9  # the boundary is easy; 1/4 of the data suffices
+
+
+def test_sampled_training_rejects_bad_mod(spark):
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="train_sample_mod"):
+        quality_classifier_scores(df, train_sample_mod=0)
