@@ -77,3 +77,231 @@ def dequantize_int8(
     return F.transform(
         F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col)
     )
+
+
+# --- product quantization (PQ) ----------------------------------------------
+#
+# int8 buys 4x; product quantization buys 16-64x: split each vector
+# into m subspaces, k-means each subspace independently (k codewords),
+# store only the m one-byte codeword ids per vector.  Search uses
+# asymmetric distance computation (ADC): per query, precompute the
+# m x k lookup table of exact query-subvector -> codeword distances
+# (driver-side, tiny), then every corpus row's approximate distance is
+# m table lookups and a sum — pure column expressions over the m-byte
+# codes; the float corpus is never read at query time.  This is the
+# memory-bound ANN layout (Jegou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011) and composes with the IVF cell
+# index (IVF-PQ): prune cells by partition, rank in-cell by ADC.
+#
+# Determinism contract (same playbook as train_ivf_centroids):
+# min-key init, fixed Lloyd iterations, per-iteration ROUNDED means,
+# assignment on ROUNDED squared distances with lowest-index tiebreak
+# (array_position(array_min)), left-to-right distance folds.
+
+
+def _sub_slices(vec_col: str, m: int, dsub: int) -> list[Column]:
+    return [
+        F.slice(_as_double(vec_col), s * dsub + 1, dsub) for s in range(m)
+    ]
+
+
+def _lit_subvec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _sq_to_lit(sub: Column, cent: list[float]) -> Column:
+    """Rounded squared L2 distance from a sub-vector column to a
+    literal codeword — left-to-right fold, 9dp (the cross-engine
+    ranking grain used by the similarity operators)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(sub, _lit_subvec(cent), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        9,
+    )
+
+
+def _assign_code(sub: Column, codebook: list[list[float]]) -> Column:
+    """Lowest-index argmin over the codebook, as ONE array column of
+    rounded distances (linear expression tree — see assign_cells)."""
+    d = F.array(*[_sq_to_lit(sub, c) for c in codebook])
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    iters: int = 2,
+    round_dp: int = 6,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: returns m lists of k codewords of
+    dim/m doubles each.
+
+    Each Lloyd iteration runs ONE map pass assigning all m subspaces
+    at once (m argmin expression batteries over the same scan) and ONE
+    (subspace, code, pos)-keyed mean aggregate — map-side combinable,
+    m*k*dsub output rows collected to the driver (the codebook is
+    metadata-sized by construction).  Codewords that lose all members
+    keep their previous value, so k never shrinks.
+    """
+    head = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(key_col, vec_col)
+        .orderBy(F.col(key_col).asc())
+        .limit(k)
+        .collect()
+    )
+    if not head:
+        return []
+    dim = len(head[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    books = [
+        [[float(x) for x in r[1][s * dsub : (s + 1) * dsub]] for r in head]
+        for s in range(m)
+    ]
+    base = df.where(F.col(vec_col).isNotNull())
+    for _ in range(iters):
+        subs = _sub_slices(vec_col, m, dsub)
+        tagged = base.select(
+            *[
+                c
+                for s in range(m)
+                for c in (
+                    _assign_code(subs[s], books[s]).alias(f"c{s}"),
+                    subs[s].alias(f"v{s}"),
+                )
+            ]
+        )
+        # one unpivoted (subspace, code, pos, val) frame -> one agg
+        stacked = tagged.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.col(f"c{s}").alias("code"),
+                            F.col(f"v{s}").alias("sub"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("x")
+        ).select(
+            F.col("x.s").alias("s"),
+            F.col("x.code").alias("code"),
+            F.posexplode("x.sub").alias("pos", "val"),
+        )
+        rows = (
+            stacked.groupBy("s", "code", "pos")
+            .agg(F.round(F.avg("val"), round_dp).alias("mv"))
+            .collect()
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            got.setdefault((r["s"], r["code"]), {})[r["pos"]] = r["mv"]
+        books = [
+            [
+                [got[(s, c)][p] for p in range(dsub)]
+                if (s, c) in got
+                else books[s][c]
+                for c in range(k)
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """``(key, pq_code array<int>)`` — m codeword ids per vector, one
+    map pass, codebooks inlined as literals.  At dim=64, m=8, k<=256
+    the stored code is 8 bytes vs 256 for float32: 32x smaller."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    subs = _sub_slices(vec_col, m, dsub)
+    return df.where(F.col(vec_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.array(
+            *[_assign_code(subs[s], codebooks[s]) for s in range(m)]
+        ).alias("pq_code"),
+    )
+
+
+def pq_reconstruct(
+    encoded: DataFrame, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """Decode codes back to the quantized vector (concatenated
+    codewords) — the error-measurement companion: join-free, the
+    codebooks ride as literal array-of-array columns."""
+    books = [
+        F.array(*[_lit_subvec(c) for c in book]) for book in codebooks
+    ]
+    return encoded.select(
+        "key",
+        F.flatten(
+            F.array(
+                *[
+                    F.element_at(
+                        books[s], F.col("pq_code")[s] + 1
+                    )
+                    for s in range(len(codebooks))
+                ]
+            )
+        ).alias("vec_hat"),
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k: exact query-subvector -> codeword
+    distance tables computed once driver-side (m x k floats),
+    broadcast as literals; each corpus row costs m element_at lookups
+    + a sum.  Returns (key, adc_dist) ascending, key tiebreak.
+
+    The float corpus is NEVER scanned — only the m-byte codes — which
+    is the point: at 100 TB the code table is 1/32nd the bytes, and
+    the scan is the cost.  Composes with the IVF index for cell
+    pruning (IVF-PQ)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(query_vec) != m * dsub:
+        raise ValueError(
+            f"query dim {len(query_vec)} != codebook dim {m * dsub}"
+        )
+    luts = []
+    for s in range(m):
+        qs = [float(x) for x in query_vec[s * dsub : (s + 1) * dsub]]
+        luts.append(
+            [
+                round(sum((a - b) * (a - b) for a, b in zip(qs, c)), 9)
+                for c in codebooks[s]
+            ]
+        )
+    score = F.lit(0.0)
+    for s in range(m):
+        score = score + F.element_at(
+            F.array(*[F.lit(v) for v in luts[s]]), F.col("pq_code")[s] + 1
+        )
+    return (
+        encoded.select(
+            "key", F.round(score, round_dp).alias("adc_dist")
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("key").asc())
+        .limit(k)
+    )

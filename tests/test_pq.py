@@ -1,0 +1,131 @@
+"""Product quantization (operators/quantize.py pq_*): codebook
+training, encoding, reconstruction error, and ADC retrieval."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_native_medical_data_etl_pipeline_spark.operators.quantize import (
+    pq_adc_topk,
+    pq_encode,
+    pq_reconstruct,
+    pq_train,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _clustered(n_per=20, centers=((0.0, 0.0, 0.0, 0.0), (10.0, 10.0, 10.0, 10.0))):
+    # two tight clusters in 4-d; PQ with m=2 subspaces must separate them
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for j in range(n_per):
+            rows.append((vid, [c[d] + ((vid * 7 + d) % 5) * 0.01 for d in range(4)]))
+            vid += 1
+    return rows
+
+
+def test_pq_train_shapes(spark):
+    df = _emb(spark, _clustered())
+    books = pq_train(df, m=2, k=4, iters=2)
+    assert len(books) == 2
+    assert all(len(b) == 4 for b in books)
+    assert all(len(c) == 2 for b in books for c in b)
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    df = _emb(spark, [(1, [1.0, 2.0, 3.0])])
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=2, k=1)
+
+
+def test_pq_encode_codes_in_range_and_cluster_consistent(spark):
+    df = _emb(spark, _clustered())
+    books = pq_train(df, m=2, k=4, iters=2)
+    codes = pq_encode(df, books).collect()
+    assert len(codes) == 40
+    for r in codes:
+        assert len(r["pq_code"]) == 2
+        assert all(0 <= c < 4 for c in r["pq_code"])
+    # all members of one tight cluster share a code per subspace
+    by_cluster = {0: set(), 1: set()}
+    for r in codes:
+        by_cluster[0 if r["key"] < 20 else 1].add(tuple(r["pq_code"]))
+    assert len(by_cluster[0]) == 1 and len(by_cluster[1]) == 1
+    assert by_cluster[0] != by_cluster[1]
+
+
+def test_pq_reconstruction_error_small_on_tight_clusters(spark):
+    df = _emb(spark, _clustered())
+    books = pq_train(df, m=2, k=4, iters=2)
+    rec = pq_reconstruct(pq_encode(df, books), books)
+    joined = rec.join(
+        df.select(F.col("vec_id").alias("key"), "embedding"), "key"
+    ).collect()
+    for r in joined:
+        err = math.sqrt(
+            sum((a - b) ** 2 for a, b in zip(r["vec_hat"], r["embedding"]))
+        )
+        assert err < 0.1  # cluster spread is 0.04 per dim
+
+
+def test_pq_adc_retrieves_the_right_cluster(spark):
+    df = _emb(spark, _clustered())
+    books = pq_train(df, m=2, k=4, iters=2)
+    enc = pq_encode(df, books)
+    top = pq_adc_topk(enc, books, [10.0, 10.0, 10.0, 10.0], k=10).collect()
+    assert len(top) == 10
+    assert all(r["key"] >= 20 for r in top)  # all from the far cluster
+    # distances ascending with key tiebreak
+    ds = [(r["adc_dist"], r["key"]) for r in top]
+    assert ds == sorted(ds)
+
+
+def test_pq_adc_rejects_dim_mismatch(spark):
+    df = _emb(spark, _clustered())
+    books = pq_train(df, m=2, k=4, iters=1)
+    with pytest.raises(ValueError, match="query dim"):
+        pq_adc_topk(pq_encode(df, books), books, [1.0, 2.0], k=3)
+
+
+def test_pq_deterministic_across_partitioning(spark):
+    rows = _clustered(n_per=30)
+    df = _emb(spark, rows)
+    b1 = pq_train(df.repartition(1), m=2, k=4, iters=2)
+    b8 = pq_train(df.repartition(8), m=2, k=4, iters=2)
+    assert b1 == b8
+    e1 = sorted(map(tuple, pq_encode(df.repartition(1), b1).collect()))
+    e8 = sorted(map(tuple, pq_encode(df.repartition(8), b8).collect()))
+    assert e1 == e8
+
+
+def test_pq_empty_and_null_vectors(spark):
+    assert pq_train(_emb(spark, []), m=2, k=2) == []
+    df = _emb(spark, [(1, None), (2, [1.0, 2.0]), (3, [3.0, 4.0])])
+    books = pq_train(df, m=1, k=2, iters=1)
+    codes = pq_encode(df, books).collect()
+    assert {r["key"] for r in codes} == {2, 3}  # nulls dropped, not crashed
+
+
+def test_pq_recall_vs_brute_force_on_real_embeddings(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train(emb, m=8, k=16, iters=2)
+    enc = pq_encode(emb, books)
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    approx = {r["key"] for r in pq_adc_topk(enc, books, q, k=10).collect()}
+    # exact L2 top-10 via brute force
+    from cloud_native_medical_data_etl_pipeline_spark.functions import vectors as V
+
+    exact_df = emb.select(
+        F.col("vec_id").alias("key"),
+        F.round(
+            V.sqdist(F.col("embedding"), F.array(*[F.lit(x) for x in q])), 9
+        ).alias("d"),
+    ).orderBy(F.col("d").asc(), F.col("key").asc()).limit(10)
+    exact = {r["key"] for r in exact_df.collect()}
+    recall = len(approx & exact) / 10
+    assert recall >= 0.5, f"recall {recall} too low: {approx} vs {exact}"
