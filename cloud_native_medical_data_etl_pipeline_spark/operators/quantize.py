@@ -130,52 +130,117 @@ def _assign_code(sub: Column, codebook: list[list[float]]) -> Column:
     return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
 
+def _fps_seed_books(
+    base: DataFrame, m: int, k: int
+) -> list[list[list[float]]]:
+    """Deterministic farthest-point seeding, per subspace, all m
+    subspaces per scan.
+
+    Seed 0 is the min-key row's subvector (same seedless rule as
+    `train_ivf_centroids` / `kcenter_select`); each later hop picks,
+    independently per subspace, the subvector maximizing the ROUNDED
+    min squared distance to the codewords chosen so far (ascending-key
+    tiebreak via min-of-struct on (-dist, key)).  One aggregate scan
+    per hop computes all m argmaxes — k-1 scans total over the cached
+    (key, v0..v{m-1}) frame, zero shuffle.
+
+    Farthest-point spread is what makes Lloyd converge here: the old
+    first-k-rows init put every seed inside one cluster for clustered
+    data (the r6 defect).  A subspace whose max min-distance reaches
+    0.0 has fewer than k distinct subvectors — remaining slots pad
+    with copies of codeword 0, harmless under the lowest-index argmin
+    used by `_assign_code` (so n < k inputs no longer crash: ADVICE
+    r6).
+    """
+    seed = base.orderBy(F.col("key").asc()).limit(1).collect()[0]
+    books = [[[float(x) for x in seed[f"v{s}"]]] for s in range(m)]
+    done = [False] * m
+    for _ in range(k - 1):
+        if all(done):
+            break
+        aggs = []
+        for s in range(m):
+            dmin = F.array_min(
+                F.array(
+                    *[_sq_to_lit(F.col(f"v{s}"), c) for c in books[s]]
+                )
+            )
+            aggs.append(
+                F.min(
+                    F.struct(
+                        (-dmin).alias("nd"),
+                        F.col("key").alias("key"),
+                        F.col(f"v{s}").alias("v"),
+                    )
+                ).alias(f"far{s}")
+            )
+        far = base.agg(*aggs).collect()[0]
+        for s in range(m):
+            if done[s]:
+                books[s].append(books[s][0])
+                continue
+            hit = far[f"far{s}"]
+            if hit is None or hit["nd"] == 0.0:
+                done[s] = True
+                books[s].append(books[s][0])
+            else:
+                books[s].append([float(x) for x in hit["v"]])
+    for s in range(m):
+        while len(books[s]) < k:
+            books[s].append(books[s][0])
+    return books
+
+
 def pq_train(
     df: DataFrame,
     m: int = 8,
     k: int = 16,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
-    iters: int = 2,
+    iters: int = 4,
     round_dp: int = 6,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks: returns m lists of k codewords of
     dim/m doubles each.
 
-    Each Lloyd iteration runs ONE map pass assigning all m subspaces
-    at once (m argmin expression batteries over the same scan) and ONE
-    (subspace, code, pos)-keyed mean aggregate — map-side combinable,
-    m*k*dsub output rows collected to the driver (the codebook is
-    metadata-sized by construction).  Codewords that lose all members
-    keep their previous value, so k never shrinks.
+    Init is deterministic farthest-point seeding per subspace
+    (`_fps_seed_books`).  Each Lloyd iteration runs ONE map pass
+    assigning all m subspaces at once (m argmin expression batteries
+    over the same scan) and ONE (subspace, code, pos)-keyed mean
+    aggregate — map-side combinable, m*k*dsub output rows collected to
+    the driver (the codebook is metadata-sized by construction).
+    Codewords that lose all members keep their previous value, so k
+    never shrinks.  The (key, subvectors) projection is materialized
+    once (localCheckpoint) and shared by the k-1 seeding scans and the
+    `iters` Lloyd passes.  At 100 TB, train on a hash-sample (the
+    codebook is a statistic, not a transform) and encode the full
+    corpus with `pq_encode`.
     """
-    head = (
-        df.where(F.col(vec_col).isNotNull())
-        .select(key_col, vec_col)
-        .orderBy(F.col(key_col).asc())
-        .limit(k)
-        .collect()
-    )
-    if not head:
+    probe = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if probe is None:
         return []
-    dim = len(head[0][1])
+    dim = len(probe[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     dsub = dim // m
-    books = [
-        [[float(x) for x in r[1][s * dsub : (s + 1) * dsub]] for r in head]
-        for s in range(m)
-    ]
-    base = df.where(F.col(vec_col).isNotNull())
+    slices = _sub_slices(vec_col, m, dsub)
+    base = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            *[slices[s].alias(f"v{s}") for s in range(m)],
+        )
+        .localCheckpoint()
+    )
+    books = _fps_seed_books(base, m, k)
     for _ in range(iters):
-        subs = _sub_slices(vec_col, m, dsub)
         tagged = base.select(
             *[
                 c
                 for s in range(m)
                 for c in (
-                    _assign_code(subs[s], books[s]).alias(f"c{s}"),
-                    subs[s].alias(f"v{s}"),
+                    _assign_code(F.col(f"v{s}"), books[s]).alias(f"c{s}"),
+                    F.col(f"v{s}").alias(f"w{s}"),
                 )
             ]
         )
@@ -187,7 +252,7 @@ def pq_train(
                         F.struct(
                             F.lit(s).alias("s"),
                             F.col(f"c{s}").alias("code"),
-                            F.col(f"v{s}").alias("sub"),
+                            F.col(f"w{s}").alias("sub"),
                         )
                         for s in range(m)
                     ]

@@ -51,12 +51,39 @@ def test_pq_encode_codes_in_range_and_cluster_consistent(spark):
     for r in codes:
         assert len(r["pq_code"]) == 2
         assert all(0 <= c < 4 for c in r["pq_code"])
-    # all members of one tight cluster share a code per subspace
+    # k=4 codewords over 2 tight clusters: a correct Lloyd may SPLIT a
+    # cluster across codewords (that lowers quantization error), but a
+    # codeword must never straddle both clusters — per subspace the
+    # code sets are disjoint
     by_cluster = {0: set(), 1: set()}
     for r in codes:
         by_cluster[0 if r["key"] < 20 else 1].add(tuple(r["pq_code"]))
-    assert len(by_cluster[0]) == 1 and len(by_cluster[1]) == 1
-    assert by_cluster[0] != by_cluster[1]
+    for s in range(2):
+        c0 = {t[s] for t in by_cluster[0]}
+        c1 = {t[s] for t in by_cluster[1]}
+        assert not (c0 & c1), f"subspace {s}: codeword straddles clusters"
+    # k=2 == the true cluster count: farthest-point seeding puts one
+    # seed per cluster, so every member shares its cluster's single code
+    books2 = pq_train(df, m=2, k=2, iters=2)
+    codes2 = pq_encode(df, books2).collect()
+    by2 = {0: set(), 1: set()}
+    for r in codes2:
+        by2[0 if r["key"] < 20 else 1].add(tuple(r["pq_code"]))
+    assert len(by2[0]) == 1 and len(by2[1]) == 1
+    assert by2[0] != by2[1]
+
+
+def test_pq_train_pads_when_fewer_vectors_than_k(spark):
+    # n=3 < k=8: remaining codewords pad with copies of codeword 0
+    # (harmless under lowest-index argmin) instead of IndexError
+    df = _emb(spark, [(1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [9.0, 9.0])])
+    books = pq_train(df, m=1, k=8, iters=2)
+    assert len(books) == 1 and len(books[0]) == 8
+    codes = pq_encode(df, books).collect()
+    assert {r["key"] for r in codes} == {1, 2, 3}
+    assert all(0 <= r["pq_code"][0] < 8 for r in codes)
+    # the 3 distinct points get 3 distinct codes
+    assert len({r["pq_code"][0] for r in codes}) == 3
 
 
 def test_pq_reconstruction_error_small_on_tight_clusters(spark):
