@@ -6371,88 +6371,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
     # registry holds 139.  Each round's first-50 window is chosen so
-    # that consecutive rounds jointly cover every query green.
+    # that consecutive rounds jointly cover every query green and no
+    # query's evidence goes more than 3 rounds stale.
     #
-    # Round 6 window, in priority order:
-    #   * the SIXTEEN r5 tail registrations q107-q122 — first-ever
-    #     driver rows (local oracles green at sf0.001/0.01/0.1 since
-    #     r5; q111 re-verified after its r6 collapsed-form kernel
-    #     change, q115 after the persisted-signature-index change);
-    #   * q123 (NEW in r6): the fetch layer end-to-end through the
-    #     Spark 4 Python DataSource — S1/S2/S5's first driver row;
-    #   * q03 — kernel-adjacent oracle change in r6 (exact-dedup
-    #     oracles now COALESCE NULL/'' like the operator), re-evidence;
-    #   * the 8 oldest stale greens (r3-evidenced): q60-q62, q65-q69;
-    #   * 24 of the 48 one-round-stale r4 greens: q01, q04-q06,
-    #     q09-q11, q13-q16, q20/q20b, q21, q22, q26, q32-q34, q42,
-    #     q50-q53.
-    # Displaced to the tail (all r4∪r5 green, kernels untouched):
-    #   * the remaining 24 r4 greens (q57, q59, q63b/q64b, q70-q80,
-    #     q82-q90) — they LEAD the r7 window (r4 evidence turns 3
-    #     rounds old there, the ledger's staleness ceiling);
-    #   * every r5-green window member (q91-q106, q23, q24, q07, q81,
-    #     q02, q08, q12, q17-q19, q25, q27-q31, q35-q41, q43-q49,
-    #     q54-q56, q58);
+    # Round 8 window, in priority order (the r7 verdict's forced set):
+    #   * the THIRTEEN never-driver-evidenced r6 tail registrations
+    #     q124-q136 — first-ever driver rows (local oracles green at
+    #     sf0.001/0.01/0.1 since r6, re-verified by the r7 judge);
+    #   * the 24 r4-stale greens at the staleness ceiling (q57, q59,
+    #     q63b/q64b, q70-q80, q82-q90);
+    #   * q23 — its train_ivf kernel rides the r8 shared
+    #     training-loop helper (iterate_fixed), re-evidence;
+    #   * the 12 oldest r5 greens (q02, q08, q12, q17-q19, q25,
+    #     q27-q31) to fill 50.
+    # Displaced to the tail:
+    #   * the remaining 37 r5 greens — they fill the ENTIRE r9 window
+    #     (r5 evidence hits the 3-round ceiling there): q91-q106,
+    #     q24, q07, q81, q35-q41, q43-q49, q54-q56, q58;
+    #   * every r6/r7-green window member (q107-q123, q03, q60-q62,
+    #     q65-q69, q01, q04-q06, q09-q11, q13-q16, q20/q20b, q21,
+    #     q22, q26, q32-q34, q42, q50-q53);
     #   * rows-only q63/q64 (correctness signal lives in q63b/q64b).
     # Ledger: SURVEY.md §8.3.
     return {
-        # --- first-ever driver rows: the r5 tail registrations (16) ---
-        "q107_bigram_surprisal": q107_bigram_surprisal,
-        "q108_lexical_diversity": q108_lexical_diversity,
-        "q109_quantize_embeddings": q109_quantize_embeddings,
-        "q110_temperature_mixture": q110_temperature_mixture,
-        "q111_cluster_representatives": q111_cluster_representatives,
-        "q112_char_entropy": q112_char_entropy,
-        "q113_gopher_flags": q113_gopher_flags,
-        "q114_stream_zscore": q114_stream_zscore,
-        "q115_stream_ingest": q115_stream_ingest,
-        "q116_session_incident_overlap": q116_session_incident_overlap,
-        "q117_duplication_report": q117_duplication_report,
-        "q118_vocab_coverage": q118_vocab_coverage,
-        "q119_mix_plan": q119_mix_plan,
-        "q120_ngram_novelty": q120_ngram_novelty,
-        "q121_execute_mix_plan": q121_execute_mix_plan,
-        "q122_group_split": q122_group_split,
-        # --- new in r6: fetch layer through the Python DataSource ---
-        "q123_fda_datasource_agg": q123_fda_datasource_agg,
-        # --- r6 oracle-semantics change, re-evidence ---
-        "q03_exact_dedup": q03_exact_dedup,
-        # --- oldest stale evidence (r3-green), rotated back in (8) ---
-        "q60_contamination": q60_contamination,
-        "q61_cap_per_group": q61_cap_per_group,
-        "q62_resample_fill": q62_resample_fill,
-        "q65_chunk_documents": q65_chunk_documents,
-        "q66_unigram_quality": q66_unigram_quality,
-        "q67_mix_corpora": q67_mix_corpora,
-        "q68_repetition": q68_repetition,
-        "q69_winnow_fingerprints": q69_winnow_fingerprints,
-        # --- one-round-stale r4 greens, first half of the rotation (24) ---
-        "q01_pricing_summary": q01_pricing_summary,
-        "q04_size_binning": q04_size_binning,
-        "q05_phase_ladder": q05_phase_ladder,
-        "q06_latest_event_per_user": q06_latest_event_per_user,
-        "q09_severity_weighted": q09_severity_weighted,
-        "q10_ship_delay": q10_ship_delay,
-        "q11_normalize_project": q11_normalize_project,
-        "q13_event_counts": q13_event_counts,
-        "q14_hourly_windows": q14_hourly_windows,
-        "q15_text_stats": q15_text_stats,
-        "q16_fingerprint": q16_fingerprint,
-        "q20_embedding_near_dups": q20_embedding_near_dups,
-        "q20b_embedding_near_dups_hi": q20b_embedding_near_dups_hi,
-        "q21_age_bins": q21_age_bins,
-        "q22_simhash_pairs": q22_simhash_pairs,
-        "q26_anti_join": q26_anti_join,
-        "q32_percentiles": q32_percentiles,
-        "q33_pivot_activity": q33_pivot_activity,
-        "q34_daily_active_users": q34_daily_active_users,
-        "q42_json_props": q42_json_props,
-        "q50_top_orders_per_priority": q50_top_orders_per_priority,
-        "q51_event_navigation": q51_event_navigation,
-        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
-        "q53_grouping_sets": q53_grouping_sets,
-        # --- tail (positions 51+, not recorded this round) ---
-        # second half of the r4-green rotation — leads the r7 window:
+        # --- first-ever driver rows: the r6 tail registrations (13) ---
+        "q124_signature_index": q124_signature_index,
+        "q125_bloom_contamination": q125_bloom_contamination,
+        "q126_ivf_append": q126_ivf_append,
+        "q127_budget_batches": q127_budget_batches,
+        "q128_pii_report": q128_pii_report,
+        "q129_count_min_topk": q129_count_min_topk,
+        "q130_split_leakage": q130_split_leakage,
+        "q131_hll_cardinality": q131_hll_cardinality,
+        "q132_value_trend": q132_value_trend,
+        "q133_embedding_covariance": q133_embedding_covariance,
+        "q134_token_pagerank": q134_token_pagerank,
+        "q135_quality_classifier": q135_quality_classifier,
+        "q136_kcenter_select": q136_kcenter_select,
+        # --- r4-stale greens at the staleness ceiling (24) ---
         "q57_dedup_clusters": q57_dedup_clusters,
         "q59_redact_pii": q59_redact_pii,
         "q63b_pack_invariants": q63b_pack_invariants,
@@ -6477,7 +6433,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_range_lookup": q88_range_lookup,
         "q89_cooccurrence": q89_cooccurrence,
         "q90_hybrid_retrieval": q90_hybrid_retrieval,
-        # r5-green window members, kernels untouched this round:
+        # --- r8-touched kernel + 12 oldest r5 greens ---
+        "q23_ivf_topk": q23_ivf_topk,
+        "q02_containment_enrich": q02_containment_enrich,
+        "q08_duplicate_rows": q08_duplicate_rows,
+        "q12_topk_orders": q12_topk_orders,
+        "q17_minhash_near_dups": q17_minhash_near_dups,
+        "q18_ngram_jaccard": q18_ngram_jaccard,
+        "q19_cosine_topk": q19_cosine_topk,
+        "q25_streaming_hourly": q25_streaming_hourly,
+        "q27_top_revenue": q27_top_revenue,
+        "q28_rollup_revenue": q28_rollup_revenue,
+        "q29_asof_attribution": q29_asof_attribution,
+        "q30_session_stats": q30_session_stats,
+        "q31_curated_corpus": q31_curated_corpus,
+        # --- tail (51+): the 37 remaining r5 greens — the ENTIRE r9 window ---
         "q91_unpivot_metrics": q91_unpivot_metrics,
         "q92_quantile_buckets": q92_quantile_buckets,
         "q93_scd2_intervals": q93_scd2_intervals,
@@ -6494,22 +6464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_embedding_dim_stats": q104_embedding_dim_stats,
         "q105_top_paths": q105_top_paths,
         "q106_length_histogram": q106_length_histogram,
-        "q23_ivf_topk": q23_ivf_topk,
         "q24_multimodal_features": q24_multimodal_features,
         "q07_quality_metrics": q07_quality_metrics,
         "q81_salted_join": q81_salted_join,
-        "q02_containment_enrich": q02_containment_enrich,
-        "q08_duplicate_rows": q08_duplicate_rows,
-        "q12_topk_orders": q12_topk_orders,
-        "q17_minhash_near_dups": q17_minhash_near_dups,
-        "q18_ngram_jaccard": q18_ngram_jaccard,
-        "q19_cosine_topk": q19_cosine_topk,
-        "q25_streaming_hourly": q25_streaming_hourly,
-        "q27_top_revenue": q27_top_revenue,
-        "q28_rollup_revenue": q28_rollup_revenue,
-        "q29_asof_attribution": q29_asof_attribution,
-        "q30_session_stats": q30_session_stats,
-        "q31_curated_corpus": q31_curated_corpus,
         "q35_cube_flags": q35_cube_flags,
         "q36_big_spenders": q36_big_spenders,
         "q37_event_followups": q37_event_followups,
@@ -6528,22 +6485,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_streaming_sessions": q55_streaming_sessions,
         "q56_stratified_sample": q56_stratified_sample,
         "q58_segment_spend_tiers": q58_segment_spend_tiers,
-        # registered r6 at the tail: first driver evidence rides the
-        # r7 window (local oracles green at all three SFs)
-        "q124_signature_index": q124_signature_index,
-        "q125_bloom_contamination": q125_bloom_contamination,
-        "q126_ivf_append": q126_ivf_append,
-        "q127_budget_batches": q127_budget_batches,
-        "q128_pii_report": q128_pii_report,
-        "q129_count_min_topk": q129_count_min_topk,
-        "q130_split_leakage": q130_split_leakage,
-        "q131_hll_cardinality": q131_hll_cardinality,
-        "q132_value_trend": q132_value_trend,
-        "q133_embedding_covariance": q133_embedding_covariance,
-        "q134_token_pagerank": q134_token_pagerank,
-        "q135_quality_classifier": q135_quality_classifier,
-        "q136_kcenter_select": q136_kcenter_select,
-        # rows-only (correctness signal lives in q63b/q64b):
+        # --- r6/r7-evidenced, kernels untouched ---
+        "q107_bigram_surprisal": q107_bigram_surprisal,
+        "q108_lexical_diversity": q108_lexical_diversity,
+        "q109_quantize_embeddings": q109_quantize_embeddings,
+        "q110_temperature_mixture": q110_temperature_mixture,
+        "q111_cluster_representatives": q111_cluster_representatives,
+        "q112_char_entropy": q112_char_entropy,
+        "q113_gopher_flags": q113_gopher_flags,
+        "q114_stream_zscore": q114_stream_zscore,
+        "q115_stream_ingest": q115_stream_ingest,
+        "q116_session_incident_overlap": q116_session_incident_overlap,
+        "q117_duplication_report": q117_duplication_report,
+        "q118_vocab_coverage": q118_vocab_coverage,
+        "q119_mix_plan": q119_mix_plan,
+        "q120_ngram_novelty": q120_ngram_novelty,
+        "q121_execute_mix_plan": q121_execute_mix_plan,
+        "q122_group_split": q122_group_split,
+        "q123_fda_datasource_agg": q123_fda_datasource_agg,
+        "q03_exact_dedup": q03_exact_dedup,
+        "q60_contamination": q60_contamination,
+        "q61_cap_per_group": q61_cap_per_group,
+        "q62_resample_fill": q62_resample_fill,
+        "q65_chunk_documents": q65_chunk_documents,
+        "q66_unigram_quality": q66_unigram_quality,
+        "q67_mix_corpora": q67_mix_corpora,
+        "q68_repetition": q68_repetition,
+        "q69_winnow_fingerprints": q69_winnow_fingerprints,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q04_size_binning": q04_size_binning,
+        "q05_phase_ladder": q05_phase_ladder,
+        "q06_latest_event_per_user": q06_latest_event_per_user,
+        "q09_severity_weighted": q09_severity_weighted,
+        "q10_ship_delay": q10_ship_delay,
+        "q11_normalize_project": q11_normalize_project,
+        "q13_event_counts": q13_event_counts,
+        "q14_hourly_windows": q14_hourly_windows,
+        "q15_text_stats": q15_text_stats,
+        "q16_fingerprint": q16_fingerprint,
+        "q20_embedding_near_dups": q20_embedding_near_dups,
+        "q20b_embedding_near_dups_hi": q20b_embedding_near_dups_hi,
+        "q21_age_bins": q21_age_bins,
+        "q22_simhash_pairs": q22_simhash_pairs,
+        "q26_anti_join": q26_anti_join,
+        "q32_percentiles": q32_percentiles,
+        "q33_pivot_activity": q33_pivot_activity,
+        "q34_daily_active_users": q34_daily_active_users,
+        "q42_json_props": q42_json_props,
+        "q50_top_orders_per_priority": q50_top_orders_per_priority,
+        "q51_event_navigation": q51_event_navigation,
+        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
+        "q53_grouping_sets": q53_grouping_sets,
+        # --- rows-only (correctness signal lives in q63b/q64b) ---
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
     }
