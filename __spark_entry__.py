@@ -5521,6 +5521,67 @@ FROM flat GROUP BY sponsor_name
 
 
 # ---------------------------------------------------------------------------
+# q123b — the fetch layer's RETRY path (S3), driver-visible: the same
+# partitioned DataSource scan as q123, but the deterministic mock
+# transport routes through the PRODUCTION retry loop and raises a
+# TransientFetchError on every even-indexed page's first two attempts
+# (mock_fail_every=2) — each such page only materializes on the final
+# attempt.  The oracle is the same closed-form reconstruction of the
+# clean scan, so the hash matches IF AND ONLY IF the retries recover
+# every injected failure: lost pages change n_apps / first_app,
+# surviving partial pages change the per-sponsor counts.  Window-
+# seated r8 (the r7 verdict's task 6 registration).
+# ---------------------------------------------------------------------------
+_FDA_RS_LIMIT = 350  # 4 page windows at BATCH_SIZE=99: pages 0 and 2 fault
+
+
+def q123b_fda_retry_scan(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark import schemas
+    from cloud_native_medical_data_etl_pipeline_spark.operators.ingest import (
+        flatten_fda,
+    )
+    from cloud_native_medical_data_etl_pipeline_spark.sources.fda_datasource import (
+        OpenFDADataSource,
+    )
+
+    spark.dataSource.register(OpenFDADataSource)
+    raw = (
+        spark.read.format("openfda")
+        .option("mock", "true")
+        .option("mock_fail_every", "2")
+        .option("limit", str(_FDA_RS_LIMIT))
+        .option("mock_total", str(_FDA_RS_LIMIT))
+        .load()
+    )
+    flat = flatten_fda(
+        raw.select(F.from_json("value", schemas.FDA_RAW).alias("r")).select("r.*")
+    )
+    return flat.groupBy("openfda_manufacturer_name").agg(
+        F.count(F.lit(1)).alias("n_apps"),
+        F.count_distinct("sponsor_name").alias("n_sponsors"),
+        F.min("application_number").alias("first_app"),
+        F.max("application_number").alias("last_app"),
+    )
+
+
+Q123B_SQL = f"""
+WITH src AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(0, {_FDA_RS_LIMIT - 1}) t(i)),
+flat AS (
+  SELECT printf('NDA%06d', i) AS application_number,
+         'SPONSOR ' || (i % 7) AS sponsor_name,
+         'MFR ' || (i % 5) AS openfda_manufacturer_name
+  FROM src
+)
+SELECT openfda_manufacturer_name,
+       CAST(COUNT(*) AS BIGINT) AS n_apps,
+       CAST(COUNT(DISTINCT sponsor_name) AS BIGINT) AS n_sponsors,
+       MIN(application_number) AS first_app,
+       MAX(application_number) AS last_app
+FROM flat GROUP BY openfda_manufacturer_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # q125 — Bloom-filter contamination gate (operators/bloom.py): the
 # sketch form of q60's exact contamination join. src0's n-grams pack
 # into an m-bit Bloom filter (m/64 longs, BROADCAST); every other
@@ -6058,11 +6119,12 @@ sums AS (
   FROM pts GROUP BY event_type
 )
 SELECT event_type, n,
-       ROUND(CASE WHEN n * sxx - sx * sx != 0
+       ROUND(CASE WHEN n * sxx - sx * sx > 1e-12 * n * sxx
                   THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
-       ROUND(CASE WHEN n * sxx - sx * sx != 0
+       ROUND(CASE WHEN n * sxx - sx * sx > 1e-12 * n * sxx
                   THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END, 6) AS intercept,
-       ROUND(CASE WHEN n * sxx - sx * sx != 0 AND n * syy - sy * sy != 0
+       ROUND(CASE WHEN n * sxx - sx * sx > 1e-12 * n * sxx
+                  AND n * syy - sy * sy > 1e-12 * n * syy
                   THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
                        / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
 FROM sums
@@ -6210,9 +6272,10 @@ SELECT node, ROUND(rank, 6) AS rank FROM r{_PR_ITERS}
 # integer-arithmetic weak label.  Each GD step is ONE sufficient-stats
 # aggregate (d+1 doubles leave the executors); per-row sigmoids and the
 # gradient means are rounded so the DuckDB oracle — which unrolls all
-# 6 training iterations as MATERIALIZED CTEs — replays training to
-# bit-identical weights (lr = 0.25 is a power of two, so each weight
-# update is an exact scaling + one correctly-rounded subtraction).
+# _LRC_ITERS (32) training iterations as MATERIALIZED CTEs — replays
+# training to bit-identical weights (lr = _LRC_LR = 2.0 is a power of
+# two, so each weight update is an exact scaling + one
+# correctly-rounded subtraction).
 # ---------------------------------------------------------------------------
 _LRC_LR, _LRC_ITERS = 2.0, 32
 _LRC_SIGMA_DP, _LRC_GRAD_DP = 10, 8
@@ -6338,6 +6401,7 @@ c1 AS MATERIALIZED (SELECT key, v FROM e ORDER BY key ASC LIMIT 1),
 d1 AS MATERIALIZED (
   SELECT e.key, e.v, {d2('e.v', 'c.v')} AS dmin
   FROM e CROSS JOIN c1 c
+  WHERE e.key <> c.key
 )"""
     ]
     for r in range(2, _KC_K + 1):
@@ -6349,6 +6413,7 @@ c{r} AS MATERIALIZED (
 d{r} AS MATERIALIZED (
   SELECT d.key, d.v, LEAST(d.dmin, {d2('d.v', 'c.v')}) AS dmin
   FROM d{r - 1} d CROSS JOIN c{r} c
+  WHERE d.key <> c.key
 )"""
         )
     sel = [
@@ -6358,6 +6423,158 @@ d{r} AS MATERIALIZED (
         for r in range(2, _KC_K + 1)
     ]
     parts.append("\n" + "\nUNION ALL\n".join(sel) + "\n")
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# q137 — product quantization end-to-end (operators/quantize.py
+# pq_train / pq_encode / pq_adc_topk): deterministic k-means++
+# codebook training (D²-sampled seeding on the md5 uniform, rounded
+# Lloyd means), per-subspace nearest-codeword encoding, and
+# asymmetric-distance top-k over the m-byte codes — the float corpus
+# is never scanned at query time.  Every ingredient is
+# SQL-expressible: the seeding hops and Lloyd iterations unroll as
+# CTEs (the q23/q136 playbook); priorities, distances, and means are
+# ROUNDED (9/9/6dp) so pow/summation ulps can't flip a winner.  The
+# oracle omits the empty-cell refill branch: at m=4, k=4 over dense
+# random embeddings every cell keeps members (any divergence would
+# fail this hash gate).  Registered r8 — window-seated per the r7
+# verdict (the one permitted registration).
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_TOPK = 4, 4, 2, 10
+_PQ_DSUB = 64 // _PQ_M  # fixed dim-64 embeddings tables
+
+
+def q137_pq_adc_topk(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.quantize import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    enc = pq_encode(emb, books)
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return pq_adc_topk(enc, books, qv, k=_PQ_TOPK).select(
+        F.col("key").alias("vec_id"), "adc_dist"
+    )
+
+
+def _q137_sql() -> str:
+    m, k, iters, dsub = _PQ_M, _PQ_K, _PQ_ITERS, _PQ_DSUB
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_reduce(list_transform(range(1, len({a}) + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+            f"(x, y) -> x + y), 9)"
+        )
+
+    pri = (
+        "CASE WHEN dmin > 0 THEN ROUND(POWER("
+        "(('0x' || substr(md5('kpp' || CAST(s AS VARCHAR) || ':' || "
+        "CAST(key AS VARCHAR)), 1, 8))::BIGINT + 1.0) / 4294967296.0, "
+        "1.0 / dmin), 9) ELSE -1.0 END"
+    )
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+  SELECT vec_id AS key, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+subs AS MATERIALIZED (
+  SELECT e.key, sp.s,
+         list_slice(e.v, sp.s * {dsub} + 1, sp.s * {dsub} + {dsub}) AS sub
+  FROM e CROSS JOIN (SELECT unnest(range({m})) AS s) sp
+),
+b0 AS MATERIALIZED (
+  SELECT s, 0 AS code, sub AS cw
+  FROM subs WHERE key = (SELECT min(key) FROM e)
+)"""
+    ]
+    for h in range(1, k):
+        parts.append(
+            f""",
+dm{h} AS MATERIALIZED (
+  SELECT p.key, p.s, p.sub, MIN({d2('p.sub', 'b.cw')}) AS dmin
+  FROM subs p JOIN b{h - 1} b ON p.s = b.s
+  GROUP BY p.key, p.s, p.sub
+),
+w{h} AS MATERIALIZED (
+  SELECT s, {h} AS code, sub AS cw
+  FROM (
+    SELECT s, sub,
+           ROW_NUMBER() OVER (
+             PARTITION BY s ORDER BY pri DESC, key ASC
+           ) AS rn
+    FROM (SELECT key, s, sub, {pri} AS pri FROM dm{h})
+    WHERE pri > 0)
+  WHERE rn = 1
+),
+b{h} AS MATERIALIZED (
+  SELECT * FROM b{h - 1} UNION ALL SELECT * FROM w{h}
+)"""
+        )
+    parts.append(f",\nbk0 AS MATERIALIZED (SELECT * FROM b{k - 1})")
+    for t in range(iters):
+        parts.append(
+            f""",
+a{t} AS MATERIALIZED (
+  SELECT key, s, sub, code FROM (
+    SELECT p.key, p.s, p.sub, b.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.key, p.s
+             ORDER BY {d2('p.sub', 'b.cw')} ASC, b.code ASC
+           ) AS rn
+    FROM subs p JOIN bk{t} b ON p.s = b.s)
+  WHERE rn = 1
+),
+m{t} AS MATERIALIZED (
+  SELECT s, code, dim, ROUND(AVG(val), 6) AS mv
+  FROM (SELECT s, code, unnest(sub) AS val,
+               generate_subscripts(sub, 1) AS dim
+        FROM a{t})
+  GROUP BY s, code, dim
+),
+bk{t + 1} AS MATERIALIZED (
+  SELECT b.s, b.code, COALESCE(n.cw, b.cw) AS cw
+  FROM bk{t} b LEFT JOIN (
+    SELECT s, code, list(mv ORDER BY dim) AS cw
+    FROM m{t} GROUP BY s, code
+  ) n ON b.s = n.s AND b.code = n.code
+)"""
+        )
+    parts.append(
+        f""",
+enc AS MATERIALIZED (
+  SELECT key, s, code FROM (
+    SELECT p.key, p.s, b.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.key, p.s
+             ORDER BY {d2('p.sub', 'b.cw')} ASC, b.code ASC
+           ) AS rn
+    FROM subs p JOIN bk{iters} b ON p.s = b.s)
+  WHERE rn = 1
+),
+qsub AS MATERIALIZED (
+  SELECT sp.s,
+         list_slice(q.v, sp.s * {dsub} + 1, sp.s * {dsub} + {dsub}) AS sub
+  FROM (SELECT v FROM e WHERE key = 0) q
+  CROSS JOIN (SELECT unnest(range({m})) AS s) sp
+),
+lut AS MATERIALIZED (
+  SELECT b.s, b.code, {d2('q.sub', 'b.cw')} AS d
+  FROM bk{iters} b JOIN qsub q ON b.s = q.s
+)
+SELECT e2.key AS vec_id, ROUND(SUM(l.d), 6) AS adc_dist
+FROM enc e2 JOIN lut l ON e2.s = l.s AND e2.code = l.code
+GROUP BY e2.key
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT {_PQ_TOPK}"""
+    )
     return "".join(parts)
 
 
@@ -6445,9 +6662,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_top_revenue": q27_top_revenue,
         "q28_rollup_revenue": q28_rollup_revenue,
         "q29_asof_attribution": q29_asof_attribution,
+        # --- new in r8: PQ oracle + retry-path evidence (window-seated) ---
+        "q137_pq_adc_topk": q137_pq_adc_topk,
+        "q123b_fda_retry_scan": q123b_fda_retry_scan,
+        # --- tail (51+): displaced to the r9 lead, then the 37 remaining
+        # r5 greens — the r9 window ---
         "q30_session_stats": q30_session_stats,
         "q31_curated_corpus": q31_curated_corpus,
-        # --- tail (51+): the 37 remaining r5 greens — the ENTIRE r9 window ---
         "q91_unpivot_metrics": q91_unpivot_metrics,
         "q92_quantile_buckets": q92_quantile_buckets,
         "q93_scd2_intervals": q93_scd2_intervals,
@@ -6681,6 +6902,8 @@ def oracle_sql() -> dict[str, str]:
         "q134_token_pagerank": _q134_sql(),
         "q135_quality_classifier": _q135_sql(),
         "q136_kcenter_select": _q136_sql(),
+        "q137_pq_adc_topk": _q137_sql(),
+        "q123b_fda_retry_scan": Q123B_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact
         # oracle) — their correctness PROPERTIES are hash-checked by

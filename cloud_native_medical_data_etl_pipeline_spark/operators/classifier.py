@@ -128,8 +128,9 @@ def train_logreg(
     """
     if lr <= 0 or (math.log2(lr) != int(math.log2(lr))):
         raise ValueError(f"lr must be a positive power of two, got {lr}")
-    w = [0.0] * (len(features) + 1)
-    for _ in range(iterations):
+    from ._iterate import iterate_fixed
+
+    def step(w: list[float]):
         sig = F.round(
             F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot(w, features))), sigma_dp
         )
@@ -142,11 +143,14 @@ def train_logreg(
             ).alias(f"g{i + 1}")
             for i, c in enumerate(features)
         ]
-        g = feat.agg(*aggs).collect()[0]
+        return feat.agg(*aggs).collect()[0]
+
+    def update(w: list[float], g) -> list[float]:
         # exact power-of-two scaling + one correctly-rounded subtract:
         # bit-identical to the oracle's SQL `w - lr*g`
-        w = [wi - lr * g[f"g{i}"] for i, wi in enumerate(w)]
-    return w
+        return [wi - lr * g[f"g{i}"] for i, wi in enumerate(w)]
+
+    return iterate_fixed([0.0] * (len(features) + 1), iterations, step, update)
 
 
 def score_logreg(

@@ -130,27 +130,68 @@ def _assign_code(sub: Column, codebook: list[list[float]]) -> Column:
     return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
 
-def _fps_seed_books(
+def _u_subspace(s: int) -> Column:
+    """Deterministic per-(subspace, key) uniform in (0, 1]: first 8 hex
+    digits of md5(f"kpp{s}:{key}"), the engine's engine-stable random
+    (the `weighted_sample` / `mix_corpora` trick).  Salting by
+    subspace index keeps the m sampling streams independent — one
+    shared stream would correlate the seed choices across subspaces."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"kpp{s}:"), F.col("key").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+
+
+def _kmeanspp_seed_books(
     base: DataFrame, m: int, k: int
 ) -> list[list[list[float]]]:
-    """Deterministic farthest-point seeding, per subspace, all m
-    subspaces per scan.
+    """Deterministic k-means++ (D²-sampled) seeding, per subspace, all
+    live subspaces per scan.
 
     Seed 0 is the min-key row's subvector (same seedless rule as
-    `train_ivf_centroids` / `kcenter_select`); each later hop picks,
-    independently per subspace, the subvector maximizing the ROUNDED
-    min squared distance to the codewords chosen so far (ascending-key
-    tiebreak via min-of-struct on (-dist, key)).  One aggregate scan
-    per hop computes all m argmaxes — k-1 scans total over the cached
-    (key, v0..v{m-1}) frame, zero shuffle.
+    `train_ivf_centroids` / `kcenter_select`).  Each later hop picks,
+    independently per subspace, the subvector winning an
+    Efraimidis-Spirakis race with weight = ROUNDED min squared
+    distance to the codewords chosen so far: priority = round(u **
+    (1/dmin), 9) for the md5-deterministic uniform u (`_u_subspace`),
+    max priority wins, ascending-key tiebreak via min-of-struct on
+    (-priority, key).  That is exactly D²-proportional sampling
+    without replacement (Arthur & Vassilvitskii, "k-means++", SODA
+    2007) — but reproducible across partition layouts, re-runs, and
+    engines, unlike seeded rand().  One aggregate scan per hop
+    computes all live argmaxes — at most k-1 scans total over the
+    cached (key, v0..v{m-1}) frame, zero shuffle.
 
-    Farthest-point spread is what makes Lloyd converge here: the old
-    first-k-rows init put every seed inside one cluster for clustered
-    data (the r6 defect).  A subspace whose max min-distance reaches
-    0.0 has fewer than k distinct subvectors — remaining slots pad
-    with copies of codeword 0, harmless under the lowest-index argmin
-    used by `_assign_code` (so n < k inputs no longer crash: ADVICE
-    r6).
+    Why not farthest-point: FPS seeds *extremes* — on natural spread
+    data the outlier codewords start so far out that a short Lloyd
+    budget cannot pull them back, leaving per-subspace distortion too
+    high for ADC (the r7 recall defect).  D² sampling keeps the
+    spread property on clustered data (the far cluster carries almost
+    all the D² mass) while placing seeds at typical points on spread
+    data.
+
+    A subspace where no point has dmin > 0 has fewer than k distinct
+    subvectors — it is marked done, skipped in later hops' aggregates,
+    and its remaining slots pad with copies of codeword 0 (`pq_train`
+    re-syncs the pads to codeword 0 after every Lloyd update, so they
+    track its current value and can never outrank it under the
+    lowest-index argmin of `_assign_code`).
+
+    Cost note: seeding is k-1 driver round-trips with literal distance
+    batteries growing to O(m*k*dsub) expressions by the last hop —
+    fine through k=16 (the default); at the k=256 regime `pq_encode`
+    supports, train on a hash-sample (see `pq_train`) so the scans are
+    cheap, and expect plan-size-bound hops, not data-bound ones.
     """
     seed = base.orderBy(F.col("key").asc()).limit(1).collect()[0]
     books = [[[float(x) for x in seed[f"v{s}"]]] for s in range(m)]
@@ -160,27 +201,32 @@ def _fps_seed_books(
             break
         aggs = []
         for s in range(m):
+            if done[s]:
+                continue
             dmin = F.array_min(
                 F.array(
                     *[_sq_to_lit(F.col(f"v{s}"), c) for c in books[s]]
                 )
             )
+            pri = F.when(
+                dmin > 0, F.round(F.pow(_u_subspace(s), F.lit(1.0) / dmin), 9)
+            ).otherwise(F.lit(-1.0))
             aggs.append(
                 F.min(
                     F.struct(
-                        (-dmin).alias("nd"),
+                        (-pri).alias("np"),
                         F.col("key").alias("key"),
                         F.col(f"v{s}").alias("v"),
                     )
-                ).alias(f"far{s}")
+                ).alias(f"win{s}")
             )
         far = base.agg(*aggs).collect()[0]
         for s in range(m):
             if done[s]:
                 books[s].append(books[s][0])
                 continue
-            hit = far[f"far{s}"]
-            if hit is None or hit["nd"] == 0.0:
+            hit = far[f"win{s}"]
+            if hit is None or hit["np"] >= 0.0:
                 done[s] = True
                 books[s].append(books[s][0])
             else:
@@ -203,18 +249,23 @@ def pq_train(
     """Train per-subspace codebooks: returns m lists of k codewords of
     dim/m doubles each.
 
-    Init is deterministic farthest-point seeding per subspace
-    (`_fps_seed_books`).  Each Lloyd iteration runs ONE map pass
+    Init is deterministic k-means++ D²-sampled seeding per subspace
+    (`_kmeanspp_seed_books`).  Each Lloyd iteration runs ONE map pass
     assigning all m subspaces at once (m argmin expression batteries
     over the same scan) and ONE (subspace, code, pos)-keyed mean
     aggregate — map-side combinable, m*k*dsub output rows collected to
     the driver (the codebook is metadata-sized by construction).
-    Codewords that lose all members keep their previous value, so k
-    never shrinks.  The (key, subvectors) projection is materialized
-    once (localCheckpoint) and shared by the k-1 seeding scans and the
-    `iters` Lloyd passes.  At 100 TB, train on a hash-sample (the
-    codebook is a statistic, not a transform) and encode the full
-    corpus with `pq_encode`.
+    Codewords that lose all members are RESEEDED to the point farthest
+    from the updated codebook (rounded min distance, ascending-key
+    tiebreak, one extra aggregate scan per refill — rare, usually
+    zero), so no codeword slot stays dead; slots that cannot be
+    refilled (fewer distinct subvectors than k) re-sync to codeword
+    0's current value each iteration.  The (key, subvectors)
+    projection is materialized once (localCheckpoint) and shared by
+    the seeding scans and the `iters` Lloyd passes.  At 100 TB, train
+    on a hash-sample (the codebook is a statistic, not a transform)
+    and encode the full corpus with `pq_encode`; the same sample cap
+    is what keeps the k-1 seeding scans cheap at large k.
     """
     probe = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
     if probe is None:
@@ -232,8 +283,9 @@ def pq_train(
         )
         .localCheckpoint()
     )
-    books = _fps_seed_books(base, m, k)
-    for _ in range(iters):
+    from ._iterate import iterate_fixed
+
+    def step(books: list[list[list[float]]]):
         tagged = base.select(
             *[
                 c
@@ -263,11 +315,13 @@ def pq_train(
             F.col("x.code").alias("code"),
             F.posexplode("x.sub").alias("pos", "val"),
         )
-        rows = (
+        return (
             stacked.groupBy("s", "code", "pos")
             .agg(F.round(F.avg("val"), round_dp).alias("mv"))
             .collect()
         )
+
+    def update(books: list[list[list[float]]], rows):
         got: dict[tuple[int, int], dict[int, float]] = {}
         for r in rows:
             got.setdefault((r["s"], r["code"]), {})[r["pos"]] = r["mv"]
@@ -280,6 +334,74 @@ def pq_train(
             ]
             for s in range(m)
         ]
+        empties = {
+            s: [c for c in range(k) if (s, c) not in got] for s in range(m)
+        }
+        return _refill_empty_cells(base, books, empties)
+
+    return iterate_fixed(
+        _kmeanspp_seed_books(base, m, k), iters, step, update
+    )
+
+
+def _refill_empty_cells(
+    base: DataFrame,
+    books: list[list[list[float]]],
+    empties: dict[int, list[int]],
+) -> list[list[list[float]]]:
+    """Reseed codewords that lost every member: each empty slot takes
+    the point FARTHEST from the just-updated codebook (rounded min
+    squared distance, ascending-key tiebreak), distances frozen at the
+    post-mean codebook so refills within one iteration don't chase
+    each other; already-used points are excluded per subspace.  Slots
+    with no eligible point left (every subvector coincides with a
+    codeword — the n < k pad case) re-sync to codeword 0's current
+    value, so pads track codeword 0 across Lloyd updates and can never
+    outrank it under `_assign_code`'s lowest-index argmin.  One
+    aggregate scan per refill round; on healthy data empties are rare
+    and this is zero scans."""
+    m = len(books)
+    todo = {s: list(cs) for s, cs in empties.items() if cs}
+    if todo:
+        battery = {
+            s: F.array(
+                *[_sq_to_lit(F.col(f"v{s}"), c) for c in books[s]]
+            )
+            for s in todo
+        }
+        used: dict[int, list] = {s: [] for s in todo}
+        while todo:
+            aggs = []
+            for s in todo:
+                dmin = F.array_min(battery[s])
+                ok = dmin > 0
+                if used[s]:
+                    ok = ok & ~F.col("key").isin(used[s])
+                nd = -F.when(ok, dmin).otherwise(F.lit(-1.0))
+                aggs.append(
+                    F.min(
+                        F.struct(
+                            nd.alias("nd"),
+                            F.col("key").alias("key"),
+                            F.col(f"v{s}").alias("v"),
+                        )
+                    ).alias(f"far{s}")
+                )
+            far = base.agg(*aggs).collect()[0]
+            for s in list(todo):
+                hit = far[f"far{s}"]
+                c = todo[s].pop(0)
+                if hit is None or hit["nd"] >= 0.0:
+                    # nothing refillable in this subspace: sync the
+                    # remaining empty slots to codeword 0 and stop
+                    for cc in [c] + todo[s]:
+                        books[s][cc] = list(books[s][0])
+                    todo[s] = []
+                else:
+                    books[s][c] = [float(x) for x in hit["v"]]
+                    used[s].append(hit["key"])
+                if not todo[s]:
+                    del todo[s]
     return books
 
 
@@ -327,6 +449,34 @@ def pq_reconstruct(
     )
 
 
+def _adc_score(
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    code_col: str = "pq_code",
+) -> Column:
+    """The ADC distance expression: per subspace, the exact
+    query-subvector -> codeword squared distances (rounded 9dp, the
+    cross-engine grain) ride as an m x k literal table; each row costs
+    m element_at lookups + a left-to-right sum."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(query_vec) != m * dsub:
+        raise ValueError(
+            f"query dim {len(query_vec)} != codebook dim {m * dsub}"
+        )
+    score = F.lit(0.0)
+    for s in range(m):
+        qs = [float(x) for x in query_vec[s * dsub : (s + 1) * dsub]]
+        lut = [
+            round(sum((a - b) * (a - b) for a, b in zip(qs, c)), 9)
+            for c in codebooks[s]
+        ]
+        score = score + F.element_at(
+            F.array(*[F.lit(v) for v in lut]), F.col(code_col)[s] + 1
+        )
+    return score
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     codebooks: list[list[list[float]]],
@@ -342,31 +492,113 @@ def pq_adc_topk(
     The float corpus is NEVER scanned — only the m-byte codes — which
     is the point: at 100 TB the code table is 1/32nd the bytes, and
     the scan is the cost.  Composes with the IVF index for cell
-    pruning (IVF-PQ)."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    if len(query_vec) != m * dsub:
-        raise ValueError(
-            f"query dim {len(query_vec)} != codebook dim {m * dsub}"
-        )
-    luts = []
-    for s in range(m):
-        qs = [float(x) for x in query_vec[s * dsub : (s + 1) * dsub]]
-        luts.append(
-            [
-                round(sum((a - b) * (a - b) for a, b in zip(qs, c)), 9)
-                for c in codebooks[s]
-            ]
-        )
-    score = F.lit(0.0)
-    for s in range(m):
-        score = score + F.element_at(
-            F.array(*[F.lit(v) for v in luts[s]]), F.col("pq_code")[s] + 1
-        )
+    pruning (`build_ivfpq_index` / `ivfpq_topk_indexed`)."""
+    score = _adc_score(codebooks, query_vec)
     return (
         encoded.select(
             "key", F.round(score, round_dp).alias("adc_dist")
         )
+        .orderBy(F.col("adc_dist").asc(), F.col("key").asc())
+        .limit(k)
+    )
+
+
+# --- IVF-PQ: cell-pruned ADC over a persisted code table --------------------
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    num_cells: int = 16,
+    train_iters: int = 2,
+    m: int = 8,
+    k: int = 16,
+    pq_iters: int = 4,
+) -> None:
+    """Materialize the IVF-PQ index: the 100 TB ANN layout.
+
+    Train IVF centroids (`similarity.train_ivf_centroids`) and PQ
+    codebooks (`pq_train`) over the corpus, then write ONE
+    cell-partitioned parquet table of (key, pq_code) — m small ints
+    per vector instead of dim floats.  Queries prune to nprobe cell
+    partitions (Catalyst PartitionFilters, zero IO on unprobed cells)
+    and rank the survivors by ADC over the code column alone: the
+    float corpus is read once at build time and never again.  At
+    dim=64 float32 vs m=8 codes that is a 32x smaller scan on ~1/4 of
+    the partitions.  Centroids and codebooks ride in underscore-
+    prefixed side directories (ignored by Spark's file listing), the
+    `build_ivf_index` convention.
+
+    Codes are assigned against GLOBAL codebooks (IVF prunes, PQ
+    ranks); per-cell residual codebooks (classic IVFADC) would cut
+    distortion further but make codes cell-dependent — out of scope
+    until a caller needs it."""
+    from .similarity import assign_cells, train_ivf_centroids
+
+    centroids = train_ivf_centroids(
+        df, num_cells, vec_col, key_col, iters=train_iters
+    )
+    books = pq_train(df, m=m, k=k, vec_col=vec_col, key_col=key_col,
+                     iters=pq_iters)
+    dsub = len(books[0][0])
+    subs = _sub_slices(vec_col, m, dsub)
+    assigned = assign_cells(
+        df.where(F.col(vec_col).isNotNull()), centroids, vec_col
+    )
+    assigned.select(
+        F.col(key_col).alias("key"),
+        F.array(
+            *[_assign_code(subs[s], books[s]) for s in range(m)]
+        ).alias("pq_code"),
+        "cell_id",
+    ).write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        list(enumerate(centroids)), "cell_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_ivf_centroids")
+    spark.createDataFrame(
+        [(s, c, books[s][c]) for s in range(m) for c in range(k)],
+        "s int, code int, codeword array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_pq_codebooks")
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Query a `build_ivfpq_index` table: rank cells by centroid
+    cosine on the driver (the centroid set is metadata-sized), scan
+    ONLY the nprobe nearest cell partitions, and rank by ADC over the
+    m-byte codes — partition pruning x a 32x narrower scan, the
+    compounding that makes ANN affordable at 100 TB.  Returns (key,
+    adc_dist) ascending with key tiebreak, the `pq_adc_topk`
+    contract."""
+    from .similarity import _py_cosine
+
+    cents = {
+        r["cell_id"]: [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(f"{path}/_ivf_centroids").collect()
+    }
+    brows = spark.read.parquet(f"{path}/_pq_codebooks").collect()
+    m = 1 + max(r["s"] for r in brows)
+    kk = 1 + max(r["code"] for r in brows)
+    books: list[list[list[float]]] = [[None] * kk for _ in range(m)]
+    for r in brows:
+        books[r["s"]][r["code"]] = [float(x) for x in r["codeword"]]
+    probes = sorted(
+        cents, key=lambda i: -_py_cosine(query_vec, cents[i])
+    )[:nprobe]
+    score = _adc_score(books, query_vec)
+    return (
+        spark.read.parquet(path)
+        .where(F.col("cell_id").isin(probes))
+        .select("key", F.round(score, round_dp).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("key").asc())
         .limit(k)
     )

@@ -74,16 +74,19 @@ def train_ivf_centroids(
     Cosine assignment, so means are taken over raw vectors; for unit
     vectors this is spherical k-means without the re-normalize step.
     """
-    cents = [
+    from ._iterate import iterate_fixed
+
+    init = [
         [float(x) for x in r[1]]
         for r in df.select(key_col, vec_col)
         .orderBy(F.col(key_col).asc())
         .limit(num_cells)
         .collect()
     ]
-    dim = len(cents[0]) if cents else 0
-    for _ in range(iters):
-        rows = (
+    dim = len(init[0]) if init else 0
+
+    def step(cents: list[list[float]]):
+        return (
             assign_cells(df, cents, vec_col)
             .select(
                 "cell_id",
@@ -95,14 +98,17 @@ def train_ivf_centroids(
             .agg(F.round(F.avg("val"), round_dp).alias("m"))
             .collect()
         )
+
+    def update(cents: list[list[float]], rows) -> list[list[float]]:
         by_cell: dict[int, dict[int, float]] = {}
         for r in rows:
             by_cell.setdefault(r["cell_id"], {})[r["pos"]] = r["m"]
-        cents = [
+        return [
             [by_cell[i][p] for p in range(dim)] if i in by_cell else cents[i]
             for i in range(len(cents))
         ]
-    return cents
+
+    return iterate_fixed(init, iters, step, update)
 
 
 def ivf_topk(
@@ -717,14 +723,25 @@ def kcenter_select(
         return df.sparkSession.createDataFrame([], out_schema)
     seed = base.orderBy(F.col("key").asc()).limit(1).collect()[0]
     selected = [(1, seed["key"], None)]
-    cur = base.select(
-        "key",
-        "vec",
-        F.round(
-            V.sqdist(F.col("vec"), _lit_vec([float(x) for x in seed["vec"]])),
-            dist_dp,
-        ).alias("dmin"),
-    ).localCheckpoint()
+    # selected keys leave the candidate frame: a selected point sits at
+    # dmin=0, and on an all-duplicate corpus every dmin is 0, so the
+    # ascending-key tiebreak would re-pick an existing center and emit
+    # duplicate keys (ADVICE r6) — anti-filtering each pick out makes
+    # every sel_rank a distinct key by construction
+    cur = (
+        base.where(F.col("key") != F.lit(seed["key"]))
+        .select(
+            "key",
+            "vec",
+            F.round(
+                V.sqdist(
+                    F.col("vec"), _lit_vec([float(x) for x in seed["vec"]])
+                ),
+                dist_dp,
+            ).alias("dmin"),
+        )
+        .localCheckpoint()
+    )
     for rank in range(2, min(k, n) + 1):
         far = (
             cur.orderBy(F.col("dmin").desc(), F.col("key").asc())
@@ -732,20 +749,24 @@ def kcenter_select(
             .collect()[0]
         )
         selected.append((rank, far["key"], float(far["dmin"])))
-        cur = cur.select(
-            "key",
-            "vec",
-            F.least(
-                F.col("dmin"),
-                F.round(
-                    V.sqdist(
-                        F.col("vec"),
-                        _lit_vec([float(x) for x in far["vec"]]),
+        cur = (
+            cur.where(F.col("key") != F.lit(far["key"]))
+            .select(
+                "key",
+                "vec",
+                F.least(
+                    F.col("dmin"),
+                    F.round(
+                        V.sqdist(
+                            F.col("vec"),
+                            _lit_vec([float(x) for x in far["vec"]]),
+                        ),
+                        dist_dp,
                     ),
-                    dist_dp,
-                ),
-            ).alias("dmin"),
-        ).localCheckpoint()
+                ).alias("dmin"),
+            )
+            .localCheckpoint()
+        )
     out = df.sparkSession.createDataFrame(
         [(r, key, d) for r, key, d in selected], out_schema
     )

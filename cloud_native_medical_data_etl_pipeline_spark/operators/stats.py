@@ -485,11 +485,20 @@ def group_trend(
     num = n * F.col("sxy") - F.col("sx") * F.col("sy")
     den_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
     den_y = n * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = F.when(den_x != 0, num / den_x)
+    # zero-variance guard is RELATIVE, not an exact float compare: for
+    # constant-but-nonzero x the nΣxx − Σx² cancellation leaves ~ulp
+    # garbage (|den| ≈ 1e-16·nΣxx) that `!= 0` would divide by,
+    # producing a spurious huge slope (ADVICE r6).  den must clear
+    # 1e-12 of its uncancelled magnitude — legitimate variance is
+    # orders above that under the centered-x contract, and fp noise
+    # (positive OR negative) falls below it.
+    ok_x = den_x > F.lit(1e-12) * n * F.col("sxx")
+    ok_y = den_y > F.lit(1e-12) * n * F.col("syy")
+    slope = F.when(ok_x, num / den_x)
     intercept = F.when(
-        den_x != 0, (F.col("sy") - (num / den_x) * F.col("sx")) / n
+        ok_x, (F.col("sy") - (num / den_x) * F.col("sx")) / n
     )
-    r2 = F.when((den_x != 0) & (den_y != 0), num * num / (den_x * den_y))
+    r2 = F.when(ok_x & ok_y, num * num / (den_x * den_y))
     return sums.select(
         col_ref(group_col),
         n,

@@ -83,6 +83,11 @@ def _mock_page(skip: int, limit: int, total: int) -> list[dict]:
     return out
 
 
+class TransientFetchError(RuntimeError):
+    """A retryable fetch failure (the injected-fault analogue of a
+    5xx / timeout from the real API)."""
+
+
 class _Reader(DataSourceReader):
     def __init__(self, options: dict):
         self.start_date = options.get("start_date", "")
@@ -91,6 +96,11 @@ class _Reader(DataSourceReader):
         self.pages_per_partition = int(options.get("pages_per_partition", "1"))
         self.mock = options.get("mock", "false").lower() == "true"
         self.mock_total = int(options.get("mock_total", str(self.limit)))
+        # fault injection (S3 retry evidence): every Nth page (page
+        # index % N == 0) raises TransientFetchError on every attempt
+        # but the last, so the scan is complete ONLY if the retry loop
+        # actually recovers those pages. 0 disables.
+        self.mock_fail_every = int(options.get("mock_fail_every", "0"))
 
     def partitions(self):
         step = BATCH_SIZE * self.pages_per_partition
@@ -114,7 +124,36 @@ class _Reader(DataSourceReader):
                 time.sleep(RATE_LIMIT_S)
 
     def _fetch_page(self, skip: int, limit: int) -> list[dict]:
+        """Retry wrapper shared by BOTH transports — the mock path goes
+        through the same loop, so fault-injected scans (mock_fail_every)
+        exercise the production retry/backoff logic, not a test
+        double.  Backoff sleeps are skipped in mock mode (determinism
+        and test speed; the backoff schedule itself is unit-covered in
+        sources/rest.py)."""
+        last_err: Exception | None = None
+        for attempt in range(MAX_RETRIES):
+            try:
+                return self._do_fetch(skip, limit, attempt)
+            except Exception as e:  # linear backoff, reference policy
+                last_err = e
+                if attempt < MAX_RETRIES - 1 and not self.mock:
+                    time.sleep(2 * (attempt + 1))
+        raise RuntimeError(
+            f"fetch failed after {MAX_RETRIES} attempts"
+        ) from last_err
+
+    def _do_fetch(self, skip: int, limit: int, attempt: int) -> list[dict]:
         if self.mock:
+            page_idx = skip // BATCH_SIZE
+            if (
+                self.mock_fail_every
+                and page_idx % self.mock_fail_every == 0
+                and attempt < MAX_RETRIES - 1
+            ):
+                raise TransientFetchError(
+                    f"injected transient failure page={page_idx} "
+                    f"attempt={attempt}"
+                )
             return _mock_page(skip, limit, self.mock_total)
         import urllib.parse
         import urllib.request
@@ -128,16 +167,8 @@ class _Reader(DataSourceReader):
                 f"{self.end_date.replace('-', '')}]"
             )
         qs = urllib.parse.urlencode(params)
-        last_err: Exception | None = None
-        for attempt in range(MAX_RETRIES):
-            try:
-                with urllib.request.urlopen(f"{API_URL}?{qs}", timeout=30) as r:
-                    return json.loads(r.read().decode("utf-8")).get("results", [])
-            except Exception as e:  # linear backoff, reference policy
-                last_err = e
-                if attempt < MAX_RETRIES - 1:
-                    time.sleep(2 * (attempt + 1))
-        raise RuntimeError(f"fetch failed after {MAX_RETRIES} attempts") from last_err
+        with urllib.request.urlopen(f"{API_URL}?{qs}", timeout=30) as r:
+            return json.loads(r.read().decode("utf-8")).get("results", [])
 
 
 class OpenFDADataSource(DataSource):

@@ -182,6 +182,20 @@ def test_kcenter_k_exceeds_n(spark):
     assert {r["key"] for r in out} == {1, 2, 3}
 
 
+def test_kcenter_all_duplicate_corpus_emits_distinct_keys(spark):
+    # every vector identical: all dmin are 0, and without the
+    # selected-key anti-filter the ascending-key tiebreak would
+    # re-pick an existing center (ADVICE r6) — keys must be distinct
+    rows = [(i, [1.5, -2.5]) for i in range(1, 7)]
+    out = kcenter_select(_emb(spark, rows), k=4).collect()
+    keys = [r["key"] for r in out]
+    assert len(keys) == 4
+    assert len(set(keys)) == 4
+    assert sorted(keys) == [1, 2, 3, 4]  # tiebreak walks ascending keys
+    radii = [r["radius"] for r in sorted(out, key=lambda r: r["sel_rank"])]
+    assert radii[0] is None and all(r == 0.0 for r in radii[1:])
+
+
 def test_kcenter_empty_and_null_vectors(spark):
     out = kcenter_select(_emb(spark, []), k=4).collect()
     assert out == []

@@ -46,3 +46,46 @@ def test_flatten_roundtrip(spark):
     row = flat.where(F.col("application_number") == "NDA000007").first()
     assert row["brand_name"] == "BRAND7"
     assert row["active_ingredients"] == "ing7"
+
+
+def test_retry_recovers_injected_transient_failures(spark):
+    # every even-indexed page raises on its first two attempts and
+    # succeeds on the last: the scan is complete only if the retry
+    # loop recovers those pages, and the rows must be IDENTICAL to a
+    # clean scan (no lost or duplicated records)
+    clean = sorted(r["value"] for r in _load(spark, limit=350).collect())
+    faulty = sorted(
+        r["value"]
+        for r in _load(spark, limit=350, mock_fail_every=2).collect()
+    )
+    assert faulty == clean
+    assert len(faulty) == 350
+
+
+def test_retry_exhaustion_raises():
+    # a page that faults on EVERY attempt must surface the terminal
+    # error, not silently drop the page (driver-side reader unit; no
+    # Spark needed)
+    import pytest as _pytest
+
+    from cloud_native_medical_data_etl_pipeline_spark.sources import (
+        fda_datasource as FD,
+    )
+
+    r = FD._Reader(
+        {"mock": "true", "limit": "99", "mock_total": "99",
+         "mock_fail_every": "1"}
+    )
+    # make page 0 fail on all attempts, not just the first two
+    orig = r._do_fetch
+
+    def always_fail(skip, limit, attempt):
+        raise FD.TransientFetchError("permanent outage")
+
+    r._do_fetch = always_fail
+    with _pytest.raises(RuntimeError, match="after 3 attempts"):
+        list(r.read(FD._PageRange(0, 99)))
+    # and with the real injector (fails twice, succeeds on the last
+    # attempt) the same partition recovers in full
+    r._do_fetch = orig
+    assert len(list(r.read(FD._PageRange(0, 99)))) == 99

@@ -1,0 +1,96 @@
+"""IVF-PQ composition (operators/quantize.py build_ivfpq_index /
+ivfpq_topk_indexed): cell-pruned ADC over a persisted code table —
+the 100 TB ANN layout (IVF prunes partitions, PQ shrinks the scan)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_native_medical_data_etl_pipeline_spark.operators.quantize import (
+    build_ivfpq_index,
+    ivfpq_topk_indexed,
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    build_ivfpq_index(
+        emb, path, num_cells=8, train_iters=1, m=4, k=8, pq_iters=2
+    )
+    return path
+
+
+def test_index_layout(spark, index_path, emb):
+    rows = spark.read.parquet(index_path)
+    assert set(rows.columns) == {"key", "pq_code", "cell_id"}
+    assert rows.count() == emb.count()
+    cells = spark.read.parquet(f"{index_path}/_ivf_centroids")
+    assert cells.count() == 8
+    books = spark.read.parquet(f"{index_path}/_pq_codebooks")
+    assert books.count() == 4 * 8  # m * k
+    # codes in range
+    bad = rows.where(
+        F.exists("pq_code", lambda c: (c < 0) | (c >= 8))
+    ).count()
+    assert bad == 0
+
+
+def test_full_probe_equals_flat_adc(spark, index_path, emb):
+    # nprobe = num_cells: cell pruning removes nothing, so the result
+    # must equal pq_adc_topk over the same codes + codebooks
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    got = ivfpq_topk_indexed(spark, index_path, q, k=10, nprobe=8).collect()
+    brows = spark.read.parquet(f"{index_path}/_pq_codebooks").collect()
+    books = [[None] * 8 for _ in range(4)]
+    for r in brows:
+        books[r["s"]][r["code"]] = [float(x) for x in r["codeword"]]
+    flat = pq_adc_topk(
+        spark.read.parquet(index_path).select("key", "pq_code"),
+        books,
+        q,
+        k=10,
+    ).collect()
+    assert [(r["key"], r["adc_dist"]) for r in got] == [
+        (r["key"], r["adc_dist"]) for r in flat
+    ]
+
+
+def test_pruned_probe_scans_only_probed_cells(spark, index_path, emb):
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    df = ivfpq_topk_indexed(spark, index_path, q, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the cell_id filter must reach the scan as a partition filter,
+    # not a post-scan Filter over all partitions
+    assert "PartitionFilters: [cell_id" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 5
+    ds = [(r["adc_dist"], r["key"]) for r in rows]
+    assert ds == sorted(ds)
+
+
+def test_codes_match_direct_encode(spark, index_path, emb):
+    # the persisted codes must be exactly pq_encode against the
+    # persisted codebooks (assignment is a pure function of both)
+    brows = spark.read.parquet(f"{index_path}/_pq_codebooks").collect()
+    books = [[None] * 8 for _ in range(4)]
+    for r in brows:
+        books[r["s"]][r["code"]] = [float(x) for x in r["codeword"]]
+    direct = {
+        r["key"]: list(r["pq_code"])
+        for r in pq_encode(emb, books).collect()
+    }
+    stored = {
+        r["key"]: list(r["pq_code"])
+        for r in spark.read.parquet(index_path).collect()
+    }
+    assert stored == direct

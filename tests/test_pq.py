@@ -62,8 +62,9 @@ def test_pq_encode_codes_in_range_and_cluster_consistent(spark):
         c0 = {t[s] for t in by_cluster[0]}
         c1 = {t[s] for t in by_cluster[1]}
         assert not (c0 & c1), f"subspace {s}: codeword straddles clusters"
-    # k=2 == the true cluster count: farthest-point seeding puts one
-    # seed per cluster, so every member shares its cluster's single code
+    # k=2 == the true cluster count: D²-sampled seeding puts one seed
+    # per cluster (the far cluster carries ~all the D² mass), so every
+    # member shares its cluster's single code
     books2 = pq_train(df, m=2, k=2, iters=2)
     codes2 = pq_encode(df, books2).collect()
     by2 = {0: set(), 1: set()}

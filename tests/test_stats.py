@@ -271,6 +271,25 @@ def test_group_trend_recovers_known_lines(spark):
     assert got["c"]["n"] == 3
 
 
+def test_group_trend_constant_nonzero_x_yields_null(spark):
+    """Constant-but-NONZERO x: n*Sxx - Sx^2 cancels to fp garbage
+    instead of exact 0, and an exact != 0 guard would divide by it,
+    emitting a spurious huge slope (ADVICE r6).  The relative-epsilon
+    guard must return NULL, same as the all-zero-x case."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        group_trend,
+    )
+
+    # x constant at an awkward magnitude so the cancellation is inexact
+    rows = [("k", 1.0e7 + 0.1, float(y)) for y in range(9)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = group_trend(df, "g", "x", "y").collect()[0]
+    assert r["slope"] is None
+    assert r["intercept"] is None
+    assert r["r2"] is None
+    assert r["n"] == 9
+
+
 def test_group_trend_single_aggregate_plan(spark):
     """One sufficient-sums aggregate: exactly one Exchange, no window,
     partial (map-side) aggregation present."""
