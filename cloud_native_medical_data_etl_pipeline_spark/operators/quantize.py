@@ -245,6 +245,7 @@ def pq_train(
     key_col: str = "vec_id",
     iters: int = 4,
     round_dp: int = 6,
+    train_sample_mod: int | None = None,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks: returns m lists of k codewords of
     dim/m doubles each.
@@ -262,10 +263,17 @@ def pq_train(
     refilled (fewer distinct subvectors than k) re-sync to codeword
     0's current value each iteration.  The (key, subvectors)
     projection is materialized once (localCheckpoint) and shared by
-    the seeding scans and the `iters` Lloyd passes.  At 100 TB, train
-    on a hash-sample (the codebook is a statistic, not a transform)
-    and encode the full corpus with `pq_encode`; the same sample cap
-    is what keeps the k-1 seeding scans cheap at large k.
+    the seeding scans and the `iters` Lloyd passes.
+
+    ``train_sample_mod`` is the 100 TB lever (the codebook is a
+    STATISTIC, not a transform): train on the deterministic 1/mod
+    md5-hash-sample of rows — a pure function of the key, so the
+    sample (and therefore the codebook) is reproducible across
+    layouts, re-runs, and engines — then encode the full corpus with
+    `pq_encode`.  k·dsub parameters per subspace saturate at ~10⁴-10⁵
+    rows; the same cap is what keeps the k-1 seeding scans cheap at
+    the k=256 regime `pq_encode` supports (the classifier's
+    `train_sample_mod` contract, applied here).
     """
     probe = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
     if probe is None:
@@ -275,9 +283,19 @@ def pq_train(
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     dsub = dim // m
     slices = _sub_slices(vec_col, m, dsub)
+    pool = df.where(F.col(vec_col).isNotNull())
+    if train_sample_mod and train_sample_mod > 1:
+        pool = pool.where(
+            F.conv(
+                F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % train_sample_mod
+            == 0
+        )
     base = (
-        df.where(F.col(vec_col).isNotNull())
-        .select(
+        pool.select(
             F.col(key_col).alias("key"),
             *[slices[s].alias(f"v{s}") for s in range(m)],
         )

@@ -72,6 +72,9 @@ def test_pruned_probe_scans_only_probed_cells(spark, index_path, emb):
     # the cell_id filter must reach the scan as a partition filter,
     # not a post-scan Filter over all partitions
     assert "PartitionFilters: [cell_id" in plan
+    # and the scan reads ONLY the code column — the float corpus is
+    # never touched at query time (the whole point of PQ)
+    assert "embedding" not in plan
     rows = df.collect()
     assert 0 < len(rows) <= 5
     ds = [(r["adc_dist"], r["key"]) for r in rows]

@@ -157,3 +157,22 @@ def test_pq_recall_vs_brute_force_on_real_embeddings(spark):
     exact = {r["key"] for r in exact_df.collect()}
     recall = len(approx & exact) / 10
     assert recall >= 0.5, f"recall {recall} too low: {approx} vs {exact}"
+
+
+def test_pq_train_hash_sample_mod(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # mod=1 keeps every row: identical codebooks to the unsampled path
+    full = pq_train(emb, m=2, k=4, iters=1)
+    mod1 = pq_train(emb, m=2, k=4, iters=1, train_sample_mod=1)
+    assert mod1 == full
+    # mod=4 trains on the deterministic quarter-sample: valid shapes,
+    # and the full corpus still encodes against the sampled codebook
+    sampled = pq_train(emb, m=2, k=4, iters=1, train_sample_mod=4)
+    assert len(sampled) == 2 and all(len(b) == 4 for b in sampled)
+    codes = pq_encode(emb, sampled)
+    assert codes.count() == emb.count()
+    # and the sample is reproducible across partition layouts
+    again = pq_train(
+        emb.repartition(8), m=2, k=4, iters=1, train_sample_mod=4
+    )
+    assert again == sampled
