@@ -203,8 +203,8 @@ def quality_classifier_scores(
     if train_sample_mod is not None:
         if train_sample_mod < 1:
             raise ValueError(f"train_sample_mod must be >= 1, got {train_sample_mod}")
-        train = feat.where(
-            F.pmod(F.xxhash64(F.col("key")), F.lit(train_sample_mod)) == 0
-        )
+        from ._sampling import hash_sample
+
+        train = hash_sample(feat, "key", train_sample_mod)
     w = train_logreg(train, lr=lr, iterations=iterations)
     return score_logreg(feat, w)

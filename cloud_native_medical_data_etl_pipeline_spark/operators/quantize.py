@@ -182,10 +182,14 @@ def _kmeanspp_seed_books(
 
     A subspace where no point has dmin > 0 has fewer than k distinct
     subvectors — it is marked done, skipped in later hops' aggregates,
-    and its remaining slots pad with copies of codeword 0 (`pq_train`
-    re-syncs the pads to codeword 0 after every Lloyd update, so they
-    track its current value and can never outrank it under the
-    lowest-index argmin of `_assign_code`).
+    and its remaining slots pad with copies of codeword 0.  Pads are
+    memberless under the lowest-index argmin of `_assign_code`, so
+    every Lloyd update treats them as empty cells
+    (`_refill_empty_cells`): refilled to the farthest point if the
+    rounded means opened any refillable spread, otherwise re-synced to
+    codeword 0's current value — either way no slot holds a stale
+    seed-time copy that could drift from codeword 0 and steal its
+    assignments.
 
     Cost note: seeding is k-1 driver round-trips with literal distance
     batteries growing to O(m*k*dsub) expressions by the last hop —
@@ -284,16 +288,15 @@ def pq_train(
     dsub = dim // m
     slices = _sub_slices(vec_col, m, dsub)
     pool = df.where(F.col(vec_col).isNotNull())
-    if train_sample_mod and train_sample_mod > 1:
-        pool = pool.where(
-            F.conv(
-                F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
-                16,
-                10,
-            ).cast("long")
-            % train_sample_mod
-            == 0
-        )
+    if train_sample_mod is not None:
+        from ._sampling import hash_sample
+
+        pool = hash_sample(pool, key_col, train_sample_mod)
+        if train_sample_mod > 1 and pool.first() is None:
+            raise ValueError(
+                f"train_sample_mod={train_sample_mod} leaves no "
+                "training rows — lower it for this corpus size"
+            )
     base = (
         pool.select(
             F.col(key_col).alias("key"),
@@ -524,6 +527,18 @@ def pq_adc_topk(
 # --- IVF-PQ: cell-pruned ADC over a persisted code table --------------------
 
 
+def _assign_cell_l2(
+    vec_col: str, centroids: list[list[float]]
+) -> Column:
+    """Id of the squared-L2-nearest centroid (rounded 9dp, lowest
+    index on ties) — the cell-membership rule matching the ADC
+    ranking metric.  One array battery, linear expression tree."""
+    d = F.array(
+        *[_sq_to_lit(_as_double(vec_col), c) for c in centroids]
+    )
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
 def build_ivfpq_index(
     df: DataFrame,
     path: str,
@@ -534,6 +549,7 @@ def build_ivfpq_index(
     m: int = 8,
     k: int = 16,
     pq_iters: int = 4,
+    train_sample_mod: int | None = None,
 ) -> None:
     """Materialize the IVF-PQ index: the 100 TB ANN layout.
 
@@ -547,30 +563,52 @@ def build_ivfpq_index(
     dim=64 float32 vs m=8 codes that is a 32x smaller scan on ~1/4 of
     the partitions.  Centroids and codebooks ride in underscore-
     prefixed side directories (ignored by Spark's file listing), the
-    `build_ivf_index` convention.
+    `build_ivf_index` convention.  ``train_sample_mod`` passes
+    through to `pq_train` — the 100 TB lever that caps the
+    codebook-training scans (SCALING.md's documented mitigation for
+    the k-1 seeding round-trips) while the full corpus is still
+    encoded and indexed.  NULL-embedding rows are dropped once up
+    front, so a NULL among the smallest keys cannot crash centroid
+    init.
+
+    Metric consistency: ADC ranks by squared L2, so cell MEMBERSHIP
+    and cell PROBING are both squared L2 too (`_assign_cell_l2` /
+    the query's L2 probe order) — a vector lives in the cell of its
+    L2-nearest centroid and queries open the L2-nearest cells, the
+    standard IVFADC geometry.  Ranking by one metric while pruning by
+    another (the cosine `assign_cells` used by the cosine-ranked IVF
+    index) would systematically drop true L2 neighbors with atypical
+    norms.  Centroid TRAINING reuses `train_ivf_centroids` — the
+    training metric only shapes centroid quality, not the correctness
+    of the prune, which depends on membership and probing agreeing.
 
     Codes are assigned against GLOBAL codebooks (IVF prunes, PQ
     ranks); per-cell residual codebooks (classic IVFADC) would cut
     distortion further but make codes cell-dependent — out of scope
     until a caller needs it."""
-    from .similarity import assign_cells, train_ivf_centroids
+    from .similarity import train_ivf_centroids
 
+    clean = df.where(F.col(vec_col).isNotNull())
     centroids = train_ivf_centroids(
-        df, num_cells, vec_col, key_col, iters=train_iters
+        clean, num_cells, vec_col, key_col, iters=train_iters
     )
-    books = pq_train(df, m=m, k=k, vec_col=vec_col, key_col=key_col,
-                     iters=pq_iters)
+    books = pq_train(
+        clean,
+        m=m,
+        k=k,
+        vec_col=vec_col,
+        key_col=key_col,
+        iters=pq_iters,
+        train_sample_mod=train_sample_mod,
+    )
     dsub = len(books[0][0])
     subs = _sub_slices(vec_col, m, dsub)
-    assigned = assign_cells(
-        df.where(F.col(vec_col).isNotNull()), centroids, vec_col
-    )
-    assigned.select(
+    clean.select(
         F.col(key_col).alias("key"),
         F.array(
             *[_assign_code(subs[s], books[s]) for s in range(m)]
         ).alias("pq_code"),
-        "cell_id",
+        _assign_cell_l2(vec_col, centroids).alias("cell_id"),
     ).write.mode("overwrite").partitionBy("cell_id").parquet(path)
     spark = df.sparkSession
     spark.createDataFrame(
@@ -590,15 +628,15 @@ def ivfpq_topk_indexed(
     nprobe: int = 4,
     round_dp: int = 6,
 ) -> DataFrame:
-    """Query a `build_ivfpq_index` table: rank cells by centroid
-    cosine on the driver (the centroid set is metadata-sized), scan
+    """Query a `build_ivfpq_index` table: rank cells by squared-L2
+    distance to the query on the driver (the centroid set is
+    metadata-sized) — the SAME metric as both cell membership and the
+    ADC ranking, so the standard IVF pruning guarantee holds — scan
     ONLY the nprobe nearest cell partitions, and rank by ADC over the
-    m-byte codes — partition pruning x a 32x narrower scan, the
+    m-byte codes: partition pruning x a 32x narrower scan, the
     compounding that makes ANN affordable at 100 TB.  Returns (key,
     adc_dist) ascending with key tiebreak, the `pq_adc_topk`
     contract."""
-    from .similarity import _py_cosine
-
     cents = {
         r["cell_id"]: [float(x) for x in r["centroid"]]
         for r in spark.read.parquet(f"{path}/_ivf_centroids").collect()
@@ -610,7 +648,17 @@ def ivfpq_topk_indexed(
     for r in brows:
         books[r["s"]][r["code"]] = [float(x) for x in r["codeword"]]
     probes = sorted(
-        cents, key=lambda i: -_py_cosine(query_vec, cents[i])
+        cents,
+        key=lambda i: (
+            round(
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(query_vec, cents[i])
+                ),
+                9,
+            ),
+            i,
+        ),
     )[:nprobe]
     score = _adc_score(books, query_vec)
     return (

@@ -461,11 +461,15 @@ def group_trend(
     Groups with zero x-variance (or fewer than 2 rows) emit NULL
     slope/r2 rather than a divide-by-zero.
 
-    Determinism contract: callers should CENTER x near zero (e.g.
+    Determinism contract: callers MUST CENTER x near zero (e.g.
     hours since the corpus epoch, not raw epoch-seconds) — with
     |mean(x)|² ≫ var(x) the nΣxx − Σx² cancellation amplifies
     fp-summation noise past the rounding grain; centered, the
     residual cross-engine error is ~1e-10 relative, far below 6dp.
+    The zero-variance guard ENFORCES this: when the retained variance
+    ratio den_x/(nΣxx) falls below 1e-12 — constant x, OR uncentered
+    x whose offset dwarfs its spread — the group emits NULL rather
+    than digits that would be engine- and partitioning-unstable.
 
     Scale shape: ONE aggregate with map-side partial combine — six
     doubles of state per group, no window, no second pass; the

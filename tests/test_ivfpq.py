@@ -97,3 +97,39 @@ def test_codes_match_direct_encode(spark, index_path, emb):
         for r in spark.read.parquet(index_path).collect()
     }
     assert stored == direct
+
+
+def test_l2_metric_consistency_with_varying_norms(spark, tmp_path):
+    # two clusters in the SAME direction at radii ~1 and ~100: cosine
+    # cannot tell them apart, squared L2 can.  Cell membership and
+    # probing are both L2, so an nprobe=1 query from either cluster
+    # must stay inside its own radius band — a cosine-pruned probe
+    # would be direction-blind here and could return the wrong band.
+    rows = [(i, [1.0 + i * 0.01, 0.01 * i]) for i in range(10)]
+    rows += [(100 + i, [100.0 + i * 0.01, 0.01 * i]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(
+        df, path, num_cells=2, train_iters=1, m=2, k=4, pq_iters=2
+    )
+    near = ivfpq_topk_indexed(
+        spark, path, [1.05, 0.05], k=5, nprobe=1
+    ).collect()
+    far = ivfpq_topk_indexed(
+        spark, path, [100.05, 0.05], k=5, nprobe=1
+    ).collect()
+    assert near and all(r["key"] < 100 for r in near)
+    assert far and all(r["key"] >= 100 for r in far)
+
+
+def test_build_tolerates_null_embeddings(spark, tmp_path):
+    # a NULL embedding among the smallest keys must not crash centroid
+    # init — the builder drops NULLs once up front
+    rows = [(0, None), (1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [2.0, 0.0]),
+            (4, [0.5, 0.5]), (5, [1.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(
+        df, path, num_cells=2, train_iters=1, m=2, k=2, pq_iters=1
+    )
+    assert spark.read.parquet(path).count() == 5  # NULL row dropped

@@ -176,3 +176,21 @@ def test_pq_train_hash_sample_mod(spark):
         emb.repartition(8), m=2, k=4, iters=1, train_sample_mod=4
     )
     assert again == sampled
+
+
+def test_pq_train_empty_hash_sample_raises(spark):
+    # a sample mod that selects no rows must fail loudly, not crash
+    # with an IndexError inside seeding
+    import hashlib
+
+    df = _emb(spark, [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [5.0, 6.0])])
+    def residue(key, mod):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % mod
+    mod = next(
+        m for m in range(2, 50)
+        if all(residue(k, m) != 0 for k in (1, 2, 3))
+    )
+    with pytest.raises(ValueError, match="leaves no training rows"):
+        pq_train(df, m=1, k=2, iters=1, train_sample_mod=mod)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        pq_train(df, m=1, k=2, iters=1, train_sample_mod=0)
