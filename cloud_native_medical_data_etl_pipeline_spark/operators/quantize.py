@@ -550,6 +550,7 @@ def build_ivfpq_index(
     k: int = 16,
     pq_iters: int = 4,
     train_sample_mod: int | None = None,
+    residual: bool = False,
 ) -> None:
     """Materialize the IVF-PQ index: the 100 TB ANN layout.
 
@@ -582,33 +583,67 @@ def build_ivfpq_index(
     training metric only shapes centroid quality, not the correctness
     of the prune, which depends on membership and probing agreeing.
 
-    Codes are assigned against GLOBAL codebooks (IVF prunes, PQ
-    ranks); per-cell residual codebooks (classic IVFADC) would cut
-    distortion further but make codes cell-dependent — out of scope
-    until a caller needs it."""
+    Two encodings, chosen by ``residual``:
+
+    * ``residual=False`` (default): codes quantize the RAW vectors
+      against one global codebook — cheapest, and codes stay valid if
+      cells are ever re-trained.
+    * ``residual=True``: classic IVFADC (Jegou et al., TPAMI 2011
+      §V) — codes quantize x − centroid(cell).  Residuals are
+      centered near zero with far less spread than raw vectors, so
+      the same m×k code budget buys materially lower distortion; the
+      cost is cell-dependent codes (re-assigning a vector to a new
+      cell invalidates its code) and a per-probed-cell LUT at query
+      time (nprobe·m·k driver-side floats — still metadata).
+
+    The encoding rides in the `_ivfpq_meta` sidecar so the query path
+    self-selects the right ADC form."""
     from .similarity import train_ivf_centroids
 
     clean = df.where(F.col(vec_col).isNotNull())
     centroids = train_ivf_centroids(
         clean, num_cells, vec_col, key_col, iters=train_iters
     )
+    if not centroids:
+        raise ValueError("cannot build an IVF-PQ index over an empty corpus")
+    cell = _assign_cell_l2(vec_col, centroids)
+    if residual:
+        cent_arr = F.array(*[_lit_subvec(c) for c in centroids])
+        rvec = F.zip_with(
+            _as_double(vec_col),
+            F.element_at(cent_arr, cell + 1),
+            lambda x, c: x - c,
+        )
+        frame = clean.select(
+            F.col(key_col).alias("key"),
+            cell.alias("cell_id"),
+            rvec.alias("rvec"),
+        )
+        code_col, code_src = "rvec", frame
+    else:
+        frame = clean.select(
+            F.col(key_col).alias("key"),
+            cell.alias("cell_id"),
+            _as_double(vec_col).alias("v"),
+        )
+        code_col, code_src = "v", frame
     books = pq_train(
-        clean,
+        code_src,
         m=m,
         k=k,
-        vec_col=vec_col,
-        key_col=key_col,
+        vec_col=code_col,
+        key_col="key",
         iters=pq_iters,
         train_sample_mod=train_sample_mod,
     )
     dsub = len(books[0][0])
-    subs = _sub_slices(vec_col, m, dsub)
-    clean.select(
-        F.col(key_col).alias("key"),
+    subs = _sub_slices(code_col, m, dsub)
+    code_src.select(
+        "key",
         F.array(
             *[_assign_code(subs[s], books[s]) for s in range(m)]
         ).alias("pq_code"),
-        _assign_cell_l2(vec_col, centroids).alias("cell_id"),
+        "cell_id",
     ).write.mode("overwrite").partitionBy("cell_id").parquet(path)
     spark = df.sparkSession
     spark.createDataFrame(
@@ -618,6 +653,9 @@ def build_ivfpq_index(
         [(s, c, books[s][c]) for s in range(m) for c in range(k)],
         "s int, code int, codeword array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_pq_codebooks")
+    spark.createDataFrame(
+        [(bool(residual),)], "residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_ivfpq_meta")
 
 
 def ivfpq_topk_indexed(
@@ -647,6 +685,12 @@ def ivfpq_topk_indexed(
     books: list[list[list[float]]] = [[None] * kk for _ in range(m)]
     for r in brows:
         books[r["s"]][r["code"]] = [float(x) for x in r["codeword"]]
+    try:
+        residual = spark.read.parquet(f"{path}/_ivfpq_meta").first()[
+            "residual"
+        ]
+    except Exception:  # pre-meta index: raw-vector codes
+        residual = False
     probes = sorted(
         cents,
         key=lambda i: (
@@ -660,7 +704,12 @@ def ivfpq_topk_indexed(
             i,
         ),
     )[:nprobe]
-    score = _adc_score(books, query_vec)
+    if residual:
+        score = _adc_score_residual(
+            books, cents, probes, query_vec
+        )
+    else:
+        score = _adc_score(books, query_vec)
     return (
         spark.read.parquet(path)
         .where(F.col("cell_id").isin(probes))
@@ -668,3 +717,49 @@ def ivfpq_topk_indexed(
         .orderBy(F.col("adc_dist").asc(), F.col("key").asc())
         .limit(k)
     )
+
+
+def _adc_score_residual(
+    books: list[list[list[float]]],
+    cents: dict[int, list[float]],
+    probes: list[int],
+    query_vec: list[float],
+    code_col: str = "pq_code",
+) -> Column:
+    """IVFADC distance expression: codes quantize x − centroid(cell),
+    so the LUT is per PROBED cell — distances from (q − centroid_i)'s
+    subvectors to the codewords.  nprobe·m·k floats computed
+    driver-side and inlined as one [cell][code] literal table per
+    subspace; unprobed cells hold zeros and are never scanned (the
+    cell_id filter runs first)."""
+    m = len(books)
+    dsub = len(books[0][0])
+    if len(query_vec) != m * dsub:
+        raise ValueError(
+            f"query dim {len(query_vec)} != codebook dim {m * dsub}"
+        )
+    n_cells = 1 + max(cents)
+    probed = set(probes)
+    score = F.lit(0.0)
+    for s in range(m):
+        per_cell = []
+        for i in range(n_cells):
+            if i in probed and i in cents:
+                qr = [
+                    query_vec[j] - cents[i][j]
+                    for j in range(s * dsub, (s + 1) * dsub)
+                ]
+                lut = [
+                    round(
+                        sum((a - b) * (a - b) for a, b in zip(qr, c)), 9
+                    )
+                    for c in books[s]
+                ]
+            else:
+                lut = [0.0] * len(books[s])
+            per_cell.append(F.array(*[F.lit(v) for v in lut]))
+        score = score + F.element_at(
+            F.element_at(F.array(*per_cell), F.col("cell_id") + 1),
+            F.col(code_col)[s] + 1,
+        )
+    return score

@@ -133,3 +133,54 @@ def test_build_tolerates_null_embeddings(spark, tmp_path):
         df, path, num_cells=2, train_iters=1, m=2, k=2, pq_iters=1
     )
     assert spark.read.parquet(path).count() == 5  # NULL row dropped
+
+
+def _clustered_df(spark):
+    rows = []
+    vid = 0
+    for c in ((0.0, 0.0, 0.0, 0.0), (10.0, 10.0, 10.0, 10.0)):
+        for j in range(20):
+            rows.append(
+                (vid, [c[d] + ((vid * 7 + d) % 5) * 0.01 for d in range(4)])
+            )
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_residual_encoding_near_exact_on_clustered_data(spark, tmp_path):
+    # classic IVFADC: codes quantize x - centroid(cell).  With one
+    # cell per cluster the residuals are the tiny within-cluster
+    # offsets, so the SAME m=2/k=4 budget that leaves raw-vector codes
+    # coarse makes the query's own row the unambiguous top-1.
+    df = _clustered_df(spark)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(
+        df, path, num_cells=2, train_iters=2, m=2, k=4, pq_iters=2,
+        residual=True,
+    )
+    q = [float(x) for x in df.where("vec_id = 27").first()["embedding"]]
+    top = ivfpq_topk_indexed(spark, path, q, k=40, nprobe=2).collect()
+    # residual ADC noise is ~1e-2 while the clusters sit ~800 apart in
+    # squared L2: the first 20 results are EXACTLY the query's cluster
+    assert {r["key"] for r in top[:20]} == set(range(20, 40))
+    assert top[0]["adc_dist"] < 0.05  # within-cluster offsets quantize tightly
+    # pruned probe stays in the right cluster
+    pruned = ivfpq_topk_indexed(spark, path, q, k=5, nprobe=1).collect()
+    assert pruned and all(r["key"] >= 20 for r in pruned)
+
+
+def test_residual_meta_roundtrip_and_default(spark, tmp_path):
+    df = _clustered_df(spark)
+    p_raw = str(tmp_path / "raw")
+    p_res = str(tmp_path / "res")
+    build_ivfpq_index(df, p_raw, num_cells=2, train_iters=1, m=2, k=4,
+                      pq_iters=1)
+    build_ivfpq_index(df, p_res, num_cells=2, train_iters=1, m=2, k=4,
+                      pq_iters=1, residual=True)
+    assert spark.read.parquet(f"{p_raw}/_ivfpq_meta").first()["residual"] is False
+    assert spark.read.parquet(f"{p_res}/_ivfpq_meta").first()["residual"] is True
+    # both indexes answer; the residual one reconstructs tighter
+    q = [float(x) for x in df.where("vec_id = 5").first()["embedding"]]
+    raw_top = ivfpq_topk_indexed(spark, p_raw, q, k=1, nprobe=2).collect()[0]
+    res_top = ivfpq_topk_indexed(spark, p_res, q, k=1, nprobe=2).collect()[0]
+    assert res_top["adc_dist"] <= raw_top["adc_dist"] + 1e-9

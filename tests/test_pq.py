@@ -194,3 +194,29 @@ def test_pq_train_empty_hash_sample_raises(spark):
         pq_train(df, m=1, k=2, iters=1, train_sample_mod=mod)
     with pytest.raises(ValueError, match="must be >= 1"):
         pq_train(df, m=1, k=2, iters=1, train_sample_mod=0)
+
+
+def test_q137_params_never_trigger_refill_on_real_embeddings(spark):
+    """The q137 oracle omits the empty-cell refill branch on the
+    documented ground that m=4/k=4 over the dense random embeddings
+    never empties a cell — pin that as an invariant instead of a
+    comment (any future data/kernel change that breaks it fails HERE,
+    not as a driver hash mismatch)."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators import (
+        quantize as Q,
+    )
+
+    calls = []
+    orig = Q._refill_empty_cells
+
+    def spy(base, books, empties):
+        calls.append({s: cs for s, cs in empties.items() if cs})
+        return orig(base, books, empties)
+
+    Q._refill_empty_cells = spy
+    try:
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        Q.pq_train(emb, m=4, k=4, iters=2)
+    finally:
+        Q._refill_empty_cells = orig
+    assert calls and all(not c for c in calls), calls
