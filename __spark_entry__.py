@@ -6587,7 +6587,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry holds 139.  Each round's first-50 window is chosen so
+    # registry holds 141.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green and no
     # query's evidence goes more than 3 rounds stale.
     #
@@ -6599,12 +6599,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     q63b/q64b, q70-q80, q82-q90);
     #   * q23 — its train_ivf kernel rides the r8 shared
     #     training-loop helper (iterate_fixed), re-evidence;
-    #   * the 12 oldest r5 greens (q02, q08, q12, q17-q19, q25,
-    #     q27-q31) to fill 50.
+    #   * 10 of the oldest r5 greens (q02, q08, q12, q17-q19, q25,
+    #     q27-q29), then the two r8 registrations q137/q123b, to
+    #     fill 50.
     # Displaced to the tail:
-    #   * the remaining 37 r5 greens — they fill the ENTIRE r9 window
-    #     (r5 evidence hits the 3-round ceiling there): q91-q106,
-    #     q24, q07, q81, q35-q41, q43-q49, q54-q56, q58;
+    #   * q30/q31 — bumped from the old-r5 block by q137/q123b; they
+    #     LEAD the r9 window (tail positions 51-52);
+    #   * the remaining r5 greens — with q30/q31 they fill the ENTIRE
+    #     r9 window (r5 evidence hits the 3-round ceiling there):
+    #     q91-q106, q24, q07, q81, q35-q41, q43-q49, q54-q56, q58;
     #   * every r6/r7-green window member (q107-q123, q03, q60-q62,
     #     q65-q69, q01, q04-q06, q09-q11, q13-q16, q20/q20b, q21,
     #     q22, q26, q32-q34, q42, q50-q53);

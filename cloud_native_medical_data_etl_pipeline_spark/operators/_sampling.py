@@ -20,6 +20,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def md5_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic per-key uniform in (0, 1]: (first 8 hex digits of
+    md5(salt || key) + 1) / 2^32 — the engine-stable random used by
+    `curate.weighted_sample` (Efraimidis-Spirakis priorities) and
+    `quantize._kmeanspp_seed_books` (D² seeding races).  Salting keeps
+    independent sampling streams independent; the +1 keeps u strictly
+    positive so pow(u, 1/w) never hits 0**inf.  One definition so the
+    construction cannot drift per kernel (DuckDB spells it
+    ``(('0x' || substr(md5(salt || key), 1, 8))::BIGINT + 1) / 2^32``).
+    """
+    s = key.cast("string")
+    h = F.md5(F.concat(F.lit(salt), s)) if salt else F.md5(s)
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+
+
 def hash_sample_predicate(key: Column, mod: int) -> Column:
     """Boolean column: this row belongs to the deterministic 1/mod
     md5-hash-sample keyed on ``key``."""

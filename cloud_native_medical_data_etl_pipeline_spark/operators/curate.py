@@ -157,15 +157,11 @@ def weighted_sample(
     but only the per-partition top-n survivors reach it.
     """
     from ._common import col_ref
+    from ._sampling import md5_uniform
 
     key = col_ref(key_col)
     w = col_ref(weight_col).cast("double")
-    u = (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
-            "double"
-        )
-        + F.lit(1.0)
-    ) / F.lit(4294967296.0)
+    u = md5_uniform(key)
     priority = F.round(F.pow(u, F.lit(1.0) / w), round_dp)
     win = (
         Window.partitionBy(col_ref(group_col))

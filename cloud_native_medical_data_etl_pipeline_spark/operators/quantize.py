@@ -16,6 +16,7 @@ round().
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -131,25 +132,13 @@ def _assign_code(sub: Column, codebook: list[list[float]]) -> Column:
 
 
 def _u_subspace(s: int) -> Column:
-    """Deterministic per-(subspace, key) uniform in (0, 1]: first 8 hex
-    digits of md5(f"kpp{s}:{key}"), the engine's engine-stable random
-    (the `weighted_sample` / `mix_corpora` trick).  Salting by
-    subspace index keeps the m sampling streams independent — one
-    shared stream would correlate the seed choices across subspaces."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit(f"kpp{s}:"), F.col("key").cast("string"))
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(4294967296.0)
+    """Deterministic per-(subspace, key) uniform in (0, 1]
+    (`_sampling.md5_uniform`).  Salting by subspace index keeps the m
+    sampling streams independent — one shared stream would correlate
+    the seed choices across subspaces."""
+    from ._sampling import md5_uniform
+
+    return md5_uniform(F.col("key"), f"kpp{s}:")
 
 
 def _kmeanspp_seed_books(
@@ -564,11 +553,12 @@ def build_ivfpq_index(
     dim=64 float32 vs m=8 codes that is a 32x smaller scan on ~1/4 of
     the partitions.  Centroids and codebooks ride in underscore-
     prefixed side directories (ignored by Spark's file listing), the
-    `build_ivf_index` convention.  ``train_sample_mod`` passes
-    through to `pq_train` — the 100 TB lever that caps the
-    codebook-training scans (SCALING.md's documented mitigation for
-    the k-1 seeding round-trips) while the full corpus is still
-    encoded and indexed.  NULL-embedding rows are dropped once up
+    `build_ivf_index` convention.  ``train_sample_mod`` caps BOTH
+    training passes — `pq_train` (passthrough) and the IVF centroid
+    Lloyd scans run on the same deterministic 1/mod key-sample — the
+    100 TB lever (SCALING.md's documented mitigation for the k-1
+    seeding round-trips): with it set, the only full-corpus work left
+    is the single unavoidable encode+write pass.  NULL-embedding rows are dropped once up
     front, so a NULL among the smallest keys cannot crash centroid
     init.
 
@@ -601,8 +591,22 @@ def build_ivfpq_index(
     from .similarity import train_ivf_centroids
 
     clean = df.where(F.col(vec_col).isNotNull())
+    cent_src = clean
+    if train_sample_mod is not None and train_sample_mod > 1:
+        # Centroids are the same kind of metadata statistic as the
+        # codebooks: without this, a capped PQ training would still
+        # leave the build corpus-scan-bound on train_iters+1 full
+        # centroid passes.  The SAME 1/mod key-sample feeds both.
+        from ._sampling import hash_sample
+
+        cent_src = hash_sample(clean, key_col, train_sample_mod)
+        if cent_src.first() is None:
+            raise ValueError(
+                f"train_sample_mod={train_sample_mod} leaves no "
+                "training rows — lower it for this corpus size"
+            )
     centroids = train_ivf_centroids(
-        clean, num_cells, vec_col, key_col, iters=train_iters
+        cent_src, num_cells, vec_col, key_col, iters=train_iters
     )
     if not centroids:
         raise ValueError("cannot build an IVF-PQ index over an empty corpus")
@@ -689,7 +693,13 @@ def ivfpq_topk_indexed(
         residual = spark.read.parquet(f"{path}/_ivfpq_meta").first()[
             "residual"
         ]
-    except Exception:  # pre-meta index: raw-vector codes
+    except AnalysisException as e:
+        # ONLY the sidecar-absent case (a pre-meta index) may fall back
+        # to raw-vector codes; a corrupt or unreadable sidecar on a
+        # residual index must surface, not silently rank residual codes
+        # against raw-vector LUT semantics.
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         residual = False
     probes = sorted(
         cents,
@@ -729,37 +739,35 @@ def _adc_score_residual(
     """IVFADC distance expression: codes quantize x − centroid(cell),
     so the LUT is per PROBED cell — distances from (q − centroid_i)'s
     subvectors to the codewords.  nprobe·m·k floats computed
-    driver-side and inlined as one [cell][code] literal table per
-    subspace; unprobed cells hold zeros and are never scanned (the
-    cell_id filter runs first)."""
+    driver-side; cell_id maps to its slot in the probed list through
+    ONE nprobe-int literal array (`array_position`; the upstream
+    cell_id filter guarantees a hit), so plan/codegen size scales with
+    nprobe, never with num_cells — at the k=256, 1024-cell regime a
+    per-cell table would inline ~2M mostly-zero literals per query."""
     m = len(books)
     dsub = len(books[0][0])
     if len(query_vec) != m * dsub:
         raise ValueError(
             f"query dim {len(query_vec)} != codebook dim {m * dsub}"
         )
-    n_cells = 1 + max(cents)
-    probed = set(probes)
+    pos = F.array_position(
+        F.array(*[F.lit(int(i)) for i in probes]), F.col("cell_id")
+    ).cast("int")
     score = F.lit(0.0)
     for s in range(m):
-        per_cell = []
-        for i in range(n_cells):
-            if i in probed and i in cents:
-                qr = [
-                    query_vec[j] - cents[i][j]
-                    for j in range(s * dsub, (s + 1) * dsub)
-                ]
-                lut = [
-                    round(
-                        sum((a - b) * (a - b) for a, b in zip(qr, c)), 9
-                    )
-                    for c in books[s]
-                ]
-            else:
-                lut = [0.0] * len(books[s])
-            per_cell.append(F.array(*[F.lit(v) for v in lut]))
+        per_probe = []
+        for i in probes:
+            qr = [
+                query_vec[j] - cents[i][j]
+                for j in range(s * dsub, (s + 1) * dsub)
+            ]
+            lut = [
+                round(sum((a - b) * (a - b) for a, b in zip(qr, c)), 9)
+                for c in books[s]
+            ]
+            per_probe.append(F.array(*[F.lit(v) for v in lut]))
         score = score + F.element_at(
-            F.element_at(F.array(*per_cell), F.col("cell_id") + 1),
+            F.element_at(F.array(*per_probe), pos),
             F.col(code_col)[s] + 1,
         )
     return score

@@ -712,7 +712,12 @@ def kcenter_select(
     farthest candidates first), documented rather than implemented.
     """
     base = (
-        df.where(F.col(vec_col).isNotNull())
+        # NULL keys are excluded along with NULL vectors: selection is a
+        # set of DISTINCT KEYS, and a NULL key can neither be anti-
+        # filtered back out (`key != lit(NULL)` is NULL for every row,
+        # emptying the candidate frame when NULL sorts first as seed)
+        # nor meaningfully identify a center.
+        df.where(F.col(vec_col).isNotNull() & F.col(key_col).isNotNull())
         .select(F.col(key_col).alias("key"), F.col(vec_col).alias("vec"))
         .localCheckpoint()
     )

@@ -204,6 +204,24 @@ def test_kcenter_empty_and_null_vectors(spark):
     assert {r["key"] for r in out} == {2, 3}
 
 
+def test_kcenter_null_key_rows_are_excluded(spark):
+    # A NULL key sorts first under orderBy(key.asc()) and would become
+    # the seed; the selected-key anti-filter `key != lit(NULL)` is then
+    # NULL for every row, emptying the candidate frame (IndexError at
+    # rank 2).  NULL keys can't identify a center — they're excluded
+    # with NULL vectors.
+    rows = [
+        (None, [50.0, 50.0]),
+        (1, [0.0, 0.0]),
+        (2, [10.0, 0.0]),
+        (3, [0.0, 10.0]),
+    ]
+    out = kcenter_select(_emb(spark, rows), k=3).collect()
+    keys = {r["key"] for r in out}
+    assert None not in keys
+    assert len(out) == 3 and keys == {1, 2, 3}
+
+
 def test_kcenter_seed_is_min_key(spark):
     rows = [(7, [9.0, 9.0]), (3, [1.0, 1.0]), (5, [4.0, 4.0])]
     out = kcenter_select(_emb(spark, rows), k=2).collect()

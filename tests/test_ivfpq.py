@@ -184,3 +184,54 @@ def test_residual_meta_roundtrip_and_default(spark, tmp_path):
     raw_top = ivfpq_topk_indexed(spark, p_raw, q, k=1, nprobe=2).collect()[0]
     res_top = ivfpq_topk_indexed(spark, p_res, q, k=1, nprobe=2).collect()[0]
     assert res_top["adc_dist"] <= raw_top["adc_dist"] + 1e-9
+
+
+def test_missing_meta_sidecar_falls_back_to_raw_codes(spark, tmp_path):
+    # pre-meta index layout (raw-vector codes, no _ivfpq_meta): the
+    # ONLY case allowed to fall back to residual=False
+    import shutil
+
+    df = _clustered_df(spark)
+    p = str(tmp_path / "idx")
+    build_ivfpq_index(df, p, num_cells=2, train_iters=1, m=2, k=4,
+                      pq_iters=1)
+    shutil.rmtree(f"{p}/_ivfpq_meta")
+    q = [float(x) for x in df.where("vec_id = 5").first()["embedding"]]
+    top = ivfpq_topk_indexed(spark, p, q, k=3, nprobe=2).collect()
+    assert len(top) == 3 and all(r["key"] < 20 for r in top)
+
+
+def test_corrupt_meta_sidecar_raises_not_silent_fallback(spark, tmp_path):
+    # a residual index whose meta read fails for any reason OTHER than
+    # path-absent must raise: falling back to residual=False would rank
+    # residual codes against raw-vector LUT semantics — silent garbage
+    import pathlib
+    import shutil
+
+    df = _clustered_df(spark)
+    p = str(tmp_path / "idx")
+    build_ivfpq_index(df, p, num_cells=2, train_iters=1, m=2, k=4,
+                      pq_iters=1, residual=True)
+    meta = pathlib.Path(p) / "_ivfpq_meta"
+    shutil.rmtree(meta)
+    meta.mkdir()
+    (meta / "part-00000.parquet").write_bytes(b"not a parquet file")
+    q = [float(x) for x in df.where("vec_id = 5").first()["embedding"]]
+    with pytest.raises(Exception):
+        ivfpq_topk_indexed(spark, p, q, k=1, nprobe=2).collect()
+
+
+def test_build_with_train_sample_mod_encodes_full_corpus(spark, emb, tmp_path):
+    # sampled TRAINING (both centroid Lloyd scans and PQ codebooks run
+    # on the 1/mod key-sample) must still ENCODE every corpus row
+    p = str(tmp_path / "idx")
+    build_ivfpq_index(
+        emb, p, num_cells=4, train_iters=1, m=2, k=4, pq_iters=1,
+        train_sample_mod=2,
+    )
+    rows = spark.read.parquet(p)
+    n_corpus = emb.where(F.col("embedding").isNotNull()).count()
+    assert rows.count() == n_corpus
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    top = ivfpq_topk_indexed(spark, p, qv, k=5, nprobe=4).collect()
+    assert len(top) == 5
