@@ -4424,13 +4424,17 @@ nt AS (
          COUNT(DISTINCT b) + MAX(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS kb
   FROM cells
 )
-SELECT ROUND(SUM((c.o - rt.ra * ct.cb / nt.n) * (c.o - rt.ra * ct.cb / nt.n)
+-- the statistic sums over the FULL ka×kb marginal grid (mirrors the
+-- kernel): a zero-observed cell still contributes (0-e)^2/e = e
+SELECT ROUND(SUM((COALESCE(c.o, 0) - rt.ra * ct.cb / nt.n)
+                 * (COALESCE(c.o, 0) - rt.ra * ct.cb / nt.n)
                  / (rt.ra * ct.cb / nt.n)), 6) AS chi2,
        CAST(ANY_VALUE((nt.ka - 1) * (nt.kb - 1)) AS BIGINT) AS dof,
        CAST(ANY_VALUE(nt.n) AS BIGINT) AS n
-FROM cells c
-JOIN rt ON c.a IS NOT DISTINCT FROM rt.ra_k
-JOIN ct ON c.b IS NOT DISTINCT FROM ct.cb_k
+FROM rt
+CROSS JOIN ct
+LEFT JOIN cells c ON c.a IS NOT DISTINCT FROM rt.ra_k
+                 AND c.b IS NOT DISTINCT FROM ct.cb_k
 CROSS JOIN nt
 """
 
@@ -6113,9 +6117,17 @@ WITH pts AS (
   FROM events
 ),
 sums AS (
-  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-         SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
-         SUM(x * y) AS sxy, SUM(y * y) AS syy
+  -- pairwise-complete masks mirror the kernel: n counts only rows
+  -- where BOTH x and y are non-null, and every sum is masked the
+  -- same way (group presence is unfiltered, like Spark's groupBy)
+  SELECT event_type,
+         CAST(COUNT(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                         THEN 1 END) AS BIGINT) AS n,
+         SUM(CASE WHEN y IS NOT NULL THEN x END) AS sx,
+         SUM(CASE WHEN x IS NOT NULL THEN y END) AS sy,
+         SUM(CASE WHEN y IS NOT NULL THEN x * x END) AS sxx,
+         SUM(x * y) AS sxy,
+         SUM(CASE WHEN x IS NOT NULL THEN y * y END) AS syy
   FROM pts GROUP BY event_type
 )
 SELECT event_type, n,

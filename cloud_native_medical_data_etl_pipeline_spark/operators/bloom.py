@@ -28,29 +28,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as X
-from ._common import col_ref
+from ._common import col_ref, md5_position
 
 _SLOT_BITS = 64
 
 
 def _positions(gram: Column, m: int, k: int) -> Column:
     """Array of the k Bloom bit positions for ``gram``: position_j =
-    int(md5('j|' || gram)[:8], 16) % m — exact integer ops both
-    engines reproduce bit-for-bit (8 hex chars < 2^32, so no sign or
-    overflow edge)."""
-    return F.array(
-        *[
-            (
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"{j}|"), gram)), 1, 8),
-                    16,
-                    10,
-                ).cast("long")
-                % m
-            )
-            for j in range(k)
-        ]
-    )
+    the shared seeded-position hash (`_common.md5_position`) with
+    seed j and modulus m."""
+    return F.array(*[md5_position(gram, j, m) for j in range(k)])
 
 
 def _gram_frame(

@@ -75,6 +75,11 @@ def pagerank(
 
     rank_{t+1}(v) = (1-d)/N + d·(Σ_{u→v} rank_t(u)·w(u,v)/outw(u)
                                + dangling_t/N)
+
+    Edges must carry positive weight to distribute rank; w<=0 / NULL
+    edges are ignored for mass flow (their endpoints still join the
+    node set), and a node with no positive-weight out-edge is
+    dangling.  Ranks therefore always sum to 1.
     """
     e = edges.select(
         F.col("src"), F.col("dst"), F.col("w").cast("double").alias("w")
@@ -88,12 +93,19 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    # only edges with POSITIVE weight carry rank: a w<=0 or NULL edge
+    # has no defined share of u's out-mass, and a node whose EVERY
+    # edge is such falls out of outw and into the dangling set below —
+    # otherwise its w/0 (or NULL) normalization would make its rank
+    # mass silently evaporate each iteration (ranks no longer summing
+    # to 1) instead of redistributing uniformly.
+    ew = e.where(F.col("w") > 0)
+    outw = ew.groupBy("src").agg(F.sum("w").alias("ow"))
     # iteration-invariant state, computed ONCE: normalized edge
     # weights (w/outw) and the dangling-node set — re-deriving either
     # inside the loop would add a join and an anti-join per iteration
     enorm = (
-        e.join(outw, "src")
+        ew.join(outw, "src")
         .select("src", "dst", (F.col("w") / F.col("ow")).alias("wn"))
         .localCheckpoint()
     )

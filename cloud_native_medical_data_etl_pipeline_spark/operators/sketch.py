@@ -25,18 +25,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as X
-from ._common import col_ref
+from ._common import col_ref, md5_position
 
 
 def _row_pos(tok: Column, j: int, w: int) -> Column:
-    """Counter index of ``tok`` in hash row j: int(md5('j|'||tok)[:8],
-    16) % w — exact integer ops, engine-portable."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{j}|"), tok)), 1, 8), 16, 10
-        ).cast("long")
-        % w
-    )
+    """Counter index of ``tok`` in hash row j: the shared seeded-
+    position hash (`_common.md5_position`) with seed j, modulus w."""
+    return md5_position(tok, j, w)
 
 
 def build_count_min(
@@ -129,8 +124,16 @@ def hll_register_maxes(
     ops (strip leading hex zeros, then a 16-way CASE on the first
     nonzero digit), so DuckDB reproduces it exactly; no float log2.
     """
-    if p % 4 or p <= 0:
-        raise ValueError(f"p must be a positive multiple of 4, got {p}")
+    if p % 4 or not 8 <= p <= 60:
+        # lower bound: the 0.7213/(1+1.079/m) alpha is the standard
+        # constant only for m >= 128, so p=4 (m=16) would silently add
+        # bias on top of HLL's already-large small-m error; upper
+        # bound: the register index is conv() of p/4 hex digits cast
+        # to LONG, exact only through 15 digits (p=60) — and the rho
+        # stream slices the next 16 of md5's 32, fitting at p<=60
+        raise ValueError(
+            f"p must be a multiple of 4 in [8, 60], got {p}"
+        )
     h = F.md5(F.coalesce(col_ref(content_col), F.lit("")))
     reg = F.conv(F.substring(h, 1, p // 4), 16, 10).cast("long")
     suffix = F.substring(h, p // 4 + 1, 16)

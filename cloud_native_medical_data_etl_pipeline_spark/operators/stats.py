@@ -50,6 +50,7 @@ def group_percentiles(
     # name into an F.expr SQL string breaks on dots/spaces/quotes —
     # or silently resolves to a different expression
     ref = col_ref(value_col)
+    grp = col_ref(group_col)
     if exact:
         aggs = [
             F.round(F.percentile(ref, F.lit(float(p))), round_dp).alias(
@@ -57,16 +58,16 @@ def group_percentiles(
             )
             for p in percentiles
         ]
-        return df.groupBy(group_col).agg(*aggs)
+        return df.groupBy(grp).agg(*aggs)
 
     sketch = F.percentile_approx(
         ref,
         F.array(*[F.lit(float(p)) for p in percentiles]),
         F.lit(int(accuracy)),
     ).alias("__pcts")
-    out = df.groupBy(group_col).agg(sketch)
+    out = df.groupBy(grp).agg(sketch)
     return out.select(
-        group_col,
+        grp,
         *[
             F.round(F.col("__pcts").getItem(i), round_dp).alias(_alias(p))
             for i, p in enumerate(percentiles)
@@ -356,15 +357,26 @@ def chi_square_crosstab(
             + F.max(F.when(F.col("__b").isNull(), 1).otherwise(0))
         ).alias("__kb"),
     )
+    # the statistic sums over the FULL ka×kb grid: a zero-observed
+    # cell still contributes (0 − e)²/e = e, so summing only observed
+    # cells systematically underestimates chi2 on any table with empty
+    # cells (a perfect-dependence 2×2 reports HALF its true value).
+    # The grid is the cross product of the two marginal frames —
+    # category-cardinality-sized, broadcast — with observed counts
+    # left-joined on and missing cells coalesced to 0.
+    grid = row_tot.crossJoin(F.broadcast(col_tot))
     joined = (
-        cells.join(
-            F.broadcast(row_tot), F.col("__a").eqNullSafe(F.col("__ra_k"))
+        grid.join(
+            F.broadcast(cells),
+            F.col("__ra_k").eqNullSafe(F.col("__a"))
+            & F.col("__cb_k").eqNullSafe(F.col("__b")),
+            "left",
         )
-        .join(F.broadcast(col_tot), F.col("__b").eqNullSafe(F.col("__cb_k")))
         .crossJoin(F.broadcast(n_tot))
     )
+    o = F.coalesce(F.col("__o"), F.lit(0)).cast("double")
     exp = F.col("__ra") * F.col("__cb") / F.col("__n")
-    term = (F.col("__o") - exp) * (F.col("__o") - exp) / exp
+    term = (o - exp) * (o - exp) / exp
     return joined.agg(
         F.round(F.sum(term), round_dp).alias("chi2"),
         ((F.first("__ka") - 1) * (F.first("__kb") - 1))
@@ -458,8 +470,11 @@ def group_trend(
     Closed-form least squares from the five sufficient sums
     (n, Σx, Σy, Σxx, Σxy, Σyy): slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²),
     intercept = (Σy − slope·Σx)/n, r² the squared Pearson ratio.
-    Groups with zero x-variance (or fewer than 2 rows) emit NULL
-    slope/r2 rather than a divide-by-zero.
+    n and every sum run over PAIRWISE-COMPLETE rows only (both x and
+    y non-null) — mixing an all-rows n with NULL-skipping sums would
+    corrupt every ratio.  Groups with zero x-variance (fewer than 2
+    complete pairs, or none at all — they stay present with n=0)
+    emit NULL slope/r2 rather than a divide-by-zero.
 
     Determinism contract: callers MUST CENTER x near zero (e.g.
     hours since the corpus epoch, not raw epoch-seconds) — with
@@ -477,13 +492,21 @@ def group_trend(
     """
     xc = col_ref(x) if isinstance(x, str) else x
     yc = col_ref(y) if isinstance(y, str) else y
+    # every sufficient sum is masked to PAIRWISE-COMPLETE rows: SUM
+    # skips NULLs per-term, so an unmasked COUNT(1) would pair an
+    # n-with-NULLs against sums-without-NULLs and silently corrupt
+    # slope/intercept/r2 for any group with a NULL x or y.  Groups
+    # stay present (n=0, NULL stats) — the groupBy is unfiltered.
+    both = xc.isNotNull() & yc.isNotNull()
+    xm = F.when(both, xc)
+    ym = F.when(both, yc)
     sums = df.groupBy(col_ref(group_col)).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(xc).alias("sx"),
-        F.sum(yc).alias("sy"),
-        F.sum(xc * xc).alias("sxx"),
-        F.sum(xc * yc).alias("sxy"),
-        F.sum(yc * yc).alias("syy"),
+        F.count(xm).alias("n"),
+        F.sum(xm).alias("sx"),
+        F.sum(ym).alias("sy"),
+        F.sum(xm * xm).alias("sxx"),
+        F.sum(xm * ym).alias("sxy"),
+        F.sum(ym * ym).alias("syy"),
     )
     n = F.col("n")
     num = n * F.col("sxy") - F.col("sx") * F.col("sy")

@@ -16,7 +16,9 @@ the failure mode (a batch can run twice, never half).  Replay is a
 no-op through two independent guards — the key anti-join drops rows
 whose doc_id is already stored, and the near-dup probe drops rows
 whose content near-duplicates stored content (an exact redelivery has
-jaccard 1.0).  So at-least-once delivery composes into an
+jaccard 1.0 — including sub-ngram docs, which are signature-padded so
+they shingle deterministically instead of bypassing the guard, see
+`_pad_short_sig_source`).  So at-least-once delivery composes into an
 exactly-once corpus without a sink transaction log — the
 stream_to_lake_upsert argument, extended from key identity to content
 identity.
@@ -44,6 +46,37 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 
+# reserved pad token for sub-ngram documents: contains NUL, so no
+# whitespace split of real text can ever produce it
+_PAD_TOKEN = "\x00pad"
+
+
+def _pad_short_sig_source(
+    df: DataFrame, content_col: str, ngram_n: int
+) -> DataFrame:
+    """Signature-side view of ``df`` where documents with fewer than
+    ``ngram_n`` ASCII-whitespace tokens are padded with `_PAD_TOKEN`
+    up to exactly ``ngram_n`` tokens.
+
+    Without this, sub-ngram docs produce no shingles, get placeholder
+    index rows, and BYPASS the cross-batch content guard entirely — an
+    exact redelivery of a short doc under a new key would be silently
+    admitted, breaking the module's content-identity exactly-once
+    contract.  Padded, every doc yields at least one deterministic
+    shingle: identical short content collides at jaccard 1.0 (dropped),
+    different short content shares no shingle with anything (pad tokens
+    appear in no real text — they contain NUL).  The padding feeds ONLY
+    signature computation; stored corpus rows keep the original text.
+    The split mirrors `dedup._minhash_base_arrow`'s ASCII ``\\s+``."""
+    c = F.col(content_col)
+    deficit = F.lit(ngram_n) - F.size(F.split(c, r"\s+"))
+    padded = F.concat_ws(
+        " ", c, F.array_join(F.array_repeat(F.lit(_PAD_TOKEN), deficit), " ")
+    )
+    return df.withColumn(
+        content_col, F.when(deficit > 0, padded).otherwise(c)
+    )
+
 
 def ingest_batch(
     batch: DataFrame,
@@ -60,10 +93,12 @@ def ingest_batch(
     re-running the same batch appends nothing.
 
     Signature index: survivors' MinHash signatures land in
-    ``<corpus_path>_sigs`` (schema = `dedup.minhash_base` output, plus
-    all-null placeholder rows for docs too short to shingle, so the
-    index row count equals the corpus row count and the per-batch
-    self-heal check stays metadata-only).
+    ``<corpus_path>_sigs`` (schema = `dedup.minhash_base` output).
+    Sub-ngram docs are signature-padded (`_pad_short_sig_source`) so
+    they get REAL signature rows and the content guard covers them;
+    the all-null placeholder machinery remains for indexes written
+    before padding existed.  Index row count equals corpus row count
+    either way, keeping the per-batch self-heal check metadata-only.
     """
     spark = batch.sparkSession
     sig_path = corpus_path.rstrip("/") + "_sigs"
@@ -74,7 +109,7 @@ def ingest_batch(
     # read it.
     kept = D.exact_dedup(batch, content_col, key_col)
     batch_base = D.minhash_base(
-        kept,
+        _pad_short_sig_source(kept, content_col, ngram_n),
         content_col=content_col,
         key_col=key_col,
         num_hashes=num_hashes,
@@ -220,7 +255,7 @@ def _heal_signature_index(
             sigs.select(F.col("k").alias(key_col)), key_col, "anti"
         )
     missing_base = D.minhash_base(
-        missing_docs,
+        _pad_short_sig_source(missing_docs, content_col, ngram_n),
         content_col=content_col,
         key_col=key_col,
         num_hashes=num_hashes,
@@ -240,6 +275,9 @@ def stream_dedup_ingest(
     content_col: str = "text",
     key_col: str = "doc_id",
     jaccard_threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    ngram_n: int = 3,
     max_files_per_trigger: int | None = None,
 ) -> None:
     """Drain ``input_path`` (a directory of parquet document files, or
@@ -258,12 +296,19 @@ def stream_dedup_ingest(
     schema = spark.read.parquet(input_path).schema
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # signature params MUST pass through: draining into a corpus
+        # whose _sigs index was built with non-default num_hashes/bands
+        # would otherwise append rows with a different mh-lane schema,
+        # silently breaking every later band probe
         ingest_batch(
             batch_df,
             corpus_path,
             content_col=content_col,
             key_col=key_col,
             jaccard_threshold=jaccard_threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            ngram_n=ngram_n,
         )
 
     reader = spark.readStream.schema(schema)

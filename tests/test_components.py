@@ -200,3 +200,21 @@ def test_adjacency_edges_counts_ordered_bigrams(spark):
         (r["src"], r["dst"]): r["w"] for r in G.adjacency_edges(df).collect()
     }
     assert got == {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1}
+
+
+def test_pagerank_zero_outweight_node_is_dangling(spark):
+    """A node whose edges carry zero/NULL total weight has no defined
+    w/outw split: its mass must redistribute as dangling mass, not
+    evaporate through a NULL division (ranks always sum to 1)."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators import graph as G
+
+    df = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0), ("c", "a", 0.0)],
+        "src string, dst string, w double",
+    )
+    got = {r["node"]: r["rank"] for r in G.pagerank(df).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    # the a<->b cycle is symmetric (dangling mass spreads uniformly),
+    # so a == b; c gets only teleport + its own dangling share
+    assert got["a"] == got["b"] > got["c"] > 0

@@ -303,3 +303,57 @@ def test_group_trend_single_aggregate_plan(spark):
     plan = group_trend(df, "g", "x", "y")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Window" not in plan
+
+
+def test_chi_square_sparse_table_counts_empty_cells(spark):
+    """A zero-observed cell still contributes (0-e)^2/e = e: the
+    perfect-dependence 2x2 [[10,0],[0,10]] has chi2 = n = 20 — summing
+    only observed cells would report half that."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        chi_square_crosstab,
+    )
+
+    rows = [("x", "p")] * 10 + [("y", "q")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_crosstab(df, "a", "b").collect()[0]
+    assert (r["chi2"], r["dof"], r["n"]) == (20.0, 1, 20)
+
+
+def test_group_trend_nulls_are_pairwise_excluded(spark):
+    """A NULL x or y row must drop out of n AND every sum: mixing an
+    all-rows n with NULL-skipping sums corrupts slope/intercept/r2."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        group_trend,
+    )
+
+    rows = [
+        ("g", 0.0, 0.0),
+        ("g", 1.0, 1.0),
+        ("g", 2.0, None),
+        ("g", None, 7.0),
+        ("h", 1.0, None),  # no complete pair: present with n=0, NULLs
+    ]
+    df = spark.createDataFrame(rows, "seg string, x double, y double")
+    out = {r["seg"]: r for r in group_trend(df, "seg", "x", "y").collect()}
+    g = out["g"]
+    assert (g["n"], g["slope"], g["intercept"], g["r2"]) == (2, 1.0, 0.0, 1.0)
+    h = out["h"]
+    assert h["n"] == 0 and h["slope"] is None and h["r2"] is None
+
+
+def test_group_percentiles_exact_dotted_group_name(spark):
+    """group_col goes through col_ref: a dotted column name must group
+    by THE column, not resolve as a struct-field path."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.stats import (
+        group_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "`seg.kind` string, v double"
+    )
+    out = group_percentiles(
+        df, group_col="seg.kind", value_col="v", percentiles=(0.5,),
+        exact=True,
+    ).collect()
+    got = {r["seg.kind"]: r["p50"] for r in out}
+    assert got == {"a": 2.0, "b": 5.0}

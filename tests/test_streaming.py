@@ -401,7 +401,7 @@ def test_ingest_signature_index_maintained_and_reused(spark, tmp_path):
     b1 = spark.createDataFrame(
         [
             (1, "the quick brown fox jumps over the lazy dog near the river bank"),
-            (2, "hi"),  # too short to shingle -> placeholder sig row
+            (2, "hi"),  # sub-ngram -> PADDED sig row (not a placeholder)
         ],
         "doc_id long, text string",
     )
@@ -409,7 +409,9 @@ def test_ingest_signature_index_maintained_and_reused(spark, tmp_path):
     sigs = spark.read.parquet(corpus + "_sigs")
     assert sigs.count() == spark.read.parquet(corpus).count() == 2
     ph = {r["k"]: len(r["sh"]) for r in sigs.collect()}
-    assert ph[1] > 0 and ph[2] == 0  # real sig vs placeholder
+    # both docs carry REAL signatures: the short one is pad-shingled so
+    # the content guard covers it too
+    assert ph[1] > 0 and ph[2] == 1
 
     # near-dup of stored 1 must be gated THROUGH the index
     b2 = spark.createDataFrame(
@@ -418,6 +420,17 @@ def test_ingest_signature_index_maintained_and_reused(spark, tmp_path):
     )
     assert SI.ingest_batch(b2, corpus) == 0
     assert spark.read.parquet(corpus + "_sigs").count() == 2
+
+    # exact redelivery of the SHORT doc under a new key: previously
+    # bypassed the content guard entirely (no shingles); the padded
+    # signature makes it collide at jaccard 1.0 and be dropped, while
+    # DIFFERENT short content is admitted
+    b3 = spark.createDataFrame(
+        [(11, "hi"), (12, "yo")], "doc_id long, text string"
+    )
+    assert SI.ingest_batch(b3, corpus) == 1
+    stored = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert stored == {1, 2, 12}
 
 
 def test_ingest_signature_index_self_heals(spark, tmp_path):
