@@ -2428,7 +2428,7 @@ SELECT doc_id, TRIM(regexp_replace(regexp_replace(regexp_replace(
     'https?://[^\s]+', '<URL>', 'g'),
     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
     '\+\d{1,3}[\s.-]?\(?\d{2,4}\)?[\s.-]?\d{3}[\s.-]?\d{3,4}\b', '<PHONE>', 'g'),
-    '\(\d{3}\)[\s.-]?\d{3}[\s.-]\d{4}\b', '<PHONE>', 'g'),
+    '\(\d{3}\)[\s.-]?\d{3}[\s.-]?\d{4}\b', '<PHONE>', 'g'),
     '\b\d{3}[\s.-]\d{3}[\s.-]\d{4}\b', '<PHONE>', 'g'),
     '\b\d{9,}\b', '<ID>', 'g'),
   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
@@ -4070,10 +4070,12 @@ GROUP BY 1, 2
 
 # ---------------------------------------------------------------------------
 # q95 — A-Res weighted sampling without replacement (operators/
-# curate.py weighted_sample): priority = u^(1/w) with a DETERMINISTIC
+# curate.py weighted_sample): LOG-DOMAIN priority ln(-ln u) - ln w
+# (ascending — the monotone transform of u^(1/w) descending, immune
+# to the large-w grid collapse of the raw power) with a DETERMINISTIC
 # md5 uniform — the one-pass distributed reservoir, reproducible
 # across engines/layouts unlike seeded rand().  Priorities rank
-# ROUNDED (pow can differ by an ulp across libm implementations).
+# ROUNDED (log can differ by an ulp across libm implementations).
 # Instance: 20 docs per language, weighted by length.  Registered r4
 # at the tail — first driver evidence rides r5.
 # ---------------------------------------------------------------------------
@@ -4093,19 +4095,23 @@ def q95_weighted_sample(spark, sf_dir):
 
 
 Q95_SQL = f"""
-WITH pri AS (
-  SELECT doc_id, lang,
-         ROUND(POWER(
-           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-             + 1.0) / 4294967296.0,
-           1.0 / CAST(n_chars AS DOUBLE)), 9) AS priority
+WITH u AS (
+  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS w,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           + 1.0) / 4294967296.0 AS u
   FROM documents
   WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+pri AS (
+  SELECT doc_id, lang,
+         CASE WHEN u < 1 THEN ROUND(LN(-LN(u)) - LN(w), 9)
+              ELSE CAST('-infinity' AS DOUBLE) END AS priority
+  FROM u
 ),
 ranked AS (
   SELECT doc_id, lang, priority,
          ROW_NUMBER() OVER (
-           PARTITION BY lang ORDER BY priority DESC, doc_id ASC
+           PARTITION BY lang ORDER BY priority ASC, doc_id ASC
          ) AS rn
   FROM pri
 )
@@ -5323,9 +5329,11 @@ SELECT source,
          AS share,
        CAST(FLOOR(pow(CAST(tokens_available AS DOUBLE), {_MP_TAU!r})
                   / (SELECT tt FROM t) * {_MP_BUDGET}.0) AS BIGINT) AS tokens_target,
-       ROUND(CAST(FLOOR(pow(CAST(tokens_available AS DOUBLE), {_MP_TAU!r})
-                        / (SELECT tt FROM t) * {_MP_BUDGET}.0) AS BIGINT)
-             / CAST(tokens_available AS DOUBLE), 6) AS epochs
+       ROUND(CASE WHEN tokens_available > 0
+                  THEN CAST(FLOOR(pow(CAST(tokens_available AS DOUBLE), {_MP_TAU!r})
+                                  / (SELECT tt FROM t) * {_MP_BUDGET}.0) AS BIGINT)
+                       / CAST(tokens_available AS DOUBLE)
+                  ELSE 0.0 END, 6) AS epochs
 FROM avail
 """
 
@@ -5404,9 +5412,11 @@ WITH avail AS (
 t AS (SELECT SUM(pow(CAST(tokens_available AS DOUBLE), {_MP_TAU!r})) AS tt FROM avail),
 plan AS (
   SELECT source,
-         ROUND(CAST(FLOOR(pow(CAST(tokens_available AS DOUBLE), {_MP_TAU!r})
-                          / (SELECT tt FROM t) * {_MP_BUDGET}.0) AS BIGINT)
-               / CAST(tokens_available AS DOUBLE), 6) AS epochs
+         ROUND(CASE WHEN tokens_available > 0
+                    THEN CAST(FLOOR(pow(CAST(tokens_available AS DOUBLE), {_MP_TAU!r})
+                                    / (SELECT tt FROM t) * {_MP_BUDGET}.0) AS BIGINT)
+                         / CAST(tokens_available AS DOUBLE)
+                    ELSE 0.0 END, 6) AS epochs
   FROM avail
 )
 SELECT d.doc_id, d.source,
@@ -5848,8 +5858,8 @@ c3 AS (
 ),
 c4 AS (
   SELECT source, c_url, c_email, p1,
-         CAST(len(regexp_extract_all(t, '\(\d{3}\)[\s.-]?\d{3}[\s.-]\d{4}\b')) AS BIGINT) AS p2,
-         regexp_replace(t, '\(\d{3}\)[\s.-]?\d{3}[\s.-]\d{4}\b', '<PHONE>', 'g') AS t
+         CAST(len(regexp_extract_all(t, '\(\d{3}\)[\s.-]?\d{3}[\s.-]?\d{4}\b')) AS BIGINT) AS p2,
+         regexp_replace(t, '\(\d{3}\)[\s.-]?\d{3}[\s.-]?\d{4}\b', '<PHONE>', 'g') AS t
   FROM c3
 ),
 c5 AS (
@@ -5963,6 +5973,7 @@ def q130_split_leakage(spark, sf_dir):
     )
     return split_leakage_report(
         docs,
+        eval_split="eval",
         jaccard_threshold=_MH_THRESH,
         num_hashes=_MH_H,
         bands=_MH_BANDS,

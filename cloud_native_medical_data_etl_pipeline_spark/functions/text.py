@@ -196,10 +196,17 @@ def lang_id(text: Column | str) -> Column:
 
 
 def fingerprint(text: Column | str) -> Column:
-    """Deterministic 64-bit-ish document fingerprint: polynomial rolling
+    """Deterministic 31-BIT document fingerprint: polynomial rolling
     hash over the text bytes, computed with aggregate() so it stays
     JVM-side. Same recurrence is expressible in ANSI SQL:
     h = (h*31 + ascii(char)) mod 2^31-1.
+
+    31 bits means birthday collisions near ~2^15.5 ≈ 65k documents —
+    this is a cheap ORACLE-REPRODUCIBLE locality/chunking signal, NOT
+    an identity proxy.  For content identity use
+    `dedup.exact_dedup`'s sha2-256 grouping; the modulus stays 2^31-1
+    because the per-char multiply must not overflow DuckDB's BIGINT
+    for the SQL replay to stay exact.
     """
     c = F.col(text) if isinstance(text, str) else text
     s = F.coalesce(c, F.lit(""))
@@ -223,11 +230,15 @@ def fingerprint(text: Column | str) -> Column:
 # SHAPE-specific (international +CC..., US (xxx) / xxx-xxx-xxxx) rather
 # than "digits with separators" — the loose form also matched ISO
 # dates and timestamps, silently redacting clinical record content.
+# In the parenthesized form BOTH trailing separators are optional
+# ("(555) 1234567" is unambiguously a phone — the literal parens carry
+# the shape); in the bare form both are mandatory, or any 10-digit run
+# would redact.
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"https?://[^\s]+", "<URL>"),
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\+\d{1,3}[\s.-]?\(?\d{2,4}\)?[\s.-]?\d{3}[\s.-]?\d{3,4}\b", "<PHONE>"),
-    (r"\(\d{3}\)[\s.-]?\d{3}[\s.-]\d{4}\b", "<PHONE>"),
+    (r"\(\d{3}\)[\s.-]?\d{3}[\s.-]?\d{4}\b", "<PHONE>"),
     (r"\b\d{3}[\s.-]\d{3}[\s.-]\d{4}\b", "<PHONE>"),
     (r"\b\d{9,}\b", "<ID>"),
 ]

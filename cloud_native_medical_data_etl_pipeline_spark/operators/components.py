@@ -230,6 +230,12 @@ def collapsed_cluster_representatives(
     from ..functions import text as X
     from ._common import col_ref
 
+    # members (corpus-sized but narrow) is consumed by the groups
+    # aggregate AND the final expansion; groups (|distinct texts| rows)
+    # by the canonical semi-join, the solo-group scan, and the
+    # expansion — persisted, or every consumption would replay the
+    # full-corpus sha2 + shingle-gate HOF this variant exists to
+    # bound.  Released via the caller-unpersists contract below.
     members = docs.select(
         col_ref(key_col).alias("member"),
         F.sha2(
@@ -243,12 +249,12 @@ def collapsed_cluster_representatives(
             )
             > 0
         ).alias("__shingleable"),
-    )
+    ).persist()
     groups = members.groupBy("__h").agg(
         F.min("member").alias("canonical"),
         F.count(F.lit(1)).alias("__n"),
         F.max("__shingleable").alias("__ok"),
-    )
+    ).persist()
     canon_docs = docs.join(
         groups.select(F.col("canonical").alias(key_col)),
         key_col,
@@ -284,4 +290,4 @@ def collapsed_cluster_representatives(
         .select(F.col("member").alias("vertex"), "component")
     )
     out = _pick_representatives(expanded, docs, score_col, key_col)
-    return D._with_cached_deps(out, pairs)
+    return D._with_cached_deps(out, pairs, members, groups)

@@ -112,6 +112,11 @@ def mix_corpora(
     compute shares upstream from corpus sizes if that's the contract
     you need.
     """
+    if not sources:
+        # returning None would surface as an AttributeError far from
+        # the root cause (e.g. an upstream config filter removed every
+        # source); fail at the call site instead
+        raise ValueError("mix_corpora needs at least one source")
     out = None
     for name, (df, weight) in sorted(sources.items()):
         frac = (
@@ -135,20 +140,24 @@ def weighted_sample(
     round_dp: int = 9,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
-    A-Res priorities: each row gets ``priority = u ** (1/w)`` for a
-    uniform u in (0, 1], and the top-``n`` priorities win — the
-    classic one-pass distributed reservoir, exact in distribution,
-    with no driver state and no rejection loop.  u is DETERMINISTIC
-    (md5 of the key, the mix_corpora trick): the sample is
-    reproducible across partition layouts, re-runs, and engines,
-    unlike seeded rand().
+    A-Res priorities in LOG DOMAIN: each row gets
+    ``priority = ln(-ln u) - ln w`` for a uniform u in (0, 1], and the
+    n SMALLEST priorities win — the monotone transform of the classic
+    ``u ** (1/w)`` descending rule, so the sampled DISTRIBUTION is
+    identical, but the sort key keeps relative precision at every
+    weight scale (the raw power collapses onto a rounding grid for
+    large w).  One-pass distributed reservoir, exact in distribution,
+    no driver state, no rejection loop.  u is DETERMINISTIC (md5 of
+    the key, the mix_corpora trick): the sample is reproducible across
+    partition layouts, re-runs, and engines, unlike seeded rand().
 
-    Returns the sampled rows (all original columns plus ``priority``).
-    Rows with NULL or non-positive weight are excluded (they have no
-    defined priority).  Priorities are ROUNDED before ranking — pow()
-    may differ by an ulp between libm implementations, and ranking on
-    the rounded value with a key tiebreak keeps the selected set
-    engine-stable (the q19/q79 rounded-score pattern).
+    Returns the sampled rows (all original columns plus ``priority``,
+    lower = stronger).  Rows with NULL or non-positive weight are
+    excluded (they have no defined priority).  Priorities are ROUNDED
+    before ranking — log() may differ by an ulp between libm
+    implementations, and ranking on the rounded value with a key
+    tiebreak keeps the selected set engine-stable (the q19/q79
+    rounded-score pattern).
 
     Scale shape: the priority is a map-side expression; selection is
     one top-n window per group (WindowGroupLimit keeps only running
@@ -162,12 +171,23 @@ def weighted_sample(
     key = col_ref(key_col)
     w = col_ref(weight_col).cast("double")
     u = md5_uniform(key)
-    priority = F.round(F.pow(u, F.lit(1.0) / w), round_dp)
+    # LOG-DOMAIN E-S key: rank ASC by ln(-ln u) - ln w, the monotone
+    # transform of u**(1/w) DESC.  Ranking the raw power collapses for
+    # large weights — u**(1/w) spans only ~|ln u|/w below 1.0, so at
+    # w ~ 1e7+ (token counts of large docs) a 9dp round maps nearly
+    # every row to the same grid value and "weighted sampling"
+    # degrades to smallest-key order.  A rounded LOG is relative
+    # precision at every weight scale (the key's magnitude is O(10),
+    # ulp noise ~1e-15, grain 1e-9).  u == 1 (one md5 prefix in 2^32)
+    # means priority 1.0 exactly — the best possible — spelled -inf.
+    priority = F.when(
+        u < 1, F.round(F.log(-F.log(u)) - F.log(w), round_dp)
+    ).otherwise(F.lit(float("-inf")))
     win = (
         Window.partitionBy(col_ref(group_col))
         if group_col
         else Window.partitionBy()
-    ).orderBy(F.col("priority").desc(), key.asc())
+    ).orderBy(F.col("priority").asc(), key.asc())
     return (
         df.where(w.isNotNull() & (w > 0))
         .withColumn("priority", priority)
@@ -268,7 +288,17 @@ def mix_plan(
         F.col("tokens_available").cast("bigint").alias("tokens_available"),
         F.round(share, round_dp).alias("share"),
         target.alias("tokens_target"),
-        F.round(target / F.col("tokens_available"), round_dp).alias("epochs"),
+        # a group whose docs are all empty has tokens_available = 0 and
+        # a 0 target: its epochs are 0, not NULL (default mode) nor a
+        # DivideByZero (ANSI) — NULL epochs would silently drop the
+        # group in execute_mix_plan's n_repeats > 0 filter
+        F.round(
+            F.when(
+                F.col("tokens_available") > 0,
+                target / F.col("tokens_available"),
+            ).otherwise(F.lit(0.0)),
+            round_dp,
+        ).alias("epochs"),
     )
 
 
@@ -352,10 +382,16 @@ def hash_split_by_group(
     total = sum(fractions.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"fractions must sum to 1, got {total}")
+    # NULL group keys hash as ONE sentinel entity (NUL-prefixed, so no
+    # real key collides with it): without the coalesce, md5(NULL) is
+    # NULL, every threshold compare is NULL, and ALL NULL-group rows
+    # silently fall into the otherwise-branch (the last split),
+    # inflating it past its fraction
+    grp = F.coalesce(col_ref(group_col).cast("string"), F.lit("\x00null"))
     u = (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit(salt), col_ref(group_col).cast("string"))),
+                F.md5(F.concat(F.lit(salt), grp)),
                 1,
                 8,
             ),
@@ -441,7 +477,7 @@ def budget_batches(
 def split_leakage_report(
     docs: DataFrame,
     split_col: str = "split",
-    eval_split: str = "eval",
+    eval_split: str = "val",
     train_split: str = "train",
     content_col: str = "text",
     key_col: str = "doc_id",
@@ -470,6 +506,17 @@ def split_leakage_report(
 
     ev = docs.where(F.col(split_col) == eval_split)
     tr = docs.where(F.col(split_col) == train_split)
+    # an audit that matches zero rows is a misconfiguration, not a
+    # clean bill: a split-name mismatch (e.g. hash_split_by_group's
+    # default names are train/val/test) would otherwise return an
+    # empty report that reads as "no leakage"
+    for name, frame in ((eval_split, ev), (train_split, tr)):
+        if frame.first() is None:
+            raise ValueError(
+                f"no rows carry {split_col}={name!r} — split names "
+                "must match the assignment (default fractions name "
+                "them train/val/test)"
+            )
     leaks = D.minhash_lsh_join(
         ev,
         tr,
@@ -483,7 +530,7 @@ def split_leakage_report(
     per_doc = leaks.groupBy(F.col("probe_key").alias("__k")).agg(
         F.count(F.lit(1)).alias("__pairs")
     )
-    return (
+    out = (
         ev.select(col_ref(key_col).alias("__k"), col_ref(group_col).alias("grp"))
         .join(per_doc, "__k", "left")
         .groupBy(F.col("grp").alias(group_col))
@@ -498,3 +545,7 @@ def split_leakage_report(
             ).alias("leak_rate"),
         )
     )
+    # the probe join persisted two signature frames and recorded them
+    # on `leaks`; re-recording them on the returned aggregate keeps
+    # the caller-releases contract working (D.release(report))
+    return D._with_cached_deps(out, leaks)

@@ -123,11 +123,17 @@ def bigram_logprob_score(
     model table by the non-hapax bigram vocabulary — the standard
     memory/size lever for count-based LMs.
     """
-    pairs = _bigram_pairs(df, content_col, key_col)
+    # pairs feeds BOTH the model aggregate and the scoring join, and
+    # uni feeds the |V| count and the history join — unpersisted, each
+    # consumption would replay the corpus tokenize/explode (the
+    # dominant cost), ~4x the work.  Caller-unpersists contract:
+    # consume the result, then dedup.release(result).
+    pairs = _bigram_pairs(df, content_col, key_col).persist()
     uni = (
         df.select(F.explode(X.lower_tokens(content_col)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cu"))
+        .persist()
     )
     vocab_size = uni.count()  # exact |V|: one aggregate, a scalar
     bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
@@ -147,9 +153,15 @@ def bigram_logprob_score(
             ).alias("bits"),
         )
     )
-    return scored.groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg("bits"), round_dp).alias("bits_per_bigram"),
+    from .dedup import _with_cached_deps
+
+    return _with_cached_deps(
+        scored.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("bits"), round_dp).alias("bits_per_bigram"),
+        ),
+        pairs,
+        uni,
     )
 
 

@@ -163,3 +163,25 @@ def test_quantile_buckets_null_values_bucket_zero(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_weighted_sample_large_weights_not_key_order(spark):
+    """Token-count-scale weights (w ~ 1e9): the raw u**(1/w) priority
+    collapses onto one 9dp grid value and selection degrades to
+    smallest-key order; the log-domain key keeps relative precision at
+    every weight scale."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.curate import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1e9 + (i % 13) * 1e7) for i in range(300)],
+        "doc_id long, w double",
+    )
+    got = sorted(r["doc_id"] for r in weighted_sample(df, "w", 30).collect())
+    assert got != list(range(30))  # NOT the 30 smallest keys
+    again = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(7), "w", 30).collect()
+    )
+    assert got == again  # still layout-deterministic
