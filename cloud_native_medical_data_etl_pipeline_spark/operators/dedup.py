@@ -183,7 +183,18 @@ def _minhash_band_cols(num_hashes: int, bands: int) -> list[Column]:
     <lane>...'): both the self-join pair generator and the asymmetric
     probe join derive buckets from it, which is what makes a corpus
     indexed for self-dedup serve probe joins unchanged (and what the
-    q17/q86 oracles mirror)."""
+    q17/q86 oracles mirror).
+
+    bands must divide num_hashes: bands > num_hashes would make every
+    bucket a lane-less constant — every doc in ONE bucket per band,
+    i.e. the N² cross join banding exists to avoid — and a remainder
+    would silently drop the trailing lanes, weakening recall below the
+    configured signature size."""
+    if bands < 1 or num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must be a positive divisor of "
+            f"num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     return [
         F.concat_ws(
@@ -296,8 +307,16 @@ def _minhash_base_arrow(
             lanes: list[list[str]] = [[] for _ in range(num_hashes)]
             for k, txt in zip(pdf["k"], pdf["txt"]):
                 # Arrow nulls may surface as None or NaN depending on
-                # the batch dtype — treat anything non-str as empty
-                s = txt.lower().strip() if isinstance(txt, str) else ""
+                # the batch dtype — treat anything non-str as empty.
+                # Edge trim strips JAVA \s ([ \t\n\x0B\f\r]) ONLY: a
+                # bare .strip() also eats Unicode whitespace (NBSP in
+                # scraped HTML), silently diverging from the SQL
+                # path's ASCII regexp trim — the bit-for-bit contract.
+                s = (
+                    txt.lower().strip(" \t\n\r\x0b\x0c")
+                    if isinstance(txt, str)
+                    else ""
+                )
                 toks = split(s) if s else []
                 if len(toks) < ngram_n:
                     continue
@@ -410,7 +429,6 @@ def minhash_lsh_pairs(
         df.select(F.col(key_col).alias("k"), F.col(content_col).alias("txt")),
         persist=not use_arrow,
     )
-    rows_per_band = num_hashes // bands
     # ONE persisted frame carries both the shingle sets (for the exact-
     # Jaccard verification joins) and the signature columns (for band
     # bucketing): a single cache-materialization pass does all the md5
@@ -958,13 +976,20 @@ def _banded_embedding_near_dups(
     # so split buckets emit each pair exactly once. np.round(...,6)
     # absorbs GEMM-vs-sequential summation ulps (the brute-force path's
     # oracle-match precedent since r1).
+    # key handling adapts to the frame's key type (the block_col and
+    # verify='pairs' paths already accept any orderable key; hardcoded
+    # int64 here crashed string-keyed corpora inside the worker)
+    key_sql = banded.schema["k"].dataType.simpleString()
+    key_integral = key_sql in ("bigint", "int", "smallint", "tinyint")
+    key_np = "int64" if key_integral else "object"
+
     def _bucket_pairs(pdf):
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []}).astype(
-                {"key_a": "int64", "key_b": "int64", "cosine": "float64"}
+                {"key_a": key_np, "key_b": key_np, "cosine": "float64"}
             )
-        keys = pdf["k"].to_numpy(dtype=np.int64)
+        keys = pdf["k"].to_numpy(dtype=key_np)
         ci = pdf["__ci"].to_numpy(dtype=np.int64)
         gi = int(pdf["__gi"].iloc[0])
         gj = int(pdf["__gj"].iloc[0])
@@ -982,7 +1007,7 @@ def _banded_embedding_near_dups(
         )
 
     pairs = grouped.groupBy("bucket", "__gi", "__gj").applyInPandas(
-        _bucket_pairs, "key_a long, key_b long, cosine double"
+        _bucket_pairs, f"key_a {key_sql}, key_b {key_sql}, cosine double"
     )
     return _with_cached_deps(pairs.dropDuplicates(["key_a", "key_b"]), *cached)
 
@@ -1042,13 +1067,24 @@ def embedding_near_dups(
         # double[] once, precompute the L2 norm once), then ONE
         # zip_with+aggregate dot per pair — fp-identical to V.cosine
         # (same doubles, same sequential accumulation), JVM-side.
+        # The prep frame is computed ONCE and persisted; both join
+        # sides are renamed projections of the SAME cache — two
+        # unpersisted projections would run the cast/norm (and, via
+        # planes=, the whole bucket expression battery) twice over the
+        # corpus.  Caller releases (the caller-unpersists contract).
         vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        prep = df.select(
+            F.col(key_col).alias("__key"),
+            vd.alias("__v"),
+            V.norm(vd).alias("__n"),
+            F.col(block_col),
+        ).persist()
 
         def _side(suffix: str) -> DataFrame:
-            return df.select(
-                F.col(key_col).alias(f"key_{suffix}"),
-                vd.alias(f"v_{suffix}"),
-                V.norm(vd).alias(f"n_{suffix}"),
+            return prep.select(
+                F.col("__key").alias(f"key_{suffix}"),
+                F.col("__v").alias(f"v_{suffix}"),
+                F.col("__n").alias(f"n_{suffix}"),
                 F.col(block_col),
             )
 
@@ -1058,7 +1094,7 @@ def embedding_near_dups(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        return (
+        out = (
             joined.where(F.col("key_a") < F.col("key_b"))
             .withColumn(
                 "cosine", F.round(dot / (F.col("n_a") * F.col("n_b")), 6)
@@ -1066,6 +1102,7 @@ def embedding_near_dups(
             .where(F.col("cosine") >= threshold)
             .select("key_a", "key_b", "cosine")
         )
+        return _with_cached_deps(out, prep)
 
     # All-pairs scan: interpreted HOF evaluation over |df|^2 pairs is
     # the one hot loop built-in expressions genuinely can't carry (no
@@ -1096,8 +1133,14 @@ def embedding_near_dups(
             f"max_gather_rows={max_gather_rows}; use planes= blocking "
             "or similarity.build_ivf_index instead"
         )
+    key_sql = df.schema[key_col].dataType.simpleString()
+    key_np = (
+        "int64"
+        if key_sql in ("bigint", "int", "smallint", "tinyint")
+        else "object"
+    )
     gathered = df.select(key_col, vec_col).toPandas()  # Arrow path
-    keys = gathered[key_col].to_numpy(dtype=np.int64)
+    keys = gathered[key_col].to_numpy(dtype=key_np)
     mat = np.array(list(gathered[vec_col]), dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((keys, mat, norms))
@@ -1105,7 +1148,7 @@ def embedding_near_dups(
     def gen(batches):
         b_keys, b_mat, b_norms = bc.value
         for pdf in batches:
-            a_keys = pdf[key_col].to_numpy(dtype=np.int64)
+            a_keys = pdf[key_col].to_numpy(dtype=key_np)
             a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
             sims = np.round(
@@ -1122,8 +1165,13 @@ def embedding_near_dups(
                 }
             )
 
-    probe = rebalance_for_cpu(df.select(key_col, vec_col))
-    return probe.mapInPandas(gen, "key_a long, key_b long, cosine double")
+    # persist=False: a cache barrier before a single-consumer
+    # mapInPandas is wasted work, and the persisted frame could never
+    # be released (the returned frame records no deps)
+    probe = rebalance_for_cpu(df.select(key_col, vec_col), persist=False)
+    return probe.mapInPandas(
+        gen, f"key_a {key_sql}, key_b {key_sql}, cosine double"
+    )
 
 
 def winnow_fingerprints(

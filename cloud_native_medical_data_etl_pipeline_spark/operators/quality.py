@@ -226,21 +226,39 @@ def run_quality_checks(
     checks.append({"check": "value_ranges", "passed": not failures, "failures": failures})
 
     # 4. duplicates (data_quality.py:204-231): counts ALL rows in
-    # duplicated groups (pandas keep=False semantics).
+    # duplicated groups (pandas keep=False semantics).  Both key
+    # columns ride ONE job — a (label, key) union aggregated once —
+    # instead of a full scan per key.
     failures = []
-    for key, rows_pred, label in (
-        ("safetyreportid", fda_rows, "FDA safety reports"),
-        ("nct_id", ct_rows, "clinical trial records"),
-    ):
-        if key in cols:
-            dup_rows = (
-                df.where(rows_pred)
-                .groupBy(key)
-                .count()
-                .where(F.col("count") > 1)
-                .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("n"))
-                .collect()[0]["n"]
+    dup_specs = [
+        (key, rows_pred, label)
+        for key, rows_pred, label in (
+            ("safetyreportid", fda_rows, "FDA safety reports"),
+            ("nct_id", ct_rows, "clinical trial records"),
+        )
+        if key in cols
+    ]
+    if dup_specs:
+        sides = [
+            df.where(pred).select(
+                F.lit(label).alias("__lbl"), F.col(key).alias("__key")
             )
+            for key, pred, label in dup_specs
+        ]
+        u = sides[0]
+        for s in sides[1:]:
+            u = u.unionByName(s)
+        by_label = {
+            r["__lbl"]: r["n"]
+            for r in u.groupBy("__lbl", "__key")
+            .count()
+            .where(F.col("count") > 1)
+            .groupBy("__lbl")
+            .agg(F.sum("count").alias("n"))
+            .collect()
+        }
+        for key, pred, label in dup_specs:
+            dup_rows = by_label.get(label, 0)
             if dup_rows:
                 failures.append(f"Found {dup_rows} duplicate {label}")
     checks.append({"check": "duplicates", "passed": not failures, "failures": failures})

@@ -48,14 +48,23 @@ def semantic_dedup_keep(
 ) -> DataFrame:
     """Keep-list after in-cell semantic near-dup removal: one row per
     surviving ``key_col``. Deterministic: centroid set, argmax ties,
-    pair emission, and component minima are all key-ordered."""
+    pair emission, and component minima are all key-ordered.
+
+    NULL embeddings are excluded from centroid selection (a NULL among
+    the smallest keys would crash init) and, like zero-norm vectors
+    (whose cosine is undefined → NULL cell_id → no cell join), can
+    never be marked duplicates — every such row survives in the
+    keep-list, since "semantically duplicate" is undefined for them."""
     centroids = [
         [float(x) for x in r[0]]
-        for r in df.select(vec_col, key_col)
+        for r in df.where(F.col(vec_col).isNotNull())
+        .select(vec_col, key_col)
         .orderBy(F.col(key_col).asc())
         .limit(num_cells)
         .collect()
     ]
+    if not centroids:
+        return df.select(key_col)  # no usable vectors: keep everything
     assigned = assign_cells(df, centroids, vec_col)
     pairs = embedding_near_dups(
         assigned,
@@ -70,4 +79,9 @@ def semantic_dedup_keep(
     )
     # no broadcast hint: the loser set scales with the corpus dup rate,
     # so let AQE pick broadcast-vs-shuffle from its measured size
-    return df.select(key_col).join(losers, key_col, "left_anti")
+    out = df.select(key_col).join(losers, key_col, "left_anti")
+    # propagate the pair stage's persisted prep frame so release(out)
+    # frees it (caller-unpersists contract)
+    from .dedup import _with_cached_deps
+
+    return _with_cached_deps(out, pairs)

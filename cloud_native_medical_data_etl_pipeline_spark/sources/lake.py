@@ -281,9 +281,16 @@ def compact_partition(
     import math
 
     day_dir = partition_path(base, date)
-    total = sum(
-        object_size(spark, f) or 0 for f in list_objects(spark, day_dir)
-    )
+    # ONE recursive listing whose LocatedFileStatus entries already
+    # carry sizes — per-file object_size() calls would issue two extra
+    # driver→store RPCs per file, on exactly the thousands-of-tiny-
+    # files input compaction exists to fix
+    fs, hpath, _ = _fs(spark, day_dir)
+    total = 0
+    if fs.exists(hpath):
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            total += int(it.next().getLen())
     n_files = max(1, math.ceil(total / target_bytes))
     df = read_partition(spark, base, date, fmt=fmt)
     merged = df.repartition(n_files).localCheckpoint(eager=True)

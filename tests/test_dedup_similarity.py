@@ -1035,3 +1035,49 @@ def test_embedding_covariance_exact_and_partition_invariant(spark):
             ),
             dim=4,
         ).collect()
+
+
+def test_minhash_bands_must_divide_num_hashes(spark):
+    """bands > num_hashes would put every doc in ONE bucket per band
+    (the N^2 cross join banding exists to avoid); a non-divisor would
+    silently drop trailing lanes — both must raise."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs(docs, num_hashes=4, bands=8).collect()
+    with _pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=3).collect()
+
+
+def test_minhash_arrow_equals_sql_on_unicode_edge_whitespace(spark):
+    """Leading NBSP (ubiquitous in scraped HTML): the Arrow path must
+    trim ONLY Java-\\s whitespace, exactly like the SQL path — a bare
+    .strip() also ate Unicode whitespace and silently diverged."""
+    rows = [
+        (1, " alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "alpha beta gamma delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = dedup.minhash_lsh_pairs(docs, engine="arrow", jaccard_threshold=0.3).collect()
+    sql = dedup.minhash_lsh_pairs(docs, engine="sql", jaccard_threshold=0.3).collect()
+    assert sorted(map(tuple, arrow)) == sorted(map(tuple, sql))
+
+
+def test_embedding_near_dups_string_keys_group_verify(spark):
+    """The banded group-verify path must accept non-integer keys (the
+    block_col and verify='pairs' paths always did)."""
+    rows = [
+        ("doc-a", [1.0, 0.0, 0.0, 0.0]),
+        ("doc-b", [1.0, 0.001, 0.0, 0.0]),
+        ("doc-z", [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    bands = [[[1.0, 0.5, -0.25, 0.125]], [[-0.5, 1.0, 0.25, -0.125]]]
+    pairs = dedup.embedding_near_dups(
+        emb, threshold=0.99, plane_bands=bands
+    ).collect()
+    assert [(r["key_a"], r["key_b"]) for r in pairs] == [("doc-a", "doc-b")]

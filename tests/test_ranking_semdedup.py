@@ -156,3 +156,20 @@ def test_term_index_empty_terms_raise(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         ranking.bm25_topk_indexed(spark, str(tmp_path), [])
+
+
+def test_semantic_dedup_null_embedding_survives(spark):
+    """A NULL embedding among the smallest keys must not crash centroid
+    init, and NULL/zero-norm rows (undefined cosine) always survive."""
+    rows = [
+        (0, None),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),  # exact dup of 1 -> dropped
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero norm -> undefined, kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup_keep(emb, threshold=0.95, num_cells=2).collect()
+    }
+    assert kept == {0, 1, 3}
