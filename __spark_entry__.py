@@ -131,7 +131,7 @@ def q02_containment_enrich(spark, sf_dir):
     )
 
 
-Q02_SQL = """
+Q02_SQL = r"""
 WITH drugs AS (
   SELECT p_brand AS drug_name, COUNT(*) AS part_count,
          ROUND(AVG(p_retailprice), 6) AS avg_retail
@@ -139,8 +139,8 @@ WITH drugs AS (
 ),
 indications AS (
   SELECT DISTINCT p_brand AS drug_name,
-         REPLACE(LOWER(TRIM(p_type)), ' ', '') AS indication_norm
-  FROM part WHERE REPLACE(LOWER(TRIM(p_type)), ' ', '') <> ''
+         REPLACE(LOWER(regexp_replace(p_type, '^\s+|\s+$', '', 'g')), ' ', '') AS indication_norm
+  FROM part WHERE REPLACE(LOWER(regexp_replace(p_type, '^\s+|\s+$', '', 'g')), ' ', '') <> ''
 ),
 conditions AS (
   SELECT CONCAT_WS(' ', p_type, p_brand) AS condition,
@@ -150,7 +150,7 @@ conditions AS (
   FROM part GROUP BY CONCAT_WS(' ', p_type, p_brand)
 ),
 conds AS (
-  SELECT *, REPLACE(LOWER(TRIM(condition)), ' ', '') AS condition_norm FROM conditions
+  SELECT *, REPLACE(LOWER(regexp_replace(condition, '^\s+|\s+$', '', 'g')), ' ', '') AS condition_norm FROM conditions
 ),
 matched AS (
   SELECT DISTINCT i.drug_name, c.condition, c.trial_count,
@@ -403,11 +403,11 @@ def q11_normalize_project(spark, sf_dir):
     )
 
 
-Q11_SQL = """
+Q11_SQL = r"""
 SELECT c_custkey,
-       UPPER(TRIM(c_name)) AS name_clean,
-       REPLACE(LOWER(TRIM(COALESCE(c_mktsegment, ''))), ' ', '') AS segment_norm,
-       TRIM(COALESCE(c_mktsegment, '')) AS segment_filled
+       UPPER(regexp_replace(c_name, '^\s+|\s+$', '', 'g')) AS name_clean,
+       REPLACE(LOWER(regexp_replace(COALESCE(c_mktsegment, ''), '^\s+|\s+$', '', 'g')), ' ', '') AS segment_norm,
+       regexp_replace(COALESCE(c_mktsegment, ''), '^\s+|\s+$', '', 'g') AS segment_filled
 FROM customer
 """
 

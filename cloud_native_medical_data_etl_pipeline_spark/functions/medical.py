@@ -123,16 +123,27 @@ def completeness_flag(present_required: list[str]) -> Column:
     return flag
 
 
+def _strip_ws(c: Column) -> Column:
+    """Python ``str.strip()`` equivalent for the reference's free-text
+    fields: regexp edge-trim of ``\\s`` ([ \\t\\n\\x0B\\f\\r] in both
+    Java and DuckDB RE2).  ``F.trim`` strips ONLY 0x20 spaces, so a
+    trailing tab/newline in a free-text FDA field would survive
+    normalization and silently break the containment join the
+    reference's strip() would have matched.  (Unicode whitespace is
+    the q59-documented common-subset residue.)"""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def clean_upper(col: Column | str) -> Column:
-    """upper+trim normalization (drug_transformer.py:108-109)."""
+    """upper+strip normalization (drug_transformer.py:108-109)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.upper(F.trim(c))
+    return F.upper(_strip_ws(c))
 
 
 def fill_trim(col: Column | str) -> Column:
     """fillna('') then strip (drug_transformer.py:123-126)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.coalesce(c, F.lit("")))
+    return _strip_ws(F.coalesce(c, F.lit("")))
 
 
 def normalize_for_join(col: Column | str) -> Column:
@@ -140,7 +151,7 @@ def normalize_for_join(col: Column | str) -> Column:
     (reference normalize(), drug_transformer.py:237-243)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.replace(
-        F.lower(F.trim(F.coalesce(c.cast("string"), F.lit("")))),
+        F.lower(_strip_ws(F.coalesce(c.cast("string"), F.lit("")))),
         F.lit(" "),
         F.lit(""),
     )

@@ -40,10 +40,19 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 
 def normalize(a: Column | str) -> Column:
     """L2-normalize an embedding once up front so later cosine = dot —
-    at scale, normalizing at ingest halves the per-pair cost."""
+    at scale, normalizing at ingest halves the per-pair cost.
+
+    The norm rides through ``array_repeat`` (evaluated ONCE per row,
+    then repeated) rather than being referenced inside the transform
+    lambda — HOF lambdas re-evaluate their whole expression tree per
+    element, which would make the O(d) norm aggregate O(d²) per row."""
     ca = F.col(a) if isinstance(a, str) else a
     n = norm(ca)
-    return F.transform(ca, lambda v: v.cast("double") / n)
+    return F.zip_with(
+        ca,
+        F.array_repeat(n, F.size(ca)),
+        lambda v, m: v.cast("double") / m,
+    )
 
 
 def sqdist(a: Column | str, b: Column | str) -> Column:

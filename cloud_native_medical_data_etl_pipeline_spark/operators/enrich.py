@@ -32,22 +32,35 @@ from ..functions import medical as M
 
 
 def fda_summary(fda_t: DataFrame) -> DataFrame:
-    """Per-drug aggregates (drug_transformer.py:198-211)."""
+    """Per-drug aggregates (drug_transformer.py:198-211).  The sums
+    COALESCE to 0: pandas groupby sum of an all-NaN group is 0 (its
+    min_count=0 default), while Spark SUM would emit NULL — the
+    reference's zeros-not-nulls contract.  mean of all-NaN stays
+    NaN/NULL on both engines, so avg is left alone."""
     return fda_t.groupBy(F.col("drug_name_clean").alias("drug_name")).agg(
         F.count("safetyreportid").alias("adverse_event_count"),
         F.avg("severity_score").alias("avg_severity_score"),
-        F.sum("seriousnessdeath").cast("long").alias("death_count"),
-        F.sum("seriousnesshospitalization").cast("long").alias("hospitalization_count"),
+        F.coalesce(F.sum("seriousnessdeath"), F.lit(0))
+        .cast("long")
+        .alias("death_count"),
+        F.coalesce(F.sum("seriousnesshospitalization"), F.lit(0))
+        .cast("long")
+        .alias("hospitalization_count"),
     )
 
 
 def ct_summary(ct_t: DataFrame) -> DataFrame:
     """Per-condition aggregates (drug_transformer.py:217-228). The
-    reference sums the boolean is_completed (True==1)."""
+    reference sums the boolean is_completed (True==1); sums COALESCE
+    to 0 for all-NaN groups (pandas sum semantics, see fda_summary)."""
     return ct_t.groupBy(F.col("conditions_clean").alias("condition")).agg(
         F.count("nct_id").alias("trial_count"),
-        F.sum("enrollment_count").cast("double").alias("total_enrollment"),
-        F.sum(F.col("is_completed").cast("int")).cast("long").alias("completed_trials"),
+        F.coalesce(F.sum("enrollment_count"), F.lit(0))
+        .cast("double")
+        .alias("total_enrollment"),
+        F.coalesce(F.sum(F.col("is_completed").cast("int")), F.lit(0))
+        .cast("long")
+        .alias("completed_trials"),
     )
 
 
@@ -155,8 +168,14 @@ def enrich_scalable(fda_t: DataFrame, ct_t: DataFrame) -> DataFrame:
     so the prefilter only risks false negatives for indications whose
     every word is split across condition word boundaries; those are
     containment matches only in the de-spaced string, which the exact
-    reference predicate itself only sees post-normalization — documented
+    reference predicate itself only sees post-normalization — and for
+    SUB-WORD containment (indication 'cancer' inside condition token
+    'cancers': a substring of one word is not a shared token).  Both
+    are recall-only losses of the prefilter — documented
     approximation, switchable back to `enrich` for exact parity.
+    Empty-normalized conditions are NOT part of the approximation:
+    they match every drug under the exact predicate and ride a
+    dedicated broadcast branch below.
     """
     indications = (
         fda_t.select(
@@ -194,6 +213,21 @@ def enrich_scalable(fda_t: DataFrame, ct_t: DataFrame) -> DataFrame:
         )
         .select("drug_name", "condition")
         .distinct()
+    )
+    # EMPTY-normalized conditions (flatten_ct defaults a missing
+    # conditionsModule to ''): the exact predicate matches them to
+    # EVERY drug with a non-empty indication ('' is a substring of
+    # everything), but they produce no tokens and would silently fall
+    # out of the prefilter — this branch is exact parity, not part of
+    # the cross-word-boundary approximation.  The empty-condition set
+    # is at most a handful of rows, broadcast.
+    empty_conds = conditions.where(F.col("condition_norm") == "").select(
+        "condition"
+    )
+    candidates = candidates.unionByName(
+        indications.select("drug_name")
+        .distinct()
+        .crossJoin(F.broadcast(empty_conds))
     )
     matched = candidates.join(
         conditions.select(

@@ -26,21 +26,35 @@ def flatten_fda(raw: DataFrame) -> DataFrame:
 
     * openfda arrays joined with ', ' (P2)
     * first product's fields (P3), active-ingredient names joined (P4)
-    * latest submission by status date via array_sort + last element —
-      the argmax without explode or shuffle (P5/T1)
+    * latest submission by status date via comparator array_sort +
+      first element — the argmax without explode or shuffle (P5/T1).
+      The reference stable-sorts by date ONLY (fda_extractor.py:160,
+      list.sort reverse=True) and takes the first entry, so among
+      equal dates the EARLIEST-LISTED submission wins — replicated by
+      carrying the original index as the tiebreak (sorting (d, t)
+      tuples instead would pick the max TYPE on date ties).
     * yyyyMMdd parse with coerce-to-null (P6)
     """
     first_product = F.element_at("products", 1)
-    # array_sort ascending on (date, type) tuples; last element = max.
-    sorted_subs = F.array_sort(
-        F.transform(
-            "submissions",
-            lambda s: F.struct(
-                s["submission_status_date"].alias("d"), s["submission_type"].alias("t")
-            ),
-        )
+    idx_subs = F.transform(
+        "submissions",
+        # two-arg lambda = (element, index) by the HOF protocol
+        lambda s, i: F.struct(
+            F.coalesce(s["submission_status_date"], F.lit("")).alias("d"),
+            i.alias("idx"),
+            s["submission_type"].alias("t"),
+        ),
     )
-    latest_sub = F.element_at(sorted_subs, -1)
+    latest_sub = F.element_at(
+        F.array_sort(
+            idx_subs,
+            lambda l, r: F.when(l["d"] > r["d"], F.lit(-1))
+            .when(l["d"] < r["d"], F.lit(1))
+            .otherwise(l["idx"] - r["idx"])
+            .cast("int"),
+        ),
+        1,
+    )
     return raw.select(
         F.col("application_number"),
         F.col("sponsor_name"),
@@ -136,16 +150,23 @@ def flatten_ct(raw: DataFrame) -> DataFrame:
             ", ",
         ).alias("intervention_types"),
         F.array_join(
-            F.slice(
-                F.transform(
-                    F.coalesce(
-                        outcomes["primaryOutcomes"],
-                        F.array().cast("array<struct<measure:string>>"),
+            # reference order: slice top-3 FIRST, then drop empties
+            # (clinicaltrials_extractor.py:234-235 outcomes[:3] then
+            # filter(None)) — filtering before the slice could admit a
+            # 4th outcome, and skipping the filter joins '' elements in
+            F.filter(
+                F.slice(
+                    F.transform(
+                        F.coalesce(
+                            outcomes["primaryOutcomes"],
+                            F.array().cast("array<struct<measure:string>>"),
+                        ),
+                        lambda o: F.coalesce(o["measure"], F.lit("")),
                     ),
-                    lambda o: F.coalesce(o["measure"], F.lit("")),
+                    1,
+                    3,
                 ),
-                1,
-                3,
+                lambda m: m != "",
             ),
             " | ",
         ).alias("primary_outcome_measures"),
@@ -154,14 +175,16 @@ def flatten_ct(raw: DataFrame) -> DataFrame:
         s(elig["maximumAge"]).alias("max_age"),
         F.coalesce(elig["healthyVolunteers"], F.lit(False)).alias("accepts_healthy"),
         _join_arr(
-            F.array_distinct(
-                F.transform(
-                    F.coalesce(
-                        locs["locations"],
-                        F.array().cast("array<struct<country:string>>"),
-                    ),
-                    lambda l: F.coalesce(l["country"], F.lit("")),
-                )
+            # one entry PER LOCATION SITE, duplicates and '' preserved
+            # (clinicaltrials_extractor.py:192-194 joins the raw
+            # per-site list) — a distinct here would erase the
+            # site-count signal and diverge from the reference
+            F.transform(
+                F.coalesce(
+                    locs["locations"],
+                    F.array().cast("array<struct<country:string>>"),
+                ),
+                lambda l: F.coalesce(l["country"], F.lit("")),
             )
         ).alias("location_countries"),
         s(sponsor["leadSponsor"]["name"]).alias("lead_sponsor"),

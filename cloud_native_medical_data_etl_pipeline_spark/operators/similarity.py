@@ -76,9 +76,15 @@ def train_ivf_centroids(
     """
     from ._iterate import iterate_fixed
 
+    # NULL embeddings are excluded BEFORE the smallest-key init: NULL
+    # keys/vectors sort first, so an unfiltered collect would seed
+    # None and crash the float() unpack (kcenter_select's guard, here)
+    clean = df.where(
+        F.col(vec_col).isNotNull() & F.col(key_col).isNotNull()
+    )
     init = [
         [float(x) for x in r[1]]
-        for r in df.select(key_col, vec_col)
+        for r in clean.select(key_col, vec_col)
         .orderBy(F.col(key_col).asc())
         .limit(num_cells)
         .collect()
@@ -87,7 +93,7 @@ def train_ivf_centroids(
 
     def step(cents: list[list[float]]):
         return (
-            assign_cells(df, cents, vec_col)
+            assign_cells(clean, cents, vec_col)
             .select(
                 "cell_id",
                 F.posexplode(F.col(vec_col).cast("array<double>")).alias(
@@ -190,10 +196,14 @@ def build_ivf_index(
     along in an underscore-prefixed side directory, which Spark's file
     listing ignores.
     """
+    # NULL-embedding rows are dropped up front (the build_ivfpq_index
+    # convention): they can neither train nor be assigned a cell, and
+    # would otherwise land in a NULL partition directory
+    clean = df.where(F.col(vec_col).isNotNull())
     centroids = train_ivf_centroids(
-        df, num_cells, vec_col, key_col, iters=train_iters
+        clean, num_cells, vec_col, key_col, iters=train_iters
     )
-    assigned = assign_cells(df, centroids, vec_col)
+    assigned = assign_cells(clean, centroids, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
     spark = df.sparkSession
     cdf = spark.createDataFrame(
@@ -230,8 +240,24 @@ def append_to_ivf_index(
         [float(x) for x in r["centroid"]]
         for r in sorted(rows, key=lambda r: r["cell_id"])
     ]
+    # append with the INDEX's exact column set: build_ivf_index wrote
+    # every df column, so a (key, vec)-only append would leave the
+    # directory with mixed parquet schemas and later reads would
+    # nondeterministically drop or null the extra columns depending on
+    # which footer Spark samples
+    data_cols = [
+        c for c in spark.read.parquet(path).columns if c != "cell_id"
+    ]
+    missing = [c for c in data_cols if c not in batch.columns]
+    if missing:
+        raise ValueError(
+            f"batch is missing index columns {missing}; appends must "
+            "carry the same columns the index was built with"
+        )
     assigned = assign_cells(
-        batch.select(key_col, vec_col), centroids, vec_col
+        batch.select(*data_cols).where(F.col(vec_col).isNotNull()),
+        centroids,
+        vec_col,
     )
     assigned.write.mode("append").partitionBy("cell_id").parquet(path)
 
@@ -724,7 +750,9 @@ def kcenter_select(
     key_sql_type = base.schema["key"].dataType.simpleString()
     out_schema = f"sel_rank int, key {key_sql_type}, radius double"
     n = base.count()
-    if n == 0:
+    if n == 0 or k < 1:
+        # k < 1 must not emit a phantom seed row (a computed selection
+        # budget can legitimately hit zero)
         return df.sparkSession.createDataFrame([], out_schema)
     seed = base.orderBy(F.col("key").asc()).limit(1).collect()[0]
     selected = [(1, seed["key"], None)]

@@ -1081,3 +1081,32 @@ def test_embedding_near_dups_string_keys_group_verify(spark):
         emb, threshold=0.99, plane_bands=bands
     ).collect()
     assert [(r["key_a"], r["key_b"]) for r in pairs] == [("doc-a", "doc-b")]
+
+
+def test_ivf_append_preserves_index_schema(spark, tmp_path):
+    """build_ivf_index writes every df column; appends must carry the
+    same set (mixed parquet schemas read back nondeterministically) —
+    extra batch columns are projected away, missing ones raise."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators import similarity as S
+
+    base = spark.createDataFrame(
+        [(i, [float(i), 1.0], f"lbl{i % 2}") for i in range(8)],
+        "vec_id long, embedding array<float>, label string",
+    )
+    path = str(tmp_path / "idx")
+    S.build_ivf_index(base, path, num_cells=2, train_iters=1)
+    batch = spark.createDataFrame(
+        [(100, [9.0, 1.0], "lblX", "extra")],
+        "vec_id long, embedding array<float>, label string, junk string",
+    )
+    S.append_to_ivf_index(spark, batch, path)
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "embedding", "label", "cell_id"}
+    assert stored.where("vec_id = 100").first()["label"] == "lblX"
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(101, [8.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError):
+        S.append_to_ivf_index(spark, bad, path)

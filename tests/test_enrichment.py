@@ -157,3 +157,63 @@ def test_scalable_variant_agrees(spark):
         for r in enrich.enrich_scalable(fda, ct).collect()
     }
     assert exact == approx
+
+
+def test_empty_condition_matches_every_drug_in_both_variants(spark):
+    """An empty-normalized condition ('' is a substring of everything)
+    matches every drug with a non-empty indication under the reference
+    predicate — the scalable prefilter must not lose it (its tokens
+    are empty, so it rides a dedicated branch)."""
+    fda = _fda(
+        spark,
+        [
+            dict(safetyreportid="1", drug_name="A", drug_indication="Flu"),
+            dict(safetyreportid="2", drug_name="B", drug_indication="Headache"),
+        ],
+    )
+    ct = _ct(
+        spark,
+        [
+            dict(nct_id="NCT1", enrollment_count=50, conditions=""),
+            dict(nct_id="NCT2", enrollment_count=100, conditions="HEADACHE"),
+        ],
+    )
+    exact = {
+        (r["drug_name"], r["trial_count"], r["total_enrollment"])
+        for r in enrich.enrich(fda, ct).collect()
+    }
+    approx = {
+        (r["drug_name"], r["trial_count"], r["total_enrollment"])
+        for r in enrich.enrich_scalable(fda, ct).collect()
+    }
+    assert exact == approx
+    assert ("A", 1, 50.0) in exact          # '' condition reaches A
+    assert ("B", 2, 150.0) in exact         # B gets both
+
+
+def test_summary_sums_zero_fill_like_pandas(spark):
+    """pandas groupby sum of an all-NaN group is 0 (min_count=0): the
+    reference emits death_count=0, never NULL."""
+    fda = _fda(
+        spark,
+        [dict(safetyreportid="1", drug_name="A", drug_indication="Flu",
+              seriousnessdeath=None, seriousnesshospitalization=None)],
+    )
+    r = enrich.fda_summary(fda).collect()[0]
+    assert r["death_count"] == 0 and r["hospitalization_count"] == 0
+
+
+def test_normalize_for_join_strips_all_whitespace(spark):
+    """Reference normalize() is Python str.strip(): a trailing newline
+    in a free-text field must not break the containment match."""
+    fda = _fda(
+        spark,
+        [dict(safetyreportid="1", drug_name="A", drug_indication="Lung Cancer\n")],
+    )
+    ct = _ct(
+        spark,
+        [dict(nct_id="NCT1", enrollment_count=10,
+              conditions="NON-SMALL CELL LUNG CANCER")],
+    )
+    r = _one(enrich.enrich(fda, ct), "A")
+    assert r["trial_count"] == 1

@@ -413,3 +413,46 @@ def test_write_sharded_caps_file_rows(spark, tmp_path):
     for f in files:
         assert spark.read.parquet(f).count() <= 150
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_flatten_fda_submission_date_tie_keeps_first_listed(spark):
+    """The reference stable-sorts by status date only (reverse=True)
+    and takes submissions[0]: among equal dates the EARLIEST-LISTED
+    submission wins — not the max type."""
+    payload = dict(FDA_MOCK)
+    payload = {**FDA_MOCK, "submissions": [
+        {"submission_status_date": "20240101", "submission_type": "ORIG"},
+        {"submission_status_date": "20240101", "submission_type": "SUPPL"},
+    ]}
+    row = ingest.flatten_fda(rest.fda_raw_df(spark, [payload])).collect()[0]
+    assert row["submission_type"] == "ORIG"
+    assert row["latest_submission_date"] == dt.date(2024, 1, 1)
+
+
+def test_flatten_ct_locations_keep_per_site_duplicates(spark):
+    """Reference joins one entry PER SITE ('' for a missing country),
+    duplicates preserved — the site-count signal."""
+    p = {"protocolSection": {
+        **CT_MOCK["protocolSection"],
+        "contactsLocationsModule": {"locations": [
+            {"country": "United States"}, {"country": "United States"},
+            {"country": None}, {"country": "Canada"},
+        ]},
+    }}
+    row = ingest.flatten_ct(rest.ct_raw_df(spark, [p])).collect()[0]
+    assert row["location_countries"] == "United States, United States, , Canada"
+
+
+def test_flatten_ct_outcomes_slice_then_filter_empty(spark):
+    """Reference takes outcomes[:3] THEN filter(None): a null measure
+    inside the top-3 is dropped from the join, and the 4th outcome is
+    never admitted."""
+    p = {"protocolSection": {
+        **CT_MOCK["protocolSection"],
+        "outcomesModule": {"primaryOutcomes": [
+            {"measure": "OS"}, {"measure": None}, {"measure": "PFS"},
+            {"measure": "ORR"},
+        ]},
+    }}
+    row = ingest.flatten_ct(rest.ct_raw_df(spark, [p])).collect()[0]
+    assert row["primary_outcome_measures"] == "OS | PFS"
