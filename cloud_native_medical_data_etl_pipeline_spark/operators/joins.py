@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._common import col_ref
+
 
 def binned_interval_join(
     left: DataFrame,
@@ -55,12 +57,12 @@ def binned_interval_join(
         c for c in right.columns if c not in (on, right_ts)
     ]
     r = right.select(
-        F.col(on).alias("__k"),
-        F.unix_micros(F.col(right_ts)).alias("__rus"),
-        F.col(right_ts).alias(f"{prefix}{right_ts}"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_payload],
+        col_ref(on).alias("__k"),
+        F.unix_micros(col_ref(right_ts)).alias("__rus"),
+        col_ref(right_ts).alias(f"{prefix}{right_ts}"),
+        *[col_ref(c).alias(f"{prefix}{c}") for c in right_payload],
     ).withColumn("__bin", F.floor(F.col("__rus") / F.lit(w_us)))
-    l = left.withColumn("__lus", F.unix_micros(F.col(left_ts))).withColumn(
+    l = left.withColumn("__lus", F.unix_micros(col_ref(left_ts))).withColumn(
         "__bin",
         F.explode(
             F.array_distinct(
@@ -101,37 +103,66 @@ def asof_join(
     Left columns to carry through are listed in ``left_keep`` (they
     ride the union as typed nulls on right rows — keep the projection
     narrow on wide frames). Right rows tied on (key, ts) resolve
-    deterministically to the greatest payload tuple (struct ordering),
-    so pass a unique leading payload column (an id) for stable output.
+    deterministically to the greatest payload tuple (struct ordering
+    over the ORDERABLE payload columns; map-typed columns are carried
+    but excluded from the tiebreak), so pass a unique leading payload
+    column (an id) for stable output.  Right rows with NULL right_ts
+    match nothing and are dropped.
     """
     left_keep = left_keep or [c for c in left.columns if c not in (on, left_ts)]
     right_payload = right_payload or [
         c for c in right.columns if c not in (on, right_ts)
     ]
     payload_struct = F.struct(
-        F.col(right_ts).alias("__ts"),
-        *[F.col(c) for c in right_payload],
+        col_ref(right_ts).alias("__ts"),
+        *[col_ref(c) for c in right_payload],
     )
-    r = right.select(
-        F.col(on).alias("__k"),
-        F.col(right_ts).alias("__t"),
+    # a NULL right_ts satisfies no "<= left_ts" comparison — unfiltered,
+    # NULLS-FIRST ordering would sort such rows before everything and
+    # attach them as phantom matches to left rows with no real
+    # predecessor
+    r = right.where(col_ref(right_ts).isNotNull()).select(
+        col_ref(on).alias("__k"),
+        col_ref(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
         payload_struct.alias("__p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_keep],
     )
     l = left.select(
-        F.col(on).alias("__k"),
-        F.col(left_ts).alias("__t"),
+        col_ref(on).alias("__k"),
+        col_ref(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
-        *left_keep,
+        *[col_ref(c) for c in left_keep],
     )
     # side 0 sorts before side 1 at equal ts -> inclusive (>=) match;
-    # __p in last order-by position breaks right-side ts ties by max
-    # payload tuple.
+    # right-side ts ties break by max payload tuple over the ORDERABLE
+    # payload columns only (a MapType column in the payload — allowed
+    # as a carried value — would make the sort unanalyzable; if every
+    # payload column is unorderable the tie is engine-arbitrary,
+    # documented above).
+    from pyspark.sql import types as T
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    ord_cols = [
+        c for c in right_payload if _orderable(right.schema[c].dataType)
+    ]
+    tie = (
+        F.struct(*[F.col("__p").getField(c) for c in ord_cols])
+        if ord_cols
+        else F.lit(0)
+    )
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__p").asc())
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), tie.asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = r.unionByName(l).withColumn(
@@ -140,9 +171,12 @@ def asof_join(
     return unioned.where(F.col("__side") == 1).select(
         F.col("__k").alias(on),
         F.col("__t").alias(left_ts),
-        *left_keep,
-        F.col("__match.__ts").alias(f"{prefix}{right_ts}"),
-        *[F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_payload],
+        *[col_ref(c) for c in left_keep],
+        F.col("__match").getField("__ts").alias(f"{prefix}{right_ts}"),
+        *[
+            F.col("__match").getField(c).alias(f"{prefix}{c}")
+            for c in right_payload
+        ],
     )
 
 
@@ -177,16 +211,16 @@ def range_lookup_join(
         "__bin",
         F.explode(
             F.sequence(
-                F.floor(F.col(lo_col) / w).cast("long"),
-                F.floor(F.col(hi_col) / w).cast("long"),
+                F.floor(col_ref(lo_col) / w).cast("long"),
+                F.floor(col_ref(hi_col) / w).cast("long"),
             )
         ),
     )
-    v = F.col(value_col)
+    v = col_ref(value_col)
     cond = (
         (F.floor(v / w).cast("long") == F.col("__bin"))
-        & (v >= F.col(lo_col))
-        & (v < F.col(hi_col))
+        & (v >= col_ref(lo_col))
+        & (v < col_ref(hi_col))
     )
     return fact.join(F.broadcast(binned_dim), cond, how).drop("__bin")
 

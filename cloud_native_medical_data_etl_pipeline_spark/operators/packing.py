@@ -42,18 +42,17 @@ def pack_sequences(
 
     Group sizing: pass ``num_groups`` directly, or ``approx_docs`` (a
     corpus-size hint, e.g. from catalog stats) to target
-    ``docs_per_group`` docs per group. With neither, groups default to
-    one per executor slot — NO driver-side count() job runs (an exact
-    count would cost one extra pass over the corpus just to pick a
-    parallelism number; packing quality only needs groups of at least a
-    few thousand docs, which any of these choices give on a real corpus).
+    ``docs_per_group`` docs per group. With neither, the corpus is
+    COUNTED once to size groups — the count is metadata-only on plain
+    parquet scans, and groups-per-slot alone would let group size
+    scale with the corpus (1B docs / 1000 slots = 1M-row pandas
+    frames per worker: OOM plus an O(n·bins) packing loop).  Pass one
+    of the hints to skip the count job on derived frames.
     """
-    spark = df.sparkSession
     if num_groups is None:
-        if approx_docs is not None:
-            num_groups = max(1, approx_docs // docs_per_group)
-        else:
-            num_groups = max(1, spark.sparkContext.defaultParallelism)
+        if approx_docs is None:
+            approx_docs = df.count()
+        num_groups = max(1, approx_docs // docs_per_group)
 
     schema = T.StructType(
         [

@@ -24,6 +24,7 @@ _NUMERIC = (
     T.LongType,
     T.IntegerType,
     T.ShortType,
+    T.ByteType,
     T.DoubleType,
     T.FloatType,
     T.DecimalType,
@@ -44,7 +45,16 @@ def approx_profile(
     mergeable, so the plan is map-side partial aggregation + one
     exchange of constant-size state.
     """
-    cols = cols or [f.name for f in df.schema.fields]
+    # `is not None`: an explicitly-passed empty list means "profile
+    # nothing", not "profile every column of a possibly-wide table"
+    cols = cols if cols is not None else [f.name for f in df.schema.fields]
+    if not cols:
+        return df.sparkSession.createDataFrame(
+            [],
+            "column string, n_rows long, n_nulls long, "
+            "approx_distinct long, p25 double, p50 double, p75 double, "
+            "min double, max double",
+        )
     total = F.count(F.lit(1))
     aggs = [total.alias("__n")]
     # HLL++ cannot hash MapType values — emit a null estimate for those
@@ -52,11 +62,7 @@ def approx_profile(
     def _hashable(dtype: T.DataType) -> bool:
         return not isinstance(dtype, T.MapType)
 
-    def _ref(name: str):
-        # exact-name reference: F.col(name) would parse dots as struct
-        # paths and backticks would break the quoting — escape instead
-        # of interpolating raw names into anything parseable
-        return F.col("`" + name.replace("`", "``") + "`")
+    from ._common import col_ref as _ref  # the ONE escape definition
 
     # aggregate aliases are INDEX-based: user column names never enter
     # an alias or a SQL string, so quotes/backticks/dots in names

@@ -33,7 +33,11 @@ def transform_fda_events(
     cols = set(df.columns)
     out = df.withColumn(
         "processed_date",
-        F.lit(processed_ts).cast("timestamp") if processed_ts else F.current_timestamp(),
+        # `is not None`: a falsy-but-valid fixed stamp (epoch 0) must
+        # not silently fall back to nondeterministic current_timestamp
+        F.lit(processed_ts).cast("timestamp")
+        if processed_ts is not None
+        else F.current_timestamp(),
     ).withColumn("data_source", F.lit("FDA_OpenFDA"))
 
     if "drug_name" in cols:
@@ -74,7 +78,9 @@ def transform_clinical_trials(
     cols = set(df.columns)
     out = df.withColumn(
         "processed_date",
-        F.lit(processed_ts).cast("timestamp") if processed_ts else F.current_timestamp(),
+        F.lit(processed_ts).cast("timestamp")
+        if processed_ts is not None
+        else F.current_timestamp(),
     ).withColumn("data_source", F.lit("ClinicalTrials_gov"))
 
     if "start_date" in cols and "completion_date" in cols:

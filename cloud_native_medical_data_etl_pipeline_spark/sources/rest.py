@@ -23,6 +23,7 @@ Reference citations:
 from __future__ import annotations
 
 import json
+import logging
 import time
 import urllib.parse
 import urllib.request
@@ -57,13 +58,27 @@ def fetch_with_retry(
 ) -> dict | None:
     """GET with the reference's retry policy: N attempts, linear
     backoff 2*(attempt+1) seconds (fda_extractor.py:102-123).
-    Returns None after exhausting retries."""
+    Returns None after exhausting retries — LOGGED, because the
+    paginated scans treat None as end-of-data (the reference's
+    break-on-error behavior): a silent None would make a mid-scan
+    outage indistinguishable from a complete fetch."""
+    err: Exception | None = None
     for attempt in range(max_retries):
         try:
             return http_get(url, params)
-        except Exception:
+        except Exception as e:
+            err = e
             if attempt < max_retries - 1:
                 sleep(2 * (attempt + 1))
+    logging.getLogger(__name__).warning(
+        "fetch failed after %d attempts (%s %s): %s — the paginated "
+        "scan will treat this as end-of-data and return a TRUNCATED "
+        "record set",
+        max_retries,
+        url,
+        {k: params[k] for k in sorted(params)},
+        err,
+    )
     return None
 
 
@@ -124,11 +139,15 @@ def fetch_ct_studies(
             break
         studies.extend(payload.get("studies", []))
         token = payload.get("nextPageToken")
-        if not token or (max_studies and len(studies) >= max_studies):
+        # `is not None`, not truthiness: max_studies=0 is a legitimate
+        # computed cap meaning "zero studies", not "unlimited"
+        if not token or (
+            max_studies is not None and len(studies) >= max_studies
+        ):
             break
         params["pageToken"] = token
         sleep(RATE_LIMIT_S)
-    return studies[:max_studies] if max_studies else studies
+    return studies[:max_studies] if max_studies is not None else studies
 
 
 def fda_raw_df(spark: SparkSession, records: list[dict]) -> DataFrame:

@@ -336,3 +336,42 @@ def test_interval_overlap_join_keyed(spark):
     )
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["k"] == "a"  # key gates the match
+
+
+def test_asof_null_right_ts_is_not_a_match(spark):
+    """A right row with NULL ts satisfies no <= comparison: it must
+    neither crash nor attach as a phantom predecessor."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, "L")], "user string, ts long, tag string"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(
+        [("u1", None, "pNULL"), ("u1", 50, "p50")],
+        "user string, ts long, purchase string",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    out = asof_join(left, right, on="user").collect()
+    assert len(out) == 1 and out[0]["r_purchase"] == "p50"
+    # with ONLY a null-ts right row: no match at all
+    right2 = spark.createDataFrame(
+        [("u1", None, "pNULL")], "user string, ts long, purchase string"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    out2 = asof_join(left, right2, on="user").collect()
+    assert len(out2) == 1 and out2[0]["r_purchase"] is None
+
+
+def test_asof_map_payload_column_is_carried_not_sorted(spark):
+    """A MapType payload column is legal cargo: it rides the payload
+    struct but must stay out of the tiebreak ordering (sorting a map
+    is unanalyzable)."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100)], "user string, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(
+        [("u1", 50, "a", {"k": "v"})],
+        "user string, ts long, pid string, attrs map<string,string>",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    out = asof_join(left, right, on="user").collect()
+    assert out[0]["r_pid"] == "a" and out[0]["r_attrs"] == {"k": "v"}
