@@ -31,13 +31,22 @@ def _cmd_transform(args) -> int:
         spark, f"{args.input_base}/raw/clinicaltrials", args.date,
         schema=schemas.CLINICAL_TRIALS, fmt="json",
     )
-    result = pipeline.run(
-        spark,
-        args.date,
-        fda if fda.take(1) else None,
-        ct if ct.take(1) else None,
-        args.output_base,
-    )
+    try:
+        result = pipeline.run(
+            spark,
+            args.date,
+            fda if fda.take(1) else None,
+            ct if ct.take(1) else None,
+            args.output_base,
+        )
+    except ValueError as exc:
+        # a day with BOTH raw partitions empty raises from
+        # enrich.enrich — honor the JSON-line + exit-code contract the
+        # way backfill's per-day isolation does, instead of dumping a
+        # raw traceback
+        result = pipeline.RunResult(
+            date=args.date, status=f"error: {exc}"[:200]
+        )
     print(json.dumps(result.__dict__, default=str))
     return 0 if result.status == "success" else 1
 

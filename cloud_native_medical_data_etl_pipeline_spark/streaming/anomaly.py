@@ -109,9 +109,6 @@ def streaming_zscore_flags(
     )
 
 
-_sink_seq = 0
-
-
 def zscore_flags_available_now(
     spark,
     path: str,
@@ -127,18 +124,9 @@ def zscore_flags_available_now(
         stream_events,
     )
 
-    global _sink_seq
-    _sink_seq += 1
-    name = f"anomaly_sink_{_sink_seq}"
+    from ._drain import drain_to_memory
+
     flags = streaming_zscore_flags(
         stream_events(spark, path), z_thresh=z_thresh, min_points=min_points
     )
-    q = (
-        flags.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return drain_to_memory(flags, "anomaly_sink", "append")

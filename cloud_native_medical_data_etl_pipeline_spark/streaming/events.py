@@ -23,6 +23,8 @@ from cloud_native_medical_data_etl_pipeline_spark.sources.events_io import (
     stream_events,
 )
 
+from ._drain import drain_to_memory
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
@@ -36,7 +38,7 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_event_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 10
 ) -> DataFrame:
     """File-source stream over a directory of parquet event files,
     ts normalized to timestamp whichever encoding the files carry.
@@ -71,9 +73,6 @@ def hourly_counts(
     )
 
 
-_sink_seq = 0
-
-
 def hourly_counts_available_now(spark: SparkSession, path: str) -> DataFrame:
     """Run the watermarked tumbling-window aggregation as a REAL
     Structured Streaming query — readStream source, availableNow
@@ -86,20 +85,8 @@ def hourly_counts_available_now(spark: SparkSession, path: str) -> DataFrame:
     whichever physical encoding (micros / nanos-as-long) the files
     carry, matching the batch loader.
     """
-    global _sink_seq
-    _sink_seq += 1
-    name = f"hourly_counts_sink_{_sink_seq}"
     stream = stream_events(spark, path)
-    q = (
-        hourly_counts(stream)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return drain_to_memory(hourly_counts(stream), "hourly_counts_sink", "complete")
 
 
 def deduped_daily_counts_available_now(spark: SparkSession, path: str) -> DataFrame:
@@ -117,9 +104,6 @@ def deduped_daily_counts_available_now(spark: SparkSession, path: str) -> DataFr
     finalization wait), which keeps the availableNow drain equal to
     the batch DISTINCT — what makes it oracle-checkable.
     """
-    global _sink_seq
-    _sink_seq += 1
-    name = f"dedup_events_sink_{_sink_seq}"
     stream = (
         stream_events(spark, path)
         .withColumn("__copy", F.explode(F.array(F.lit(1), F.lit(2))))
@@ -128,16 +112,8 @@ def deduped_daily_counts_available_now(spark: SparkSession, path: str) -> DataFr
     deduped = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(name)
+        drain_to_memory(deduped, "dedup_events_sink", "append")
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
@@ -148,7 +124,14 @@ def run_available_now(
 ) -> None:
     """Drain everything currently available (the daily-batch analog:
     Trigger.AvailableNow), write complete windows to parquet, stop."""
-    agg = hourly_counts(read_event_stream(spark, input_path))
+    # ONE batch: the default maxFilesPerTrigger=10 would advance the
+    # watermark between batches of a multi-file backfill and silently
+    # drop as late any event older than (max ts seen so far - horizon)
+    # sitting in a later file — the hazard sessions_available_now's
+    # sentinel dance exists to avoid
+    agg = hourly_counts(
+        read_event_stream(spark, input_path, max_files_per_trigger=None)
+    )
     q = (
         agg.writeStream.outputMode("append")
         .trigger(availableNow=True)
@@ -179,9 +162,6 @@ def segment_enriched_daily_available_now(
     Batch-equivalent to the same join+rollup in SQL, which is what
     makes it oracle-checkable after the drain.
     """
-    global _sink_seq
-    _sink_seq += 1
-    name = f"segment_daily_sink_{_sink_seq}"
     stream = stream_events(spark, path)
     enriched = stream.join(dim, "user_id")  # stream-static, stateless
     agg = enriched.groupBy(
@@ -190,15 +170,7 @@ def segment_enriched_daily_available_now(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return drain_to_memory(agg, "segment_daily_sink", "complete")
 
 
 def click_purchase_attribution_available_now(
@@ -224,9 +196,6 @@ def click_purchase_attribution_available_now(
 
     Returns (user_id, click_id, purchase_id, click_ts, purchase_ts).
     """
-    global _sink_seq
-    _sink_seq += 1
-    name = f"click_purchase_sink_{_sink_seq}"
     ev = stream_events(spark, path)
     clicks = (
         ev.where(F.col("event_type") == "click")
@@ -255,15 +224,7 @@ def click_purchase_attribution_available_now(
             <= F.col("click_ts") + F.expr(f"INTERVAL {gap_minutes} MINUTES")
         ),
     ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return drain_to_memory(joined, "click_purchase_sink", "append")
 
 
 def stream_to_lake_upsert(

@@ -57,8 +57,14 @@ def _sessionize_fn(gap_minutes: int):
         else:
             ts_us: list[int] = []
             for pdf in pdfs:
+                # NULL ts rows are SKIPPED, not coerced: NaT.value is
+                # int64-min, which would set a hugely negative timeout
+                # (query failure) or overflow the closing Timestamp —
+                # the same guard the z-score monitor applies
                 ts_us.extend(
-                    int(v.value // 1000) for v in pd.to_datetime(pdf["ts"])
+                    int(v.value // 1000)
+                    for v in pd.to_datetime(pdf["ts"])
+                    if v is not pd.NaT
                 )
             ts_us.sort()
             for t in ts_us:
@@ -108,9 +114,6 @@ def streaming_sessionize(
 
 
 _SENTINEL_USER = -1
-_sink_seq = 0
-
-
 def sessions_available_now(
     spark,
     path: str,
@@ -158,16 +161,18 @@ def sessions_available_now(
         stream_events,
     )
 
-    global _sink_seq
-    _sink_seq += 1
-    name = f"sessions_sink_{_sink_seq}"
-
     # sentinel event time: beyond every possible session timeout.
     # read_events normalizes either physical ts encoding to timestamp,
     # so all sentinel math is in microseconds regardless of encoding.
     ev_batch = read_events(spark, path)
     ts_type = ev_batch.schema["ts"].dataType  # Timestamp or TimestampNTZ
     max_us = ev_batch.agg(F.unix_micros(F.max("ts").cast("timestamp"))).collect()[0][0]
+    if max_us is None:
+        # empty table (or every ts NULL): nothing can sessionize — an
+        # unguarded sentinel computation would TypeError on None + int
+        return spark.createDataFrame(
+            [], "user_id long, start_us long, end_us long, n_events long"
+        )
     wm_us = _parse_duration_us(watermark)
     # 48h margin: dwarfs any session-timezone offset a Timestamp<->NTZ
     # cast could introduce (the sentinel only needs to exceed every
@@ -187,21 +192,19 @@ def sessions_available_now(
         "user_id", F.timestamp_micros("ts_us").cast(ts_type).alias("ts")
     ).coalesce(1).write.mode("overwrite").parquet(sentinel_dir)
 
+    from ._drain import drain_to_memory
+
     stream = stream_events(spark, path, columns=["user_id", "ts"]).unionByName(
         spark.readStream.schema(sentinel_schema).parquet(sentinel_dir)
     )
-    q = (
-        streaming_sessionize(stream, gap_minutes, watermark)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    sink = drain_to_memory(
+        streaming_sessionize(stream, gap_minutes, watermark),
+        "sessions_sink",
+        "append",
     )
-    q.awaitTermination()
     shutil.rmtree(sentinel_dir, ignore_errors=True)
     return (
-        spark.table(name)
+        sink
         .where(F.col("user_id") != _SENTINEL_USER)
         .select(
             "user_id",
@@ -213,7 +216,22 @@ def sessions_available_now(
 
 
 def _parse_duration_us(spec: str) -> int:
-    """'2 hours' / '30 minutes' / '10 seconds' -> microseconds."""
+    """Spark interval grammar subset -> microseconds: the unit
+    aliases ``withWatermark`` itself accepts for time-scale units
+    ('1 week' / '2 days' / '2 hours' / '30 min' / '10 secs' / ...),
+    case-insensitive.  Unknown units raise a named ValueError instead
+    of a bare KeyError."""
     n, unit = spec.split()
-    mult = {"hour": 3600, "minute": 60, "second": 1}[unit.rstrip("s")]
-    return int(n) * mult * _US
+    mults = {
+        "week": 7 * 86400,
+        "day": 86400,
+        "hour": 3600,
+        "minute": 60,
+        "min": 60,
+        "second": 1,
+        "sec": 1,
+    }
+    key = unit.lower().rstrip("s")
+    if key not in mults:
+        raise ValueError(f"unsupported watermark unit {unit!r} in {spec!r}")
+    return int(n) * mults[key] * _US

@@ -512,3 +512,44 @@ def test_multi_batch_drain_equals_sequential_ingest(spark, tmp_path):
     assert {d for d, _ in got} == {1, 2, 11}  # 10 gated cross-batch
     # index tracked both appends
     assert spark.read.parquet(stream_corpus + "_sigs").count() == 3
+
+
+def test_sessions_null_ts_rows_are_skipped(spark, tmp_path):
+    """A NULL-ts event must not crash the sessionizer (NaT.value is
+    int64-min: negative timeout or Timestamp overflow)."""
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import sessions as SS
+
+    path = str(tmp_path / "events")
+    rows = [(1, 1, 1000), (2, 1, 1300), (3, 1, None)]
+    spark.createDataFrame(rows, "event_id long, user_id long, s long").select(
+        "event_id", "user_id", F.timestamp_seconds("s").alias("ts")
+    ).write.parquet(path)
+    out = SS.sessions_available_now(spark, path, gap_minutes=1)
+    ses = out.collect()
+    assert len(ses) == 2  # 1000 and 1300 split by the 60s gap
+    assert all(r["n_events"] == 1 for r in ses)
+
+
+def test_sessions_empty_table_returns_empty_frame(spark, tmp_path):
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import sessions as SS
+
+    path = str(tmp_path / "events")
+    spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp"
+    ).write.parquet(path)
+    assert SS.sessions_available_now(spark, path).collect() == []
+
+
+def test_parse_duration_accepts_spark_interval_aliases():
+    from cloud_native_medical_data_etl_pipeline_spark.streaming.sessions import (
+        _parse_duration_us,
+    )
+
+    assert _parse_duration_us("1 day") == 86400 * 1_000_000
+    assert _parse_duration_us("2 Hours") == 7200 * 1_000_000
+    assert _parse_duration_us("30 min") == 1800 * 1_000_000
+    assert _parse_duration_us("10 secs") == 10 * 1_000_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _parse_duration_us("3 fortnights")
