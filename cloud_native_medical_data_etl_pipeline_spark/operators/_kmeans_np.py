@@ -1,0 +1,170 @@
+"""Driver-side numpy replica of the deterministic PQ trainer.
+
+`quantize.pq_train(engine="sql")` is the cross-engine SPEC: every
+arithmetic step (left-to-right squared-distance folds, 9dp-rounded
+distances and priorities, 6dp-rounded Lloyd means, md5-seeded D²
+races, lowest-index/min-key tiebreaks) is expressible in plain SQL,
+and the DuckDB oracles replay it CTE-for-CTE (q137/q138).  But as an
+in-engine loop it costs k-1 driver round-trips whose expression
+batteries grow with the codebook — plan-compile-bound at the k=256
+regime PQ normally runs at, regardless of data size.
+
+This module is the PRODUCTION path for the same contract: codebooks
+are driver-side METADATA by construction, and training input is
+already capped by the deterministic md5 hash-sample
+(`_sampling.hash_sample`), so the sampled training frame is collected
+ONCE and seeding + Lloyd run here in numpy — O(1) Spark jobs, O(n·k·
+dsub) numpy work, identical results (unit-pinned against the SQL
+engine in tests/test_pq.py).  Every rounding below deliberately
+mirrors the Spark expression it replaces; rounding at dp>0 cannot hit
+a decimal midpoint with binary doubles, so HALF_UP (Spark) and
+HALF_EVEN (numpy) agree on all reachable values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+def md5_uniform_py(key: object, salt: str = "") -> float:
+    """Driver-side replica of `_sampling.md5_uniform`: (first 8 hex
+    digits of md5(salt || key) + 1) / 2^32, key stringified the way
+    Spark casts it (ints print bare, matching ``CAST(key AS STRING)``)."""
+    h = hashlib.md5((salt + str(key)).encode("utf-8")).hexdigest()[:8]
+    return (int(h, 16) + 1.0) / 4294967296.0
+
+
+def _d2_round9(X: np.ndarray, cw: list[float] | np.ndarray) -> np.ndarray:
+    """Rounded squared L2 distance from every row of X to one codeword
+    — the exact arithmetic of `quantize._fold_sq`: acc starts at 0.0
+    and adds each (x_d - y_d)² LEFT TO RIGHT, then rounds to 9dp."""
+    acc = np.zeros(X.shape[0])
+    for d in range(X.shape[1]):
+        t = X[:, d] - cw[d]
+        acc = acc + t * t
+    return np.round(acc, 9)
+
+
+def _d2_matrix(X: np.ndarray, book: list[list[float]]) -> np.ndarray:
+    """(n, k) rounded distances to every codeword — one `_d2_round9`
+    column per codeword, same per-element fold order."""
+    return np.stack([_d2_round9(X, c) for c in book], axis=1)
+
+
+def _seed_book(
+    X: np.ndarray, u: np.ndarray, k: int
+) -> list[list[float]]:
+    """`quantize._kmeanspp_seed_books`, one subspace: seed 0 is the
+    min-key row (rows arrive key-sorted, so row 0); each later hop
+    holds an Efraimidis-Spirakis race — priority = round(u **
+    (1/dmin), 9) where dmin is the ROUNDED min squared distance to the
+    codewords so far, candidates need priority > 0, max priority wins,
+    min key breaks ties (first occurrence on key-sorted rows).  A hop
+    with no candidate marks the subspace done; its remaining slots pad
+    with copies of codeword 0 (memberless under the lowest-index
+    argmin, re-synced by every Lloyd refill — nothing drifts)."""
+    book = [[float(x) for x in X[0]]]
+    dmin = _d2_round9(X, X[0])
+    done = False
+    for _ in range(k - 1):
+        if done:
+            book.append(list(book[0]))
+            continue
+        with np.errstate(over="ignore", under="ignore"):
+            pri = np.where(
+                dmin > 0,
+                np.round(u ** (1.0 / np.where(dmin > 0, dmin, 1.0)), 9),
+                -1.0,
+            )
+        cand = pri > 0
+        if not cand.any():
+            done = True
+            book.append(list(book[0]))
+            continue
+        i = int(np.argmax(np.where(cand, pri, -np.inf)))
+        book.append([float(x) for x in X[i]])
+        # incremental min == the SQL battery's array_min over all
+        # codewords: per-codeword distances are rounded before the min
+        dmin = np.minimum(dmin, _d2_round9(X, X[i]))
+    return book
+
+
+def _refill_empty(
+    X: np.ndarray,
+    book: list[list[float]],
+    empties: list[int],
+) -> list[list[float]]:
+    """`quantize._refill_empty_cells`, one subspace: each empty slot
+    takes the point FARTHEST from the just-updated codebook (rounded
+    min distance, min-key tiebreak), distances FROZEN at the post-mean
+    codebook, already-used points excluded; once nothing refillable
+    remains (dmin == 0 everywhere left), this and all later empty
+    slots re-sync to codeword 0's current value."""
+    if not empties:
+        return book
+    dmin = _d2_matrix(X, book).min(axis=1)
+    used = np.zeros(X.shape[0], dtype=bool)
+    todo = list(empties)
+    while todo:
+        c = todo.pop(0)
+        ok = (dmin > 0) & ~used
+        if not ok.any():
+            for cc in [c] + todo:
+                book[cc] = list(book[0])
+            break
+        i = int(np.argmax(np.where(ok, dmin, -np.inf)))
+        book[c] = [float(x) for x in X[i]]
+        used[i] = True
+    return book
+
+
+def pq_train_np(
+    rows: list,
+    m: int,
+    k: int,
+    dsub: int,
+    iters: int,
+    round_dp: int,
+) -> list[list[list[float]]]:
+    """Full trainer over the collected (key, v0..v{m-1}) frame:
+    key-sort (Spark's orderBy on the same values), then per subspace
+    k-means++ seeding + `iters` Lloyd rounds — assignment by
+    lowest-index argmin over ROUNDED distances, means ROUNDED to
+    ``round_dp`` (Spark's F.avg and numpy's mean sum in different
+    orders; both land on the same 1e-6-grain value, which is the whole
+    point of the rounded-statistic contract in `_iterate`), empty
+    slots refilled per `_refill_empty`.  Subspaces never interact, so
+    the SQL path's batched per-scan aggregates and this per-subspace
+    loop compute identical books."""
+    rows = sorted(rows, key=lambda r: r["key"])
+    keys = [r["key"] for r in rows]
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        X = np.array([r[f"v{s}"] for r in rows], dtype=np.float64)
+        u = np.array(
+            [md5_uniform_py(key, f"kpp{s}:") for key in keys]
+        )
+        book = _seed_book(X, u, k)
+        for _ in range(iters):
+            codes = np.argmin(_d2_matrix(X, book), axis=1)
+            empties: list[int] = []
+            newbook: list[list[float]] = []
+            for c in range(k):
+                members = codes == c
+                if members.any():
+                    newbook.append(
+                        [
+                            float(x)
+                            for x in np.round(
+                                X[members].mean(axis=0), round_dp
+                            )
+                        ]
+                    )
+                else:
+                    newbook.append(list(book[c]))
+                    empties.append(c)
+            book = _refill_empty(X, newbook, empties)
+        books.append(book)
+    return books

@@ -110,13 +110,13 @@ def _lit_subvec(vals: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vals])
 
 
-def _sq_to_lit(sub: Column, cent: list[float]) -> Column:
-    """Rounded squared L2 distance from a sub-vector column to a
-    literal codeword — left-to-right fold, 9dp (the cross-engine
-    ranking grain used by the similarity operators)."""
+def _fold_sq(sub: Column, cw: Column) -> Column:
+    """Rounded squared L2 distance between two array columns —
+    left-to-right fold, 9dp (the cross-engine ranking grain used by
+    the similarity operators)."""
     return F.round(
         F.aggregate(
-            F.zip_with(sub, _lit_subvec(cent), lambda x, y: (x - y) * (x - y)),
+            F.zip_with(sub, cw, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         ),
@@ -124,10 +124,32 @@ def _sq_to_lit(sub: Column, cent: list[float]) -> Column:
     )
 
 
+def _sq_to_lit(sub: Column, cent: list[float]) -> Column:
+    """`_fold_sq` against one literal codeword."""
+    return _fold_sq(sub, _lit_subvec(cent))
+
+
+def _book_lit(codebook: list[list[float]]) -> Column:
+    """One codebook as a literal array-of-arrays column — k·dsub
+    literal DATA leaves that Catalyst constant-folds into a single
+    array literal."""
+    return F.array(*[_lit_subvec(c) for c in codebook])
+
+
+def _dist_battery(sub: Column, codebook: list[list[float]]) -> Column:
+    """Array of rounded squared distances to every codeword: ONE fold
+    lambda evaluated k times over the constant-folded literal
+    codebook, so plan and codegen size are O(1) in k — k unrolled
+    per-codeword fold expressions (the pre-r9 form) made every
+    battery-bearing plan compile in O(m·k·dsub) generated code, the
+    k=256 scale-killer."""
+    return F.transform(_book_lit(codebook), lambda c: _fold_sq(sub, c))
+
+
 def _assign_code(sub: Column, codebook: list[list[float]]) -> Column:
     """Lowest-index argmin over the codebook, as ONE array column of
     rounded distances (linear expression tree — see assign_cells)."""
-    d = F.array(*[_sq_to_lit(sub, c) for c in codebook])
+    d = _dist_battery(sub, codebook)
     return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
 
@@ -171,20 +193,24 @@ def _kmeanspp_seed_books(
 
     A subspace where no point has dmin > 0 has fewer than k distinct
     subvectors — it is marked done, skipped in later hops' aggregates,
-    and its remaining slots pad with copies of codeword 0.  Pads are
-    memberless under the lowest-index argmin of `_assign_code`, so
-    every Lloyd update treats them as empty cells
-    (`_refill_empty_cells`): refilled to the farthest point if the
-    rounded means opened any refillable spread, otherwise re-synced to
-    codeword 0's current value — either way no slot holds a stale
-    seed-time copy that could drift from codeword 0 and steal its
-    assignments.
+    and its remaining slots pad with fresh COPIES of codeword 0 (never
+    the same list object, so later in-place slot updates cannot leak
+    into the pads).  Pads are memberless under the lowest-index argmin
+    of `_assign_code`, so every Lloyd update treats them as empty
+    cells (`_refill_empty_cells`): refilled to the farthest point if
+    the rounded means opened any refillable spread, otherwise
+    re-synced to codeword 0's current value — either way no slot holds
+    a stale seed-time copy that could drift from codeword 0 and steal
+    its assignments.
 
-    Cost note: seeding is k-1 driver round-trips with literal distance
-    batteries growing to O(m*k*dsub) expressions by the last hop —
-    fine through k=16 (the default); at the k=256 regime `pq_encode`
-    supports, train on a hash-sample (see `pq_train`) so the scans are
-    cheap, and expect plan-size-bound hops, not data-bound ones.
+    Cost note: this is the in-engine SPEC path (`engine="sql"`) — k-1
+    driver round-trips, one aggregate scan each.  The per-hop distance
+    battery is a single fold over the constant-folded literal codebook
+    (`_dist_battery`), so plan size is O(k·dsub) literal data, not
+    O(k) unrolled fold code; the round-trip COUNT is what the
+    `engine="numpy"` production path removes at the k=256 regime
+    (`_kmeans_np.pq_train_np` — identical algorithm on the collected
+    hash-sample, unit-pinned equal).
     """
     seed = base.orderBy(F.col("key").asc()).limit(1).collect()[0]
     books = [[[float(x) for x in seed[f"v{s}"]]] for s in range(m)]
@@ -196,11 +222,7 @@ def _kmeanspp_seed_books(
         for s in range(m):
             if done[s]:
                 continue
-            dmin = F.array_min(
-                F.array(
-                    *[_sq_to_lit(F.col(f"v{s}"), c) for c in books[s]]
-                )
-            )
+            dmin = F.array_min(_dist_battery(F.col(f"v{s}"), books[s]))
             pri = F.when(
                 dmin > 0, F.round(F.pow(_u_subspace(s), F.lit(1.0) / dmin), 9)
             ).otherwise(F.lit(-1.0))
@@ -216,17 +238,17 @@ def _kmeanspp_seed_books(
         far = base.agg(*aggs).collect()[0]
         for s in range(m):
             if done[s]:
-                books[s].append(books[s][0])
+                books[s].append(list(books[s][0]))
                 continue
             hit = far[f"win{s}"]
             if hit is None or hit["np"] >= 0.0:
                 done[s] = True
-                books[s].append(books[s][0])
+                books[s].append(list(books[s][0]))
             else:
                 books[s].append([float(x) for x in hit["v"]])
     for s in range(m):
         while len(books[s]) < k:
-            books[s].append(books[s][0])
+            books[s].append(list(books[s][0]))
     return books
 
 
@@ -239,9 +261,28 @@ def pq_train(
     iters: int = 4,
     round_dp: int = 6,
     train_sample_mod: int | None = None,
+    engine: str = "auto",
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks: returns m lists of k codewords of
     dim/m doubles each.
+
+    ``engine`` picks the executor for the SAME deterministic
+    algorithm — the two produce identical codebooks (unit-pinned in
+    tests/test_pq.py):
+
+    * ``"numpy"`` (what ``"auto"`` resolves to): collect the
+      (hash-sampled) training frame ONCE and run seeding + Lloyd
+      driver-side (`_kmeans_np.pq_train_np`).  Codebooks are
+      driver-side metadata by construction and the input is bounded by
+      ``train_sample_mod`` — set it at corpus scale; the collect IS
+      the sample, so nothing distributed changes.  O(1) Spark jobs
+      instead of k-1 seeding round-trips + iters Lloyd rounds — the
+      production path at the k=256 regime, where the in-engine loop is
+      round-trip-bound regardless of data size.
+    * ``"sql"``: the in-engine literal-battery loop below — the
+      cross-engine SPEC that the DuckDB oracles unroll CTE-for-CTE
+      (q137/q138), and the path for callers that must not collect even
+      the sampled frame.
 
     Init is deterministic k-means++ D²-sampled seeding per subspace
     (`_kmeanspp_seed_books`).  Each Lloyd iteration runs ONE map pass
@@ -264,10 +305,14 @@ def pq_train(
     sample (and therefore the codebook) is reproducible across
     layouts, re-runs, and engines — then encode the full corpus with
     `pq_encode`.  k·dsub parameters per subspace saturate at ~10⁴-10⁵
-    rows; the same cap is what keeps the k-1 seeding scans cheap at
-    the k=256 regime `pq_encode` supports (the classifier's
-    `train_sample_mod` contract, applied here).
+    rows; the same cap is what bounds the numpy engine's driver-side
+    collect (the classifier's `train_sample_mod` contract, applied
+    here).
     """
+    if engine not in ("auto", "numpy", "sql"):
+        raise ValueError(
+            f"engine must be 'auto', 'numpy', or 'sql', got {engine!r}"
+        )
     probe = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
     if probe is None:
         return []
@@ -286,13 +331,15 @@ def pq_train(
                 f"train_sample_mod={train_sample_mod} leaves no "
                 "training rows — lower it for this corpus size"
             )
-    base = (
-        pool.select(
-            F.col(key_col).alias("key"),
-            *[slices[s].alias(f"v{s}") for s in range(m)],
-        )
-        .localCheckpoint()
+    proj = pool.select(
+        F.col(key_col).alias("key"),
+        *[slices[s].alias(f"v{s}") for s in range(m)],
     )
+    if engine != "sql":
+        from ._kmeans_np import pq_train_np
+
+        return pq_train_np(proj.collect(), m, k, dsub, iters, round_dp)
+    base = proj.localCheckpoint()
     from ._iterate import iterate_fixed
 
     def step(books: list[list[list[float]]]):
@@ -374,10 +421,7 @@ def _refill_empty_cells(
     todo = {s: list(cs) for s, cs in empties.items() if cs}
     if todo:
         battery = {
-            s: F.array(
-                *[_sq_to_lit(F.col(f"v{s}"), c) for c in books[s]]
-            )
-            for s in todo
+            s: _dist_battery(F.col(f"v{s}"), books[s]) for s in todo
         }
         used: dict[int, list] = {s: [] for s in todo}
         while todo:
@@ -522,9 +566,7 @@ def _assign_cell_l2(
     """Id of the squared-L2-nearest centroid (rounded 9dp, lowest
     index on ties) — the cell-membership rule matching the ADC
     ranking metric.  One array battery, linear expression tree."""
-    d = F.array(
-        *[_sq_to_lit(_as_double(vec_col), c) for c in centroids]
-    )
+    d = _dist_battery(_as_double(vec_col), centroids)
     return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
 
@@ -540,6 +582,7 @@ def build_ivfpq_index(
     pq_iters: int = 4,
     train_sample_mod: int | None = None,
     residual: bool = False,
+    engine: str = "auto",
 ) -> None:
     """Materialize the IVF-PQ index: the 100 TB ANN layout.
 
@@ -558,7 +601,11 @@ def build_ivfpq_index(
     Lloyd scans run on the same deterministic 1/mod key-sample — the
     100 TB lever (SCALING.md's documented mitigation for the k-1
     seeding round-trips): with it set, the only full-corpus work left
-    is the single unavoidable encode+write pass.  NULL-embedding rows are dropped once up
+    is the single unavoidable encode+write pass.  ``engine`` is the
+    `pq_train` executor switch (``"auto"`` → the driver-side numpy
+    trainer: identical codebooks, no per-hop round-trips — the k=256
+    production regime; ``"sql"`` keeps codebook training fully
+    in-engine).  NULL-embedding rows are dropped once up
     front, so a NULL among the smallest keys cannot crash centroid
     init.
 
@@ -639,6 +686,7 @@ def build_ivfpq_index(
         key_col="key",
         iters=pq_iters,
         train_sample_mod=train_sample_mod,
+        engine=engine,
     )
     dsub = len(books[0][0])
     subs = _sub_slices(code_col, m, dsub)

@@ -206,17 +206,85 @@ def test_q137_params_never_trigger_refill_on_real_embeddings(spark):
         quantize as Q,
     )
 
+    from cloud_native_medical_data_etl_pipeline_spark.operators import (
+        _kmeans_np as K,
+    )
+
     calls = []
-    orig = Q._refill_empty_cells
+    orig = K._refill_empty
 
-    def spy(base, books, empties):
-        calls.append({s: cs for s, cs in empties.items() if cs})
-        return orig(base, books, empties)
+    def spy(X, book, empties):
+        calls.append(list(empties))
+        return orig(X, book, empties)
 
-    Q._refill_empty_cells = spy
+    K._refill_empty = spy
     try:
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        # default engine — the exact call q137 makes; engine equality
+        # (pinned elsewhere in this file) carries the invariant to the
+        # SQL spec path the oracle unrolls
         Q.pq_train(emb, m=4, k=4, iters=2)
     finally:
-        Q._refill_empty_cells = orig
+        K._refill_empty = orig
     assert calls and all(not c for c in calls), calls
+
+
+# --- engine equality: the numpy production path IS the SQL spec path ------
+
+
+def test_pq_train_engines_agree_on_real_embeddings(spark):
+    """The r9 contract: `engine="numpy"` (the "auto" production path —
+    driver-side seeding+Lloyd over the collected sample) produces
+    codebooks EXACTLY equal to `engine="sql"` (the literal-battery
+    in-engine loop the DuckDB oracles unroll).  Every rounding in
+    `_kmeans_np` mirrors the Spark expression it replaces, so equality
+    is exact, not approximate."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    b_sql = pq_train(emb, m=8, k=16, iters=2, engine="sql")
+    b_np = pq_train(emb, m=8, k=16, iters=2, engine="numpy")
+    assert b_np == b_sql
+
+
+def test_pq_train_engines_agree_on_pads_and_refills(spark):
+    # n < k forces done-subspace pads; duplicate-heavy data forces
+    # empty-cell refills — the two driver-arithmetic edge branches
+    pad = _emb(
+        spark, [(i, [1.0, 2.0]) for i in range(3)] + [(10, [5.0, 6.0])]
+    )
+    assert pq_train(pad, m=1, k=8, iters=2, engine="numpy") == pq_train(
+        pad, m=1, k=8, iters=2, engine="sql"
+    )
+    dup = _emb(
+        spark, [(i, [float(i % 3), float(i % 2)]) for i in range(40)]
+    )
+    assert pq_train(dup, m=2, k=4, iters=3, engine="numpy") == pq_train(
+        dup, m=2, k=4, iters=3, engine="sql"
+    )
+
+
+def test_pq_train_auto_is_numpy_and_partition_invariant(spark):
+    df = _emb(spark, _clustered())
+    auto = pq_train(df, m=2, k=4, iters=2)
+    assert auto == pq_train(df.repartition(16), m=2, k=4, iters=2, engine="numpy")
+
+
+def test_pq_train_rejects_unknown_engine(spark):
+    df = _emb(spark, _clustered())
+    with pytest.raises(ValueError, match="engine"):
+        pq_train(df, m=2, k=4, engine="pandas")
+
+
+def test_pq_train_k256_production_regime(spark):
+    """The k=256 codebook size PQ literature assumes — the r8 verdict's
+    named scale defect (plan-compile-bound for minutes at k>=64 on the
+    in-engine path).  The numpy engine trains it in seconds; shapes
+    and code ranges must hold."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train(emb, m=8, k=256, iters=2)
+    assert len(books) == 8 and all(len(b) == 256 for b in books)
+    enc = pq_encode(emb, books)
+    mx = enc.select(
+        F.max(F.array_max("pq_code")).alias("mx"),
+        F.min(F.array_min("pq_code")).alias("mn"),
+    ).first()
+    assert 0 <= mx["mn"] and mx["mx"] <= 255
