@@ -6487,16 +6487,26 @@ def q137_pq_adc_topk(spark, sf_dir):
     )
 
 
-def _q137_sql() -> str:
-    m, k, iters, dsub = _PQ_M, _PQ_K, _PQ_ITERS, _PQ_DSUB
+def _pq_d2(a: str, b: str) -> str:
+    """The 9dp-rounded left-to-right squared-L2 fold shared by every
+    PQ/IVFADC oracle expression (quantize._fold_sq's DuckDB spelling)."""
+    return (
+        f"ROUND(list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+        f"(x, y) -> x + y), 9)"
+    )
 
-    def d2(a: str, b: str) -> str:
-        return (
-            f"ROUND(list_reduce(list_transform(range(1, len({a}) + 1), "
-            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
-            f"(x, y) -> x + y), 9)"
-        )
 
+def _pq_train_ctes(m: int, k: int, iters: int, dsub: int, src: str = "e") -> str:
+    """The SQL-spec unroll of `quantize.pq_train` over ``src`` (any
+    relation with key, v DOUBLE[]): subspace split, the k-1 D²-sampled
+    seeding hops (Efraimidis-Spirakis race on the md5 uniform, 9dp
+    priorities), and ``iters`` Lloyd rounds with 6dp means — CTEs
+    ``subs`` through ``bk{iters}``.  Shared by q137 (flat codes over
+    raw vectors) and q138 (residual codes over x − centroid(cell));
+    both omit the empty-cell refill branch on the unit-pinned ground
+    that their params never empty a cell on the driver embeddings."""
+    d2 = _pq_d2
     pri = (
         "CASE WHEN dmin > 0 THEN ROUND(POWER("
         "(('0x' || substr(md5('kpp' || CAST(s AS VARCHAR) || ':' || "
@@ -6504,18 +6514,14 @@ def _q137_sql() -> str:
         "1.0 / dmin), 9) ELSE -1.0 END"
     )
     parts = [
-        f"""WITH e AS MATERIALIZED (
-  SELECT vec_id AS key, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings WHERE embedding IS NOT NULL
-),
-subs AS MATERIALIZED (
+        f"""subs AS MATERIALIZED (
   SELECT e.key, sp.s,
          list_slice(e.v, sp.s * {dsub} + 1, sp.s * {dsub} + {dsub}) AS sub
-  FROM e CROSS JOIN (SELECT unnest(range({m})) AS s) sp
+  FROM {src} e CROSS JOIN (SELECT unnest(range({m})) AS s) sp
 ),
 b0 AS MATERIALIZED (
   SELECT s, 0 AS code, sub AS cw
-  FROM subs WHERE key = (SELECT min(key) FROM e)
+  FROM subs WHERE key = (SELECT min(key) FROM {src})
 )"""
     ]
     for h in range(1, k):
@@ -6545,7 +6551,7 @@ b{h} AS MATERIALIZED (
     for t in range(iters):
         parts.append(
             f""",
-a{t} AS MATERIALIZED (
+pa{t} AS MATERIALIZED (
   SELECT key, s, sub, code FROM (
     SELECT p.key, p.s, p.sub, b.code,
            ROW_NUMBER() OVER (
@@ -6555,18 +6561,18 @@ a{t} AS MATERIALIZED (
     FROM subs p JOIN bk{t} b ON p.s = b.s)
   WHERE rn = 1
 ),
-m{t} AS MATERIALIZED (
+pm{t} AS MATERIALIZED (
   SELECT s, code, dim, ROUND(AVG(val), 6) AS mv
   FROM (SELECT s, code, unnest(sub) AS val,
                generate_subscripts(sub, 1) AS dim
-        FROM a{t})
+        FROM pa{t})
   GROUP BY s, code, dim
 ),
 bk{t + 1} AS MATERIALIZED (
   SELECT b.s, b.code, COALESCE(n.cw, b.cw) AS cw
   FROM bk{t} b LEFT JOIN (
     SELECT s, code, list(mv ORDER BY dim) AS cw
-    FROM m{t} GROUP BY s, code
+    FROM pm{t} GROUP BY s, code
   ) n ON b.s = n.s AND b.code = n.code
 )"""
         )
@@ -6581,7 +6587,22 @@ enc AS MATERIALIZED (
            ) AS rn
     FROM subs p JOIN bk{iters} b ON p.s = b.s)
   WHERE rn = 1
+)"""
+    )
+    return "".join(parts)
+
+
+def _q137_sql() -> str:
+    m, k, iters, dsub = _PQ_M, _PQ_K, _PQ_ITERS, _PQ_DSUB
+    d2 = _pq_d2
+    return (
+        f"""WITH e AS MATERIALIZED (
+  SELECT vec_id AS key, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
+"""
+        + _pq_train_ctes(m, k, iters, dsub)
+        + f""",
 qsub AS MATERIALIZED (
   SELECT sp.s,
          list_slice(q.v, sp.s * {dsub} + 1, sp.s * {dsub} + {dsub}) AS sub
@@ -6598,7 +6619,124 @@ GROUP BY e2.key
 ORDER BY adc_dist ASC, vec_id ASC
 LIMIT {_PQ_TOPK}"""
     )
-    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# q138 — residual IVFADC (classic IVF-PQ; operators/quantize.py
+# build_ivfpq_index(residual=True) / ivfpq_topk_indexed /
+# _adc_score_residual): coarse IVF centroids prune the scan to nprobe
+# cell PARTITIONS (Catalyst PartitionFilters over the cell_id layout);
+# codes quantize the RESIDUAL x − centroid(cell), so the same m×k code
+# budget buys lower distortion (Jegou et al., TPAMI 2011 §V); query
+# LUTs are per probed cell — nprobe·m·k driver-side floats. The
+# oracle unrolls the whole construction: the q23/q126 cosine-Lloyd
+# centroid CTEs, the rounded-L2 cell assignment, residual vectors, the
+# shared q137 PQ-training unroll over the residuals, probe ranking,
+# per-cell LUTs, and the pruned ADC ranking. Spark trains via the
+# default engine (the r9 driver-side numpy path — unit-pinned exactly
+# equal to the SQL spec this oracle replays). Registered r9 — the one
+# new window registration the §8.3 ledger allows.
+# ---------------------------------------------------------------------------
+_R138_CELLS, _R138_TI = 4, 1
+_R138_M, _R138_K, _R138_PI = 4, 4, 2
+_R138_NPROBE, _R138_TOPK = 2, 10
+_R138_DSUB = 64 // _R138_M  # fixed dim-64 embeddings tables
+
+
+def q138_ivfpq_residual_topk(spark, sf_dir):
+    import tempfile
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.quantize import (
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="q138_") + "/index"
+    build_ivfpq_index(
+        emb,
+        path,
+        num_cells=_R138_CELLS,
+        train_iters=_R138_TI,
+        m=_R138_M,
+        k=_R138_K,
+        pq_iters=_R138_PI,
+        residual=True,
+    )
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return ivfpq_topk_indexed(
+        spark, path, qv, k=_R138_TOPK, nprobe=_R138_NPROBE
+    ).select(F.col("key").alias("vec_id"), "adc_dist")
+
+
+def _q138_sql() -> str:
+    nc, ti = _R138_CELLS, _R138_TI
+    m, k, pi, dsub = _R138_M, _R138_K, _R138_PI, _R138_DSUB
+    d2 = _pq_d2
+    src = (
+        "(SELECT vec_id, embedding FROM embeddings "
+        "WHERE embedding IS NOT NULL)"
+    )
+    return (
+        "WITH "
+        + _ivf_lloyd_ctes(nc, ti, src=src)
+        + f""",
+cellof AS MATERIALIZED (
+  SELECT vec_id AS key, emb, cell_id FROM (
+    SELECT e.vec_id, e.emb, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {d2('e.emb', 'c.cvec')} ASC, c.cell_id ASC
+           ) AS rn
+    FROM emb e CROSS JOIN cents{ti} c)
+  WHERE rn = 1
+),
+r AS MATERIALIZED (
+  SELECT co.key,
+         list_transform(range(1, len(co.emb) + 1),
+                        i -> co.emb[i] - c.cvec[i]) AS v
+  FROM cellof co JOIN cents{ti} c USING (cell_id)
+),
+"""
+        + _pq_train_ctes(m, k, pi, dsub, src="r")
+        + f""",
+qv AS MATERIALIZED (
+  SELECT CAST(embedding AS DOUBLE[]) AS q
+  FROM embeddings WHERE vec_id = 0
+),
+probes AS MATERIALIZED (
+  SELECT cell_id, cvec FROM (
+    SELECT c.cell_id, c.cvec,
+           ROW_NUMBER() OVER (
+             ORDER BY {d2('q.q', 'c.cvec')} ASC, c.cell_id ASC
+           ) AS rn
+    FROM cents{ti} c CROSS JOIN qv q)
+  WHERE rn <= {_R138_NPROBE}
+),
+qr AS MATERIALIZED (
+  SELECT p.cell_id, sp.s,
+         list_slice(
+           list_transform(range(1, len(q.q) + 1),
+                          i -> q.q[i] - p.cvec[i]),
+           sp.s * {dsub} + 1, sp.s * {dsub} + {dsub}) AS sub
+  FROM probes p CROSS JOIN qv q
+  CROSS JOIN (SELECT unnest(range({m})) AS s) sp
+),
+lut AS MATERIALIZED (
+  SELECT qr.cell_id, b.s, b.code, {d2('qr.sub', 'b.cw')} AS d
+  FROM bk{pi} b JOIN qr ON b.s = qr.s
+)
+SELECT co.key AS vec_id, ROUND(SUM(l.d), 6) AS adc_dist
+FROM enc e2
+JOIN cellof co ON e2.key = co.key
+JOIN lut l ON l.cell_id = co.cell_id AND l.s = e2.s AND l.code = e2.code
+GROUP BY co.key
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT {_R138_TOPK}"""
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6686,6 +6824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r9-touched kernel (numpy pq_train path) + the one new
         # r9 registration (q138, seated when registered below) ---
         "q137_pq_adc_topk": q137_pq_adc_topk,
+        "q138_ivfpq_residual_topk": q138_ivfpq_residual_topk,
         # --- tail (51+): r7/r8-fresh greens, then rows-only ---
         "q124_signature_index": q124_signature_index,
         "q125_bloom_contamination": q125_bloom_contamination,
@@ -6921,6 +7060,7 @@ def oracle_sql() -> dict[str, str]:
         "q135_quality_classifier": _q135_sql(),
         "q136_kcenter_select": _q136_sql(),
         "q137_pq_adc_topk": _q137_sql(),
+        "q138_ivfpq_residual_topk": _q138_sql(),
         "q123b_fda_retry_scan": Q123B_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact

@@ -235,3 +235,54 @@ def test_build_with_train_sample_mod_encodes_full_corpus(spark, emb, tmp_path):
     qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
     top = ivfpq_topk_indexed(spark, p, qv, k=5, nprobe=4).collect()
     assert len(top) == 5
+
+
+def test_q138_params_never_trigger_refill_on_residuals(spark, tmp_path):
+    """The q138 oracle (like q137's) omits the empty-cell refill
+    branch: at num_cells=4 / m=4 / k=4 over the RESIDUAL vectors of
+    the driver embeddings, no Lloyd round empties a codeword.  Pin it
+    as an invariant so a data/kernel change fails here, not as a
+    driver hash mismatch.  Also pins that the default build engine is
+    the numpy trainer (the spy hooks the numpy refill path)."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators import (
+        _kmeans_np as K,
+    )
+
+    calls = []
+    orig = K._refill_empty
+
+    def spy(X, book, empties):
+        calls.append(list(empties))
+        return orig(X, book, empties)
+
+    K._refill_empty = spy
+    try:
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        build_ivfpq_index(
+            emb, str(tmp_path / "idx"), num_cells=4, train_iters=1,
+            m=4, k=4, pq_iters=2, residual=True,
+        )
+    finally:
+        K._refill_empty = orig
+    assert calls and all(not c for c in calls), calls
+
+
+def test_build_engine_sql_matches_default(spark, tmp_path):
+    # the engine switch rides through build_ivfpq_index: identical
+    # codebook sidecars and codes either way
+    df = _clustered_df(spark)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    build_ivfpq_index(df, pa, num_cells=2, train_iters=1, m=2, k=4,
+                      pq_iters=2, residual=True)
+    build_ivfpq_index(df, pb, num_cells=2, train_iters=1, m=2, k=4,
+                      pq_iters=2, residual=True, engine="sql")
+    books_a = sorted(map(tuple, spark.read.parquet(pa + "/_pq_codebooks")
+                         .select("s", "code", "codeword").collect()))
+    books_b = sorted(map(tuple, spark.read.parquet(pb + "/_pq_codebooks")
+                         .select("s", "code", "codeword").collect()))
+    assert books_a == books_b
+    codes_a = sorted(map(tuple, spark.read.parquet(pa).collect()))
+    codes_b = sorted(map(tuple, spark.read.parquet(pb).collect()))
+    assert codes_a == codes_b
