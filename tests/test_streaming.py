@@ -553,3 +553,49 @@ def test_parse_duration_accepts_spark_interval_aliases():
 
     with _pytest.raises(ValueError):
         _parse_duration_us("3 fortnights")
+
+
+def test_run_available_now_multi_file_backfill_drops_nothing(spark, tmp_path):
+    """The r8 single-batch fix, pinned on its hazard case: a 3-file
+    backfill where files 2 and 3 hold events HOURS OLDER than file 1's
+    max timestamp.  Under the old default (maxFilesPerTrigger=10 but
+    >10 files, or any multi-batch split), the watermark advances
+    between batches and those rows are silently dropped as late;
+    reading everything in ONE batch (max_files_per_trigger=None) the
+    watermark only moves after all input is in, so the early-hour
+    window must count every file's rows."""
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    base = dt.datetime(2024, 1, 1, 10, 30)
+    late = dt.datetime(2024, 1, 1, 23, 0)
+
+    def rows(ids, ts):
+        return [(i, ts, 1, "click", 1.0, None) for i in ids]
+
+    src = tmp_path / "in"
+    src.mkdir()
+    files = [
+        rows([1, 2], base) + rows([3], late),  # file 1 pushes max ts to 23:00
+        rows([4, 5], base),                    # would be "late" vs 21:00 watermark
+        rows([6], base),
+    ]
+    import glob as _glob
+    import shutil as _shutil
+
+    for n, chunk in enumerate(files):
+        d = src / f"stage{n}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(str(d))
+        part = _glob.glob(str(d / "part-*.parquet"))[0]
+        _shutil.move(part, str(src / f"{n}.parquet"))
+        _shutil.rmtree(str(d))
+
+    out = str(tmp_path / "out")
+    SE.run_available_now(
+        spark, str(src), out, str(tmp_path / "ck")
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 10:00 window finalizes (23:00 max ts - 2 h horizon > 11:00)
+    # and must hold ALL FIVE early rows, across all three files
+    assert got[(dt.datetime(2024, 1, 1, 10, 0), "click")] == 5
