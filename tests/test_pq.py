@@ -288,3 +288,28 @@ def test_pq_train_k256_production_regime(spark):
         F.min(F.array_min("pq_code")).alias("mn"),
     ).first()
     assert 0 <= mx["mn"] and mx["mx"] <= 255
+
+
+def test_md5_uniform_python_replica_matches_spark(spark):
+    """`_kmeans_np.md5_uniform_py` is the driver-side leg of the
+    determinism contract: it must equal `_sampling.md5_uniform` for
+    the key/salt shapes the seeding races use, or the numpy and SQL
+    trainers silently diverge."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators._kmeans_np import (
+        md5_uniform_py,
+    )
+    from cloud_native_medical_data_etl_pipeline_spark.operators._sampling import (
+        md5_uniform,
+    )
+
+    keys = [0, 1, 7, 12345, 999999999999]
+    df = spark.createDataFrame([(k,) for k in keys], "key long")
+    for salt in ("", "kpp0:", "kpp7:"):
+        got = {
+            r["key"]: r["u"]
+            for r in df.select(
+                "key", md5_uniform(F.col("key"), salt).alias("u")
+            ).collect()
+        }
+        for k in keys:
+            assert got[k] == md5_uniform_py(k, salt), (salt, k)
