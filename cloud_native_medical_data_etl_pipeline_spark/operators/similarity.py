@@ -164,13 +164,17 @@ def assign_cells(
     with column expressions (centroids inlined as literals — they are
     small by construction).
 
-    Similarities go into ONE array column so the expression tree stays
-    linear in num_cells; a chained when(sim > best, ...) rebuild would
-    double the tree per centroid (2^n nodes) and OOM the driver during
-    analysis. array_position(max) keeps the lowest index on ties, same
-    as a strict-> when chain.
+    Similarities go into ONE array column, computed by a single cosine
+    lambda `transform`-ed over the constant-folded literal centroid
+    array — num_cells·dim literal DATA, one expression of code, so
+    plan compile and codegen are O(1) in num_cells (the r9 battery
+    form from quantize._dist_battery; the previous per-centroid
+    unrolled expressions made num_cells=1024 plans compile-bound, the
+    same defect as the PQ k=256 ceiling). array_position(max) keeps
+    the lowest index on ties, same as a strict-> when chain.
     """
-    sims = F.array(*[V.cosine(F.col(vec_col), _lit_vec(c)) for c in centroids])
+    cents = F.array(*[_lit_vec(c) for c in centroids])
+    sims = F.transform(cents, lambda c: V.cosine(F.col(vec_col), c))
     return df.withColumn(
         "cell_id",
         (F.array_position(sims, F.array_max(sims)) - 1).cast("int"),
