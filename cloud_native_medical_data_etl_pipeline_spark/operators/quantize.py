@@ -459,19 +459,74 @@ def _refill_empty_cells(
     return books
 
 
+def _pq_code_udf(codebooks: list[list[list[float]]]):
+    """Arrow-vectorized codeword assignment: per batch and subspace,
+    distances to all k codewords accumulate DIM BY DIM (vectorized
+    over rows×codewords), so each element's sum is the same
+    left-to-right fold as `_fold_sq` — then round 9dp and
+    first-occurrence argmin.  EXACTLY the expression path's codes
+    (`_kmeans_np._d2_matrix`'s arithmetic, unit-pinned), at BLAS speed
+    instead of m·k·dsub interpreted HOF ops per row — the per-row cost
+    that makes the expression path an ingest bottleneck at k=256."""
+    import numpy as np
+    import pandas as pd
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+
+    def _codes_fn(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(list(vs), dtype=np.float64)
+        codes = np.empty((len(M), m), dtype=np.int32)
+        for s, B in enumerate(books):
+            X = M[:, s * dsub : (s + 1) * dsub]
+            acc = np.zeros((len(M), B.shape[0]))
+            for d in range(dsub):
+                t = X[:, d, None] - B[None, :, d]
+                acc = acc + t * t
+            codes[:, s] = np.argmin(np.round(acc, 9), axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    # real-class annotations: `from __future__ import annotations`
+    # stringifies inline ones, which pandas_udf rejects
+    _codes_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_codes_fn, "array<int>")
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    impl: str = "expr",
 ) -> DataFrame:
     """``(key, pq_code array<int>)`` — m codeword ids per vector, one
     map pass, codebooks inlined as literals.  At dim=64, m=8, k<=256
-    the stored code is 8 bytes vs 256 for float32: 32x smaller."""
+    the stored code is 8 bytes vs 256 for float32: 32x smaller.
+
+    ``impl="arrow"`` swaps the per-row expression batteries for the
+    vectorized `_pq_code_udf` kernel — identical codes by construction
+    (same fold order, same roundings, same argmin tiebreak;
+    unit-pinned), ~two orders less per-row cost at k=256 — the encode
+    lever for the one full-corpus pass a PQ build cannot avoid.
+    ``"expr"`` stays the default: zero Python in the plan, and the
+    byte-stable form the DuckDB oracles replay."""
+    if impl not in ("expr", "arrow"):
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    clean = df.where(F.col(vec_col).isNotNull())
+    if impl == "arrow":
+        return clean.select(
+            F.col(key_col).alias("key"),
+            _pq_code_udf(codebooks)(
+                _as_double(vec_col)
+            ).alias("pq_code"),
+        )
     subs = _sub_slices(vec_col, m, dsub)
-    return df.where(F.col(vec_col).isNotNull()).select(
+    return clean.select(
         F.col(key_col).alias("key"),
         F.array(
             *[_assign_code(subs[s], codebooks[s]) for s in range(m)]
@@ -583,6 +638,7 @@ def build_ivfpq_index(
     train_sample_mod: int | None = None,
     residual: bool = False,
     engine: str = "auto",
+    encode_impl: str = "expr",
 ) -> None:
     """Materialize the IVF-PQ index: the 100 TB ANN layout.
 
@@ -689,12 +745,22 @@ def build_ivfpq_index(
         engine=engine,
     )
     dsub = len(books[0][0])
-    subs = _sub_slices(code_col, m, dsub)
+    if encode_impl == "arrow":
+        # the encode lever: the one unavoidable full-corpus pass runs
+        # the vectorized kernel (identical codes — see pq_encode)
+        code_expr = _pq_code_udf(books)(_as_double(code_col))
+    elif encode_impl == "expr":
+        subs = _sub_slices(code_col, m, dsub)
+        code_expr = F.array(
+            *[_assign_code(subs[s], books[s]) for s in range(m)]
+        )
+    else:
+        raise ValueError(
+            f"encode_impl must be 'expr' or 'arrow', got {encode_impl!r}"
+        )
     code_src.select(
         "key",
-        F.array(
-            *[_assign_code(subs[s], books[s]) for s in range(m)]
-        ).alias("pq_code"),
+        code_expr.alias("pq_code"),
         "cell_id",
     ).write.mode("overwrite").partitionBy("cell_id").parquet(path)
     spark = df.sparkSession

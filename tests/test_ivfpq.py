@@ -286,3 +286,24 @@ def test_build_engine_sql_matches_default(spark, tmp_path):
     codes_a = sorted(map(tuple, spark.read.parquet(pa).collect()))
     codes_b = sorted(map(tuple, spark.read.parquet(pb).collect()))
     assert codes_a == codes_b
+
+
+def test_build_encode_impl_arrow_matches_expr(spark, tmp_path):
+    # encode_impl="arrow" through the builder: identical codes table,
+    # raw and residual encodings both
+    df = _clustered_df(spark)
+    for res in (False, True):
+        pa = str(tmp_path / f"a{res}")
+        pb = str(tmp_path / f"b{res}")
+        build_ivfpq_index(df, pa, num_cells=2, train_iters=1, m=2, k=4,
+                          pq_iters=2, residual=res)
+        build_ivfpq_index(df, pb, num_cells=2, train_iters=1, m=2, k=4,
+                          pq_iters=2, residual=res, encode_impl="arrow")
+        a = sorted(map(tuple, spark.read.parquet(pa)
+                       .select("key", "pq_code", "cell_id").collect()))
+        b = sorted(map(tuple, spark.read.parquet(pb)
+                       .select("key", "pq_code", "cell_id").collect()))
+        assert a == b, f"residual={res}"
+    with pytest.raises(ValueError, match="encode_impl"):
+        build_ivfpq_index(df, str(tmp_path / "x"), num_cells=2,
+                          train_iters=1, m=2, k=4, encode_impl="simd")

@@ -313,3 +313,23 @@ def test_md5_uniform_python_replica_matches_spark(spark):
         }
         for k in keys:
             assert got[k] == md5_uniform_py(k, salt), (salt, k)
+
+
+def test_pq_encode_arrow_matches_expression_path(spark):
+    """`pq_encode(impl="arrow")` (the vectorized encode lever for the
+    one unavoidable full-corpus pass) must produce IDENTICAL codes to
+    the expression path: same dim-by-dim fold order, same 9dp
+    rounding, same first-occurrence argmin."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train(emb, m=8, k=16, iters=2)
+    a = sorted(
+        (r["key"], tuple(r["pq_code"]))
+        for r in pq_encode(emb, books).collect()
+    )
+    b = sorted(
+        (r["key"], tuple(r["pq_code"]))
+        for r in pq_encode(emb, books, impl="arrow").collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="impl"):
+        pq_encode(emb, books, impl="simd")
