@@ -53,8 +53,15 @@ def train_ivf_centroids(
     key_col: str = "vec_id",
     iters: int = 2,
     round_dp: int = 6,
+    assign_impl: str = "expr",
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means for IVF centroids.
+
+    ``assign_impl="gemm"`` vectorizes the per-iteration assignment
+    scan (see `assign_cells`) — the training lever at large num_cells,
+    composing with a hash-sampled training frame; assignments are
+    unit-pinned identical, so the trained centroids are too (means are
+    taken over the same member sets).
 
     Fully reproducible by construction: the init is the `num_cells`
     smallest-key vectors (a seedless deterministic sample, the same
@@ -93,7 +100,7 @@ def train_ivf_centroids(
 
     def step(cents: list[list[float]]):
         return (
-            assign_cells(clean, cents, vec_col)
+            assign_cells(clean, cents, vec_col, impl=assign_impl)
             .select(
                 "cell_id",
                 F.posexplode(F.col(vec_col).cast("array<double>")).alias(
@@ -259,7 +266,8 @@ def build_ivf_index(
     # would otherwise land in a NULL partition directory
     clean = df.where(F.col(vec_col).isNotNull())
     centroids = train_ivf_centroids(
-        clean, num_cells, vec_col, key_col, iters=train_iters
+        clean, num_cells, vec_col, key_col, iters=train_iters,
+        assign_impl=assign_impl,
     )
     # assign_impl="gemm" is the big-corpus lever: the assignment pass
     # is the one full-corpus scan here, and the Arrow GEMM kernel is

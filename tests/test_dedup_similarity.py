@@ -1145,3 +1145,14 @@ def test_assign_cells_gemm_matches_expression_path(spark):
     assert got[1] is None and got[2] == 0
     with pytest.raises(ValueError, match="impl"):
         S.assign_cells(z, [[1.0, 0.0]], impl="simd")
+
+
+def test_train_ivf_centroids_gemm_assignment_matches(spark):
+    # gemm-assigned training produces the same centroids: identical
+    # member sets per iteration => identical rounded means
+    from cloud_native_medical_data_etl_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = S.train_ivf_centroids(emb, 8, iters=2)
+    b = S.train_ivf_centroids(emb, 8, iters=2, assign_impl="gemm")
+    assert a == b
