@@ -890,3 +890,35 @@ def test_avi_demux_roundtrip_property(frames):
     from cloud_native_medical_data_etl_pipeline_spark.functions import riff
 
     assert riff.avi_frames(riff.avi_encode(frames)) == frames
+
+
+# strategy tuned to hit the trainer's branchy edges: tiny dims, heavy
+# duplication (n < k pads, empty-cell refills), integer-ish values
+# (exact distance ties exercise the lowest-index/min-key tiebreaks)
+_pq_vals = st.sampled_from([0.0, 1.0, 2.0, 0.5, -1.0])
+_pq_rows = st.lists(
+    st.tuples(st.integers(0, 10**6), st.lists(_pq_vals, min_size=2, max_size=2)),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_pq_rows, st.sampled_from([2, 4]), st.sampled_from([1, 2]))
+def test_pq_train_engines_agree_property(spark, rows, k, iters):
+    """The r9 engine contract under randomized duplication/tie-heavy
+    inputs: the driver-side numpy trainer and the in-engine SQL spec
+    path must produce IDENTICAL codebooks — pads, refills, D²-race
+    winners, Lloyd means, all of it."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.quantize import (
+        pq_train,
+    )
+
+    df = spark.createDataFrame(
+        [(key, vec) for key, vec in rows],
+        "vec_id long, embedding array<double>",
+    )
+    a = pq_train(df, m=2, k=k, iters=iters, engine="numpy")
+    b = pq_train(df, m=2, k=k, iters=iters, engine="sql")
+    assert a == b
