@@ -19,6 +19,12 @@ per kernel:
   bit-identical state (the q23 / q135 / q137 unrolled-CTE oracles);
 * the iteration count is FIXED — no data-dependent convergence test,
   which would itself be summation-order-sensitive.
+
+The PQ trainer additionally has a driver-side numpy executor
+(`_kmeans_np.pq_train_np`, the `engine="auto"` production path at
+large k) bound to the SAME contract: identical fold orders, roundings,
+and tiebreaks, unit- and property-pinned exactly equal to the
+in-engine loop.
 """
 
 from __future__ import annotations
