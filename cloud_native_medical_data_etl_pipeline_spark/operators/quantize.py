@@ -625,6 +625,34 @@ def _assign_cell_l2(
     return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
 
+def _cell_l2_udf(centroids: list[list[float]]):
+    """Arrow-vectorized `_assign_cell_l2`: `_kmeans_np._d2_matrix`'s
+    dim-by-dim accumulation reproduces the expression path's
+    left-to-right fold and 9dp rounding EXACTLY, and numpy's
+    first-occurrence argmin is the same lowest-index tiebreak — so
+    cell ids are identical by construction (unit-pinned), at BLAS
+    speed instead of num_cells·dim interpreted ops per row."""
+    import numpy as np
+    import pandas as pd
+
+    from ._kmeans_np import _d2_matrix
+
+    cents = [list(map(float, c)) for c in centroids]
+
+    def _cell_fn(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.array(list(vs), dtype=np.float64)
+        return pd.Series(
+            np.argmin(_d2_matrix(M, cents), axis=1).astype("int32")
+        )
+
+    # real-class annotations: `from __future__ import annotations`
+    # stringifies inline ones, which pandas_udf rejects
+    _cell_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_cell_fn, "int")
+
+
 def build_ivfpq_index(
     df: DataFrame,
     path: str,
@@ -713,7 +741,18 @@ def build_ivfpq_index(
     )
     if not centroids:
         raise ValueError("cannot build an IVF-PQ index over an empty corpus")
-    cell = _assign_cell_l2(vec_col, centroids)
+    if encode_impl not in ("expr", "arrow"):
+        raise ValueError(
+            f"encode_impl must be 'expr' or 'arrow', got {encode_impl!r}"
+        )
+    # encode_impl governs BOTH per-row stages of the one unavoidable
+    # full-corpus pass: cell membership (num_cells·dim ops/row) and
+    # codeword assignment (m·k·dsub ops/row) — identical outputs
+    # either way (unit-pinned; see _cell_l2_udf / _pq_code_udf)
+    if encode_impl == "arrow":
+        cell = _cell_l2_udf(centroids)(_as_double(vec_col))
+    else:
+        cell = _assign_cell_l2(vec_col, centroids)
     if residual:
         cent_arr = F.array(*[_lit_subvec(c) for c in centroids])
         rvec = F.zip_with(
@@ -749,14 +788,10 @@ def build_ivfpq_index(
         # the encode lever: the one unavoidable full-corpus pass runs
         # the vectorized kernel (identical codes — see pq_encode)
         code_expr = _pq_code_udf(books)(_as_double(code_col))
-    elif encode_impl == "expr":
+    else:  # "expr" — validated at the cell-membership stage above
         subs = _sub_slices(code_col, m, dsub)
         code_expr = F.array(
             *[_assign_code(subs[s], books[s]) for s in range(m)]
-        )
-    else:
-        raise ValueError(
-            f"encode_impl must be 'expr' or 'arrow', got {encode_impl!r}"
         )
     code_src.select(
         "key",
