@@ -321,7 +321,15 @@ def pq_train(
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     dsub = dim // m
     slices = _sub_slices(vec_col, m, dsub)
-    pool = df.where(F.col(vec_col).isNotNull())
+    # NULL keys are excluded like NULL vectors (the train_ivf_centroids
+    # / kcenter_select convention): the determinism contract is keyed —
+    # seeding order, md5 uniforms, and tiebreaks are all functions of
+    # the key, none of which is defined for NULL (Spark would sort a
+    # NULL key first and race it with a null priority; the numpy
+    # engine's driver sort would reject it outright)
+    pool = df.where(
+        F.col(vec_col).isNotNull() & F.col(key_col).isNotNull()
+    )
     if train_sample_mod is not None:
         from ._sampling import hash_sample
 

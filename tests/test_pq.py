@@ -333,3 +333,18 @@ def test_pq_encode_arrow_matches_expression_path(spark):
     assert a == b
     with pytest.raises(ValueError, match="impl"):
         pq_encode(emb, books, impl="simd")
+
+
+def test_pq_train_null_keys_excluded_both_engines(spark):
+    # a NULL key has no md5 uniform and no defined sort position in
+    # the determinism contract — excluded like NULL vectors, and the
+    # two engines must agree on the surviving rows' codebooks
+    df = _emb(
+        spark,
+        [(None, [9.0, 9.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [8.0, 1.0])],
+    )
+    a = pq_train(df, m=1, k=2, iters=2, engine="numpy")
+    b = pq_train(df, m=1, k=2, iters=2, engine="sql")
+    keep = _emb(spark, [(1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [8.0, 1.0])])
+    c = pq_train(keep, m=1, k=2, iters=2, engine="sql")
+    assert a == b == c
