@@ -661,6 +661,63 @@ def _cell_l2_udf(centroids: list[list[float]]):
     return F.pandas_udf(_cell_fn, "int")
 
 
+def _ivfpq_code_source(
+    clean: DataFrame,
+    centroids: list[list[float]],
+    residual: bool,
+    encode_impl: str,
+    vec_col: str,
+    key_col: str,
+) -> tuple[DataFrame, str]:
+    """(key, cell_id, <code-source vector>) plus the name of the
+    vector column the codes quantize — raw vectors, or x −
+    centroid(cell) for residual indexes.  Shared by the index build
+    and the incremental append so membership/residual semantics cannot
+    drift between them."""
+    if encode_impl == "arrow":
+        cell = _cell_l2_udf(centroids)(_as_double(vec_col))
+    else:
+        cell = _assign_cell_l2(vec_col, centroids)
+    if residual:
+        cent_arr = F.array(*[_lit_subvec(c) for c in centroids])
+        rvec = F.zip_with(
+            _as_double(vec_col),
+            F.element_at(cent_arr, cell + 1),
+            lambda x, c: x - c,
+        )
+        return (
+            clean.select(
+                F.col(key_col).alias("key"),
+                cell.alias("cell_id"),
+                rvec.alias("rvec"),
+            ),
+            "rvec",
+        )
+    return (
+        clean.select(
+            F.col(key_col).alias("key"),
+            cell.alias("cell_id"),
+            _as_double(vec_col).alias("v"),
+        ),
+        "v",
+    )
+
+
+def _ivfpq_code_expr(
+    books: list[list[list[float]]], code_col: str, encode_impl: str
+) -> Column:
+    """The m-codeword-id array expression over ``code_col`` — the
+    literal-battery form or the vectorized Arrow kernel (identical
+    codes; see `pq_encode`)."""
+    if encode_impl == "arrow":
+        return _pq_code_udf(books)(_as_double(code_col))
+    m = len(books)
+    subs = _sub_slices(code_col, m, len(books[0][0]))
+    return F.array(
+        *[_assign_code(subs[s], books[s]) for s in range(m)]
+    )
+
+
 def build_ivfpq_index(
     df: DataFrame,
     path: str,
@@ -757,30 +814,9 @@ def build_ivfpq_index(
     # full-corpus pass: cell membership (num_cells·dim ops/row) and
     # codeword assignment (m·k·dsub ops/row) — identical outputs
     # either way (unit-pinned; see _cell_l2_udf / _pq_code_udf)
-    if encode_impl == "arrow":
-        cell = _cell_l2_udf(centroids)(_as_double(vec_col))
-    else:
-        cell = _assign_cell_l2(vec_col, centroids)
-    if residual:
-        cent_arr = F.array(*[_lit_subvec(c) for c in centroids])
-        rvec = F.zip_with(
-            _as_double(vec_col),
-            F.element_at(cent_arr, cell + 1),
-            lambda x, c: x - c,
-        )
-        frame = clean.select(
-            F.col(key_col).alias("key"),
-            cell.alias("cell_id"),
-            rvec.alias("rvec"),
-        )
-        code_col, code_src = "rvec", frame
-    else:
-        frame = clean.select(
-            F.col(key_col).alias("key"),
-            cell.alias("cell_id"),
-            _as_double(vec_col).alias("v"),
-        )
-        code_col, code_src = "v", frame
+    code_src, code_col = _ivfpq_code_source(
+        clean, centroids, residual, encode_impl, vec_col, key_col
+    )
     books = pq_train(
         code_src,
         m=m,
@@ -791,19 +827,9 @@ def build_ivfpq_index(
         train_sample_mod=train_sample_mod,
         engine=engine,
     )
-    dsub = len(books[0][0])
-    if encode_impl == "arrow":
-        # the encode lever: the one unavoidable full-corpus pass runs
-        # the vectorized kernel (identical codes — see pq_encode)
-        code_expr = _pq_code_udf(books)(_as_double(code_col))
-    else:  # "expr" — validated at the cell-membership stage above
-        subs = _sub_slices(code_col, m, dsub)
-        code_expr = F.array(
-            *[_assign_code(subs[s], books[s]) for s in range(m)]
-        )
     code_src.select(
         "key",
-        code_expr.alias("pq_code"),
+        _ivfpq_code_expr(books, code_col, encode_impl).alias("pq_code"),
         "cell_id",
     ).write.mode("overwrite").partitionBy("cell_id").parquet(path)
     spark = df.sparkSession
@@ -819,23 +845,10 @@ def build_ivfpq_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_ivfpq_meta")
 
 
-def ivfpq_topk_indexed(
-    spark,
-    path: str,
-    query_vec: list[float],
-    k: int = 10,
-    nprobe: int = 4,
-    round_dp: int = 6,
-) -> DataFrame:
-    """Query a `build_ivfpq_index` table: rank cells by squared-L2
-    distance to the query on the driver (the centroid set is
-    metadata-sized) — the SAME metric as both cell membership and the
-    ADC ranking, so the standard IVF pruning guarantee holds — scan
-    ONLY the nprobe nearest cell partitions, and rank by ADC over the
-    m-byte codes: partition pruning x a 32x narrower scan, the
-    compounding that makes ANN affordable at 100 TB.  Returns (key,
-    adc_dist) ascending with key tiebreak, the `pq_adc_topk`
-    contract."""
+def _load_ivfpq_sidecars(spark, path: str):
+    """(centroid dict by cell_id, codebooks, residual flag) from the
+    underscore sidecar directories — shared by the query path and the
+    incremental append."""
     cents = {
         r["cell_id"]: [float(x) for x in r["centroid"]]
         for r in spark.read.parquet(f"{path}/_ivf_centroids").collect()
@@ -858,6 +871,72 @@ def ivfpq_topk_indexed(
         if "PATH_NOT_FOUND" not in str(e):
             raise
         residual = False
+    return cents, books, residual
+
+
+def append_to_ivfpq_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    encode_impl: str = "expr",
+) -> None:
+    """Incremental IVF-PQ maintenance: encode a delta batch against the
+    index's STORED centroids and codebooks and append it to its cell
+    partitions — `append_to_ivf_index`'s contract for the code table,
+    the per-ingest path that keeps `build_ivfpq_index` a one-time
+    cost.
+
+    Centroids and codebooks stay FIXED: retraining moves cell
+    boundaries and codeword positions, stranding every stored code —
+    for residual indexes doubly so, since codes quantize
+    x − centroid(cell) and are cell-sticky by construction (the
+    documented trade of `residual=True`).  Rebuild offline when drift
+    accumulates.  Cost per batch: one map-side membership+encode pass
+    over the BATCH (cell ids and residuals from the same shared
+    helper the build used, so semantics cannot drift) + a partitioned
+    append; the stored corpus is never read or rewritten.  A replayed
+    batch appends duplicate rows — callers needing exactly-once wrap
+    this with the key anti-join guard the streaming-ingest module
+    uses."""
+    if encode_impl not in ("expr", "arrow"):
+        raise ValueError(
+            f"encode_impl must be 'expr' or 'arrow', got {encode_impl!r}"
+        )
+    cents, books, residual = _load_ivfpq_sidecars(spark, path)
+    centroids = [cents[i] for i in sorted(cents)]
+    clean = batch.where(
+        F.col(vec_col).isNotNull() & F.col(key_col).isNotNull()
+    )
+    code_src, code_col = _ivfpq_code_source(
+        clean, centroids, residual, encode_impl, vec_col, key_col
+    )
+    code_src.select(
+        "key",
+        _ivfpq_code_expr(books, code_col, encode_impl).alias("pq_code"),
+        "cell_id",
+    ).write.mode("append").partitionBy("cell_id").parquet(path)
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Query a `build_ivfpq_index` table: rank cells by squared-L2
+    distance to the query on the driver (the centroid set is
+    metadata-sized) — the SAME metric as both cell membership and the
+    ADC ranking, so the standard IVF pruning guarantee holds — scan
+    ONLY the nprobe nearest cell partitions, and rank by ADC over the
+    m-byte codes: partition pruning x a 32x narrower scan, the
+    compounding that makes ANN affordable at 100 TB.  Returns (key,
+    adc_dist) ascending with key tiebreak, the `pq_adc_topk`
+    contract."""
+    cents, books, residual = _load_ivfpq_sidecars(spark, path)
     probes = sorted(
         cents,
         key=lambda i: (

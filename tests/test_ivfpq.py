@@ -307,3 +307,70 @@ def test_build_encode_impl_arrow_matches_expr(spark, tmp_path):
     with pytest.raises(ValueError, match="encode_impl"):
         build_ivfpq_index(df, str(tmp_path / "x"), num_cells=2,
                           train_iters=1, m=2, k=4, encode_impl="simd")
+
+
+def test_append_to_ivfpq_index_matches_full_rebuild_assignment(spark, tmp_path):
+    """Appending a delta batch against the stored sidecars must encode
+    it exactly as the build pass would have (same cell membership,
+    same codes against the fixed codebooks), for both encodings; the
+    stored corpus is untouched."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.quantize import (
+        append_to_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    for res in (False, True):
+        p = str(tmp_path / f"idx{res}")
+        build_ivfpq_index(corpus, p, num_cells=4, train_iters=1, m=4,
+                          k=4, pq_iters=2, residual=res)
+        before = spark.read.parquet(p).count()
+        append_to_ivfpq_index(spark, batch, p, encode_impl="arrow")
+        idx = spark.read.parquet(p)
+        assert idx.count() == before + batch.count()
+        # the appended rows' codes equal what the shared expression
+        # path produces against the same stored sidecars
+        from cloud_native_medical_data_etl_pipeline_spark.operators.quantize import (
+            _ivfpq_code_expr,
+            _ivfpq_code_source,
+            _load_ivfpq_sidecars,
+        )
+
+        cents, books, residual = _load_ivfpq_sidecars(spark, p)
+        centroids = [cents[i] for i in sorted(cents)]
+        src, col = _ivfpq_code_source(
+            batch, centroids, residual, "expr", "embedding", "vec_id"
+        )
+        want = sorted(
+            map(tuple,
+                src.select("key", _ivfpq_code_expr(books, col, "expr")
+                           .alias("pq_code"), "cell_id").collect())
+        )
+        got = sorted(
+            map(tuple,
+                idx.where(F.col("key") % 10 == 0)
+                .select("key", "pq_code", "cell_id").collect())
+        )
+        assert got == want, f"residual={res}"
+
+
+def test_ivfpq_append_then_query_finds_appended_vector(spark, tmp_path):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.quantize import (
+        append_to_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") != 0)
+    batch = emb.where(F.col("vec_id") == 0)
+    p = str(tmp_path / "idx")
+    build_ivfpq_index(corpus, p, num_cells=4, train_iters=1, m=4, k=4,
+                      pq_iters=2, residual=True)
+    qv = [float(x) for x in batch.first()["embedding"]]
+    assert all(
+        r["key"] != 0
+        for r in ivfpq_topk_indexed(spark, p, qv, k=3, nprobe=4).collect()
+    )
+    append_to_ivfpq_index(spark, batch, p)
+    top = ivfpq_topk_indexed(spark, p, qv, k=3, nprobe=4).collect()
+    assert top[0]["key"] == 0  # the appended vector retrieves itself
