@@ -6462,7 +6462,10 @@ d{r} AS MATERIALIZED (
 # oracle omits the empty-cell refill branch: at m=4, k=4 over dense
 # random embeddings every cell keeps members (any divergence would
 # fail this hash gate).  Registered r8 — window-seated per the r7
-# verdict (the one permitted registration).
+# verdict (the one permitted registration).  r9: pq_train defaults to
+# the driver-side numpy engine (unit- and property-pinned EXACTLY
+# equal to the in-engine SQL spec this oracle unrolls), so this row
+# now evidences the production training path.
 # ---------------------------------------------------------------------------
 _PQ_M, _PQ_K, _PQ_ITERS, _PQ_TOPK = 4, 4, 2, 10
 _PQ_DSUB = 64 // _PQ_M  # fixed dim-64 embeddings tables
