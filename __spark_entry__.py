@@ -6755,28 +6755,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # that consecutive rounds jointly cover every query green and no
     # query's evidence goes more than 3 rounds stale.
     #
-    # Round 9 window, exactly as the §8.3 r8 ledger row pre-commits:
-    #   * q30/q31 — displaced from the r8 window by q137/q123b, lead;
-    #   * the 37 remaining r5 greens hitting the 3-round staleness
-    #     ceiling this round: q91-q106, q24, q07, q81, q35-q41,
-    #     q43-q49, q54-q56, q58;
-    #   * the 9 oldest r6 greens: q60-q62, q65-q69, q03;
-    #   * q137 — its pq_train kernel is r9-touched (driver-side numpy
-    #     training path; the literal-CTE engine q137 pins is kept as
-    #     the oracle instance) — re-evidence;
-    #   * q138 — residual IVFADC (classic residual-encoded IVF-PQ),
-    #     the ONE new registration the r9 window math allows.
-    # Displaced to the tail: every r7/r8-green window member
-    # (q124-q137's r8 rows are fresh; q57, q59, q63b/q64b, q70-q80,
-    # q82-q90, q23, q02, q08, q12, q17-q19, q25, q27-q29, q123b,
-    # q107-q123, q01, q04-q06, q09-q11, q13-q16, q20/q20b, q21, q22,
-    # q26, q32-q34, q42, q50-q53) and rows-only q63/q64.
+    # Round 10 window, exactly as the §8.3 r9 ledger row pre-commits:
+    #   * q107-q122 + q123 — the r6-evidenced greens whose rows turn
+    #     3 rounds stale this round (17 slots), lead;
+    #   * the r10-touched kernels, all of them r8/r9 greens whose
+    #     re-evidence doubles as r8-coverage: q137/q138 (pq_train
+    #     collect guard + exact Spark-semantics rounding in the numpy
+    #     engine), q23/q126 (train_ivf_centroids grows the same
+    #     engine="auto" driver-side numpy path), q136/q77 (GEMM
+    #     assignment lever propagated to kcenter_select and
+    #     centroid_outlier_scores), q72 (assign_cells gemm NULL-mask);
+    #   * the oldest r8 greens fill the remaining slots: q124/q125,
+    #     q127-q135, q57, q59, q63b/q64b, q70/q71/q73-q76/q78-q80,
+    #     q123b (whose r8 row would hit the ceiling at r11).
+    # Left for the r11 window (their r8 rows hit the 3-round ceiling
+    # there): q82-q90, q02, q08, q12, q17-q19, q25, q27-q29.
+    # Displaced to the tail: every r9-green r9-window member
+    # (q30/q31, q91-q106, q24, q07, q81, q35-q41, q43-q49, q54-q56,
+    # q58, q60-q62, q65-q69, q03) and rows-only q63/q64.
     # Ledger: SURVEY.md §8.3.
     return {
-        # --- r9 window: displaced r8 leads (2) ---
+        # --- r10 window: the 17 r6 greens at the staleness ceiling ---
+        "q107_bigram_surprisal": q107_bigram_surprisal,
+        "q108_lexical_diversity": q108_lexical_diversity,
+        "q109_quantize_embeddings": q109_quantize_embeddings,
+        "q110_temperature_mixture": q110_temperature_mixture,
+        "q111_cluster_representatives": q111_cluster_representatives,
+        "q112_char_entropy": q112_char_entropy,
+        "q113_gopher_flags": q113_gopher_flags,
+        "q114_stream_zscore": q114_stream_zscore,
+        "q115_stream_ingest": q115_stream_ingest,
+        "q116_session_incident_overlap": q116_session_incident_overlap,
+        "q117_duplication_report": q117_duplication_report,
+        "q118_vocab_coverage": q118_vocab_coverage,
+        "q119_mix_plan": q119_mix_plan,
+        "q120_ngram_novelty": q120_ngram_novelty,
+        "q121_execute_mix_plan": q121_execute_mix_plan,
+        "q122_group_split": q122_group_split,
+        "q123_fda_datasource_agg": q123_fda_datasource_agg,
+        # --- r10-touched kernels (all also r8/r9-green coverage) ---
+        "q137_pq_adc_topk": q137_pq_adc_topk,
+        "q138_ivfpq_residual_topk": q138_ivfpq_residual_topk,
+        "q23_ivf_topk": q23_ivf_topk,
+        "q126_ivf_append": q126_ivf_append,
+        "q136_kcenter_select": q136_kcenter_select,
+        "q77_centroid_outliers": q77_centroid_outliers,
+        "q72_semantic_dedup": q72_semantic_dedup,
+        # --- oldest r8 greens fill to 50 ---
+        "q124_signature_index": q124_signature_index,
+        "q125_bloom_contamination": q125_bloom_contamination,
+        "q127_budget_batches": q127_budget_batches,
+        "q128_pii_report": q128_pii_report,
+        "q129_count_min_topk": q129_count_min_topk,
+        "q130_split_leakage": q130_split_leakage,
+        "q131_hll_cardinality": q131_hll_cardinality,
+        "q132_value_trend": q132_value_trend,
+        "q133_embedding_covariance": q133_embedding_covariance,
+        "q134_token_pagerank": q134_token_pagerank,
+        "q135_quality_classifier": q135_quality_classifier,
+        "q57_dedup_clusters": q57_dedup_clusters,
+        "q59_redact_pii": q59_redact_pii,
+        "q63b_pack_invariants": q63b_pack_invariants,
+        "q64b_profile_exact": q64b_profile_exact,
+        "q70_winnow_overlap": q70_winnow_overlap,
+        "q71_bm25_topk": q71_bm25_topk,
+        "q73_span_dedup": q73_span_dedup,
+        "q74_tfidf_terms": q74_tfidf_terms,
+        "q75_funnel": q75_funnel,
+        "q76_cohort_retention": q76_cohort_retention,
+        "q78_stream_static_enrich": q78_stream_static_enrich,
+        "q79_batch_retrieval": q79_batch_retrieval,
+        "q80_stream_stream_join": q80_stream_stream_join,
+        "q123b_fda_retry_scan": q123b_fda_retry_scan,
+        # --- tail (51+): r8 greens reserved for the r11 lead, then
+        # the fresh r9 greens, then rows-only ---
+        "q82_mad_outliers": q82_mad_outliers,
+        "q83_fuzzy_linkage": q83_fuzzy_linkage,
+        "q84_snapshot_diff": q84_snapshot_diff,
+        "q85_rolling_zscore": q85_rolling_zscore,
+        "q86_incremental_neardup": q86_incremental_neardup,
+        "q87_mutual_nn": q87_mutual_nn,
+        "q88_range_lookup": q88_range_lookup,
+        "q89_cooccurrence": q89_cooccurrence,
+        "q90_hybrid_retrieval": q90_hybrid_retrieval,
+        "q02_containment_enrich": q02_containment_enrich,
+        "q08_duplicate_rows": q08_duplicate_rows,
+        "q12_topk_orders": q12_topk_orders,
+        "q17_minhash_near_dups": q17_minhash_near_dups,
+        "q18_ngram_jaccard": q18_ngram_jaccard,
+        "q19_cosine_topk": q19_cosine_topk,
+        "q25_streaming_hourly": q25_streaming_hourly,
+        "q27_top_revenue": q27_top_revenue,
+        "q28_rollup_revenue": q28_rollup_revenue,
+        "q29_asof_attribution": q29_asof_attribution,
         "q30_session_stats": q30_session_stats,
         "q31_curated_corpus": q31_curated_corpus,
-        # --- the 37 r5 greens at the staleness ceiling ---
         "q91_unpivot_metrics": q91_unpivot_metrics,
         "q92_quantile_buckets": q92_quantile_buckets,
         "q93_scd2_intervals": q93_scd2_intervals,
@@ -6814,7 +6887,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_streaming_sessions": q55_streaming_sessions,
         "q56_stratified_sample": q56_stratified_sample,
         "q58_segment_spend_tiers": q58_segment_spend_tiers,
-        # --- the 9 oldest r6 greens ---
         "q60_contamination": q60_contamination,
         "q61_cap_per_group": q61_cap_per_group,
         "q62_resample_fill": q62_resample_fill,
@@ -6824,77 +6896,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_repetition": q68_repetition,
         "q69_winnow_fingerprints": q69_winnow_fingerprints,
         "q03_exact_dedup": q03_exact_dedup,
-        # --- r9-touched kernel (numpy pq_train path) + the one new
-        # r9 registration (q138, seated when registered below) ---
-        "q137_pq_adc_topk": q137_pq_adc_topk,
-        "q138_ivfpq_residual_topk": q138_ivfpq_residual_topk,
-        # --- tail (51+): r7/r8-fresh greens, then rows-only ---
-        "q124_signature_index": q124_signature_index,
-        "q125_bloom_contamination": q125_bloom_contamination,
-        "q126_ivf_append": q126_ivf_append,
-        "q127_budget_batches": q127_budget_batches,
-        "q128_pii_report": q128_pii_report,
-        "q129_count_min_topk": q129_count_min_topk,
-        "q130_split_leakage": q130_split_leakage,
-        "q131_hll_cardinality": q131_hll_cardinality,
-        "q132_value_trend": q132_value_trend,
-        "q133_embedding_covariance": q133_embedding_covariance,
-        "q134_token_pagerank": q134_token_pagerank,
-        "q135_quality_classifier": q135_quality_classifier,
-        "q136_kcenter_select": q136_kcenter_select,
-        "q57_dedup_clusters": q57_dedup_clusters,
-        "q59_redact_pii": q59_redact_pii,
-        "q63b_pack_invariants": q63b_pack_invariants,
-        "q64b_profile_exact": q64b_profile_exact,
-        "q70_winnow_overlap": q70_winnow_overlap,
-        "q71_bm25_topk": q71_bm25_topk,
-        "q72_semantic_dedup": q72_semantic_dedup,
-        "q73_span_dedup": q73_span_dedup,
-        "q74_tfidf_terms": q74_tfidf_terms,
-        "q75_funnel": q75_funnel,
-        "q76_cohort_retention": q76_cohort_retention,
-        "q77_centroid_outliers": q77_centroid_outliers,
-        "q78_stream_static_enrich": q78_stream_static_enrich,
-        "q79_batch_retrieval": q79_batch_retrieval,
-        "q80_stream_stream_join": q80_stream_stream_join,
-        "q82_mad_outliers": q82_mad_outliers,
-        "q83_fuzzy_linkage": q83_fuzzy_linkage,
-        "q84_snapshot_diff": q84_snapshot_diff,
-        "q85_rolling_zscore": q85_rolling_zscore,
-        "q86_incremental_neardup": q86_incremental_neardup,
-        "q87_mutual_nn": q87_mutual_nn,
-        "q88_range_lookup": q88_range_lookup,
-        "q89_cooccurrence": q89_cooccurrence,
-        "q90_hybrid_retrieval": q90_hybrid_retrieval,
-        "q23_ivf_topk": q23_ivf_topk,
-        "q02_containment_enrich": q02_containment_enrich,
-        "q08_duplicate_rows": q08_duplicate_rows,
-        "q12_topk_orders": q12_topk_orders,
-        "q17_minhash_near_dups": q17_minhash_near_dups,
-        "q18_ngram_jaccard": q18_ngram_jaccard,
-        "q19_cosine_topk": q19_cosine_topk,
-        "q25_streaming_hourly": q25_streaming_hourly,
-        "q27_top_revenue": q27_top_revenue,
-        "q28_rollup_revenue": q28_rollup_revenue,
-        "q29_asof_attribution": q29_asof_attribution,
-        "q123b_fda_retry_scan": q123b_fda_retry_scan,
-        "q107_bigram_surprisal": q107_bigram_surprisal,
-        "q108_lexical_diversity": q108_lexical_diversity,
-        "q109_quantize_embeddings": q109_quantize_embeddings,
-        "q110_temperature_mixture": q110_temperature_mixture,
-        "q111_cluster_representatives": q111_cluster_representatives,
-        "q112_char_entropy": q112_char_entropy,
-        "q113_gopher_flags": q113_gopher_flags,
-        "q114_stream_zscore": q114_stream_zscore,
-        "q115_stream_ingest": q115_stream_ingest,
-        "q116_session_incident_overlap": q116_session_incident_overlap,
-        "q117_duplication_report": q117_duplication_report,
-        "q118_vocab_coverage": q118_vocab_coverage,
-        "q119_mix_plan": q119_mix_plan,
-        "q120_ngram_novelty": q120_ngram_novelty,
-        "q121_execute_mix_plan": q121_execute_mix_plan,
-        "q122_group_split": q122_group_split,
-        "q123_fda_datasource_agg": q123_fda_datasource_agg,
         "q01_pricing_summary": q01_pricing_summary,
         "q04_size_binning": q04_size_binning,
         "q05_phase_ladder": q05_phase_ladder,
