@@ -15,15 +15,33 @@ already capped by the deterministic md5 hash-sample
 (`_sampling.hash_sample`), so the sampled training frame is collected
 ONCE and seeding + Lloyd run here in numpy — O(1) Spark jobs, O(n·k·
 dsub) numpy work, identical results (unit-pinned against the SQL
-engine in tests/test_pq.py).  Every rounding below deliberately
-mirrors the Spark expression it replaces; rounding at dp>0 cannot hit
-a decimal midpoint with binary doubles, so HALF_UP (Spark) and
-HALF_EVEN (numpy) agree on all reachable values.
+engine in tests/test_pq.py).
+
+Rounding replicates Spark EXACTLY, not approximately: F.round on a
+double is HALF_UP over the value's SHORTEST DECIMAL REPR
+(BigDecimal.valueOf → setScale(dp, HALF_UP)), while np.round is
+HALF_EVEN over the binary value — and dyadic rationals DO land on
+decimal midpoints at dp>0 (round(2⁻¹⁰, 9): Spark 0.000976563, numpy
+0.000976562; reachable from quantized/float32 inputs, e.g. a 2⁻⁵
+component diff squared).  `round_spark` therefore does the fast
+half-even magic round and re-rounds the rare lanes near a decimal
+midpoint through the exact Decimal(repr(x)) HALF_UP path, which is
+bit-equal to Spark everywhere.  Two RARER divergence channels remain
+TOLERANCE-LEVEL, not exact, and are absorbed by the rounded-statistic
+grain away from grain boundaries: (a) seeding priorities use pow
+(JVM Math.pow vs numpy ** may differ by 1 ulp before the 9dp round);
+(b) Lloyd means sum in different orders (F.avg's partition fold vs
+numpy's pairwise mean) so the pre-round doubles can differ by ulps.
+Neither has produced an engine mismatch on the pinned suites; both
+are called out here because they are channels the exact-rounding fix
+cannot close.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
+from decimal import ROUND_HALF_UP, Context, Decimal
 
 import numpy as np
 
@@ -39,34 +57,93 @@ def md5_uniform_py(key: object, salt: str = "") -> float:
 _MAGIC = 6755399441055744.0  # 1.5 * 2^52
 
 
-def _round9(a: np.ndarray) -> np.ndarray:
-    """``np.round(a, 9)``, bitwise-identical, without np.rint: scale by
-    1e9, round half-even via the 2^52 magic-constant add/subtract
-    (exact for |scaled| < 2^51), unscale.  This numpy build's
-    rint/floor take a non-SIMD libm path (~0.6 µs/element — it made
-    rounding 84% of a 100k-row k=256 training); the magic add is
-    ~125× faster and proven bitwise-equal on the reachable range.
-    Values with |scaled| ≥ 2^51 (impossible for the bounded distances
-    and (0,1] priorities here, but guarded anyway) fall back to
-    np.rint lane-wise."""
-    t = a * 1e9
+# quantize() needs headroom over the default 28-digit context only in
+# principle (a double's shortest repr is <= 17 significant digits, +9
+# fractional = 26); a shared 60-digit context removes the ceiling
+# without paying localcontext()'s thread-local swap per call
+_DEC_CTX = Context(prec=60)
+_QUANTA: dict[int, Decimal] = {}
+
+
+def round_spark_scalar(x: float, dp: int) -> float:
+    """One double through Spark's F.round semantics: HALF_UP at ``dp``
+    decimals over the SHORTEST decimal repr of the value —
+    BigDecimal.valueOf(x).setScale(dp, HALF_UP).doubleValue(), with
+    Python's repr standing in for Double.toString (both emit the
+    shortest decimal string that round-trips; on midpoint-adjacent
+    values pre-JDK-19 Double.toString may carry extra digits, but the
+    extra digits are beyond the round-trip boundary and cannot cross a
+    dp-level midpoint the shortest repr doesn't).  Non-finite values
+    pass through (F.round(NaN)=NaN, F.round(±Inf)=±Inf)."""
+    if not math.isfinite(x) or abs(x) >= 2.0**52:
+        # non-finite passes through; |x| >= 2^52 has ulp >= 1, so the
+        # value is an integer and rounding at dp >= 0 is the identity
+        return x
+    q = _QUANTA.get(dp)
+    if q is None:
+        q = _QUANTA.setdefault(dp, Decimal(1).scaleb(-dp))
+    return float(
+        Decimal(repr(x)).quantize(
+            q, rounding=ROUND_HALF_UP, context=_DEC_CTX
+        )
+    )
+
+
+def round_spark(a: np.ndarray, dp: int) -> np.ndarray:
+    """``F.round(col, dp)``, vectorized and bit-equal to Spark.
+
+    Fast path: scale by 10^dp, round half-even via the 2^52
+    magic-constant add/subtract (exact for |scaled| < 2^51), unscale.
+    This numpy build's rint/floor take a non-SIMD libm path (~0.6
+    µs/element — it made rounding 84% of a 100k-row k=256 training);
+    the magic add is ~125× faster.  Half-even-on-binary and Spark's
+    HALF_UP-on-decimal-repr can disagree ONLY when the decimal value
+    D = shortest_repr(x)·10^dp sits at or within error of a
+    half-integer the fast path's t = fl(x·10^dp) also brushes;
+    |t − D| ≤ ½ulp(t) + ½ulp(x)·10^dp ≤ |t|·2⁻⁵² (2 relative ulps),
+    so lanes whose fractional offset from the nearest half-integer
+    exceeds a 4-ulp band — one SCALAR threshold from the max
+    already computed for the magic-add guard, conservative for every
+    smaller lane — provably agree, and only the handful inside the
+    band (≈2·10⁻⁵ of uniform lanes, exactly the dyadic-rational hits
+    on real data) re-round through the exact `round_spark_scalar`
+    path.  Arrays containing |scaled| ≥ 2^51 or non-finite lanes
+    (where the magic add is not exact) go scalar lane-wise."""
+    a = np.asarray(a, dtype=np.float64)
+    scale = 10.0**dp
+    with np.errstate(over="ignore", invalid="ignore"):
+        t = a * scale
     # one max-reduction guard (False on NaN → fallback), not a per-lane
     # mask: the mask's abs/compare/invert/any cost 4 extra array passes
     # and dominated the rounding itself
-    if not bool(np.max(np.abs(t), initial=0.0) < 2**51):
-        # rare lane, also entered on NaN (the max comparison is False)
-        big = ~(np.abs(t) < 2**51)
-        t += _MAGIC
-        t -= _MAGIC
-        t[big] = np.rint(
-            np.asarray(a, dtype=np.float64)[big] * 1e9
-        )
-        t /= 1e9
-        return t
-    t += _MAGIC
-    t -= _MAGIC
-    t /= 1e9
-    return t
+    mx = float(np.max(np.abs(t), initial=0.0))
+    if not mx < 2**51:
+        # rare: huge or non-finite lanes present — exact lane-wise
+        return np.array(
+            [round_spark_scalar(float(x), dp) for x in a.ravel()]
+        ).reshape(a.shape)
+    r = t + _MAGIC
+    r -= _MAGIC
+    # |frac offset from nearest half-integer|, in place: t is not
+    # needed again, so it hosts the scratch passes
+    d = t
+    d -= r
+    np.abs(d, out=d)
+    d -= 0.5
+    np.abs(d, out=d)
+    near = d <= mx * 2.0**-50 + 1e-15
+    out = r
+    out /= scale
+    if near.any():
+        flat = a.ravel()
+        of = out.ravel()
+        for i in np.flatnonzero(near.ravel()):
+            of[i] = round_spark_scalar(float(flat[i]), dp)
+    return out
+
+
+def _round9(a: np.ndarray) -> np.ndarray:
+    return round_spark(a, 9)
 
 
 def _d2_round9(X: np.ndarray, cw: list[float] | np.ndarray) -> np.ndarray:
@@ -184,12 +261,13 @@ def pq_train_np(
     key-sort (Spark's orderBy on the same values), then per subspace
     k-means++ seeding + `iters` Lloyd rounds — assignment by
     lowest-index argmin over ROUNDED distances, means ROUNDED to
-    ``round_dp`` (Spark's F.avg and numpy's mean sum in different
-    orders; both land on the same 1e-6-grain value, which is the whole
-    point of the rounded-statistic contract in `_iterate`), empty
-    slots refilled per `_refill_empty`.  Subspaces never interact, so
-    the SQL path's batched per-scan aggregates and this per-subspace
-    loop compute identical books."""
+    ``round_dp`` with Spark's exact rounding semantics (the summation
+    ORDER under the round still differs — F.avg's partition fold vs
+    numpy's pairwise mean — a tolerance-level channel the module doc
+    calls out; the 1e-6 grain absorbs it away from grain boundaries),
+    empty slots refilled per `_refill_empty`.  Subspaces never
+    interact, so the SQL path's batched per-scan aggregates and this
+    per-subspace loop compute identical books."""
     rows = sorted(rows, key=lambda r: r["key"])
     keys = [r["key"] for r in rows]
     books: list[list[list[float]]] = []
@@ -209,7 +287,7 @@ def pq_train_np(
                     newbook.append(
                         [
                             float(x)
-                            for x in np.round(
+                            for x in round_spark(
                                 X[members].mean(axis=0), round_dp
                             )
                         ]

@@ -262,6 +262,7 @@ def pq_train(
     round_dp: int = 6,
     train_sample_mod: int | None = None,
     engine: str = "auto",
+    max_train_rows: int | None = 100_000,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks: returns m lists of k codewords of
     dim/m doubles each.
@@ -308,6 +309,16 @@ def pq_train(
     rows; the same cap is what bounds the numpy engine's driver-side
     collect (the classifier's `train_sample_mod` contract, applied
     here).
+
+    When ``train_sample_mod`` is left None the training frame is
+    still NEVER unbounded: ``max_train_rows`` (default 10⁵, the
+    saturation point) counts the pool and, if it is larger,
+    auto-derives ``mod = ceil(n / max_train_rows)`` — the same
+    deterministic md5 sample, applied BEFORE engine dispatch so the
+    numpy collect and the sql in-engine loop keep training on
+    byte-identical frames (the `embedding_near_dups`
+    ``max_gather_rows`` contract, applied to the trainer).  Pass
+    ``max_train_rows=None`` to explicitly accept an uncapped frame.
     """
     if engine not in ("auto", "numpy", "sql"):
         raise ValueError(
@@ -338,6 +349,14 @@ def pq_train(
             raise ValueError(
                 f"train_sample_mod={train_sample_mod} leaves no "
                 "training rows — lower it for this corpus size"
+            )
+    elif max_train_rows is not None:
+        n = pool.count()
+        if n > max_train_rows:
+            from ._sampling import hash_sample
+
+            pool = hash_sample(
+                pool, key_col, -(-n // max_train_rows)
             )
     proj = pool.select(
         F.col(key_col).alias("key"),
@@ -479,6 +498,8 @@ def _pq_code_udf(codebooks: list[list[list[float]]]):
     import numpy as np
     import pandas as pd
 
+    from ._kmeans_np import round_spark
+
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     m = len(books)
     dsub = books[0].shape[1]
@@ -494,7 +515,10 @@ def _pq_code_udf(codebooks: list[list[list[float]]]):
             for d in range(dsub):
                 t = X[:, d, None] - B[None, :, d]
                 acc = acc + t * t
-            codes[:, s] = np.argmin(np.round(acc, 9), axis=1)
+            # round_spark, not np.round: F.round is HALF_UP over the
+            # decimal repr and the expr path's argmin must not flip on
+            # decimal-midpoint distances (dyadic inputs reach them)
+            codes[:, s] = np.argmin(round_spark(acc, 9), axis=1)
         return pd.Series([row.tolist() for row in codes])
 
     # real-class annotations: `from __future__ import annotations`
@@ -581,11 +605,18 @@ def _adc_score(
         raise ValueError(
             f"query dim {len(query_vec)} != codebook dim {m * dsub}"
         )
+    from ._kmeans_np import round_spark_scalar
+
     score = F.lit(0.0)
     for s in range(m):
         qs = [float(x) for x in query_vec[s * dsub : (s + 1) * dsub]]
+        # round_spark_scalar, not Python round (HALF_EVEN on the binary
+        # value): the LUT entries are the same 9dp-grain quantities as
+        # `_fold_sq`'s F.round distances and use its exact semantics
         lut = [
-            round(sum((a - b) * (a - b) for a, b in zip(qs, c)), 9)
+            round_spark_scalar(
+                sum((a - b) * (a - b) for a, b in zip(qs, c)), 9
+            )
             for c in codebooks[s]
         ]
         score = score + F.element_at(
@@ -936,11 +967,16 @@ def ivfpq_topk_indexed(
     compounding that makes ANN affordable at 100 TB.  Returns (key,
     adc_dist) ascending with key tiebreak, the `pq_adc_topk`
     contract."""
+    from ._kmeans_np import round_spark_scalar
+
     cents, books, residual = _load_ivfpq_sidecars(spark, path)
+    # round_spark_scalar, not Python round (HALF_EVEN on the binary
+    # value): probe order is part of the result contract, at the same
+    # 9dp F.round grain as every other distance in the family
     probes = sorted(
         cents,
         key=lambda i: (
-            round(
+            round_spark_scalar(
                 sum(
                     (a - b) * (a - b)
                     for a, b in zip(query_vec, cents[i])
@@ -980,6 +1016,8 @@ def _adc_score_residual(
     cell_id filter guarantees a hit), so plan/codegen size scales with
     nprobe, never with num_cells — at the k=256, 1024-cell regime a
     per-cell table would inline ~2M mostly-zero literals per query."""
+    from ._kmeans_np import round_spark_scalar
+
     m = len(books)
     dsub = len(books[0][0])
     if len(query_vec) != m * dsub:
@@ -998,7 +1036,9 @@ def _adc_score_residual(
                 for j in range(s * dsub, (s + 1) * dsub)
             ]
             lut = [
-                round(sum((a - b) * (a - b) for a, b in zip(qr, c)), 9)
+                round_spark_scalar(
+                    sum((a - b) * (a - b) for a, b in zip(qr, c)), 9
+                )
                 for c in books[s]
             ]
             per_probe.append(F.array(*[F.lit(v) for v in lut]))

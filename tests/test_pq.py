@@ -348,3 +348,99 @@ def test_pq_train_null_keys_excluded_both_engines(spark):
     keep = _emb(spark, [(1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [8.0, 1.0])])
     c = pq_train(keep, m=1, k=2, iters=2, engine="sql")
     assert a == b == c
+
+
+def test_round_spark_matches_f_round_live(spark):
+    """`round_spark`/`round_spark_scalar` vs live F.round on the
+    values the r9 docstring wrongly claimed unreachable: dyadic
+    rationals ARE decimal midpoints at dp>0 (F.round(2^-10, 9) =
+    0.000976563 HALF_UP while half-even-on-binary gives ...62), plus
+    random and boundary values.  Bit-equality, both dp grains."""
+    import numpy as np
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators._kmeans_np import (
+        round_spark,
+        round_spark_scalar,
+    )
+
+    vals = [k * 2.0**-e for e in range(1, 40) for k in (1, 3, 5, 7, 255)]
+    vals += [-v for v in vals[:40]]
+    vals += [0.0009765625, 0.0078125, 0.5e-9, 1.5e-9, 2.5e-9, 0.1234567895]
+    rng = np.random.default_rng(7)
+    vals += [float(x) for x in (rng.random(200) - 0.5) * 20]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
+    for dp in (6, 9):
+        want = {
+            r["i"]: r["r"]
+            for r in df.select("i", F.round("x", dp).alias("r")).collect()
+        }
+        got_vec = round_spark(np.array(vals), dp)
+        for i, v in enumerate(vals):
+            assert round_spark_scalar(v, dp) == want[i], (dp, v)
+            assert got_vec[i] == want[i], (dp, v)
+
+
+def test_round_spark_property_vectorized_equals_scalar():
+    """Hypothesis: the vectorized near-midpoint band never misses a
+    lane the exact scalar path would round differently — including
+    the dyadic-midpoint values ADVICE flagged (2^-10, 2^-7 class),
+    huge magnitudes, and non-finite lanes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators._kmeans_np import (
+        round_spark,
+        round_spark_scalar,
+    )
+
+    dyadic = st.builds(
+        lambda k, e: k * 2.0**-e,
+        st.sampled_from([1, -1, 3, 5, 7, 255, -255]),
+        st.integers(min_value=0, max_value=60),
+    )
+    anyf = st.one_of(
+        st.floats(allow_nan=True, allow_infinity=True),
+        dyadic,
+        st.floats(min_value=-1e3, max_value=1e3),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(anyf, min_size=1, max_size=8), st.sampled_from([6, 9]))
+    def check(xs, dp):
+        got = round_spark(np.array(xs, dtype=np.float64), dp)
+        for i, x in enumerate(xs):
+            want = round_spark_scalar(float(np.float64(x)), dp)
+            if math.isnan(want):
+                assert math.isnan(got[i])
+            else:
+                assert got[i] == want, (x, dp)
+
+    check()
+
+
+def test_pq_train_auto_caps_unbounded_collect(spark):
+    """With train_sample_mod left None the trainer must NOT collect an
+    unbounded frame: `max_train_rows` counts the pool and auto-derives
+    the deterministic md5 sample — equal to passing the derived mod
+    explicitly, identical across engines, and uncapped only when the
+    caller explicitly passes max_train_rows=None (the
+    `embedding_near_dups` allow/bound contract, VERDICT r9 #1)."""
+    rows = [
+        (i, [float((i * 13 + d * 7) % 11), float((i * 5 + d) % 9)])
+        for i in range(40)
+        for d in (0,)
+    ]
+    df = _emb(spark, rows)
+    capped = pq_train(df, m=1, k=3, iters=2, max_train_rows=10)
+    explicit = pq_train(df, m=1, k=3, iters=2, train_sample_mod=4)
+    assert capped == explicit
+    # engine parity survives the auto-derived sample
+    capped_sql = pq_train(
+        df, m=1, k=3, iters=2, max_train_rows=10, engine="sql"
+    )
+    assert capped == capped_sql
+    # explicit opt-out trains on everything, as before
+    full = pq_train(df, m=1, k=3, iters=2, max_train_rows=None)
+    under = pq_train(df, m=1, k=3, iters=2, max_train_rows=1000)
+    assert full == under
