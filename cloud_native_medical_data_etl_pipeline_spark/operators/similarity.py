@@ -225,12 +225,27 @@ def _assign_cells_gemm(
     Cn = (C / cn[:, None]).T  # (dim, cells)
 
     def _cell_fn(vs):
-        if len(vs) == 0:
+        n = len(vs)
+        if n == 0:
             return pd.Series([], dtype="Int32")
-        M = np.array(list(vs), dtype=np.float64)
-        ids = np.argmax(M @ Cn, axis=1).astype("int32")
-        out = pd.Series(ids, dtype="Int32")
-        out[np.linalg.norm(M, axis=1) == 0] = None
+        # NULL embeddings must survive with NULL cell_id (the
+        # assign_cells contract semdedup relies on) — mask them out
+        # BEFORE the matmul; np.array over a batch containing None
+        # rows would raise instead of null-propagating.  Rows whose
+        # norm is 0 or non-finite (a NULL/NaN element) go NULL too,
+        # the expression path's cosine null-propagation.
+        valid = np.array([v is not None for v in vs], dtype=bool)
+        out = pd.Series([pd.NA] * n, dtype="Int32")
+        if valid.any():
+            M = np.array(
+                [np.asarray(v, dtype=np.float64) for v in vs[valid]]
+            )
+            ids = pd.array(
+                np.argmax(M @ Cn, axis=1).astype("int32"), dtype="Int32"
+            )
+            norms = np.linalg.norm(M, axis=1)
+            ids[~(np.isfinite(norms) & (norms > 0))] = pd.NA
+            out[valid] = ids
         return out
 
     # real-class annotations: `from __future__ import annotations`

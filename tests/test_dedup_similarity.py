@@ -1143,6 +1143,22 @@ def test_assign_cells_gemm_matches_expression_path(spark):
         for r in S.assign_cells(z, [[1.0, 0.0], [0.0, 1.0]], impl="gemm").collect()
     }
     assert got[1] is None and got[2] == 0
+    # NULL embeddings and NULL elements must null-propagate, not crash
+    # (semantic_dedup_keep passes the UNFILTERED frame to assign_cells
+    # and promises NULL-embedding rows survive with NULL cell_id)
+    nl = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0]), (3, [None, 1.0]), (4, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for impl in ("expr", "gemm"):
+        got = {
+            r["vec_id"]: r["cell_id"]
+            for r in S.assign_cells(
+                nl, [[1.0, 0.0], [0.0, 1.0]], impl=impl
+            ).collect()
+        }
+        assert got[1] is None and got[3] is None and got[4] is None, impl
+        assert got[2] == 0, impl
     with pytest.raises(ValueError, match="impl"):
         S.assign_cells(z, [[1.0, 0.0]], impl="simd")
 
