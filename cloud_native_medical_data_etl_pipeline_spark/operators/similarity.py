@@ -54,14 +54,31 @@ def train_ivf_centroids(
     iters: int = 2,
     round_dp: int = 6,
     assign_impl: str = "expr",
+    engine: str = "auto",
+    max_train_rows: int | None = 100_000,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means for IVF centroids.
 
-    ``assign_impl="gemm"`` vectorizes the per-iteration assignment
-    scan (see `assign_cells`) — the training lever at large num_cells,
-    composing with a hash-sampled training frame; assignments are
-    unit-pinned identical, so the trained centroids are too (means are
-    taken over the same member sets).
+    ``engine`` picks the executor for the SAME algorithm, the
+    `quantize.pq_train` contract (unit-pinned identical centroids):
+
+    * ``"numpy"`` (what ``"auto"`` resolves to): collect the (capped)
+      training frame ONCE and run the Lloyd loop driver-side
+      (`_kmeans_np.ivf_train_np`) — O(1) Spark jobs instead of
+      iters·2 per-iteration round-trips; centroids are metadata by
+      construction.  ``assign_impl`` is moot here (assignment happens
+      in numpy).
+    * ``"sql"``: the in-engine loop below — the cross-engine SPEC the
+      q23 oracle unrolls CTE-for-CTE, and the path for callers that
+      must not collect even the capped frame.  ``assign_impl="gemm"``
+      vectorizes its per-iteration assignment scan (see
+      `assign_cells`) — the in-engine lever at large num_cells.
+
+    ``max_train_rows`` bounds the training frame EITHER WAY (the
+    `pq_train` guard): when the pool is larger, the deterministic
+    1/ceil(n/cap) md5 key-sample is applied before engine dispatch,
+    so both engines train on identical frames and the numpy collect
+    cannot OOM the driver; pass None to accept an uncapped frame.
 
     Fully reproducible by construction: the init is the `num_cells`
     smallest-key vectors (a seedless deterministic sample, the same
@@ -73,14 +90,19 @@ def train_ivf_centroids(
     oracle-reproducible in plain SQL (unrolled CTEs, one per
     iteration — see Q23_SQL in __spark_entry__.py).
 
-    Scale shape: each iteration is one distributed assignment map pass
-    (centroids inlined as literals) plus one posexplode +
-    (cell, dim)-keyed avg — map-side combinable, `num_cells * dim`
-    output rows — and collects only that tiny grid. Cells that lose
-    all members keep their previous centroid (k never shrinks).
-    Cosine assignment, so means are taken over raw vectors; for unit
-    vectors this is spherical k-means without the re-normalize step.
+    Scale shape (sql engine): each iteration is one distributed
+    assignment map pass (centroids inlined as literals) plus one
+    posexplode + (cell, dim)-keyed avg — map-side combinable,
+    `num_cells * dim` output rows — and collects only that tiny grid.
+    Cells that lose all members keep their previous centroid (k never
+    shrinks).  Cosine assignment, so means are taken over raw
+    vectors; for unit vectors this is spherical k-means without the
+    re-normalize step.
     """
+    if engine not in ("auto", "numpy", "sql"):
+        raise ValueError(
+            f"engine must be 'auto', 'numpy', or 'sql', got {engine!r}"
+        )
     from ._iterate import iterate_fixed
 
     # NULL embeddings are excluded BEFORE the smallest-key init: NULL
@@ -89,6 +111,22 @@ def train_ivf_centroids(
     clean = df.where(
         F.col(vec_col).isNotNull() & F.col(key_col).isNotNull()
     )
+    if max_train_rows is not None:
+        n = clean.count()
+        if n > max_train_rows:
+            from ._sampling import hash_sample
+
+            clean = hash_sample(
+                clean, key_col, -(-n // max_train_rows)
+            )
+    if engine != "sql":
+        from ._kmeans_np import ivf_train_np
+
+        rows = clean.select(
+            F.col(key_col).alias("key"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ).collect()
+        return ivf_train_np(rows, num_cells, iters, round_dp)
     init = [
         [float(x) for x in r[1]]
         for r in clean.select(key_col, vec_col)
@@ -417,12 +455,104 @@ def _py_cosine(a: list[float], b: list[float]) -> float:
     return num / (na * nb) if na and nb else 0.0
 
 
+def _sqdist_lit_arrow(center: list[float], dp: int):
+    """Arrow kernel for ``round(sqdist(vec, <literal center>), dp)`` —
+    the per-hop distance of `kcenter_select(impl="arrow")`.  Replays
+    `vectors.sqdist`'s left-to-right fold dimension by dimension (acc
+    = 0 + t₀² + t₁² + …) and rounds with Spark's exact F.round
+    semantics (`_kmeans_np.round_spark`), so values are bit-equal to
+    the expression path; NULL vectors null-propagate.  One fused
+    numpy pass per batch instead of ~dim interpreted HOF ops per
+    row."""
+    import numpy as np
+    import pandas as pd
+
+    from ._kmeans_np import round_spark
+
+    cw = [float(x) for x in center]
+
+    def _fn(vs):
+        n = len(vs)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        valid = np.array([v is not None for v in vs], dtype=bool)
+        out = pd.Series([None] * n, dtype="object")
+        if valid.any():
+            M = np.array(
+                [np.asarray(v, dtype=np.float64) for v in vs[valid]]
+            )
+            acc = np.zeros(M.shape[0])
+            for d in range(M.shape[1]):
+                t = M[:, d] - cw[d]
+                acc = acc + t * t
+            out[valid] = round_spark(acc, dp)
+        return out
+
+    _fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_fn, "double")
+
+
+def _pair_cosine_arrow(dp: int):
+    """Arrow kernel for ``round(cosine(a, b), dp)`` over two array
+    COLUMNS — the scoring row of `centroid_outlier_scores(
+    impl="arrow")`, where every row meets a different (group) centroid
+    so the literal-battery form doesn't apply.  Exact replica of
+    `vectors.cosine`: dot and both squared norms are left-to-right
+    per-dimension folds, cos = dot / (sqrt(na)·sqrt(nb)), zero
+    denominators → NULL (Spark's non-ANSI divide), rounding via
+    `round_spark`."""
+    import numpy as np
+    import pandas as pd
+
+    from ._kmeans_np import round_spark
+
+    def _fn(va, vb):
+        n = len(va)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        valid = np.array(
+            [a is not None and b is not None for a, b in zip(va, vb)],
+            dtype=bool,
+        )
+        out = pd.Series([None] * n, dtype="object")
+        if valid.any():
+            A = np.array(
+                [np.asarray(v, dtype=np.float64) for v in va[valid]]
+            )
+            B = np.array(
+                [np.asarray(v, dtype=np.float64) for v in vb[valid]]
+            )
+            dot = np.zeros(A.shape[0])
+            na = np.zeros(A.shape[0])
+            nb = np.zeros(A.shape[0])
+            for d in range(A.shape[1]):
+                dot = dot + A[:, d] * B[:, d]
+                na = na + A[:, d] * A[:, d]
+                nb = nb + B[:, d] * B[:, d]
+            denom = np.sqrt(na) * np.sqrt(nb)
+            ok = denom != 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = round_spark(dot / np.where(ok, denom, 1.0), dp)
+            res = np.full(valid.shape[0], None, dtype=object)
+            res[np.flatnonzero(valid)[ok]] = cos[ok]
+            out[:] = res
+        return out
+
+    _fn.__annotations__ = {
+        "va": pd.Series,
+        "vb": pd.Series,
+        "return": pd.Series,
+    }
+    return F.pandas_udf(_fn, "double")
+
+
 def centroid_outlier_scores(
     df: DataFrame,
     vec_col: str = "embedding",
     group_col: str = "label",
     key_col: str = "vec_id",
     round_dp: int = 6,
+    impl: str = "expr",
 ) -> DataFrame:
     """Embedding-space outlier scoring: each vector's cosine to its
     GROUP's mean vector (per-label centroid). Low cosine = far from
@@ -436,10 +566,19 @@ def centroid_outlier_scores(
     posexplode to (group, dim, value) rows, one (group, dim)-keyed
     aggregate (map-side combinable, G*dim output rows), one
     G-row array rebuild; scoring joins the tiny centroid table back by
-    BROADCAST and evaluates one zip_with dot per row. No collect, no
-    UDFs; the N*dim exploded shuffle is the only corpus-sized
-    movement, and it carries 8-byte doubles, not vectors.
+    BROADCAST and evaluates one zip_with dot per row. No collect; the
+    N*dim exploded shuffle is the only corpus-sized movement, and it
+    carries 8-byte doubles, not vectors.
+
+    ``impl="arrow"`` swaps the scoring row's interpreted HOF cosine
+    (~3·dim interpreted ops per row) for the `_pair_cosine_arrow`
+    kernel — bit-equal scores (exact fold replay + Spark-exact
+    rounding), the corpus-scan lever at large dim (the `assign_cells`
+    impl contract; per-row pairs, so the battery/GEMM form doesn't
+    apply here).
     """
+    if impl not in ("expr", "arrow"):
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     dims = df.select(
         F.col(group_col).alias("__g"),
@@ -456,6 +595,12 @@ def centroid_outlier_scores(
             ).alias("__c")
         )
     )
+    if impl == "arrow":
+        score = _pair_cosine_arrow(round_dp)(
+            F.col("__vd"), F.col("__c")
+        )
+    else:
+        score = F.round(V.cosine(F.col("__vd"), F.col("__c")), round_dp)
     return (
         df.select(F.col(key_col), F.col(group_col), vd.alias("__vd"))
         .join(
@@ -464,9 +609,7 @@ def centroid_outlier_scores(
         .select(
             key_col,
             group_col,
-            F.round(V.cosine(F.col("__vd"), F.col("__c")), round_dp).alias(
-                "centroid_cosine"
-            ),
+            score.alias("centroid_cosine"),
         )
     )
 
@@ -794,6 +937,7 @@ def kcenter_select(
     key_col: str = "vec_id",
     dist_dp: int = 9,
     round_dp: int = 6,
+    impl: str = "expr",
 ) -> DataFrame:
     """Greedy k-center (farthest-point traversal) coreset selection:
     ``(sel_rank, key, radius)`` — the k most mutually-distant vectors,
@@ -823,7 +967,22 @@ def kcenter_select(
     frame — k scans total, embarrassingly parallel, zero shuffle; for
     very large k switch to batched variants (pick per-partition
     farthest candidates first), documented rather than implemented.
+    ``impl="arrow"`` swaps each hop's interpreted HOF sqdist (~dim
+    interpreted ops per row per hop — k·dim per row over the full
+    selection) for the `_sqdist_lit_arrow` kernel: bit-equal
+    distances (exact fold replay + Spark-exact rounding), identical
+    picks and radii including tiebreaks.
     """
+    if impl not in ("expr", "arrow"):
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
+
+    def _hop_dist(center: list[float]):
+        if impl == "arrow":
+            return _sqdist_lit_arrow(center, dist_dp)(F.col("vec"))
+        return F.round(
+            V.sqdist(F.col("vec"), _lit_vec(center)), dist_dp
+        )
+
     base = (
         # NULL keys are excluded along with NULL vectors: selection is a
         # set of DISTINCT KEYS, and a NULL key can neither be anti-
@@ -853,12 +1012,7 @@ def kcenter_select(
         .select(
             "key",
             "vec",
-            F.round(
-                V.sqdist(
-                    F.col("vec"), _lit_vec([float(x) for x in seed["vec"]])
-                ),
-                dist_dp,
-            ).alias("dmin"),
+            _hop_dist([float(x) for x in seed["vec"]]).alias("dmin"),
         )
         .localCheckpoint()
     )
@@ -876,13 +1030,7 @@ def kcenter_select(
                 "vec",
                 F.least(
                     F.col("dmin"),
-                    F.round(
-                        V.sqdist(
-                            F.col("vec"),
-                            _lit_vec([float(x) for x in far["vec"]]),
-                        ),
-                        dist_dp,
-                    ),
+                    _hop_dist([float(x) for x in far["vec"]]),
                 ).alias("dmin"),
             )
             .localCheckpoint()

@@ -247,3 +247,30 @@ def test_sampled_training_rejects_bad_mod(spark):
     df = _docs(spark, [(1, "a b c")])
     with pytest.raises(ValueError, match="train_sample_mod"):
         quality_classifier_scores(df, train_sample_mod=0)
+
+
+def test_kcenter_arrow_matches_expr(spark):
+    """impl="arrow" swaps each hop's interpreted HOF sqdist for the
+    Arrow kernel; picks, ranks, and radii must be IDENTICAL including
+    the ascending-key argmax tiebreaks (exact fold replay +
+    Spark-exact rounding)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(tuple(r) for r in kcenter_select(emb, k=8).collect())
+    b = sorted(
+        tuple(r) for r in kcenter_select(emb, k=8, impl="arrow").collect()
+    )
+    assert a == b and len(a) == 8
+    # all-duplicate corpus: ties everywhere, distinct keys either way
+    rows = [(i, [1.0, 2.0]) for i in range(6)]
+    c = sorted(
+        tuple(r) for r in kcenter_select(_emb(spark, rows), k=4).collect()
+    )
+    d = sorted(
+        tuple(r)
+        for r in kcenter_select(
+            _emb(spark, rows), k=4, impl="arrow"
+        ).collect()
+    )
+    assert c == d
+    with pytest.raises(ValueError, match="impl"):
+        kcenter_select(_emb(spark, rows), k=2, impl="simd")

@@ -1172,3 +1172,94 @@ def test_train_ivf_centroids_gemm_assignment_matches(spark):
     a = S.train_ivf_centroids(emb, 8, iters=2)
     b = S.train_ivf_centroids(emb, 8, iters=2, assign_impl="gemm")
     assert a == b
+
+
+def test_train_ivf_centroids_engines_agree(spark):
+    """engine="numpy" (what auto resolves to — the driver-side Lloyd
+    loop) must produce IDENTICAL centroids to the in-engine sql spec
+    the q23 oracle unrolls, on real embeddings and on edge shapes:
+    zero-norm rows (NULL cosine → assigned nowhere), cells that lose
+    every member (keep previous centroid), fewer rows than cells."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for iters in (0, 1, 2):
+        a = S.train_ivf_centroids(emb, 8, iters=iters, engine="numpy")
+        b = S.train_ivf_centroids(emb, 8, iters=iters, engine="sql")
+        assert a == b, iters
+    edge = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),          # zero norm: no cell either engine
+            (2, [1.0, 0.0]),
+            (3, [0.9, 0.1]),
+            (4, [-1.0, 0.05]),
+            (None, [5.0, 5.0]),       # NULL key: excluded
+            (5, None),                # NULL vec: excluded
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    for cells in (2, 3, 10):
+        a = S.train_ivf_centroids(edge, cells, iters=3, engine="numpy")
+        b = S.train_ivf_centroids(edge, cells, iters=3, engine="sql")
+        assert a == b, cells
+    with pytest.raises(ValueError, match="engine"):
+        S.train_ivf_centroids(edge, 2, engine="simd")
+
+
+def test_train_ivf_centroids_auto_caps_collect(spark):
+    # max_train_rows mirrors pq_train's guard: auto-derived md5 sample
+    # applied before engine dispatch, identical across engines
+    from cloud_native_medical_data_etl_pipeline_spark.operators import similarity as S
+    from cloud_native_medical_data_etl_pipeline_spark.operators._sampling import (
+        hash_sample,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    capped_np = S.train_ivf_centroids(emb, 4, iters=1, max_train_rows=100)
+    capped_sql = S.train_ivf_centroids(
+        emb, 4, iters=1, max_train_rows=100, engine="sql"
+    )
+    n = emb.count()
+    explicit = S.train_ivf_centroids(
+        hash_sample(emb, "vec_id", -(-n // 100)), 4, iters=1,
+        max_train_rows=None,
+    )
+    assert capped_np == capped_sql == explicit
+
+
+def test_centroid_outlier_arrow_matches_expr(spark):
+    """impl="arrow" (the corpus-scan lever replacing the interpreted
+    per-row HOF cosine) must score bit-identically to the expression
+    path — real embeddings, plus NULL-embedding null-propagation and
+    the zero-norm → NULL divide contract."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = sorted(
+        tuple(r)
+        for r in similarity.centroid_outlier_scores(emb).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in similarity.centroid_outlier_scores(
+            emb, impl="arrow"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+    edge = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1),
+            (2, None, 1),
+            (3, [0.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    for impl in ("expr", "arrow"):
+        got = {
+            r["vec_id"]: r["centroid_cosine"]
+            for r in similarity.centroid_outlier_scores(
+                edge, impl=impl
+            ).collect()
+        }
+        assert got[2] is None and got[3] is None, impl
+        assert got[1] is not None, impl
+    with pytest.raises(ValueError, match="impl"):
+        similarity.centroid_outlier_scores(edge, impl="simd")
