@@ -6742,6 +6742,81 @@ LIMIT {_R138_TOPK}"""
     )
 
 
+# ---------------------------------------------------------------------------
+# q25b — multi-file backfill drain probe (the r8 single-batch fix made
+# driver-visible; tests/test_streaming.py pins the same hazard as a unit).
+# The events table is re-laid-out as THREE parquet files where the files
+# written LATER hold only events hours OLDER than the first file's max
+# timestamp, then drained through the append-mode watermarked pipeline
+# (streaming/events.py run_available_now).  A multi-batch drain advances
+# the watermark between files and silently drops the later files' rows as
+# late; the single-batch drain (max_files_per_trigger=None) moves the
+# watermark only after all input is in — so the finalized windows equal
+# the batch aggregation over ALL rows iff nothing was dropped, which is
+# exactly what the oracle checks.  Append mode emits only windows the
+# final watermark (max ts - 2 h) has passed; the oracle replays that
+# finalization rule in SQL.
+# ---------------------------------------------------------------------------
+def q25b_backfill_drain(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import events as SE
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # deterministic 3-way split: newest third FIRST (pushes the max
+    # timestamp high), strictly older rows in the later files — the
+    # global row_number sort is probe-harness-only, corpus-sized once
+    ranked = ev.withColumn(
+        "__rk",
+        F.row_number().over(
+            W.orderBy(F.col("ts").desc(), F.col("event_id").asc())
+        ),
+    )
+    n = ranked.count()
+    cut1, cut2 = max(n // 3, 1), max(2 * (n // 3), 2)
+    root = tempfile.mkdtemp(prefix="q25b_")
+    src = os.path.join(root, "in")
+    os.makedirs(src, exist_ok=True)
+    for fname, lo, hi in (
+        ("0.parquet", 1, cut1),
+        ("1.parquet", cut1 + 1, cut2),
+        ("2.parquet", cut2 + 1, n),
+    ):
+        stage = os.path.join(root, f"stage_{fname}")
+        (
+            ranked.where(F.col("__rk").between(lo, hi))
+            .drop("__rk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        shutil.move(
+            glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+            os.path.join(src, fname),
+        )
+        shutil.rmtree(stage)
+    out = os.path.join(root, "out")
+    SE.run_available_now(spark, src, out, os.path.join(root, "ck"))
+    return spark.read.parquet(out)
+
+
+Q25B_SQL = """
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events
+)
+SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM events, wm
+GROUP BY 1, 2, wm.w
+HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= wm.w
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -6751,7 +6826,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry holds 142.  Each round's first-50 window is chosen so
+    # registry holds 143.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green and no
     # query's evidence goes more than 3 rounds stale.
     #
@@ -6767,7 +6842,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     centroid_outlier_scores), q72 (assign_cells gemm NULL-mask);
     #   * the oldest r8 greens fill the remaining slots: q124/q125,
     #     q127-q135, q57, q59, q63b/q64b, q70/q71/q73-q76/q78-q80,
-    #     q123b (whose r8 row would hit the ceiling at r11).
+    #     q123b (whose r8 row would hit the ceiling at r11);
+    #   * q25b — the multi-file backfill drain probe, the ONE new
+    #     registration the r9 ledger allows this round (seat 50,
+    #     displacing q82 to the tail lead; q82's r8 row is due at
+    #     r11 anyway).
     # Left for the r11 window (their r8 rows hit the 3-round ceiling
     # there): q82-q90, q02, q08, q12, q17-q19, q25, q27-q29.
     # Displaced to the tail: every r9-green r9-window member
@@ -6827,6 +6906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_batch_retrieval": q79_batch_retrieval,
         "q80_stream_stream_join": q80_stream_stream_join,
         "q123b_fda_retry_scan": q123b_fda_retry_scan,
+        "q25b_backfill_drain": q25b_backfill_drain,
         # --- tail (51+): r8 greens reserved for the r11 lead, then
         # the fresh r9 greens, then rows-only ---
         "q82_mad_outliers": q82_mad_outliers,
@@ -6952,6 +7032,7 @@ def oracle_sql() -> dict[str, str]:
         "q23_ivf_topk": Q23_SQL,
         "q24_multimodal_features": _mm_sql(),
         "q25_streaming_hourly": Q25_SQL,
+        "q25b_backfill_drain": Q25B_SQL,
         "q26_anti_join": Q26_SQL,
         "q27_top_revenue": Q27_SQL,
         "q28_rollup_revenue": Q28_SQL,
