@@ -103,7 +103,15 @@ def main() -> None:
     # runs showed this host swings individual passes by ±15% with NO
     # code change (7.14/8.53/8.23 s across 3 back-to-back 2-pass runs),
     # and a third pass recovers most of that at ~4 s extra wall time.
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
+    # caller-unpersists contract (operators/dedup.py release): each
+    # query call persists fresh intermediates; without releasing them
+    # after the timed count, a multi-pass bench leaks passes x queries
+    # cached frames for the session's lifetime
+    from cloud_native_medical_data_etl_pipeline_spark.operators.dedup import (
+        release,
+    )
+
     timings: dict[str, float] = {}
     for _pass in range(passes):
         for name in HEADLINE:
@@ -112,6 +120,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = df.count()
             took = round(time.perf_counter() - t0, 3)
+            release(df)
             if name not in timings or took < timings[name]:
                 timings[name] = took
             if _pass:
