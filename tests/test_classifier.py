@@ -249,28 +249,55 @@ def test_sampled_training_rejects_bad_mod(spark):
         quality_classifier_scores(df, train_sample_mod=0)
 
 
-def test_kcenter_arrow_matches_expr(spark):
-    """impl="arrow" swaps each hop's interpreted HOF sqdist for the
-    Arrow kernel; picks, ranks, and radii must be IDENTICAL including
-    the ascending-key argmax tiebreaks (exact fold replay +
-    Spark-exact rounding)."""
+def test_kcenter_engines_and_impls_agree(spark):
+    """All three execution paths — the distributed sql loop (the
+    DuckDB-oracle spec), its impl="arrow" per-hop kernel swap, and
+    the engine="numpy" driver-side traversal that engine="auto"
+    dispatches to when the pool fits — must produce IDENTICAL picks,
+    ranks, and radii, including the ascending-key argmax tiebreaks
+    (exact fold replay + Spark-exact rounding everywhere)."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    a = sorted(tuple(r) for r in kcenter_select(emb, k=8).collect())
+    a = sorted(
+        tuple(r) for r in kcenter_select(emb, k=8, engine="sql").collect()
+    )
     b = sorted(
-        tuple(r) for r in kcenter_select(emb, k=8, impl="arrow").collect()
-    )
-    assert a == b and len(a) == 8
-    # all-duplicate corpus: ties everywhere, distinct keys either way
-    rows = [(i, [1.0, 2.0]) for i in range(6)]
-    c = sorted(
-        tuple(r) for r in kcenter_select(_emb(spark, rows), k=4).collect()
-    )
-    d = sorted(
         tuple(r)
         for r in kcenter_select(
-            _emb(spark, rows), k=4, impl="arrow"
+            emb, k=8, engine="sql", impl="arrow"
         ).collect()
     )
-    assert c == d
+    c = sorted(
+        tuple(r) for r in kcenter_select(emb, k=8, engine="numpy").collect()
+    )
+    d = sorted(tuple(r) for r in kcenter_select(emb, k=8).collect())
+    assert a == b == c == d and len(a) == 8
+    # all-duplicate corpus: ties everywhere, distinct keys every path
+    rows = [(i, [1.0, 2.0]) for i in range(6)]
+    dup = [
+        sorted(
+            tuple(r)
+            for r in kcenter_select(_emb(spark, rows), k=4, **kw).collect()
+        )
+        for kw in (
+            {"engine": "sql"},
+            {"engine": "sql", "impl": "arrow"},
+            {"engine": "numpy"},
+            {},
+        )
+    ]
+    assert dup[0] == dup[1] == dup[2] == dup[3]
     with pytest.raises(ValueError, match="impl"):
         kcenter_select(_emb(spark, rows), k=2, impl="simd")
+    with pytest.raises(ValueError, match="engine"):
+        kcenter_select(_emb(spark, rows), k=2, engine="simd")
+    # the numpy engine refuses a pool over the driver cap (selection
+    # is the output — sampling would change results); auto falls back
+    with pytest.raises(ValueError, match="max_driver_rows"):
+        kcenter_select(_emb(spark, rows), k=2, engine="numpy", max_driver_rows=3)
+    e = sorted(
+        tuple(r)
+        for r in kcenter_select(
+            _emb(spark, rows), k=4, max_driver_rows=3
+        ).collect()
+    )
+    assert e == dup[0]
