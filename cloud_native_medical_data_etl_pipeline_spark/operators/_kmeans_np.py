@@ -335,7 +335,8 @@ def _cosine_matrix(X: np.ndarray, C: np.ndarray) -> np.ndarray:
 
 
 def ivf_train_np(
-    rows: list,
+    keys: list,
+    X: np.ndarray,
     num_cells: int,
     iters: int,
     round_dp: int,
@@ -352,11 +353,14 @@ def ivf_train_np(
     centroid.  The summation ORDER under the mean round is the same
     tolerance-level channel the module doc calls out for pq_train_np;
     NaN-element vectors are likewise tolerance-level (Spark ranks NaN
-    greatest, numpy's argmax picks the first NaN lane)."""
-    rows = sorted(rows, key=lambda r: r["key"])
-    X = np.array([r["vec"] for r in rows], dtype=np.float64)
-    if X.shape[0] == 0:
+    greatest, numpy's argmax picks the first NaN lane).  Input is the
+    gathered (keys, float64 matrix) pool, the `kcenter_np`
+    convention."""
+    n = len(keys)
+    if n == 0:
         return []
+    order = sorted(range(n), key=keys.__getitem__)
+    X = np.asarray(X, dtype=np.float64)[order]
     cents = [[float(x) for x in X[i]] for i in range(min(num_cells, X.shape[0]))]
     for _ in range(iters):
         C = np.asarray(cents, dtype=np.float64)

@@ -139,11 +139,13 @@ def train_ivf_centroids(
     if engine != "sql":
         from ._kmeans_np import ivf_train_np
 
-        rows = clean.select(
-            F.col(key_col).alias("key"),
-            F.col(vec_col).cast("array<double>").alias("vec"),
-        ).collect()
-        return ivf_train_np(rows, num_cells, iters, round_dp)
+        keys, X = _gather_vectors(
+            clean.select(
+                F.col(key_col).alias("key"),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+            )
+        )
+        return ivf_train_np(keys, X, num_cells, iters, round_dp)
     init = [
         [float(x) for x in r[1]]
         for r in clean.select(key_col, vec_col)
