@@ -52,15 +52,80 @@ def cosine_topk(
     k: int = 10,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    impl: str = "expr",
 ) -> DataFrame:
     """Exact top-k by cosine similarity to a literal query vector.
     Deterministic tie-break on key. Returns (key, cosine) columns named
-    (<key_col>, cosine)."""
-    q = _lit_vec(query_vec)
-    scored = df.select(
-        F.col(key_col), F.round(V.cosine(F.col(vec_col), q), 6).alias("cosine")
-    )
+    (<key_col>, cosine).
+
+    ``impl="arrow"`` swaps the per-row interpreted HOF cosine for the
+    `_cosine_lit_arrow` kernel (exact fold replay + Spark-exact
+    rounding — bit-identical scores): this is THE full-corpus scan of
+    exact retrieval, so at 10⁹ rows the ~3·dim interpreted ops per
+    row are the bottleneck the kernel removes; the final top-k stays
+    Spark's TakeOrdered either way (per-partition heap + driver
+    merge, no shuffle)."""
+    if impl not in ("expr", "arrow"):
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
+    if impl == "arrow":
+        score = _cosine_lit_arrow(query_vec, 6)(
+            F.col(vec_col).cast("array<double>")
+        )
+    else:
+        score = F.round(V.cosine(F.col(vec_col), _lit_vec(query_vec)), 6)
+    scored = df.select(F.col(key_col), score.alias("cosine"))
     return scored.orderBy(F.col("cosine").desc(), F.col(key_col).asc()).limit(k)
+
+
+def _cosine_lit_arrow(query_vec: list[float], dp: int):
+    """Arrow kernel for ``round(cosine(vec, <literal query>), dp)`` —
+    `cosine_topk(impl="arrow")`'s scan lever.  Exact replica of
+    `vectors.cosine` against a constant query: dot and both squared
+    norms fold left-to-right per dimension, cos = dot /
+    (sqrt(nv)·sqrt(nq)), zero denominators → NULL (Spark's non-ANSI
+    divide), rounding via `_kmeans_np.round_spark`; NULL vectors
+    null-propagate."""
+    import numpy as np
+    import pandas as pd
+
+    from ._kmeans_np import round_spark
+
+    q = [float(x) for x in query_vec]
+    nq = 0.0
+    for x in q:
+        nq = nq + x * x
+    import math as _math
+
+    nq_root = _math.sqrt(nq)
+
+    def _fn(vs):
+        n = len(vs)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        valid = np.array([v is not None for v in vs], dtype=bool)
+        out = pd.Series([None] * n, dtype="object")
+        if valid.any():
+            M = np.array(
+                [np.asarray(v, dtype=np.float64) for v in vs[valid]]
+            )
+            dot = np.zeros(M.shape[0])
+            nv = np.zeros(M.shape[0])
+            for d in range(M.shape[1]):
+                dot = dot + M[:, d] * q[d]
+                nv = nv + M[:, d] * M[:, d]
+            denom = np.sqrt(nv) * nq_root
+            ok = denom != 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = round_spark(dot / np.where(ok, denom, 1.0), dp)
+            res = np.full(int(valid.sum()), None, dtype=object)
+            res[ok] = cos[ok]
+            o = out.to_numpy()
+            o[valid] = res
+            out = pd.Series(o, dtype="object")
+        return out
+
+    _fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_fn, "double")
 
 
 def train_ivf_centroids(

@@ -1263,3 +1263,31 @@ def test_centroid_outlier_arrow_matches_expr(spark):
         assert got[1] is not None, impl
     with pytest.raises(ValueError, match="impl"):
         similarity.centroid_outlier_scores(edge, impl="simd")
+
+
+def test_cosine_topk_arrow_matches_expr(spark):
+    """impl="arrow" (the exact-retrieval scan lever) must score and
+    rank bit-identically to the expression path, including NULL /
+    zero-norm propagation."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    a = [tuple(r) for r in similarity.cosine_topk(emb, q, k=20).collect()]
+    b = [
+        tuple(r)
+        for r in similarity.cosine_topk(emb, q, k=20, impl="arrow").collect()
+    ]
+    assert a == b and len(a) == 20
+    edge = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    for impl in ("expr", "arrow"):
+        got = {
+            r["vec_id"]: r["cosine"]
+            for r in similarity.cosine_topk(
+                edge, [1.0, 1.0], k=3, impl=impl
+            ).collect()
+        }
+        assert got[2] is None and got[3] is None and got[1] is not None, impl
+    with pytest.raises(ValueError, match="impl"):
+        similarity.cosine_topk(edge, [1.0, 1.0], impl="simd")
