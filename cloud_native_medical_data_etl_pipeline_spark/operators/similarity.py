@@ -114,9 +114,12 @@ def _cosine_lit_arrow(query_vec: list[float], dp: int):
                 dot = dot + M[:, d] * q[d]
                 nv = nv + M[:, d] * M[:, d]
             denom = np.sqrt(nv) * nq_root
-            ok = denom != 0
+            # zero denom → NULL (non-ANSI divide); non-finite (a NULL
+            # element's NaN) → NULL, like the expression fold
+            ok = np.isfinite(denom) & (denom != 0)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = round_spark(dot / np.where(ok, denom, 1.0), dp)
+            ok &= np.isfinite(cos)
             res = np.full(int(valid.sum()), None, dtype=object)
             res[ok] = cos[ok]
             o = out.to_numpy()
@@ -569,7 +572,15 @@ def _sqdist_lit_arrow(center: list[float], dp: int):
             for d in range(M.shape[1]):
                 t = M[:, d] - cw[d]
                 acc = acc + t * t
-            out[valid] = round_spark(acc, dp)
+            # NULL elements arrive as NaN and must null-propagate like
+            # the expression fold (NULL element → NULL distance)
+            ok = np.isfinite(acc)
+            res = np.full(M.shape[0], None, dtype=object)
+            if ok.any():
+                res[ok] = round_spark(acc[ok], dp)
+            o = out.to_numpy()
+            o[valid] = res
+            out = pd.Series(o, dtype="object")
         return out
 
     _fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
@@ -614,9 +625,12 @@ def _pair_cosine_arrow(dp: int):
                 na = na + A[:, d] * A[:, d]
                 nb = nb + B[:, d] * B[:, d]
             denom = np.sqrt(na) * np.sqrt(nb)
-            ok = denom != 0
+            # zero denom → NULL (non-ANSI divide); non-finite (a NULL
+            # element's NaN) → NULL, like the expression fold
+            ok = np.isfinite(denom) & (denom != 0)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = round_spark(dot / np.where(ok, denom, 1.0), dp)
+            ok &= np.isfinite(cos)
             res = np.full(valid.shape[0], None, dtype=object)
             res[np.flatnonzero(valid)[ok]] = cos[ok]
             out[:] = res

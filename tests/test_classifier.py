@@ -286,6 +286,21 @@ def test_kcenter_engines_and_impls_agree(spark):
         )
     ]
     assert dup[0] == dup[1] == dup[2] == dup[3]
+    # element-level NULLs null-propagate identically (NULL distance
+    # never overwrites dmin, NULL radius rows sort last)
+    en = [(1, [0.0, 0.0]), (2, [None, 1.0]), (3, [5.0, 5.0]), (4, [1.0, 9.0])]
+    across = [
+        sorted(
+            tuple(r)
+            for r in kcenter_select(_emb(spark, en), k=3, **kw).collect()
+        )
+        for kw in (
+            {"engine": "sql"},
+            {"engine": "sql", "impl": "arrow"},
+            {"engine": "numpy"},
+        )
+    ]
+    assert across[0] == across[1] == across[2]
     with pytest.raises(ValueError, match="impl"):
         kcenter_select(_emb(spark, rows), k=2, impl="simd")
     with pytest.raises(ValueError, match="engine"):

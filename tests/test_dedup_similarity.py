@@ -1249,6 +1249,7 @@ def test_centroid_outlier_arrow_matches_expr(spark):
             (1, [1.0, 0.0], 1),
             (2, None, 1),
             (3, [0.0, 0.0], 1),
+            (4, [None, 1.0], 2),
         ],
         "vec_id long, embedding array<float>, label int",
     )
@@ -1259,7 +1260,7 @@ def test_centroid_outlier_arrow_matches_expr(spark):
                 edge, impl=impl
             ).collect()
         }
-        assert got[2] is None and got[3] is None, impl
+        assert got[2] is None and got[3] is None and got[4] is None, impl
         assert got[1] is not None, impl
     with pytest.raises(ValueError, match="impl"):
         similarity.centroid_outlier_scores(edge, impl="simd")
@@ -1278,16 +1279,17 @@ def test_cosine_topk_arrow_matches_expr(spark):
     ]
     assert a == b and len(a) == 20
     edge = spark.createDataFrame(
-        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 0.0])],
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 0.0]), (4, [None, 1.0])],
         "vec_id long, embedding array<float>",
     )
     for impl in ("expr", "arrow"):
         got = {
             r["vec_id"]: r["cosine"]
             for r in similarity.cosine_topk(
-                edge, [1.0, 1.0], k=3, impl=impl
+                edge, [1.0, 1.0], k=4, impl=impl
             ).collect()
         }
-        assert got[2] is None and got[3] is None and got[1] is not None, impl
+        assert got[2] is None and got[3] is None and got[4] is None, impl
+        assert got[1] is not None, impl
     with pytest.raises(ValueError, match="impl"):
         similarity.cosine_topk(edge, [1.0, 1.0], impl="simd")
