@@ -721,6 +721,8 @@ def cosine_topk_batch(
     query_vec_col: str = "embedding",
     query_key_col: str = "query_id",
     round_dp: int = 6,
+    impl: str = "expr",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact top-k retrieval for a BATCH of query vectors in one corpus
     pass — the evaluation-retrieval shape (score every benchmark query
@@ -738,20 +740,52 @@ def cosine_topk_batch(
     so only each query's running top-k survives to the final shuffle.
     Beyond broadcastable query counts, loop over query chunks; beyond
     exact-scan budgets, IVF (build_ivf_index) is the path.
+
+    ``impl="gemm"`` is the scan lever: the m·|corpus| interpreted HOF
+    cosines (~3·dim interpreted ops EACH — the per-pair cost the
+    broadcast NLJ pays) become one (batch×dim)·(dim×m) exact-fold
+    pass per Arrow batch, emitted as a per-row score array and
+    posexploded back to the identical long form — bit-identical
+    scores/ranks (exact fold replay + Spark-exact rounding, NULL
+    corpus/query vectors and zero norms null-propagate like the
+    expression path).  The query side collects driver-side (it
+    broadcasts anyway); ``max_query_rows`` guards the gather.
     """
     from pyspark.sql import Window
 
+    if impl not in ("expr", "gemm"):
+        raise ValueError(f"impl must be 'expr' or 'gemm', got {impl!r}")
     cd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qd = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
     c = corpus.select(F.col(key_col), cd.alias("__cv"))
     q = queries.select(F.col(query_key_col), qd.alias("__qv"))
-    scored = c.crossJoin(F.broadcast(q)).select(
-        query_key_col,
-        key_col,
-        F.round(V.cosine(F.col("__cv"), F.col("__qv")), round_dp).alias(
-            "cosine"
-        ),
-    )
+    if impl == "gemm":
+        qrows = q.limit(max_query_rows + 1).collect()
+        if len(qrows) > max_query_rows:
+            raise ValueError(
+                f"cosine_topk_batch(impl='gemm') refuses > "
+                f"{max_query_rows} query rows — chunk the queries or "
+                "use impl='expr'"
+            )
+        qkeys = [r[0] for r in qrows]
+        qvecs = [r[1] for r in qrows]
+        qk_arr = F.array(*[F.lit(kk) for kk in qkeys])
+        scores = _batch_cosine_arrow(qvecs, round_dp)(F.col("__cv"))
+        scored = c.select(
+            F.col(key_col), F.posexplode(scores).alias("__qi", "cosine")
+        ).select(
+            F.element_at(qk_arr, F.col("__qi") + 1).alias(query_key_col),
+            key_col,
+            "cosine",
+        )
+    else:
+        scored = c.crossJoin(F.broadcast(q)).select(
+            query_key_col,
+            key_col,
+            F.round(V.cosine(F.col("__cv"), F.col("__qv")), round_dp).alias(
+                "cosine"
+            ),
+        )
     w = Window.partitionBy(query_key_col).orderBy(
         F.col("cosine").desc(), F.col(key_col).asc()
     )
@@ -760,6 +794,59 @@ def cosine_topk_batch(
         .where(F.col("rank") <= k)
         .select(query_key_col, key_col, "cosine", "rank")
     )
+
+
+def _batch_cosine_arrow(qvecs: list, dp: int):
+    """Arrow kernel behind `cosine_topk_batch(impl="gemm")`: one
+    array<double> of per-query cosines per corpus row, computed over
+    the whole Arrow batch with `_kmeans_np._cosine_matrix`'s exact
+    left-to-right folds and Spark-exact rounding.  NULL corpus rows
+    emit an all-NULL array; NULL query vectors own an all-NULL column;
+    zero norms and NULL elements (NaN lanes) null-propagate — each
+    matching the expression path's divide/fold semantics."""
+    import numpy as np
+    import pandas as pd
+
+    from ._kmeans_np import _cosine_matrix, round_spark
+
+    m = len(qvecs)
+    q_ok = [i for i, v in enumerate(qvecs) if v is not None]
+    Q = (
+        np.array([np.asarray(qvecs[i], dtype=np.float64) for i in q_ok])
+        if q_ok
+        else None
+    )
+
+    def _fn(vs):
+        n = len(vs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        valid = np.array([v is not None for v in vs], dtype=bool)
+        out = np.full(n, None, dtype=object)
+        null_row = [None] * m
+        for i in np.flatnonzero(~valid):
+            out[i] = null_row
+        if valid.any() and Q is not None:
+            M = np.array(
+                [np.asarray(v, dtype=np.float64) for v in vs[valid]]
+            )
+            cos = _cosine_matrix(M, Q)
+            ok = np.isfinite(cos)
+            with np.errstate(invalid="ignore"):
+                cos = round_spark(np.where(ok, cos, 0.0), dp)
+            for i, r_ok, r_cos in zip(np.flatnonzero(valid), ok, cos):
+                row = null_row.copy()
+                for j, qi in enumerate(q_ok):
+                    if r_ok[j]:
+                        row[qi] = float(r_cos[j])
+                out[i] = row
+        elif valid.any():
+            for i in np.flatnonzero(valid):
+                out[i] = null_row
+        return pd.Series(out, dtype=object)
+
+    _fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_fn, "array<double>")
 
 
 def mutual_nearest_neighbors(

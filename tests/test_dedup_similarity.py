@@ -1293,3 +1293,50 @@ def test_cosine_topk_arrow_matches_expr(spark):
         assert got[1] is not None, impl
     with pytest.raises(ValueError, match="impl"):
         similarity.cosine_topk(edge, [1.0, 1.0], impl="simd")
+
+
+def test_cosine_topk_batch_gemm_matches_expr(spark):
+    """impl="gemm" (one exact-fold batch pass instead of m·|corpus|
+    interpreted HOF cosines) must emit identical (query, key, cosine,
+    rank) rows to the broadcast-NLJ expression path, including NULL
+    corpus vectors, NULL query vectors, and zero norms."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(
+        tuple(r)
+        for r in similarity.cosine_topk_batch(emb, queries, k=7).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in similarity.cosine_topk_batch(
+            emb, queries, k=7, impl="gemm"
+        ).collect()
+    )
+    assert a == b and len(a) == 35
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 0.0]), (4, [None, 2.0]), (5, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    qs = spark.createDataFrame(
+        [(10, [1.0, 1.0]), (11, None), (12, [3.0, -1.0])],
+        "query_id long, embedding array<float>",
+    )
+    x = sorted(
+        tuple(r)
+        for r in similarity.cosine_topk_batch(corpus, qs, k=5).collect()
+    )
+    y = sorted(
+        tuple(r)
+        for r in similarity.cosine_topk_batch(
+            corpus, qs, k=5, impl="gemm"
+        ).collect()
+    )
+    assert x == y
+    with pytest.raises(ValueError, match="impl"):
+        similarity.cosine_topk_batch(corpus, qs, impl="simd")
+    with pytest.raises(ValueError, match="query rows"):
+        similarity.cosine_topk_batch(
+            corpus, qs, impl="gemm", max_query_rows=2
+        )
