@@ -858,6 +858,8 @@ def mutual_nearest_neighbors(
     a_out: str = "a_key",
     b_out: str = "b_key",
     round_dp: int = 6,
+    impl: str = "expr",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Mutual-nearest-neighbor alignment between two embedding sets —
     the bitext/dataset-alignment primitive (Artetxe & Schwenk's margin
@@ -881,19 +883,47 @@ def mutual_nearest_neighbors(
     oracle-reproducible.  Beyond broadcastable |a|, run per-chunk or
     swap the scoring leg for IVF (build_ivf_index) — the mutuality
     logic is unchanged.
+
+    ``impl="gemm"`` swaps the |a|·|b| interpreted per-pair HOF
+    cosines for the `cosine_topk_batch` batch kernel (exact folds,
+    Spark-exact rounding, identical null propagation — bit-identical
+    scored frame); the ``a`` side collects driver-side behind
+    ``max_query_rows`` (it broadcast anyway).
     """
     from pyspark.sql import Window
 
+    if impl not in ("expr", "gemm"):
+        raise ValueError(f"impl must be 'expr' or 'gemm', got {impl!r}")
     cd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bb = b.select(F.col(b_key).alias("__bk"), cd.alias("__bv"))
     aa = a.select(F.col(a_key).alias("__ak"), cd.alias("__av"))
-    scored = bb.crossJoin(F.broadcast(aa)).select(
-        "__ak",
-        "__bk",
-        F.round(V.cosine(F.col("__av"), F.col("__bv")), round_dp).alias(
-            "cosine"
-        ),
-    )
+    if impl == "gemm":
+        arows = aa.limit(max_query_rows + 1).collect()
+        if len(arows) > max_query_rows:
+            raise ValueError(
+                f"mutual_nearest_neighbors(impl='gemm') refuses > "
+                f"{max_query_rows} query rows — chunk side a or use "
+                "impl='expr'"
+            )
+        ak_arr = F.array(*[F.lit(r[0]) for r in arows])
+        scores = _batch_cosine_arrow(
+            [r[1] for r in arows], round_dp
+        )(F.col("__bv"))
+        scored = bb.select(
+            "__bk", F.posexplode(scores).alias("__qi", "cosine")
+        ).select(
+            F.element_at(ak_arr, F.col("__qi") + 1).alias("__ak"),
+            "__bk",
+            "cosine",
+        )
+    else:
+        scored = bb.crossJoin(F.broadcast(aa)).select(
+            "__ak",
+            "__bk",
+            F.round(V.cosine(F.col("__av"), F.col("__bv")), round_dp).alias(
+                "cosine"
+            ),
+        )
     w_ab = Window.partitionBy("__ak").orderBy(
         F.col("cosine").desc(), F.col("__bk").asc()
     )
@@ -927,6 +957,8 @@ def hard_negatives(
     label_col: str = "label",
     query_key_col: str = "vec_id",
     round_dp: int = 6,
+    impl: str = "expr",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for each query
     item, the ``k`` most-similar corpus items whose label DIFFERS —
@@ -946,9 +978,17 @@ def hard_negatives(
     query sets: chunk the queries, or generate candidates with the
     IVF index and re-rank — the mismatch predicate composes
     unchanged.
+
+    ``impl="gemm"`` scores through the `cosine_topk_batch` batch
+    kernel and applies the same label-mismatch predicate on the
+    exploded rows — identical output (same-label pairs cost GEMM
+    flops instead of being predicate-pruned pre-score, a trade that
+    favors gemm well before the per-pair interpreted cost does).
     """
     from pyspark.sql import Window
 
+    if impl not in ("expr", "gemm"):
+        raise ValueError(f"impl must be 'expr' or 'gemm', got {impl!r}")
     cd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     c = corpus.select(
         F.col(key_col), cd.alias("__cv"), F.col(label_col).alias("__cl")
@@ -958,23 +998,57 @@ def hard_negatives(
         cd.alias("__qv"),
         F.col(label_col).alias("__ql"),
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        # NULL-labeled rows match nothing negatively: a NULL label is
-        # "unknown", not "different from everything"
-        .where(
-            F.col("__cl").isNotNull()
-            & F.col("__ql").isNotNull()
-            & (F.col("__cl") != F.col("__ql"))
+    if impl == "gemm":
+        qrows = q.limit(max_query_rows + 1).collect()
+        if len(qrows) > max_query_rows:
+            raise ValueError(
+                f"hard_negatives(impl='gemm') refuses > "
+                f"{max_query_rows} query rows — chunk the queries or "
+                "use impl='expr'"
+            )
+        qk_arr = F.array(*[F.lit(r[0]) for r in qrows])
+        ql_arr = F.array(*[F.lit(r[2]) for r in qrows])
+        scores = _batch_cosine_arrow(
+            [r[1] for r in qrows], round_dp
+        )(F.col("__cv"))
+        scored = (
+            c.select(
+                F.col(key_col),
+                F.col("__cl"),
+                F.posexplode(scores).alias("__qi", "cosine"),
+            )
+            .select(
+                F.element_at(qk_arr, F.col("__qi") + 1).alias("query_key"),
+                F.element_at(ql_arr, F.col("__qi") + 1).alias("__ql"),
+                F.col(key_col),
+                F.col("__cl"),
+                "cosine",
+            )
+            .where(
+                F.col("__cl").isNotNull()
+                & F.col("__ql").isNotNull()
+                & (F.col("__cl") != F.col("__ql"))
+            )
+            .select("query_key", key_col, "cosine")
         )
-        .select(
-            F.col("__qk").alias("query_key"),
-            F.col(key_col),
-            F.round(V.cosine(F.col("__cv"), F.col("__qv")), round_dp).alias(
-                "cosine"
-            ),
+    else:
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            # NULL-labeled rows match nothing negatively: a NULL label
+            # is "unknown", not "different from everything"
+            .where(
+                F.col("__cl").isNotNull()
+                & F.col("__ql").isNotNull()
+                & (F.col("__cl") != F.col("__ql"))
+            )
+            .select(
+                F.col("__qk").alias("query_key"),
+                F.col(key_col),
+                F.round(
+                    V.cosine(F.col("__cv"), F.col("__qv")), round_dp
+                ).alias("cosine"),
+            )
         )
-    )
     w = Window.partitionBy("query_key").orderBy(
         F.col("cosine").desc(), F.col(key_col).asc()
     )

@@ -1340,3 +1340,62 @@ def test_cosine_topk_batch_gemm_matches_expr(spark):
         similarity.cosine_topk_batch(
             corpus, qs, impl="gemm", max_query_rows=2
         )
+
+
+def test_mutual_nn_and_hard_negatives_gemm_match_expr(spark):
+    """The gemm scoring leg must leave mutual-NN pairs and hard-
+    negative rankings bit-identical to the expression path, including
+    NULL vectors and NULL labels."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = emb.where(F.col("vec_id") < 20)
+    b = emb.where(F.col("vec_id") >= 20)
+    x = sorted(
+        tuple(r)
+        for r in similarity.mutual_nearest_neighbors(a, b).collect()
+    )
+    y = sorted(
+        tuple(r)
+        for r in similarity.mutual_nearest_neighbors(
+            a, b, impl="gemm"
+        ).collect()
+    )
+    assert x == y and len(x) > 0
+    hx = sorted(
+        tuple(r)
+        for r in similarity.hard_negatives(emb, a, k=3).collect()
+    )
+    hy = sorted(
+        tuple(r)
+        for r in similarity.hard_negatives(
+            emb, a, k=3, impl="gemm"
+        ).collect()
+    )
+    assert hx == hy and len(hx) > 0
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "en"),
+            (2, None, "de"),
+            (3, [0.5, 0.5], None),
+            (4, [0.0, 1.0], "fr"),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    qs = spark.createDataFrame(
+        [(10, [1.0, 0.2], "en"), (11, None, "fr"), (12, [2.0, 1.0], None)],
+        "vec_id long, embedding array<float>, label string",
+    )
+    for fn, kw in (
+        (similarity.hard_negatives, {"k": 4}),
+        (similarity.mutual_nearest_neighbors, {}),
+    ):
+        e = sorted(tuple(r) for r in fn(corpus, qs, **kw).collect())
+        g = sorted(
+            tuple(r) for r in fn(corpus, qs, impl="gemm", **kw).collect()
+        )
+        assert e == g, fn.__name__
+    with pytest.raises(ValueError, match="query rows"):
+        similarity.hard_negatives(corpus, qs, impl="gemm", max_query_rows=1)
+    with pytest.raises(ValueError, match="query rows"):
+        similarity.mutual_nearest_neighbors(
+            qs, corpus, impl="gemm", max_query_rows=1
+        )
