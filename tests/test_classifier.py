@@ -316,3 +316,20 @@ def test_kcenter_engines_and_impls_agree(spark):
         ).collect()
     )
     assert e == dup[0]
+
+
+def test_train_logreg_numpy_engine_matches_sql(spark):
+    """engine="numpy" (the opt-in many-step lever — 32 driver
+    round-trips become one gather) must reproduce the sql spec's
+    weights on the driver corpus; equality is tolerance-level by
+    contract (exp/mean channels under the rounding grain), pinned
+    exact here empirically."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feat = featurize_documents(docs).localCheckpoint()
+    a = train_logreg(feat, iterations=8)
+    b = train_logreg(feat, iterations=8, engine="numpy")
+    assert a == b
+    with pytest.raises(ValueError, match="engine"):
+        train_logreg(feat, engine="simd")
+    with pytest.raises(ValueError, match="max_train_rows"):
+        train_logreg(feat, engine="numpy", max_train_rows=5)
