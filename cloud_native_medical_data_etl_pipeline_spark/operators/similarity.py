@@ -482,11 +482,18 @@ def ivf_topk_indexed(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     nprobe: int = 4,
+    impl: str = "expr",
 ) -> DataFrame:
     """Query a build_ivf_index table: rank cells by centroid cosine on
     the driver (centroid set is tiny), then scan ONLY the nprobe
     nearest cell partitions — the cell_id filter is a partition-pruning
-    predicate, so unprobed cells cost zero IO."""
+    predicate, so unprobed cells cost zero IO.  ``impl="arrow"`` swaps
+    the probe scan's interpreted HOF cosine for the `cosine_topk`
+    kernel (bit-identical scores) — the same lever, applied after the
+    pruning has already cut the scan to nprobe/num_cells of the
+    corpus."""
+    if impl not in ("expr", "arrow"):
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
     centroids = {
         r["cell_id"]: [float(x) for x in r["centroid"]]
         for r in spark.read.parquet(f"{path}/_ivf_centroids").collect()
@@ -495,13 +502,16 @@ def ivf_topk_indexed(
         centroids, key=lambda i: -_py_cosine(query_vec, centroids[i])
     )
     probes = probe_order[:nprobe]
-    q = _lit_vec(query_vec)
+    if impl == "arrow":
+        score = _cosine_lit_arrow(query_vec, 6)(
+            F.col(vec_col).cast("array<double>")
+        )
+    else:
+        score = F.round(V.cosine(F.col(vec_col), _lit_vec(query_vec)), 6)
     return (
         spark.read.parquet(path)
         .where(F.col("cell_id").isin(probes))
-        .select(
-            F.col(key_col), F.round(V.cosine(F.col(vec_col), q), 6).alias("cosine")
-        )
+        .select(F.col(key_col), score.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(key_col).asc())
         .limit(k)
     )

@@ -243,6 +243,13 @@ def test_ivf_index_roundtrip_matches_inline(spark, tmp_path):
     assert [(r["vec_id"], r["cosine"]) for r in indexed] == [
         (r["vec_id"], r["cosine"]) for r in inline
     ]
+    # the arrow probe-scan kernel scores bit-identically
+    arrow = S.ivf_topk_indexed(
+        spark, idx, q, k=10, nprobe=4, impl="arrow"
+    ).collect()
+    assert [tuple(r) for r in arrow] == [tuple(r) for r in indexed]
+    with pytest.raises(ValueError, match="impl"):
+        S.ivf_topk_indexed(spark, idx, q, impl="simd")
 
 
 def test_ivf_index_scan_prunes_partitions(spark, tmp_path):
