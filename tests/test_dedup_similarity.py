@@ -1406,3 +1406,30 @@ def test_mutual_nn_and_hard_negatives_gemm_match_expr(spark):
         similarity.mutual_nearest_neighbors(
             qs, corpus, impl="gemm", max_query_rows=1
         )
+
+
+def test_gemm_lever_plan_shapes(spark, tmp_path):
+    """Plan pins for the r10 kernel levers: the gemm batch scorer must
+    NOT plan a broadcast nested-loop join (that is exactly the shape
+    it replaces — the score array + Generate carries the fan-out
+    instead), and the arrow probe scan must keep the partition-pruned
+    read (the UDF must not defeat PartitionFilters)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gemm = similarity.cosine_topk_batch(emb, queries, k=3, impl="gemm")
+    plan = gemm._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the posexplode fan-out
+    expr = similarity.cosine_topk_batch(emb, queries, k=3)
+    eplan = expr._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in eplan  # the shape being replaced
+    # arrow probe scan keeps pruning
+    q = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    idx = str(tmp_path / "ivf_arrow")
+    similarity.build_ivf_index(emb, idx, num_cells=8)
+    df = similarity.ivf_topk_indexed(spark, idx, q, k=5, nprobe=2, impl="arrow")
+    aplan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in aplan and "cell_id" in aplan
+    assert df.count() == 5
