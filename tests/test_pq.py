@@ -368,6 +368,14 @@ def test_round_spark_matches_f_round_live(spark):
     vals += [0.0009765625, 0.0078125, 0.5e-9, 1.5e-9, 2.5e-9, 0.1234567895]
     rng = np.random.default_rng(7)
     vals += [float(x) for x in (rng.random(200) - 0.5) * 20]
+    # magnitude sweep: the scaled value crosses binades and the
+    # 2^51 magic-add guard boundary
+    vals += [
+        float(x) * 10.0**e
+        for e in range(-12, 13, 3)
+        for x in (rng.random(8) - 0.5)
+    ]
+    vals += [2.0**51 / 1e9, 2.0**52 / 1e9, 2.0**51, 2.0**52]
     df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
     for dp in (6, 9):
         want = {
