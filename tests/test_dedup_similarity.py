@@ -1433,3 +1433,44 @@ def test_gemm_lever_plan_shapes(spark, tmp_path):
     aplan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in aplan and "cell_id" in aplan
     assert df.count() == 5
+
+
+def test_gather_vectors_matches_row_collect(spark):
+    """`_gather_vectors` (the Arrow flat-buffer gather every driver-
+    side engine rides) must reproduce a Row collect exactly: same key
+    order, same float64 values (float→double widening is exact), NULL
+    ELEMENTS as NaN, and a loud error on ragged vectors."""
+    import math
+
+    import numpy as np
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.similarity import (
+        _gather_vectors,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("key"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+        )
+    )
+    keys, X = _gather_vectors(emb)
+    rows = {r["key"]: r["vec"] for r in emb.collect()}
+    assert sorted(keys) == sorted(rows)
+    for i, k in enumerate(keys):
+        assert X[i].tolist() == rows[k]
+    # NULL elements arrive as NaN
+    df = spark.createDataFrame(
+        [(1, [1.0, None]), (2, [3.0, 4.0])], "key long, vec array<double>"
+    )
+    keys2, X2 = _gather_vectors(df)
+    byk = dict(zip(keys2, X2))
+    assert math.isnan(byk[1][1]) and byk[1][0] == 1.0
+    assert byk[2].tolist() == [3.0, 4.0]
+    # ragged vectors cannot silently reshape
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0])], "key long, vec array<double>"
+    )
+    with pytest.raises(ValueError):
+        _gather_vectors(ragged)
