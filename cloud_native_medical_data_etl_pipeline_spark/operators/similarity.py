@@ -258,6 +258,7 @@ def ivf_topk(
     num_cells: int = 16,
     nprobe: int = 4,
     train_iters: int = 2,
+    impl: str = "expr",
 ) -> DataFrame:
     """IVF approximate top-k.
 
@@ -267,23 +268,31 @@ def ivf_topk(
     with its nearest cell (centroids broadcast as literals); queries
     touch only `nprobe` cells, i.e. ~nprobe/num_cells of the data.
     With the table written partitioned by cell_id, partition pruning
-    makes that literal.
+    makes that literal.  ``impl`` feeds BOTH per-row passes the
+    family's vectorized kernels: the assignment map pass takes
+    `assign_cells(impl="gemm")` and the probe scan the `cosine_topk`
+    arrow kernel — bit-identical results either way.
     """
+    if impl not in ("expr", "gemm"):
+        raise ValueError(f"impl must be 'expr' or 'gemm', got {impl!r}")
     centroids = train_ivf_centroids(
         df, num_cells, vec_col, key_col, iters=train_iters
     )
-    assigned = assign_cells(df, centroids, vec_col)
+    assigned = assign_cells(df, centroids, vec_col, impl=impl)
     probe_order = sorted(
         range(len(centroids)),
         key=lambda i: -_py_cosine(query_vec, centroids[i]),
     )
     probes = probe_order[:nprobe]
-    q = _lit_vec(query_vec)
+    if impl == "gemm":
+        score = _cosine_lit_arrow(query_vec, 6)(
+            F.col(vec_col).cast("array<double>")
+        )
+    else:
+        score = F.round(V.cosine(F.col(vec_col), _lit_vec(query_vec)), 6)
     return (
         assigned.where(F.col("cell_id").isin(probes))
-        .select(
-            F.col(key_col), F.round(V.cosine(F.col(vec_col), q), 6).alias("cosine")
-        )
+        .select(F.col(key_col), score.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(key_col).asc())
         .limit(k)
     )

@@ -162,6 +162,22 @@ def test_ivf_topk_overlaps_exact(spark):
     # overlap the exact set substantially
     assert 3 in approx
     assert len(set(exact) & set(approx)) >= 5
+    # the gemm/arrow kernel pair produces identical rows end to end
+    gemm = [
+        tuple(r)
+        for r in similarity.ivf_topk(
+            emb, q, k=10, num_cells=8, nprobe=4, impl="gemm"
+        ).collect()
+    ]
+    expr = [
+        tuple(r)
+        for r in similarity.ivf_topk(
+            emb, q, k=10, num_cells=8, nprobe=4
+        ).collect()
+    ]
+    assert gemm == expr
+    with pytest.raises(ValueError, match="impl"):
+        similarity.ivf_topk(emb, q, impl="simd")
 
 
 def test_text_functions(spark):
