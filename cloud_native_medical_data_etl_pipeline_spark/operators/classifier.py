@@ -244,9 +244,14 @@ def quality_classifier_scores(
     lr: float = 2.0,
     iterations: int = 32,
     train_sample_mod: int | None = None,
+    engine: str = "sql",
 ) -> DataFrame:
     """End-to-end: featurize -> train (GD, driver sees only d+1
     scalars per step) -> score every document with the learned model.
+    ``engine`` is `train_logreg`'s executor switch ("numpy" collapses
+    the per-step round-trips; "sql" — the default and the q135 oracle
+    spec — keeps training in-engine; see train_logreg for the
+    tolerance contract).
 
     The feature frame is localCheckpoint-ed once so the `iterations`
     gradient aggregates and the final scoring pass all reuse the same
@@ -269,5 +274,5 @@ def quality_classifier_scores(
         from ._sampling import hash_sample
 
         train = hash_sample(feat, "key", train_sample_mod)
-    w = train_logreg(train, lr=lr, iterations=iterations)
+    w = train_logreg(train, lr=lr, iterations=iterations, engine=engine)
     return score_logreg(feat, w)

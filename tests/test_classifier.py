@@ -331,5 +331,20 @@ def test_train_logreg_numpy_engine_matches_sql(spark):
     assert a == b
     with pytest.raises(ValueError, match="engine"):
         train_logreg(feat, engine="simd")
+    # the end-to-end scorer exposes the same switch; scores identical
+    from cloud_native_medical_data_etl_pipeline_spark.operators.classifier import (
+        quality_classifier_scores,
+    )
+
+    e2e_sql = sorted(
+        tuple(r) for r in quality_classifier_scores(docs, iterations=4).collect()
+    )
+    e2e_np = sorted(
+        tuple(r)
+        for r in quality_classifier_scores(
+            docs, iterations=4, engine="numpy"
+        ).collect()
+    )
+    assert e2e_sql == e2e_np
     with pytest.raises(ValueError, match="max_train_rows"):
         train_logreg(feat, engine="numpy", max_train_rows=5)
