@@ -6830,85 +6830,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # that consecutive rounds jointly cover every query green and no
     # query's evidence goes more than 3 rounds stale.
     #
-    # Round 10 window, exactly as the §8.3 r9 ledger row pre-commits:
-    #   * q107-q122 + q123 — the r6-evidenced greens whose rows turn
-    #     3 rounds stale this round (17 slots), lead;
-    #   * the r10-touched kernels, all of them r8/r9 greens whose
-    #     re-evidence doubles as r8-coverage: q137/q138 (pq_train
-    #     collect guard + exact Spark-semantics rounding in the numpy
-    #     engine), q23/q126 (train_ivf_centroids grows the same
-    #     engine="auto" driver-side numpy path), q136/q77 (GEMM
-    #     assignment lever propagated to kcenter_select and
-    #     centroid_outlier_scores), q72 (assign_cells gemm NULL-mask);
-    #   * the oldest r8 greens fill the remaining slots: q124/q125,
-    #     q127-q135, q57, q59, q63b/q64b, q70/q71/q73-q76/q78-q80,
-    #     q123b (whose r8 row would hit the ceiling at r11);
-    #   * q25b — the multi-file backfill drain probe, the ONE new
-    #     registration the r9 ledger allows this round (seat 50,
-    #     displacing q82 to the tail lead; q82's r8 row is due at
-    #     r11 anyway).
-    # Left for the r11 window (their r8 rows hit the 3-round ceiling
-    # there): q82-q90, q02, q08, q12, q17-q19, q25, q27-q29.
-    # Displaced to the tail: every r9-green r9-window member
-    # (q30/q31, q91-q106, q24, q07, q81, q35-q41, q43-q49, q54-q56,
-    # q58, q60-q62, q65-q69, q03) and rows-only q63/q64.
+    # Round 11 window — the r10 verdict's evidence-integrity plan,
+    # recomputed mechanically by tools/rotation_check.py (which now
+    # fails pytest if this window would let any query's evidence
+    # exceed the 3-round ceiling):
+    #   * the 24 queries the r10 ledger orphaned at r7 evidence
+    #     (overdue — they were due in the r10 window): q01, q04-q06,
+    #     q09-q11, q13-q16, q20/q20b, q21, q22, q26, q32-q34, q42,
+    #     q50-q53 — LEAD;
+    #   * the 19 r8 greens at the 3-round ceiling this round:
+    #     q82-q90, q02, q08, q12, q17-q19, q25, q27-q29;
+    #   * the 5 r11-touched kernels (ADVICE fixes — every one is
+    #     output-identical on the driver corpus, re-pinned by the
+    #     oracle suite before this window was spent): q23/q126
+    #     (train_ivf_centroids defaults: engine back to "sql", the
+    #     oracle spec executor, and max_train_rows now opt-in so the
+    #     default path trains on the exact uncapped pool the oracle
+    #     unrolls; "auto" falls back to sql above the driver-gather
+    #     cap instead of silently sampling), q136 (kcenter numpy
+    #     argmax restricted to alive lanes — the all-NaN-candidate
+    #     duplicate-pick bug — plus the sql loop's NULL-radius
+    #     guard), q137/q138 (pq_train max_train_rows now opt-in,
+    #     same contract as train_ivf_centroids);
+    #   * the 2 oldest r9 greens fill to 50: q30/q31.
+    #   ZERO new registrations (the r10 verdict's hard constraint —
+    #   the registry runs at ~96% of rotation capacity).
+    # Tail (51+) is ordered so r12 inherits a solved schedule: the 46
+    # r9 greens that hit the ceiling at r12 (q91-q106, q24, q07, q81,
+    # q35-q41, q43-q49, q54-q56, q58, q60-q62, q65-q69, q03) come
+    # first, then the r10/r11 greens (q107-q123b, q124/q125,
+    # q127-q135, q57, q59, q63b/q64b, q70-q80, q25b), then rows-only
+    # q63/q64 (correctness signal lives in q63b/q64b).
     # Ledger: SURVEY.md §8.3.
     return {
-        # --- r10 window: the 17 r6 greens at the staleness ceiling ---
-        "q107_bigram_surprisal": q107_bigram_surprisal,
-        "q108_lexical_diversity": q108_lexical_diversity,
-        "q109_quantize_embeddings": q109_quantize_embeddings,
-        "q110_temperature_mixture": q110_temperature_mixture,
-        "q111_cluster_representatives": q111_cluster_representatives,
-        "q112_char_entropy": q112_char_entropy,
-        "q113_gopher_flags": q113_gopher_flags,
-        "q114_stream_zscore": q114_stream_zscore,
-        "q115_stream_ingest": q115_stream_ingest,
-        "q116_session_incident_overlap": q116_session_incident_overlap,
-        "q117_duplication_report": q117_duplication_report,
-        "q118_vocab_coverage": q118_vocab_coverage,
-        "q119_mix_plan": q119_mix_plan,
-        "q120_ngram_novelty": q120_ngram_novelty,
-        "q121_execute_mix_plan": q121_execute_mix_plan,
-        "q122_group_split": q122_group_split,
-        "q123_fda_datasource_agg": q123_fda_datasource_agg,
-        # --- r10-touched kernels (all also r8/r9-green coverage) ---
-        "q137_pq_adc_topk": q137_pq_adc_topk,
-        "q138_ivfpq_residual_topk": q138_ivfpq_residual_topk,
-        "q23_ivf_topk": q23_ivf_topk,
-        "q126_ivf_append": q126_ivf_append,
-        "q136_kcenter_select": q136_kcenter_select,
-        "q77_centroid_outliers": q77_centroid_outliers,
-        "q72_semantic_dedup": q72_semantic_dedup,
-        # --- oldest r8 greens fill to 50 ---
-        "q124_signature_index": q124_signature_index,
-        "q125_bloom_contamination": q125_bloom_contamination,
-        "q127_budget_batches": q127_budget_batches,
-        "q128_pii_report": q128_pii_report,
-        "q129_count_min_topk": q129_count_min_topk,
-        "q130_split_leakage": q130_split_leakage,
-        "q131_hll_cardinality": q131_hll_cardinality,
-        "q132_value_trend": q132_value_trend,
-        "q133_embedding_covariance": q133_embedding_covariance,
-        "q134_token_pagerank": q134_token_pagerank,
-        "q135_quality_classifier": q135_quality_classifier,
-        "q57_dedup_clusters": q57_dedup_clusters,
-        "q59_redact_pii": q59_redact_pii,
-        "q63b_pack_invariants": q63b_pack_invariants,
-        "q64b_profile_exact": q64b_profile_exact,
-        "q70_winnow_overlap": q70_winnow_overlap,
-        "q71_bm25_topk": q71_bm25_topk,
-        "q73_span_dedup": q73_span_dedup,
-        "q74_tfidf_terms": q74_tfidf_terms,
-        "q75_funnel": q75_funnel,
-        "q76_cohort_retention": q76_cohort_retention,
-        "q78_stream_static_enrich": q78_stream_static_enrich,
-        "q79_batch_retrieval": q79_batch_retrieval,
-        "q80_stream_stream_join": q80_stream_stream_join,
-        "q123b_fda_retry_scan": q123b_fda_retry_scan,
-        "q25b_backfill_drain": q25b_backfill_drain,
-        # --- tail (51+): r8 greens reserved for the r11 lead, then
-        # the fresh r9 greens, then rows-only ---
+        # --- r11 window: the 24 r7-evidenced queries the r10 ledger
+        # orphaned (overdue at the 3-round staleness ceiling) ---
+        "q01_pricing_summary": q01_pricing_summary,
+        "q04_size_binning": q04_size_binning,
+        "q05_phase_ladder": q05_phase_ladder,
+        "q06_latest_event_per_user": q06_latest_event_per_user,
+        "q09_severity_weighted": q09_severity_weighted,
+        "q10_ship_delay": q10_ship_delay,
+        "q11_normalize_project": q11_normalize_project,
+        "q13_event_counts": q13_event_counts,
+        "q14_hourly_windows": q14_hourly_windows,
+        "q15_text_stats": q15_text_stats,
+        "q16_fingerprint": q16_fingerprint,
+        "q20_embedding_near_dups": q20_embedding_near_dups,
+        "q20b_embedding_near_dups_hi": q20b_embedding_near_dups_hi,
+        "q21_age_bins": q21_age_bins,
+        "q22_simhash_pairs": q22_simhash_pairs,
+        "q26_anti_join": q26_anti_join,
+        "q32_percentiles": q32_percentiles,
+        "q33_pivot_activity": q33_pivot_activity,
+        "q34_daily_active_users": q34_daily_active_users,
+        "q42_json_props": q42_json_props,
+        "q50_top_orders_per_priority": q50_top_orders_per_priority,
+        "q51_event_navigation": q51_event_navigation,
+        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
+        "q53_grouping_sets": q53_grouping_sets,
+        # --- the 19 r8 greens at the staleness ceiling ---
         "q82_mad_outliers": q82_mad_outliers,
         "q83_fuzzy_linkage": q83_fuzzy_linkage,
         "q84_snapshot_diff": q84_snapshot_diff,
@@ -6928,8 +6909,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_top_revenue": q27_top_revenue,
         "q28_rollup_revenue": q28_rollup_revenue,
         "q29_asof_attribution": q29_asof_attribution,
+        # --- r11-touched kernels (ADVICE fixes; output-identical) ---
+        "q23_ivf_topk": q23_ivf_topk,
+        "q126_ivf_append": q126_ivf_append,
+        "q136_kcenter_select": q136_kcenter_select,
+        "q137_pq_adc_topk": q137_pq_adc_topk,
+        "q138_ivfpq_residual_topk": q138_ivfpq_residual_topk,
+        # --- oldest r9 greens fill to 50 ---
         "q30_session_stats": q30_session_stats,
         "q31_curated_corpus": q31_curated_corpus,
+        # --- tail (51+): the 46 r9 greens that lead r12 ---
         "q91_unpivot_metrics": q91_unpivot_metrics,
         "q92_quantile_buckets": q92_quantile_buckets,
         "q93_scd2_intervals": q93_scd2_intervals,
@@ -6976,30 +6965,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_repetition": q68_repetition,
         "q69_winnow_fingerprints": q69_winnow_fingerprints,
         "q03_exact_dedup": q03_exact_dedup,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q04_size_binning": q04_size_binning,
-        "q05_phase_ladder": q05_phase_ladder,
-        "q06_latest_event_per_user": q06_latest_event_per_user,
-        "q09_severity_weighted": q09_severity_weighted,
-        "q10_ship_delay": q10_ship_delay,
-        "q11_normalize_project": q11_normalize_project,
-        "q13_event_counts": q13_event_counts,
-        "q14_hourly_windows": q14_hourly_windows,
-        "q15_text_stats": q15_text_stats,
-        "q16_fingerprint": q16_fingerprint,
-        "q20_embedding_near_dups": q20_embedding_near_dups,
-        "q20b_embedding_near_dups_hi": q20b_embedding_near_dups_hi,
-        "q21_age_bins": q21_age_bins,
-        "q22_simhash_pairs": q22_simhash_pairs,
-        "q26_anti_join": q26_anti_join,
-        "q32_percentiles": q32_percentiles,
-        "q33_pivot_activity": q33_pivot_activity,
-        "q34_daily_active_users": q34_daily_active_users,
-        "q42_json_props": q42_json_props,
-        "q50_top_orders_per_priority": q50_top_orders_per_priority,
-        "q51_event_navigation": q51_event_navigation,
-        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
-        "q53_grouping_sets": q53_grouping_sets,
+        # --- then the r10-evidenced greens ---
+        "q107_bigram_surprisal": q107_bigram_surprisal,
+        "q108_lexical_diversity": q108_lexical_diversity,
+        "q109_quantize_embeddings": q109_quantize_embeddings,
+        "q110_temperature_mixture": q110_temperature_mixture,
+        "q111_cluster_representatives": q111_cluster_representatives,
+        "q112_char_entropy": q112_char_entropy,
+        "q113_gopher_flags": q113_gopher_flags,
+        "q114_stream_zscore": q114_stream_zscore,
+        "q115_stream_ingest": q115_stream_ingest,
+        "q116_session_incident_overlap": q116_session_incident_overlap,
+        "q117_duplication_report": q117_duplication_report,
+        "q118_vocab_coverage": q118_vocab_coverage,
+        "q119_mix_plan": q119_mix_plan,
+        "q120_ngram_novelty": q120_ngram_novelty,
+        "q121_execute_mix_plan": q121_execute_mix_plan,
+        "q122_group_split": q122_group_split,
+        "q123_fda_datasource_agg": q123_fda_datasource_agg,
+        "q77_centroid_outliers": q77_centroid_outliers,
+        "q72_semantic_dedup": q72_semantic_dedup,
+        "q124_signature_index": q124_signature_index,
+        "q125_bloom_contamination": q125_bloom_contamination,
+        "q127_budget_batches": q127_budget_batches,
+        "q128_pii_report": q128_pii_report,
+        "q129_count_min_topk": q129_count_min_topk,
+        "q130_split_leakage": q130_split_leakage,
+        "q131_hll_cardinality": q131_hll_cardinality,
+        "q132_value_trend": q132_value_trend,
+        "q133_embedding_covariance": q133_embedding_covariance,
+        "q134_token_pagerank": q134_token_pagerank,
+        "q135_quality_classifier": q135_quality_classifier,
+        "q57_dedup_clusters": q57_dedup_clusters,
+        "q59_redact_pii": q59_redact_pii,
+        "q63b_pack_invariants": q63b_pack_invariants,
+        "q64b_profile_exact": q64b_profile_exact,
+        "q70_winnow_overlap": q70_winnow_overlap,
+        "q71_bm25_topk": q71_bm25_topk,
+        "q73_span_dedup": q73_span_dedup,
+        "q74_tfidf_terms": q74_tfidf_terms,
+        "q75_funnel": q75_funnel,
+        "q76_cohort_retention": q76_cohort_retention,
+        "q78_stream_static_enrich": q78_stream_static_enrich,
+        "q79_batch_retrieval": q79_batch_retrieval,
+        "q80_stream_stream_join": q80_stream_stream_join,
+        "q123b_fda_retry_scan": q123b_fda_retry_scan,
+        "q25b_backfill_drain": q25b_backfill_drain,
+        # --- rows-only by design (signal in q63b/q64b) ---
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
     }
