@@ -56,6 +56,11 @@ def md5_uniform_py(key: object, salt: str = "") -> float:
 
 _MAGIC = 6755399441055744.0  # 1.5 * 2^52
 
+# Largest training/selection pool any driver-side engine in this family
+# will gather without the caller explicitly opting in (a sample cap for
+# the trainers, a hard refusal for selection — see each call site).
+DRIVER_TRAIN_CAP = 100_000
+
 
 # quantize() needs headroom over the default 28-digit context only in
 # principle (a double's shortest repr is <= 17 significant digits, +9
@@ -293,8 +298,15 @@ def kcenter_np(
     dmin = d2(X[0])
     for rank in range(2, min(k, n) + 1):
         order_key = np.where(np.isnan(dmin), -np.inf, dmin)
-        cand = np.where(alive, order_key, -np.inf)
-        i = int(np.argmax(cand))
+        # restrict the argmax to ALIVE lanes: masking dead lanes with
+        # -inf is not enough, because when every alive candidate's dmin
+        # is NaN (all-NULL-element vectors) alive and dead lanes tie at
+        # -inf and np.argmax would return index 0 — an already-selected
+        # center, emitting duplicate keys and fabricated radii (ADVICE
+        # r10).  First-occurrence over the key-sorted alive subset is
+        # exactly the sql engine's desc-nulls-last + ascending-key pick.
+        idx = np.flatnonzero(alive)
+        i = int(idx[np.argmax(order_key[idx])])
         picked = dmin[i]
         selected.append(
             (rank, keys[i], None if np.isnan(picked) else float(picked))

@@ -262,7 +262,7 @@ def pq_train(
     round_dp: int = 6,
     train_sample_mod: int | None = None,
     engine: str = "auto",
-    max_train_rows: int | None = 100_000,
+    max_train_rows: int | None = None,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks: returns m lists of k codewords of
     dim/m doubles each.
@@ -310,15 +310,20 @@ def pq_train(
     collect (the classifier's `train_sample_mod` contract, applied
     here).
 
-    When ``train_sample_mod`` is left None the training frame is
-    still NEVER unbounded: ``max_train_rows`` (default 10⁵, the
-    saturation point) counts the pool and, if it is larger,
+    ``max_train_rows`` is the same lever expressed as a target row
+    count instead of a modulus: when set and the pool is larger, it
     auto-derives ``mod = ceil(n / max_train_rows)`` — the same
     deterministic md5 sample, applied BEFORE engine dispatch so the
     numpy collect and the sql in-engine loop keep training on
-    byte-identical frames (the `embedding_near_dups`
-    ``max_gather_rows`` contract, applied to the trainer).  Pass
-    ``max_train_rows=None`` to explicitly accept an uncapped frame.
+    byte-identical frames.  BOTH caps default to None (train on the
+    whole pool — the exact spec the q137/q138 oracles unroll; a
+    default cap would silently diverge from them above the cap,
+    ADVICE r10).  The driver collect is still never unguarded:
+    ``engine="auto"`` (the default) runs numpy only while the pool
+    fits `_kmeans_np.DRIVER_TRAIN_CAP` and falls back to the
+    distributed sql loop on the FULL pool above it, and an explicit
+    ``engine="numpy"`` REFUSES an over-cap pool rather than sampling
+    it — sampling is always the caller's explicit choice.
     """
     if engine not in ("auto", "numpy", "sql"):
         raise ValueError(
@@ -362,6 +367,20 @@ def pq_train(
         F.col(key_col).alias("key"),
         *[slices[s].alias(f"v{s}") for s in range(m)],
     )
+    if engine != "sql":
+        from ._kmeans_np import DRIVER_TRAIN_CAP
+
+        n_train = proj.count()
+        if n_train > DRIVER_TRAIN_CAP:
+            if engine == "numpy":
+                raise ValueError(
+                    f"pq_train(engine='numpy') refuses {n_train} "
+                    f"training rows > {DRIVER_TRAIN_CAP}: pass "
+                    "train_sample_mod/max_train_rows to opt into the "
+                    "deterministic hash-sample, or use engine='sql'/"
+                    "'auto'"
+                )
+            engine = "sql"  # auto: distributed loop on the full pool
     if engine != "sql":
         from ._kmeans_np import pq_train_np
 

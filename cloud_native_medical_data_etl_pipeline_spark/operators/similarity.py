@@ -26,7 +26,15 @@ from ._common import col_ref
 
 
 def _lit_vec(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    # None elements stay NULL literals (a NULL-element center makes
+    # every distance NULL, which null-skipping least()/greatest()
+    # then ignore — the kcenter sql loop's NaN-lane contract)
+    return F.array(
+        *[
+            F.lit(None).cast("double") if x is None else F.lit(float(x))
+            for x in vec
+        ]
+    )
 
 
 def _gather_vectors(base: DataFrame):
@@ -35,13 +43,32 @@ def _gather_vectors(base: DataFrame):
     flat values buffer reshapes with O(1) copies — measured ~7×
     faster than a Row collect at 2·10⁵×64 (Row objects + per-element
     Python conversion dominate there).  NULL ELEMENTS arrive as NaN;
-    NULL ROWS must be filtered upstream (their empty offsets would
-    break the fixed-dim reshape, loudly)."""
+    NULL ROWS and ragged lengths are REJECTED here rather than trusted
+    to fail in the reshape — flatten() silently drops a null row's
+    slot, and (n-1)·dim rows still reshape "successfully" whenever the
+    product divides by n (e.g. n=2, dim=2 → (2, 1)), misaligning every
+    vector after the null (ADVICE r10).  All call sites pre-filter
+    NULL rows, so the checks are a tripwire, not a live path."""
     import numpy as np
+    import pyarrow.compute as pc
 
     tbl = base.toArrow()
     keys = tbl.column(0).to_pylist()
+    if not keys:
+        return keys, np.empty((0, 0), dtype=np.float64)
     col = tbl.column(1).combine_chunks()
+    if col.null_count:
+        raise ValueError(
+            f"_gather_vectors: {col.null_count} NULL vector rows — "
+            "filter them upstream, a dropped slot would misalign the "
+            "fixed-dim reshape"
+        )
+    lens = pc.unique(pc.list_value_length(col)).to_pylist()
+    if len(lens) != 1:
+        raise ValueError(
+            f"_gather_vectors: ragged vector lengths {sorted(lens)} — "
+            "a fixed-dim matrix needs uniform dimensions"
+        )
     flat = col.flatten().to_numpy(zero_copy_only=False)
     return keys, flat.reshape(len(keys), -1)
 
@@ -139,31 +166,44 @@ def train_ivf_centroids(
     iters: int = 2,
     round_dp: int = 6,
     assign_impl: str = "expr",
-    engine: str = "auto",
-    max_train_rows: int | None = 100_000,
+    engine: str = "sql",
+    max_train_rows: int | None = None,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means for IVF centroids.
 
     ``engine`` picks the executor for the SAME algorithm, the
     `quantize.pq_train` contract (unit-pinned identical centroids):
 
-    * ``"numpy"`` (what ``"auto"`` resolves to): collect the (capped)
-      training frame ONCE and run the Lloyd loop driver-side
-      (`_kmeans_np.ivf_train_np`) — O(1) Spark jobs instead of
-      iters·2 per-iteration round-trips; centroids are metadata by
-      construction.  ``assign_impl`` is moot here (assignment happens
-      in numpy).
-    * ``"sql"``: the in-engine loop below — the cross-engine SPEC the
-      q23 oracle unrolls CTE-for-CTE, and the path for callers that
-      must not collect even the capped frame.  ``assign_impl="gemm"``
-      vectorizes its per-iteration assignment scan (see
-      `assign_cells`) — the in-engine lever at large num_cells.
+    * ``"sql"`` (default): the in-engine loop below — the cross-engine
+      SPEC the q23 oracle unrolls CTE-for-CTE.  The default stays on
+      the spec executor for the same reason `train_logreg`'s does: the
+      numpy replica carries two documented tolerance-level channels
+      (F.avg's partition fold vs np.mean's pairwise sum under the
+      rounded mean; NaN-element argmax ordering), so the oracle-pinned
+      path must not ride them by default (ADVICE r10).
+      ``assign_impl="gemm"`` vectorizes its per-iteration assignment
+      scan (see `assign_cells`) — the in-engine lever at large
+      num_cells.
+    * ``"numpy"``: collect the training frame ONCE and run the Lloyd
+      loop driver-side (`_kmeans_np.ivf_train_np`) — O(1) Spark jobs
+      instead of iters·2 per-iteration round-trips; centroids are
+      metadata by construction.  REFUSES a pool larger than
+      `_kmeans_np.DRIVER_TRAIN_CAP` unless ``max_train_rows`` opts
+      into sampling.  ``assign_impl`` is moot here.
+    * ``"auto"``: numpy while the (possibly capped) pool fits
+      DRIVER_TRAIN_CAP, falling back to the distributed sql loop on
+      the FULL pool above it — never a silent sample, so every engine
+      choice computes exactly what the oracle spec says
+      (`kcenter_select`'s fallback contract).
 
-    ``max_train_rows`` bounds the training frame EITHER WAY (the
-    `pq_train` guard): when the pool is larger, the deterministic
-    1/ceil(n/cap) md5 key-sample is applied before engine dispatch,
-    so both engines train on identical frames and the numpy collect
-    cannot OOM the driver; pass None to accept an uncapped frame.
+    ``max_train_rows`` is an OPT-IN cap (default None = train on the
+    whole pool, the q23/q126 oracle spec): when set and the pool is
+    larger, the deterministic 1/ceil(n/cap) md5 key-sample is applied
+    before engine dispatch, so both engines train on identical frames.
+    Sampling changes the trained centroids by construction — that is
+    the caller's explicit scale/fidelity trade, never a default
+    (ADVICE r10: the previous 100k default silently diverged from the
+    oracle above 100k rows).
 
     Fully reproducible by construction: the init is the `num_cells`
     smallest-key vectors (a seedless deterministic sample, the same
@@ -204,6 +244,19 @@ def train_ivf_centroids(
             clean = hash_sample(
                 clean, key_col, -(-n // max_train_rows)
             )
+    if engine != "sql":
+        from ._kmeans_np import DRIVER_TRAIN_CAP
+
+        n_train = clean.count()
+        if n_train > DRIVER_TRAIN_CAP:
+            if engine == "numpy":
+                raise ValueError(
+                    f"train_ivf_centroids(engine='numpy') refuses "
+                    f"{n_train} training rows > {DRIVER_TRAIN_CAP}: "
+                    "pass max_train_rows to opt into the deterministic "
+                    "hash-sample, or use engine='sql'/'auto'"
+                )
+            engine = "sql"  # auto: distributed loop on the full pool
     if engine != "sql":
         from ._kmeans_np import ivf_train_np
 
@@ -575,7 +628,10 @@ def _sqdist_lit_arrow(center: list[float], dp: int):
 
     from ._kmeans_np import round_spark
 
-    cw = [float(x) for x in center]
+    # a None element poisons every fold lane to NaN, which the
+    # isfinite gate below turns into all-NULL distances — exactly the
+    # expression path's null-propagation for a NULL-element literal
+    cw = [float("nan") if x is None else float(x) for x in center]
 
     def _fn(vs):
         n = len(vs)
@@ -1343,16 +1399,26 @@ def kcenter_select(
             .limit(1)
             .collect()[0]
         )
-        selected.append((rank, far["key"], float(far["dmin"])))
+        # a NULL dmin pick happens when every remaining candidate's
+        # distance is NULL (NULL-element vectors): desc-nulls-last then
+        # takes the smallest key, radius stays NULL — same contract as
+        # the numpy engine's alive-restricted argmax (ADVICE r10; the
+        # bare float() here used to raise TypeError)
+        picked = far["dmin"]
+        selected.append(
+            (rank, far["key"], None if picked is None else float(picked))
+        )
+        # the new center may itself carry NULL elements: its hop
+        # distances are then NULL for every row and the null-skipping
+        # least() keeps each old dmin, mirroring the numpy engine's
+        # NaN-lane no-op update
+        center = [None if x is None else float(x) for x in far["vec"]]
         cur = (
             cur.where(F.col("key") != F.lit(far["key"]))
             .select(
                 "key",
                 "vec",
-                F.least(
-                    F.col("dmin"),
-                    _hop_dist([float(x) for x in far["vec"]]),
-                ).alias("dmin"),
+                F.least(F.col("dmin"), _hop_dist(center)).alias("dmin"),
             )
             .localCheckpoint()
         )

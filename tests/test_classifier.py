@@ -348,3 +348,39 @@ def test_train_logreg_numpy_engine_matches_sql(spark):
     assert e2e_sql == e2e_np
     with pytest.raises(ValueError, match="max_train_rows"):
         train_logreg(feat, engine="numpy", max_train_rows=5)
+
+
+def test_kcenter_all_nan_candidates_no_duplicate_picks(spark):
+    # ADVICE r10: when every remaining candidate's dmin is NaN (all
+    # carry NULL elements), the numpy argmax used to tie alive and
+    # dead lanes at -inf and re-pick the seed — duplicate keys and
+    # fabricated 0.0 radii.  Both engines must pick the smallest alive
+    # key with a NULL radius (desc-nulls-last + ascending-key), and
+    # the sql loop must not TypeError on float(NULL dmin).
+    rows = [(1, [1.0, 1.0]), (2, [None, 2.0]), (3, [3.0, None])]
+    for engine in ("numpy", "sql", "auto"):
+        out = sorted(
+            kcenter_select(_emb(spark, rows), k=3, engine=engine).collect(),
+            key=lambda r: r["sel_rank"],
+        )
+        assert [r["key"] for r in out] == [1, 2, 3], engine
+        assert [r["radius"] for r in out] == [None, None, None], engine
+
+
+def test_kcenter_nan_lanes_lose_to_real_distances(spark):
+    # a NULL-element vector must sort AFTER every real distance (the
+    # nulls-last contract) and only be picked once real lanes run out
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [None, 9.0]),
+        (3, [4.0, 0.0]),
+        (4, [0.0, 3.0]),
+    ]
+    for engine in ("numpy", "sql"):
+        out = sorted(
+            kcenter_select(_emb(spark, rows), k=4, engine=engine).collect(),
+            key=lambda r: r["sel_rank"],
+        )
+        assert [r["key"] for r in out] == [1, 3, 4, 2], engine
+        assert out[1]["radius"] == 16.0 and out[2]["radius"] == 9.0, engine
+        assert out[3]["radius"] is None, engine

@@ -1238,7 +1238,9 @@ def test_train_ivf_centroids_auto_caps_collect(spark):
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    capped_np = S.train_ivf_centroids(emb, 4, iters=1, max_train_rows=100)
+    capped_np = S.train_ivf_centroids(
+        emb, 4, iters=1, max_train_rows=100, engine="auto"
+    )
     capped_sql = S.train_ivf_centroids(
         emb, 4, iters=1, max_train_rows=100, engine="sql"
     )
@@ -1490,3 +1492,73 @@ def test_gather_vectors_matches_row_collect(spark):
     )
     with pytest.raises(ValueError):
         _gather_vectors(ragged)
+
+
+def test_train_ivf_default_is_uncapped_oracle_spec(spark):
+    # ADVICE r10: defaults must compute exactly what the q23/q126
+    # oracle unrolls — sql engine, whole pool, no silent sample.  An
+    # explicit uncapped sql run IS the default run.
+    from cloud_native_medical_data_etl_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    default = S.train_ivf_centroids(emb, 4, iters=1)
+    spec = S.train_ivf_centroids(
+        emb, 4, iters=1, engine="sql", max_train_rows=None
+    )
+    assert default == spec
+
+
+def test_train_ivf_numpy_refuses_overcap_auto_falls_back(
+    spark, monkeypatch
+):
+    # engine="numpy" REFUSES a pool over DRIVER_TRAIN_CAP instead of
+    # silently sampling it; engine="auto" falls back to the
+    # distributed sql loop on the FULL pool — identical output to the
+    # spec executor either way
+    from cloud_native_medical_data_etl_pipeline_spark.operators import _kmeans_np
+    from cloud_native_medical_data_etl_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(20)
+    monkeypatch.setattr(_kmeans_np, "DRIVER_TRAIN_CAP", 5)
+    with pytest.raises(ValueError, match="refuses"):
+        S.train_ivf_centroids(emb, 4, iters=1, engine="numpy")
+    auto = S.train_ivf_centroids(emb, 4, iters=1, engine="auto")
+    sql = S.train_ivf_centroids(emb, 4, iters=1, engine="sql")
+    assert auto == sql
+    # with an explicit cap the pool shrinks below the gate and numpy
+    # runs again — all three engines on the identical sampled frame
+    # (max_train_rows=2 -> mod=10 keeps 5 of these 20 keys, at the
+    # monkeypatched gate; the md5 sample is approximate, so a looser
+    # cap could still overshoot the gate and correctly refuse)
+    capped = [
+        S.train_ivf_centroids(
+            emb, 4, iters=1, engine=e, max_train_rows=2
+        )
+        for e in ("numpy", "auto", "sql")
+    ]
+    assert capped[0] == capped[1] == capped[2]
+
+
+def test_gather_vectors_rejects_null_rows_and_ragged(spark):
+    # ADVICE r10: flatten() silently drops a NULL row's slot and the
+    # (n-1)*dim values can still reshape "successfully" (n=2, dim=2 ->
+    # (2,1)), misaligning every vector after the null — reject loudly.
+    from cloud_native_medical_data_etl_pipeline_spark.operators.similarity import (
+        _gather_vectors,
+    )
+
+    nulls = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "key long, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL vector rows"):
+        _gather_vectors(nulls)
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0])], "key long, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        _gather_vectors(ragged)
+    empty = spark.createDataFrame([], "key long, vec array<double>")
+    keys, X = _gather_vectors(empty)
+    assert keys == [] and X.shape == (0, 0)

@@ -428,12 +428,13 @@ def test_round_spark_property_vectorized_equals_scalar():
 
 
 def test_pq_train_auto_caps_unbounded_collect(spark):
-    """With train_sample_mod left None the trainer must NOT collect an
-    unbounded frame: `max_train_rows` counts the pool and auto-derives
-    the deterministic md5 sample — equal to passing the derived mod
-    explicitly, identical across engines, and uncapped only when the
-    caller explicitly passes max_train_rows=None (the
-    `embedding_near_dups` allow/bound contract, VERDICT r9 #1)."""
+    """`max_train_rows` is an OPT-IN cap (default None since r11 —
+    ADVICE r10: a default cap silently diverged from the q137/q138
+    oracle spec above 100k rows): when set it auto-derives the
+    deterministic md5 sample — equal to passing the derived mod
+    explicitly and identical across engines.  The driver collect is
+    bounded by the engine="auto" sql fallback instead (see
+    test_pq_train_numpy_refuses_overcap_auto_falls_back)."""
     rows = [
         (i, [float((i * 13 + d * 7) % 11), float((i * 5 + d) % 9)])
         for i in range(40)
@@ -452,3 +453,33 @@ def test_pq_train_auto_caps_unbounded_collect(spark):
     full = pq_train(df, m=1, k=3, iters=2, max_train_rows=None)
     under = pq_train(df, m=1, k=3, iters=2, max_train_rows=1000)
     assert full == under
+
+
+def test_pq_train_default_is_uncapped_oracle_spec(spark):
+    # defaults must compute exactly what the q137/q138 oracles unroll:
+    # whole pool, no silent sample (ADVICE r10) — numpy-vs-sql
+    # equality on the same pool is pinned elsewhere; here the default
+    # run must equal the explicit uncapped run
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    default = pq_train(emb, m=2, k=4, iters=1)
+    spec = pq_train(
+        emb, m=2, k=4, iters=1, max_train_rows=None, train_sample_mod=None
+    )
+    assert default == spec
+
+
+def test_pq_train_numpy_refuses_overcap_auto_falls_back(spark, monkeypatch):
+    # engine="numpy" REFUSES a pool over DRIVER_TRAIN_CAP instead of
+    # silently sampling; engine="auto" (the default) falls back to the
+    # sql loop on the FULL pool with identical codebooks
+    from cloud_native_medical_data_etl_pipeline_spark.operators import _kmeans_np
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(12)
+    monkeypatch.setattr(_kmeans_np, "DRIVER_TRAIN_CAP", 5)
+    with pytest.raises(ValueError, match="refuses"):
+        pq_train(emb, m=2, k=3, iters=1, engine="numpy")
+    auto = pq_train(emb, m=2, k=3, iters=1, engine="auto")
+    sql = pq_train(emb, m=2, k=3, iters=1, engine="sql")
+    assert auto == sql
