@@ -5696,21 +5696,30 @@ _IVF_CELLS, _IVF_ITERS = 16, 2
 
 
 def q126_ivf_append(spark, sf_dir):
+    import shutil
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") % 10 != 0)
     batch = emb.where(F.col("vec_id") % 10 == 0)
-    path = tempfile.mkdtemp(prefix="q126_") + "/index"
-    S.build_ivf_index(
-        corpus, path, num_cells=_IVF_CELLS, train_iters=_IVF_ITERS
-    )
-    S.append_to_ivf_index(spark, batch, path)
-    idx = spark.read.parquet(path)
-    return idx.groupBy("cell_id").agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.count_if(F.col("vec_id") % 10 == 0).alias("n_batch"),
-    )
+    # the index tree is removed before returning (the q25b ADVICE
+    # cleanup, applied family-wide): the cell summary is materialized
+    # into memory first — num_cells rows, metadata-sized
+    root = tempfile.mkdtemp(prefix="q126_")
+    try:
+        path = root + "/index"
+        S.build_ivf_index(
+            corpus, path, num_cells=_IVF_CELLS, train_iters=_IVF_ITERS
+        )
+        S.append_to_ivf_index(spark, batch, path)
+        res = spark.read.parquet(path).groupBy("cell_id").agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(F.col("vec_id") % 10 == 0).alias("n_batch"),
+        )
+        rows, schema = res.collect(), res.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def _q126_sql() -> str:
@@ -6655,24 +6664,34 @@ def q138_ivfpq_residual_topk(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="q138_") + "/index"
-    build_ivfpq_index(
-        emb,
-        path,
-        num_cells=_R138_CELLS,
-        train_iters=_R138_TI,
-        m=_R138_M,
-        k=_R138_K,
-        pq_iters=_R138_PI,
-        residual=True,
-    )
-    qv = [
-        float(x)
-        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
-    ]
-    return ivfpq_topk_indexed(
-        spark, path, qv, k=_R138_TOPK, nprobe=_R138_NPROBE
-    ).select(F.col("key").alias("vec_id"), "adc_dist")
+    # index tree removed before returning (the q25b ADVICE cleanup,
+    # applied family-wide); the top-k result is k rows
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="q138_")
+    try:
+        path = root + "/index"
+        build_ivfpq_index(
+            emb,
+            path,
+            num_cells=_R138_CELLS,
+            train_iters=_R138_TI,
+            m=_R138_M,
+            k=_R138_K,
+            pq_iters=_R138_PI,
+            residual=True,
+        )
+        qv = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        res = ivfpq_topk_indexed(
+            spark, path, qv, k=_R138_TOPK, nprobe=_R138_NPROBE
+        ).select(F.col("key").alias("vec_id"), "adc_dist")
+        rows, schema = res.collect(), res.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def _q138_sql() -> str:
@@ -6780,29 +6799,39 @@ def q25b_backfill_drain(spark, sf_dir):
     n = ranked.count()
     cut1, cut2 = max(n // 3, 1), max(2 * (n // 3), 2)
     root = tempfile.mkdtemp(prefix="q25b_")
-    src = os.path.join(root, "in")
-    os.makedirs(src, exist_ok=True)
-    for fname, lo, hi in (
-        ("0.parquet", 1, cut1),
-        ("1.parquet", cut1 + 1, cut2),
-        ("2.parquet", cut2 + 1, n),
-    ):
-        stage = os.path.join(root, f"stage_{fname}")
-        (
-            ranked.where(F.col("__rk").between(lo, hi))
-            .drop("__rk")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        shutil.move(
-            glob.glob(os.path.join(stage, "part-*.parquet"))[0],
-            os.path.join(src, fname),
-        )
-        shutil.rmtree(stage)
-    out = os.path.join(root, "out")
-    SE.run_available_now(spark, src, out, os.path.join(root, "ck"))
-    return spark.read.parquet(out)
+    # the working directory (3 input files + checkpoint + output) is
+    # removed before returning — a multi-pass bench would otherwise
+    # accumulate one leaked tree per invocation (ADVICE r10) — so the
+    # drained output is materialized into memory first (finalized
+    # hourly windows: small by construction) and re-framed
+    try:
+        src = os.path.join(root, "in")
+        os.makedirs(src, exist_ok=True)
+        for fname, lo, hi in (
+            ("0.parquet", 1, cut1),
+            ("1.parquet", cut1 + 1, cut2),
+            ("2.parquet", cut2 + 1, n),
+        ):
+            stage = os.path.join(root, f"stage_{fname}")
+            (
+                ranked.where(F.col("__rk").between(lo, hi))
+                .drop("__rk")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            shutil.move(
+                glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+                os.path.join(src, fname),
+            )
+            shutil.rmtree(stage)
+        out = os.path.join(root, "out")
+        SE.run_available_now(spark, src, out, os.path.join(root, "ck"))
+        res = spark.read.parquet(out)
+        rows, schema = res.collect(), res.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 Q25B_SQL = """
