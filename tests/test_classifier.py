@@ -384,3 +384,36 @@ def test_kcenter_nan_lanes_lose_to_real_distances(spark):
         assert [r["key"] for r in out] == [1, 3, 4, 2], engine
         assert out[1]["radius"] == 16.0 and out[2]["radius"] == 9.0, engine
         assert out[3]["radius"] is None, engine
+
+
+def test_kcenter_arrow_impl_matches_expr_on_nan_lanes(spark):
+    # the arrow hop kernel must replay the same NULL-element contract
+    # as the expression path: a NULL-element CENTER yields all-NULL
+    # hop distances (NaN-poisoned fold -> isfinite gate), and NULL
+    # element rows null-propagate — picks/radii identical
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [None, 9.0]),
+        (3, [4.0, 0.0]),
+        (4, [0.0, 3.0]),
+        (5, [None, None]),
+    ]
+    a = sorted(
+        tuple(r)
+        for r in kcenter_select(
+            _emb(spark, rows), k=5, engine="sql", impl="expr"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in kcenter_select(
+            _emb(spark, rows), k=5, engine="sql", impl="arrow"
+        ).collect()
+    )
+    c = sorted(
+        tuple(r)
+        for r in kcenter_select(
+            _emb(spark, rows), k=5, engine="numpy"
+        ).collect()
+    )
+    assert a == b == c

@@ -69,3 +69,14 @@ def test_check_window_ceiling_boundary():
     assert ("qX", 8) in violations
     violations, due = check_window(latest, ["qX", "qY"], 11, window_size=1)
     assert violations == []
+
+
+def test_simulated_next_round_is_not_overcommitted():
+    # verdict r10 task 5: the r12 window must be solvable GIVEN the
+    # r11 window — assume the current first-50 goes green and check
+    # the round-after's at-ceiling set fits in 50 slots
+    from rotation_check import simulate_next
+
+    due_next, rnd = simulate_next(REPO)
+    assert len(due_next) <= 50, (rnd, len(due_next))
+    assert due_next, "simulation found nothing due — files unread?"

@@ -116,6 +116,32 @@ def audit(repo_root: str) -> tuple[list, list, int, list[str]]:
     return violations, due, upcoming, window
 
 
+def simulate_next(repo_root: str) -> tuple[list[tuple[str, int | None]], int]:
+    """Feasibility of the round AFTER the upcoming one: assume the
+    current first-50 window all records green in round R, then return
+    (the at-ceiling set for round R+1, R+1).  If that set exceeds 50
+    keys the CURRENT window is over-committed — some query would be
+    unrescuable next round no matter how r(R+1) rotates."""
+    sys.path.insert(0, repo_root)
+    import __spark_entry__ as entry  # noqa: PLC0415
+
+    registry = list(entry.queries().keys())
+    oracle_keys = set(entry.oracle_sql().keys())
+    oracled = [k for k in registry if k in oracle_keys]
+    latest, newest_round = load_latest_green(repo_root)
+    upcoming = newest_round + 1
+    simulated = dict(latest)
+    for k in registry[:WINDOW_SIZE]:
+        if k in oracle_keys:
+            simulated[k] = upcoming
+    due_next: list[tuple[str, int | None]] = []
+    for key in oracled:
+        newest = simulated.get(key)
+        if newest is None or newest <= (upcoming + 1) - CEILING:
+            due_next.append((key, newest))
+    return due_next, upcoming + 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--repo", default=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -124,7 +150,30 @@ def main() -> int:
         action="store_true",
         help="print the at-ceiling set for the upcoming round and exit 0",
     )
+    ap.add_argument(
+        "--simulate-next",
+        action="store_true",
+        help="assume the current window goes green this round and "
+        "print the round-after's at-ceiling set; fails if it exceeds "
+        "the 50-slot window",
+    )
     args = ap.parse_args()
+    if args.simulate_next:
+        due_next, rnd = simulate_next(args.repo)
+        print(
+            f"round r{rnd} (simulated: current window green at r{rnd - 1}): "
+            f"{len(due_next)} queries at the ceiling / {WINDOW_SIZE} slots"
+        )
+        for key, newest in due_next:
+            print(f"  {key}  (newest green: {'never' if newest is None else f'r{newest}'})")
+        if len(due_next) > WINDOW_SIZE:
+            print(
+                f"OVER-COMMITTED: {len(due_next)} > {WINDOW_SIZE} — the "
+                "current window strands evidence no r-next rotation can save",
+                file=sys.stderr,
+            )
+            return 1
+        return 0
     violations, due, upcoming, _window = audit(args.repo)
     if args.due:
         print(f"round r{upcoming}: {len(due)} queries at the staleness ceiling (MUST be in the first-50 window):")
