@@ -599,3 +599,55 @@ def test_run_available_now_multi_file_backfill_drops_nothing(spark, tmp_path):
     # the 10:00 window finalizes (23:00 max ts - 2 h horizon > 11:00)
     # and must hold ALL FIVE early rows, across all three files
     assert got[(dt.datetime(2024, 1, 1, 10, 0), "click")] == 5
+
+
+def test_stream_to_lake_upsert_oracle_roundtrip(spark, tmp_path):
+    """The r13 registration candidate (q25c), proven locally first —
+    the last unit-only streaming op's DuckDB-oracle shape: drain
+    events through stream_to_lake_upsert TWICE (the second run is a
+    full redelivery with a fresh checkpoint), then aggregate the lake
+    per (year, month, day, event_type).  The oracle aggregates the
+    SOURCE with the same day derivation: they hash-match iff (a) the
+    sink landed every row exactly once, (b) the day partitioning
+    matches the sentinel-coalesced date rule, and (c) the full replay
+    was a perfect no-op — duplicated rows would double n/total_value.
+    """
+    import duckdb
+
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import events as SE
+
+    sf = "/root/testdata/sf0.001"
+    base, ck1, ck2 = (
+        str(tmp_path / "lake"),
+        str(tmp_path / "ck1"),
+        str(tmp_path / "ck2"),
+    )
+    SE.stream_to_lake_upsert(spark, f"{sf}/events.parquet", base, ck1)
+    SE.stream_to_lake_upsert(spark, f"{sf}/events.parquet", base, ck2)
+    got = sorted(
+        (int(r["year"]), int(r["month"]), int(r["day"]), r["event_type"],
+         r["n"], r["total_value"])
+        for r in spark.read.parquet(base)
+        .groupBy("year", "month", "day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .collect()
+    )
+    want = sorted(
+        (int(y), int(m), int(d), et, n, tv)
+        for y, m, d, et, n, tv in duckdb.sql(
+            f"""
+            SELECT CAST(COALESCE(EXTRACT(year FROM ts), 9999) AS INT) AS year,
+                   CAST(COALESCE(EXTRACT(month FROM ts), 12) AS INT) AS month,
+                   CAST(COALESCE(EXTRACT(day FROM ts), 31) AS INT) AS day,
+                   event_type,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 4) AS total_value
+            FROM '{sf}/events.parquet'
+            GROUP BY 1, 2, 3, 4
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
