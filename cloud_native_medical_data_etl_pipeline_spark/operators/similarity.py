@@ -1384,12 +1384,19 @@ def kcenter_select(
     # ascending-key tiebreak would re-pick an existing center and emit
     # duplicate keys (ADVICE r6) — anti-filtering each pick out makes
     # every sel_rank a distinct key by construction
+    # the SEED itself may carry NULL elements (it is the min KEY, not
+    # a cleanliness winner): its hop distances are then NULL for every
+    # row, exactly the numpy engine's NaN-lane seed — found by the
+    # r11 NULL-pattern property test, the same crash the rank-2+ loop
+    # had below
     cur = (
         base.where(F.col("key") != F.lit(seed["key"]))
         .select(
             "key",
             "vec",
-            _hop_dist([float(x) for x in seed["vec"]]).alias("dmin"),
+            _hop_dist(
+                [None if x is None else float(x) for x in seed["vec"]]
+            ).alias("dmin"),
         )
         .localCheckpoint()
     )

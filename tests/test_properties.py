@@ -922,3 +922,43 @@ def test_pq_train_engines_agree_property(spark, rows, k, iters):
     a = pq_train(df, m=2, k=k, iters=iters, engine="numpy")
     b = pq_train(df, m=2, k=k, iters=iters, engine="sql")
     assert a == b
+
+
+# kcenter engine parity under randomized NULL patterns: the r11
+# alive-lane argmax fix's property form.  Values integer-ish to force
+# exact distance ties (tiebreak coverage), None elements injected to
+# exercise the NaN/NULL-radius lanes on BOTH engines.
+_kc_vals = st.sampled_from([0.0, 1.0, 2.0, 3.0, None])
+_kc_rows = st.lists(
+    st.tuples(
+        st.integers(0, 10**6),
+        st.lists(_kc_vals, min_size=2, max_size=2),
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_kc_rows, st.sampled_from([2, 4, 8]))
+def test_kcenter_engines_agree_under_null_elements(spark, rows, k):
+    """numpy and sql k-center must emit identical (rank, key, radius)
+    triples — including all-NaN candidate pools (NULL radii, smallest
+    alive key), NULL-element centers (null-skipping least), and exact
+    distance ties (ascending-key argmax tiebreak)."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    df = spark.createDataFrame(
+        [(key, vec) for key, vec in rows],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(
+        tuple(r) for r in kcenter_select(df, k=k, engine="numpy").collect()
+    )
+    b = sorted(
+        tuple(r) for r in kcenter_select(df, k=k, engine="sql").collect()
+    )
+    assert a == b
