@@ -962,3 +962,30 @@ def test_kcenter_engines_agree_under_null_elements(spark, rows, k):
         tuple(r) for r in kcenter_select(df, k=k, engine="sql").collect()
     )
     assert a == b
+
+
+@settings(max_examples=4, deadline=None)
+@given(_kc_rows, st.sampled_from([3, 6]))
+def test_kcenter_arrow_hop_kernel_agrees_under_null_elements(spark, rows, k):
+    """The Arrow per-hop sqdist kernel must replay the expression
+    path's NULL contract exactly — NULL-element CENTERS (NaN-poisoned
+    fold → all-NULL hop distances) and NULL-element rows
+    (null-propagating lanes) — under randomized NULL patterns, not
+    just the pinned unit case."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    df = spark.createDataFrame(
+        [(key, vec) for key, vec in rows],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(
+        tuple(r)
+        for r in kcenter_select(df, k=k, engine="sql", impl="expr").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in kcenter_select(df, k=k, engine="sql", impl="arrow").collect()
+    )
+    assert a == b
