@@ -989,3 +989,43 @@ def test_kcenter_arrow_hop_kernel_agrees_under_null_elements(spark, rows, k):
         for r in kcenter_select(df, k=k, engine="sql", impl="arrow").collect()
     )
     assert a == b
+
+
+# cosine_topk arrow kernel: the r10 exact-fold replay claim, property
+# form — bit-identical scores INCLUDING NULL rows, NULL elements,
+# zero-norm vectors, and rounding-boundary lanes, under arbitrary
+# float mixes (the kernel replays the same left-to-right fold, so
+# float noise must cancel exactly, not approximately)
+_ct_vals = st.sampled_from([0.0, 1.0, -1.0, 0.5, 1e-3, 7.25, None])
+_ct_rows = st.lists(
+    st.tuples(
+        st.integers(0, 10**6),
+        st.one_of(
+            st.none(),
+            st.lists(_ct_vals, min_size=3, max_size=3),
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_ct_rows, st.sampled_from([[1.0, 0.0, 2.0], [0.5, -1.0, 1e-3]]))
+def test_cosine_topk_arrow_bit_identical_property(spark, rows, qv):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(key, vec) for key, vec in rows],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(
+        tuple(r) for r in cosine_topk(df, qv, k=5, impl="expr").collect()
+    )
+    b = sorted(
+        tuple(r) for r in cosine_topk(df, qv, k=5, impl="arrow").collect()
+    )
+    assert a == b
