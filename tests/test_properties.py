@@ -1029,3 +1029,33 @@ def test_cosine_topk_arrow_bit_identical_property(spark, rows, qv):
         tuple(r) for r in cosine_topk(df, qv, k=5, impl="arrow").collect()
     )
     assert a == b
+
+
+@settings(max_examples=5, deadline=None)
+@given(_ct_rows, _ct_rows)
+def test_mutual_nn_gemm_bit_identical_property(spark, rows_a, rows_b):
+    """The batch GEMM scorer (shared by cosine_topk_batch /
+    mutual_nearest_neighbors / hard_negatives) replays the exact fold
+    too — expr and gemm alignments must be tuple-equal under NULL
+    rows, NULL elements, and zero-norm vectors on BOTH sides."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.similarity import (
+        mutual_nearest_neighbors,
+    )
+
+    da = spark.createDataFrame(
+        [(key, vec) for key, vec in rows_a],
+        "vec_id long, embedding array<double>",
+    )
+    db = spark.createDataFrame(
+        [(key, vec) for key, vec in rows_b],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(
+        tuple(r)
+        for r in mutual_nearest_neighbors(da, db, impl="expr").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in mutual_nearest_neighbors(da, db, impl="gemm").collect()
+    )
+    assert a == b
