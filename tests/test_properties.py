@@ -1059,3 +1059,34 @@ def test_mutual_nn_gemm_bit_identical_property(spark, rows_a, rows_b):
         for r in mutual_nearest_neighbors(da, db, impl="gemm").collect()
     )
     assert a == b
+
+
+# integer-ish values keep every partial sum exact in float64, so the
+# F.avg-fold vs np.mean channel is closed by construction and any
+# engine divergence is a LOGIC bug (init order, empty-cell fallback,
+# assignment tiebreak), not float noise
+_iv_rows = st.lists(
+    st.tuples(
+        st.integers(0, 10**6),
+        st.lists(st.sampled_from([0.0, 1.0, 2.0, 3.0]), min_size=2, max_size=2),
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_iv_rows, st.sampled_from([2, 4]), st.sampled_from([1, 2]))
+def test_train_ivf_engines_agree_property(spark, rows, cells, iters):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(key, vec) for key, vec in rows],
+        "vec_id long, embedding array<double>",
+    )
+    a = train_ivf_centroids(df, cells, iters=iters, engine="numpy")
+    b = train_ivf_centroids(df, cells, iters=iters, engine="sql")
+    assert a == b
