@@ -6857,97 +6857,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # for exactly the first 50 registered queries per round; the
     # registry holds 143.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green and no
-    # query's evidence goes more than 3 rounds stale.
+    # query's evidence goes more than 3 rounds stale.  The window
+    # below is verified mechanically by tools/rotation_check.py
+    # (pytest: tests/test_rotation.py) against every CORRECTNESS file.
     #
-    # Round 11 window — the r10 verdict's evidence-integrity plan,
-    # recomputed mechanically by tools/rotation_check.py (which now
-    # fails pytest if this window would let any query's evidence
-    # exceed the 3-round ceiling):
-    #   * the 24 queries the r10 ledger orphaned at r7 evidence
-    #     (overdue — they were due in the r10 window): q01, q04-q06,
-    #     q09-q11, q13-q16, q20/q20b, q21, q22, q26, q32-q34, q42,
-    #     q50-q53 — LEAD;
-    #   * the 19 r8 greens at the 3-round ceiling this round:
-    #     q82-q90, q02, q08, q12, q17-q19, q25, q27-q29;
-    #   * the 5 r11-touched kernels (ADVICE fixes — every one is
-    #     output-identical on the driver corpus, re-pinned by the
-    #     oracle suite before this window was spent): q23/q126
-    #     (train_ivf_centroids defaults: engine back to "sql", the
-    #     oracle spec executor, and max_train_rows now opt-in so the
-    #     default path trains on the exact uncapped pool the oracle
-    #     unrolls; "auto" falls back to sql above the driver-gather
-    #     cap instead of silently sampling), q136 (kcenter numpy
-    #     argmax restricted to alive lanes — the all-NaN-candidate
-    #     duplicate-pick bug — plus the sql loop's NULL-radius
-    #     guard), q137/q138 (pq_train max_train_rows now opt-in,
-    #     same contract as train_ivf_centroids);
-    #   * the 2 oldest r9 greens fill to 50: q30/q31.
-    #   ZERO new registrations (the r10 verdict's hard constraint —
-    #   the registry runs at ~96% of rotation capacity).
-    # Tail (51+) is ordered so r12 inherits a solved schedule: the 46
-    # r9 greens that hit the ceiling at r12 (q91-q106, q24, q07, q81,
-    # q35-q41, q43-q49, q54-q56, q58, q60-q62, q65-q69, q03) come
-    # first, then the r10/r11 greens (q107-q123b, q124/q125,
-    # q127-q135, q57, q59, q63b/q64b, q70-q80, q25b), then rows-only
-    # q63/q64 (correctness signal lives in q63b/q64b).
+    # Round 12 window — the r11 ledger's pre-commitment, executed:
+    #   * slots 1-46: the 46 r9 greens at the staleness ceiling
+    #     (q91-q106, q24, q07, q81, q35-q41, q43-q49, q54-q56, q58,
+    #     q60-q62, q65-q69, q03) — rotation_check --due reproduces
+    #     this list from the CORRECTNESS files alone;
+    #   * slots 47-48: q115/q124 (their probe tempdir cleanup — the
+    #     ADVICE r10 leak pattern deliberately deferred in r11 — lands
+    #     WITH their seats, and the collect-before-rmtree pattern is
+    #     the same one q25b/q126/q138 proved hash-green in r11);
+    #   * slots 49-50: q137/q138 — the ONE r12 kernel touch (pq_train
+    #     replaces its unconditional full proj.count() over-cap gate
+    #     with a limit(DRIVER_TRAIN_CAP+1) scan, ADVICE r11; the
+    #     dispatch decision and codebook bytes are identical, but the
+    #     registered paths lose a full-scan job, so both queries are
+    #     re-driven this round).  They displace q107/q108 from the
+    #     pre-committed fill per the ledger's explicit displacement
+    #     clause; q107/q108 rejoin the tail lead and reach the ceiling
+    #     at r13 with the rest of the r10 block.
+    #   ZERO new registrations (the r11 verdict's hard constraint).
+    # Tail (51+) is ordered so r13 inherits a solved schedule; the
+    # r13 window itself is PRE-COMMITTED in tools/next_window.json
+    # (43 r10-green keys at ceiling + q139_stream_upsert, the planned
+    # first oracle row for streaming/events.py:stream_to_lake_upsert,
+    # + the 6 oldest r11 greens) and verified by rotation_check
+    # --simulate-next, which now also proves the plan file covers the
+    # simulated due set.
     # Ledger: SURVEY.md §8.3.
     return {
-        # --- r11 window: the 24 r7-evidenced queries the r10 ledger
-        # orphaned (overdue at the 3-round staleness ceiling) ---
-        "q01_pricing_summary": q01_pricing_summary,
-        "q04_size_binning": q04_size_binning,
-        "q05_phase_ladder": q05_phase_ladder,
-        "q06_latest_event_per_user": q06_latest_event_per_user,
-        "q09_severity_weighted": q09_severity_weighted,
-        "q10_ship_delay": q10_ship_delay,
-        "q11_normalize_project": q11_normalize_project,
-        "q13_event_counts": q13_event_counts,
-        "q14_hourly_windows": q14_hourly_windows,
-        "q15_text_stats": q15_text_stats,
-        "q16_fingerprint": q16_fingerprint,
-        "q20_embedding_near_dups": q20_embedding_near_dups,
-        "q20b_embedding_near_dups_hi": q20b_embedding_near_dups_hi,
-        "q21_age_bins": q21_age_bins,
-        "q22_simhash_pairs": q22_simhash_pairs,
-        "q26_anti_join": q26_anti_join,
-        "q32_percentiles": q32_percentiles,
-        "q33_pivot_activity": q33_pivot_activity,
-        "q34_daily_active_users": q34_daily_active_users,
-        "q42_json_props": q42_json_props,
-        "q50_top_orders_per_priority": q50_top_orders_per_priority,
-        "q51_event_navigation": q51_event_navigation,
-        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
-        "q53_grouping_sets": q53_grouping_sets,
-        # --- the 19 r8 greens at the staleness ceiling ---
-        "q82_mad_outliers": q82_mad_outliers,
-        "q83_fuzzy_linkage": q83_fuzzy_linkage,
-        "q84_snapshot_diff": q84_snapshot_diff,
-        "q85_rolling_zscore": q85_rolling_zscore,
-        "q86_incremental_neardup": q86_incremental_neardup,
-        "q87_mutual_nn": q87_mutual_nn,
-        "q88_range_lookup": q88_range_lookup,
-        "q89_cooccurrence": q89_cooccurrence,
-        "q90_hybrid_retrieval": q90_hybrid_retrieval,
-        "q02_containment_enrich": q02_containment_enrich,
-        "q08_duplicate_rows": q08_duplicate_rows,
-        "q12_topk_orders": q12_topk_orders,
-        "q17_minhash_near_dups": q17_minhash_near_dups,
-        "q18_ngram_jaccard": q18_ngram_jaccard,
-        "q19_cosine_topk": q19_cosine_topk,
-        "q25_streaming_hourly": q25_streaming_hourly,
-        "q27_top_revenue": q27_top_revenue,
-        "q28_rollup_revenue": q28_rollup_revenue,
-        "q29_asof_attribution": q29_asof_attribution,
-        # --- r11-touched kernels (ADVICE fixes; output-identical) ---
-        "q23_ivf_topk": q23_ivf_topk,
-        "q126_ivf_append": q126_ivf_append,
-        "q136_kcenter_select": q136_kcenter_select,
-        "q137_pq_adc_topk": q137_pq_adc_topk,
-        "q138_ivfpq_residual_topk": q138_ivfpq_residual_topk,
-        # --- oldest r9 greens fill to 50 ---
-        "q30_session_stats": q30_session_stats,
-        "q31_curated_corpus": q31_curated_corpus,
-        # --- tail (51+): the 46 r9 greens that lead r12 ---
+        # --- r12 window slots 1-46: the 46 r9 greens at the
+        # staleness ceiling (rotation_check --due, verbatim) ---
         "q91_unpivot_metrics": q91_unpivot_metrics,
         "q92_quantile_buckets": q92_quantile_buckets,
         "q93_scd2_intervals": q93_scd2_intervals,
@@ -6994,7 +6937,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_repetition": q68_repetition,
         "q69_winnow_fingerprints": q69_winnow_fingerprints,
         "q03_exact_dedup": q03_exact_dedup,
-        # --- then the r10-evidenced greens ---
+        # --- slots 47-48: q115/q124 — seated so their probe tempdir
+        # cleanup (the deferred ADVICE r10 leak pattern) lands WITH
+        # their driver rows, as the r11 ledger scheduled ---
+        "q115_stream_ingest": q115_stream_ingest,
+        "q124_signature_index": q124_signature_index,
+        # --- slots 49-50: r12-touched kernels (pq_train's over-cap
+        # gate becomes a limit(CAP+1) scan instead of a full count —
+        # ADVICE r11; dispatch decision and codebook bytes identical),
+        # displacing q107/q108 from the pre-committed fill per the
+        # ledger's displacement clause ---
+        "q137_pq_adc_topk": q137_pq_adc_topk,
+        "q138_ivfpq_residual_topk": q138_ivfpq_residual_topk,
+        # --- tail (51+): the 43 r10 greens that hit the ceiling at
+        # r13 (q107/q108 rejoin here after their displacement) — they
+        # lead the PRE-COMMITTED r13 window in tools/next_window.json ---
         "q107_bigram_surprisal": q107_bigram_surprisal,
         "q108_lexical_diversity": q108_lexical_diversity,
         "q109_quantize_embeddings": q109_quantize_embeddings,
@@ -7003,7 +6960,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_char_entropy": q112_char_entropy,
         "q113_gopher_flags": q113_gopher_flags,
         "q114_stream_zscore": q114_stream_zscore,
-        "q115_stream_ingest": q115_stream_ingest,
         "q116_session_incident_overlap": q116_session_incident_overlap,
         "q117_duplication_report": q117_duplication_report,
         "q118_vocab_coverage": q118_vocab_coverage,
@@ -7014,7 +6970,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_fda_datasource_agg": q123_fda_datasource_agg,
         "q77_centroid_outliers": q77_centroid_outliers,
         "q72_semantic_dedup": q72_semantic_dedup,
-        "q124_signature_index": q124_signature_index,
         "q125_bloom_contamination": q125_bloom_contamination,
         "q127_budget_batches": q127_budget_batches,
         "q128_pii_report": q128_pii_report,
@@ -7040,6 +6995,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_stream_stream_join": q80_stream_stream_join,
         "q123b_fda_retry_scan": q123b_fda_retry_scan,
         "q25b_backfill_drain": q25b_backfill_drain,
+        # --- then the 48 r11 greens (due r14; q137/q138 moved to the
+        # window above). r13's 7 free slots take q139_stream_upsert
+        # (stream_to_lake_upsert's FIRST oracle row, the last unit-only
+        # streaming operator) + the 6 oldest of these (q01, q04-q06,
+        # q09, q10) per tools/next_window.json ---
+        "q01_pricing_summary": q01_pricing_summary,
+        "q04_size_binning": q04_size_binning,
+        "q05_phase_ladder": q05_phase_ladder,
+        "q06_latest_event_per_user": q06_latest_event_per_user,
+        "q09_severity_weighted": q09_severity_weighted,
+        "q10_ship_delay": q10_ship_delay,
+        "q11_normalize_project": q11_normalize_project,
+        "q13_event_counts": q13_event_counts,
+        "q14_hourly_windows": q14_hourly_windows,
+        "q15_text_stats": q15_text_stats,
+        "q16_fingerprint": q16_fingerprint,
+        "q20_embedding_near_dups": q20_embedding_near_dups,
+        "q20b_embedding_near_dups_hi": q20b_embedding_near_dups_hi,
+        "q21_age_bins": q21_age_bins,
+        "q22_simhash_pairs": q22_simhash_pairs,
+        "q26_anti_join": q26_anti_join,
+        "q32_percentiles": q32_percentiles,
+        "q33_pivot_activity": q33_pivot_activity,
+        "q34_daily_active_users": q34_daily_active_users,
+        "q42_json_props": q42_json_props,
+        "q50_top_orders_per_priority": q50_top_orders_per_priority,
+        "q51_event_navigation": q51_event_navigation,
+        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
+        "q53_grouping_sets": q53_grouping_sets,
+        "q82_mad_outliers": q82_mad_outliers,
+        "q83_fuzzy_linkage": q83_fuzzy_linkage,
+        "q84_snapshot_diff": q84_snapshot_diff,
+        "q85_rolling_zscore": q85_rolling_zscore,
+        "q86_incremental_neardup": q86_incremental_neardup,
+        "q87_mutual_nn": q87_mutual_nn,
+        "q88_range_lookup": q88_range_lookup,
+        "q89_cooccurrence": q89_cooccurrence,
+        "q90_hybrid_retrieval": q90_hybrid_retrieval,
+        "q02_containment_enrich": q02_containment_enrich,
+        "q08_duplicate_rows": q08_duplicate_rows,
+        "q12_topk_orders": q12_topk_orders,
+        "q17_minhash_near_dups": q17_minhash_near_dups,
+        "q18_ngram_jaccard": q18_ngram_jaccard,
+        "q19_cosine_topk": q19_cosine_topk,
+        "q25_streaming_hourly": q25_streaming_hourly,
+        "q27_top_revenue": q27_top_revenue,
+        "q28_rollup_revenue": q28_rollup_revenue,
+        "q29_asof_attribution": q29_asof_attribution,
+        "q23_ivf_topk": q23_ivf_topk,
+        "q126_ivf_append": q126_ivf_append,
+        "q136_kcenter_select": q136_kcenter_select,
+        "q30_session_stats": q30_session_stats,
+        "q31_curated_corpus": q31_curated_corpus,
         # --- rows-only by design (signal in q63b/q64b) ---
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
