@@ -5003,22 +5003,33 @@ SELECT event_id, event_type, z FROM z WHERE abs(z) > {_SZF_THRESH!r}
 # constants (n=3, h=8, bands=4, thresh=0.5).
 # ---------------------------------------------------------------------------
 def q115_stream_ingest(spark, sf_dir):
+    import shutil
     import tempfile
 
     from cloud_native_medical_data_etl_pipeline_spark.streaming.ingest import (
         stream_dedup_ingest,
     )
 
+    # the work tree is removed before returning (the q25b ADVICE
+    # cleanup, applied family-wide in its r12 window seat): the
+    # 3-column survivor projection is read into memory FIRST so the
+    # rmtree cannot perturb the oracle bytes — probe-sized (one slim
+    # row per accepted doc) at every driver SF
     work = tempfile.mkdtemp(prefix="q115_")
-    stream_dedup_ingest(
-        spark,
-        f"{sf_dir}/documents.parquet",
-        f"{work}/corpus",
-        f"{work}/ckpt",
-        jaccard_threshold=_MH_THRESH,
-    )
-    corpus = spark.read.parquet(f"{work}/corpus")
-    return corpus.select("doc_id", "source", "n_chars")
+    try:
+        stream_dedup_ingest(
+            spark,
+            f"{sf_dir}/documents.parquet",
+            f"{work}/corpus",
+            f"{work}/ckpt",
+            jaccard_threshold=_MH_THRESH,
+        )
+        corpus = spark.read.parquet(f"{work}/corpus")
+        res = corpus.select("doc_id", "source", "n_chars")
+        rows, schema = res.collect(), res.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def _q115_sql() -> str:
@@ -5057,26 +5068,35 @@ WHERE doc_id NOT IN (SELECT key_b FROM losers)
 # stored index bytes, not just the accept/reject decisions.
 # ---------------------------------------------------------------------------
 def q124_signature_index(spark, sf_dir):
+    import shutil
     import tempfile
 
     from cloud_native_medical_data_etl_pipeline_spark.streaming.ingest import (
         stream_dedup_ingest,
     )
 
+    # same cleanup discipline as q115: the index projection (one row
+    # of 8 minhash lanes per survivor — the shingle SETS stay on disk)
+    # is collected before the work tree is removed
     work = tempfile.mkdtemp(prefix="q124_")
-    stream_dedup_ingest(
-        spark,
-        f"{sf_dir}/documents.parquet",
-        f"{work}/corpus",
-        f"{work}/ckpt",
-        jaccard_threshold=_MH_THRESH,
-    )
-    sigs = spark.read.parquet(f"{work}/corpus_sigs")
-    return sigs.select(
-        "k",
-        F.size("sh").cast("long").alias("n_shingles"),
-        *[F.col(f"mh{i}") for i in range(_MH_H)],
-    )
+    try:
+        stream_dedup_ingest(
+            spark,
+            f"{sf_dir}/documents.parquet",
+            f"{work}/corpus",
+            f"{work}/ckpt",
+            jaccard_threshold=_MH_THRESH,
+        )
+        sigs = spark.read.parquet(f"{work}/corpus_sigs")
+        res = sigs.select(
+            "k",
+            F.size("sh").cast("long").alias("n_shingles"),
+            *[F.col(f"mh{i}") for i in range(_MH_H)],
+        )
+        rows, schema = res.collect(), res.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def _q124_sql() -> str:
