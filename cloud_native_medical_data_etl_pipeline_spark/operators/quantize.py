@@ -355,7 +355,8 @@ def pq_train(
                 f"train_sample_mod={train_sample_mod} leaves no "
                 "training rows — lower it for this corpus size"
             )
-    elif max_train_rows is not None:
+    exact_n = None  # pool size, when a branch below already measured it
+    if max_train_rows is not None and train_sample_mod is None:
         n = pool.count()
         if n > max_train_rows:
             from ._sampling import hash_sample
@@ -363,6 +364,8 @@ def pq_train(
             pool = hash_sample(
                 pool, key_col, -(-n // max_train_rows)
             )
+        else:
+            exact_n = n  # unsampled: the count IS the pool size
     proj = pool.select(
         F.col(key_col).alias("key"),
         *[slices[s].alias(f"v{s}") for s in range(m)],
@@ -370,12 +373,22 @@ def pq_train(
     if engine != "sql":
         from ._kmeans_np import DRIVER_TRAIN_CAP
 
-        n_train = proj.count()
-        if n_train > DRIVER_TRAIN_CAP:
+        # over-cap gate without a full scan (ADVICE r11): reuse the
+        # exact count when the max_train_rows branch already measured
+        # the (unsampled) pool; otherwise scan at most CAP+1 rows —
+        # the dispatch only needs "more than CAP?", never n itself,
+        # and min(n, CAP+1) > CAP iff n > CAP
+        if exact_n is not None:
+            over_cap = exact_n > DRIVER_TRAIN_CAP
+        else:
+            over_cap = (
+                proj.limit(DRIVER_TRAIN_CAP + 1).count() > DRIVER_TRAIN_CAP
+            )
+        if over_cap:
             if engine == "numpy":
                 raise ValueError(
-                    f"pq_train(engine='numpy') refuses {n_train} "
-                    f"training rows > {DRIVER_TRAIN_CAP}: pass "
+                    f"pq_train(engine='numpy') refuses a training pool "
+                    f"over {DRIVER_TRAIN_CAP} rows: pass "
                     "train_sample_mod/max_train_rows to opt into the "
                     "deterministic hash-sample, or use engine='sql'/"
                     "'auto'"

@@ -483,3 +483,39 @@ def test_pq_train_numpy_refuses_overcap_auto_falls_back(spark, monkeypatch):
     auto = pq_train(emb, m=2, k=3, iters=1, engine="auto")
     sql = pq_train(emb, m=2, k=3, iters=1, engine="sql")
     assert auto == sql
+
+
+def test_pq_train_overcap_gate_boundary_and_exact_n_reuse(spark, monkeypatch):
+    # ADVICE r11: the over-cap dispatch gate must not run a full count
+    # of the training frame — it scans at most CAP+1 rows, or reuses
+    # the exact count the max_train_rows branch already took.  The
+    # DECISION must be unchanged: pool == CAP stays on numpy, CAP+1
+    # falls back / refuses, and the reused-count path agrees.
+    from cloud_native_medical_data_etl_pipeline_spark.operators import _kmeans_np
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(12)
+    monkeypatch.setattr(_kmeans_np, "DRIVER_TRAIN_CAP", 12)
+    # exactly at the cap: numpy accepted, identical to sql
+    at_cap_np = pq_train(emb, m=2, k=3, iters=1, engine="numpy")
+    at_cap_sql = pq_train(emb, m=2, k=3, iters=1, engine="sql")
+    assert at_cap_np == at_cap_sql
+    monkeypatch.setattr(_kmeans_np, "DRIVER_TRAIN_CAP", 11)
+    # one over: numpy refuses, auto falls back to the identical sql loop
+    with pytest.raises(ValueError, match="refuses"):
+        pq_train(emb, m=2, k=3, iters=1, engine="numpy")
+    assert pq_train(emb, m=2, k=3, iters=1, engine="auto") == at_cap_sql
+    # exact-count reuse: an unsampled max_train_rows pool (12 <= 1000)
+    # knows n without the limit scan and must gate identically
+    with pytest.raises(ValueError, match="refuses"):
+        pq_train(emb, m=2, k=3, iters=1, engine="numpy", max_train_rows=1000)
+    assert (
+        pq_train(emb, m=2, k=3, iters=1, engine="auto", max_train_rows=1000)
+        == at_cap_sql
+    )
+    monkeypatch.setattr(_kmeans_np, "DRIVER_TRAIN_CAP", 12)
+    assert (
+        pq_train(emb, m=2, k=3, iters=1, engine="numpy", max_train_rows=1000)
+        == at_cap_sql
+    )
