@@ -123,7 +123,7 @@ def main() -> None:
     # 6.18 -> 0.906 s).  Back-to-back reps give every query the same
     # warm bracket, and a query still descending after `passes` reps
     # (the page-fault ramp outlasting the base bracket) keeps going —
-    # up to 2x passes — until the running MIN stalls for two
+    # up to 2x passes — until the running MIN stalls for three
     # consecutive reps.  The recorded number stays the per-query min;
     # the rule is uniform across all queries.
     max_reps = int(
@@ -140,6 +140,7 @@ def main() -> None:
         df.count()
         release(df)
     timings: dict[str, float] = {}
+    reps_used: dict[str, int] = {}
     for name in HEADLINE:
         fn = queries[name]
         n, best, stall = -1, float("inf"), 0
@@ -159,6 +160,7 @@ def main() -> None:
             if rep + 1 >= passes and stall >= 3:
                 break
         timings[name] = best
+        reps_used[name] = rep + 1
         print(
             f"  {name}: {best:.3f}s ({n} rows, {rep + 1} reps)",
             file=sys.stderr,
@@ -173,7 +175,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "startup_sec": startup,
+                # methodology provenance (ADVICE r11): `passes` alone
+                # silently mixed the r11 bracket change into cross-round
+                # comparisons — record the bracket rule, its bounds, and
+                # the actual per-query rep counts in the payload itself
+                "bracket": "consecutive-adaptive-r11",
                 "passes": passes,
+                "max_reps": max_reps,
+                "reps": reps_used,
                 "sf": sf,
             }
         )
