@@ -236,6 +236,7 @@ def train_ivf_centroids(
     clean = df.where(
         F.col(vec_col).isNotNull() & F.col(key_col).isNotNull()
     )
+    exact_n = None  # pool size, when the branch below already measured it
     if max_train_rows is not None:
         n = clean.count()
         if n > max_train_rows:
@@ -244,15 +245,26 @@ def train_ivf_centroids(
             clean = hash_sample(
                 clean, key_col, -(-n // max_train_rows)
             )
+        else:
+            exact_n = n  # unsampled: the count IS the pool size
     if engine != "sql":
         from ._kmeans_np import DRIVER_TRAIN_CAP
 
-        n_train = clean.count()
-        if n_train > DRIVER_TRAIN_CAP:
+        # over-cap gate without a full scan (the pq_train ADVICE r11
+        # fix, applied symmetrically): the dispatch only needs "more
+        # than CAP?", so scan at most CAP+1 rows — or reuse the exact
+        # count the max_train_rows branch took on an unsampled pool
+        if exact_n is not None:
+            over_cap = exact_n > DRIVER_TRAIN_CAP
+        else:
+            over_cap = (
+                clean.limit(DRIVER_TRAIN_CAP + 1).count() > DRIVER_TRAIN_CAP
+            )
+        if over_cap:
             if engine == "numpy":
                 raise ValueError(
-                    f"train_ivf_centroids(engine='numpy') refuses "
-                    f"{n_train} training rows > {DRIVER_TRAIN_CAP}: "
+                    f"train_ivf_centroids(engine='numpy') refuses a "
+                    f"training pool over {DRIVER_TRAIN_CAP} rows: "
                     "pass max_train_rows to opt into the deterministic "
                     "hash-sample, or use engine='sql'/'auto'"
                 )

@@ -1562,3 +1562,41 @@ def test_gather_vectors_rejects_null_rows_and_ragged(spark):
     empty = spark.createDataFrame([], "key long, vec array<double>")
     keys, X = _gather_vectors(empty)
     assert keys == [] and X.shape == (0, 0)
+
+
+def test_train_ivf_overcap_gate_boundary_and_exact_n_reuse(
+    spark, monkeypatch
+):
+    # the pq_train ADVICE r11 gate, applied symmetrically: dispatch
+    # reads at most CAP+1 rows (or reuses the max_train_rows branch's
+    # exact count) and the DECISION is unchanged — pool == CAP stays
+    # on numpy, CAP+1 refuses / falls back identically
+    from cloud_native_medical_data_etl_pipeline_spark.operators import _kmeans_np
+    from cloud_native_medical_data_etl_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(12)
+    monkeypatch.setattr(_kmeans_np, "DRIVER_TRAIN_CAP", 12)
+    at_cap_np = S.train_ivf_centroids(emb, 4, iters=1, engine="numpy")
+    at_cap_sql = S.train_ivf_centroids(emb, 4, iters=1, engine="sql")
+    assert at_cap_np == at_cap_sql
+    monkeypatch.setattr(_kmeans_np, "DRIVER_TRAIN_CAP", 11)
+    with pytest.raises(ValueError, match="refuses"):
+        S.train_ivf_centroids(emb, 4, iters=1, engine="numpy")
+    assert (
+        S.train_ivf_centroids(emb, 4, iters=1, engine="auto") == at_cap_sql
+    )
+    # exact-count reuse: unsampled max_train_rows pool (12 <= 1000)
+    # knows n without the limit scan and must gate identically
+    with pytest.raises(ValueError, match="refuses"):
+        S.train_ivf_centroids(
+            emb, 4, iters=1, engine="numpy", max_train_rows=1000
+        )
+    monkeypatch.setattr(_kmeans_np, "DRIVER_TRAIN_CAP", 12)
+    assert (
+        S.train_ivf_centroids(
+            emb, 4, iters=1, engine="numpy", max_train_rows=1000
+        )
+        == at_cap_sql
+    )
