@@ -154,17 +154,21 @@ def train_logreg(
 
         from ._kmeans_np import round_spark
 
-        n = feat.count()
-        if n > max_train_rows:
+        # bounded over-cap gate (the pq_train ADVICE r11 pattern): the
+        # refusal must fire BEFORE collecting, but only needs "more
+        # than the cap?" — read at most max_train_rows+1 rows instead
+        # of a full count; the exact n comes free from the Arrow table
+        if feat.limit(max_train_rows + 1).count() > max_train_rows:
             raise ValueError(
-                f"train_logreg(engine='numpy') refuses {n} rows > "
-                f"max_train_rows={max_train_rows}: hash-sample the "
-                "feature frame (train_sample_mod) or use engine='sql'"
+                f"train_logreg(engine='numpy') refuses a feature frame "
+                f"over max_train_rows={max_train_rows} rows: hash-sample "
+                "the feature frame (train_sample_mod) or use engine='sql'"
             )
         tbl = feat.select(
             *[F.col(c).cast("double") for c in features],
             F.col(label).cast("double").alias("__y"),
         ).toArrow()
+        n = tbl.num_rows
         cols = [
             tbl.column(i).to_numpy(zero_copy_only=False)
             for i in range(len(features))
