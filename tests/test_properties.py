@@ -1090,3 +1090,145 @@ def test_train_ivf_engines_agree_property(spark, rows, cells, iters):
     a = train_ivf_centroids(df, cells, iters=iters, engine="numpy")
     b = train_ivf_centroids(df, cells, iters=iters, engine="sql")
     assert a == b
+
+
+# assign_cells gemm parity: the r9 GEMM ingest kernel's documented
+# contract is "ulp-level differences can flip only exact near-ties",
+# so arbitrary centroids are NOT a bit-identity surface.  Scaled basis
+# vectors ARE: cosine to s·e_i is x_i/|x| (power-of-two scales cancel
+# EXACTLY in float), so both impls rank the raw lane values — argmax,
+# lowest-index ties (duplicate centroids included), and the NULL
+# contract (NULL vec / NULL element / zero-norm row -> NULL cell_id)
+# must agree exactly under randomized inputs.
+_ac_vals = st.sampled_from([0.0, 1.0, 2.0, -1.0, -0.5, None])
+_ac_rows = st.lists(
+    st.tuples(
+        st.integers(0, 10**6),
+        st.one_of(
+            st.none(),
+            st.lists(_ac_vals, min_size=3, max_size=3),
+        ),
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+_ac_cents = st.sampled_from(
+    [
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+        # duplicate direction at a power-of-two scale: an EXACT
+        # cosine tie with its twin -> lowest-index tiebreak on both
+        [[0.0, 1.0, 0.0], [0.0, 2.0, 0.0], [1.0, 0.0, 0.0]],
+        [[0.0, 0.0, 2.0], [2.0, 0.0, 0.0]],
+    ]
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_ac_rows, _ac_cents)
+def test_assign_cells_gemm_agrees_on_basis_centroids(spark, rows, cents):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    df = spark.createDataFrame(
+        [(key, vec) for key, vec in rows],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(
+        (r["vec_id"], r["cell_id"])
+        for r in assign_cells(df, cents, impl="expr").collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell_id"])
+        for r in assign_cells(df, cents, impl="gemm").collect()
+    )
+    assert a == b
+
+
+# centroid_outlier_scores arrow kernel: the docstring contract is
+# BIT-EQUAL scores (exact fold replay + Spark-exact rounding), so the
+# property runs the full operator — per-group mean centroid then
+# per-row pair cosine — on arbitrary float mixes, NULL embeddings,
+# and NULL elements, and demands exact row equality.
+_co_vals = st.sampled_from([0.0, 1.0, -1.0, 0.5, 1e-3, 7.25, None])
+_co_rows = st.lists(
+    st.tuples(
+        st.integers(0, 10**6),
+        st.sampled_from(["g0", "g1"]),
+        st.one_of(
+            st.none(),
+            st.lists(_co_vals, min_size=3, max_size=3),
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_co_rows)
+def test_centroid_outlier_scores_arrow_bit_identical_property(spark, rows):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.similarity import (
+        centroid_outlier_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(key, g, vec) for key, g, vec in rows],
+        "vec_id long, label string, embedding array<double>",
+    )
+    a = sorted(
+        tuple(r) for r in centroid_outlier_scores(df, impl="expr").collect()
+    )
+    b = sorted(
+        tuple(r) for r in centroid_outlier_scores(df, impl="arrow").collect()
+    )
+    assert a == b
+
+
+# pq_encode arrow kernel: "identical codes by construction (same fold
+# order, same roundings, same argmin tiebreak)" — property form over
+# arbitrary float mixes and randomized codebooks, including exact
+# distance ties from duplicated codewords.  NULL-ELEMENT vectors are
+# outside the contract (the expr battery null-propagates to a NULL
+# code lane; the numpy kernel sees NaN) — whole-NULL vectors are the
+# contracted NULL surface (both impls drop them).
+_pe_vals = st.sampled_from([0.0, 1.0, -1.0, 0.5, 1e-3, 7.25])
+_pe_vec = st.lists(_pe_vals, min_size=4, max_size=4)
+_pe_rows = st.lists(
+    st.tuples(st.integers(0, 10**6), st.one_of(st.none(), _pe_vec)),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+_pe_books = st.lists(
+    st.lists(st.lists(_pe_vals, min_size=2, max_size=2), min_size=2, max_size=3),
+    min_size=2,
+    max_size=2,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_pe_rows, _pe_books)
+def test_pq_encode_arrow_bit_identical_property(spark, rows, books):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.quantize import (
+        pq_encode,
+    )
+
+    # both subspace codebooks need the same k (build invariant)
+    k = min(len(b) for b in books)
+    books = [b[:k] for b in books]
+    df = spark.createDataFrame(
+        [(key, vec) for key, vec in rows],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(
+        (r["key"], tuple(r["pq_code"]))
+        for r in pq_encode(df, books, impl="expr").collect()
+    )
+    b = sorted(
+        (r["key"], tuple(r["pq_code"]))
+        for r in pq_encode(df, books, impl="arrow").collect()
+    )
+    assert a == b
