@@ -6866,6 +6866,68 @@ HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= wm.w
 """
 
 
+# ---------------------------------------------------------------------------
+# q139 — STAGED for its r13 registration (tools/next_window.json slot
+# 44; the r12 window has zero slack, so it is deliberately NOT in
+# queries()/oracle_sql() this round).  The probe + SQL pair is the one
+# pinned by tests/test_streaming.py::test_stream_to_lake_upsert_oracle_
+# roundtrip (r11 commit 1a60102) and re-verified at sf0.01 in r12:
+# drain events through streaming.events.stream_to_lake_upsert TWICE
+# (the second run is a full redelivery on a fresh checkpoint), then
+# aggregate the lake per (year, month, day, event_type).  Hash-match
+# iff every row landed exactly once, the sentinel-coalesced day rule
+# matches, and the replay was a perfect no-op — a duplicated or
+# dropped row doubles/loses n and total_value.
+# ---------------------------------------------------------------------------
+def q139_stream_upsert(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cloud_native_medical_data_etl_pipeline_spark.streaming import events as SE
+
+    root = tempfile.mkdtemp(prefix="q139_")
+    # work tree (lake + both checkpoints) removed before returning
+    # (the q25b cleanup discipline): the day-grain summary is read
+    # into memory first so the rmtree cannot perturb the oracle bytes
+    try:
+        base = f"{root}/lake"
+        SE.stream_to_lake_upsert(
+            spark, f"{sf_dir}/events.parquet", base, f"{root}/ck1"
+        )
+        SE.stream_to_lake_upsert(
+            spark, f"{sf_dir}/events.parquet", base, f"{root}/ck2"
+        )
+        res = (
+            spark.read.parquet(base)
+            .groupBy(
+                F.col("year").cast("int").alias("year"),
+                F.col("month").cast("int").alias("month"),
+                F.col("day").cast("int").alias("day"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+        )
+        rows, schema = res.collect(), res.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+Q139_SQL = """
+SELECT CAST(COALESCE(EXTRACT(year FROM ts), 9999) AS INT) AS year,
+       CAST(COALESCE(EXTRACT(month FROM ts), 12) AS INT) AS month,
+       CAST(COALESCE(EXTRACT(day FROM ts), 31) AS INT) AS day,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
