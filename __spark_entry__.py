@@ -6928,6 +6928,67 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+# ---------------------------------------------------------------------------
+# q140 — STAGED registration candidate (NOT registered in r12; a fill
+# for whichever future window has slack, r14 at the earliest).  It
+# upgrades the four "unit-only by nature" lake-IO rows to
+# oracle-evidenced: S7/S6 (JSON write/read through the Hive layout,
+# S13) and S11/S10 (the reference's head-1000 CSV extract written
+# WITH header, read back with the explicit schema).  Both legs
+# project exact per-row values — event_id/user_id bigint, event_type/
+# props string, value double — so the driver's value hash proves the
+# text round-trips are LOSSLESS (JSON/CSV double serialization is
+# shortest-repr, bit-exact on re-read; no aggregate, so no float
+# summation-order hazard).  ts is deliberately excluded: text
+# timestamp formats carry millisecond precision while the parquet
+# column has microseconds — a real serialization boundary, documented
+# rather than hidden behind a lossy grain.  Deterministic row choice:
+# the CSV head is written from an event_id-sorted frame (plain
+# write_csv_head row choice is nondeterministic, reference behavior),
+# and both legs sample by event_id modulus to keep the result
+# probe-sized at every SF.
+# ---------------------------------------------------------------------------
+def q140_lake_roundtrip(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cloud_native_medical_data_etl_pipeline_spark.sources import lake
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    work = tempfile.mkdtemp(prefix="q140_")
+    try:
+        lake.write_partitioned(ev, f"{work}/jlake", "2024-01-01", fmt="json")
+        js = lake.read_partition(
+            spark, f"{work}/jlake", "2024-01-01", schema=ev.schema, fmt="json"
+        ).where(F.col("event_id") % 97 == 0)
+        lake.write_csv_head(ev.orderBy("event_id"), f"{work}/chead", 1000)
+        cs = (
+            spark.read.schema(ev.schema)
+            .option("header", True)
+            .csv(f"{work}/chead")
+            .where(F.col("event_id") % 7 == 0)
+        )
+        res = js.select(F.lit("json").alias("leg"), "*").unionByName(
+            cs.select(F.lit("csv_head_1000").alias("leg"), "*")
+        )
+        rows, schema = res.collect(), res.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+Q140_SQL = """
+SELECT 'json' AS leg, event_id, user_id, event_type, value, props
+FROM events WHERE event_id % 97 = 0
+UNION ALL
+SELECT 'csv_head_1000' AS leg, event_id, user_id, event_type, value, props
+FROM (SELECT * FROM events ORDER BY event_id LIMIT 1000)
+WHERE event_id % 7 = 0
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
