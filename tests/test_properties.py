@@ -1232,3 +1232,64 @@ def test_pq_encode_arrow_bit_identical_property(spark, rows, books):
         for r in pq_encode(df, books, impl="arrow").collect()
     )
     assert a == b
+
+
+# minhash / n-gram-Jaccard arrow-vs-sql engine parity, randomized-text
+# form: dedup.py's docstring claims the Arrow mapInPandas signature
+# path is "bit-identical ... cross-checked by property tests", but the
+# existing cross-checks run on the fixed driver corpus only.  This is
+# the randomized form: adversarial text (unicode, digits, punctuation,
+# whitespace runs, tab/newline, empty, NULL) through BOTH engines,
+# exact pair equality demanded.  Low thresholds so candidate pairs
+# actually emit.
+_tx_chars = "ab1 .,-\t\né中"
+_tx_word = st.text(alphabet=_tx_chars, min_size=0, max_size=24)
+_tx_docs = st.lists(
+    st.tuples(st.integers(0, 10**6), st.one_of(st.none(), _tx_word)),
+    min_size=2,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_tx_docs, st.sampled_from([1, 2]))
+def test_minhash_engines_agree_on_random_text(spark, docs, ngram_n):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(k, t) for k, t in docs], "doc_id long, text string"
+    )
+    kw = dict(ngram_n=ngram_n, jaccard_threshold=0.1, num_hashes=8, bands=4)
+    a = sorted(
+        tuple(r)
+        for r in dedup.minhash_lsh_pairs(df, engine="arrow", **kw).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in dedup.minhash_lsh_pairs(df, engine="sql", **kw).collect()
+    )
+    assert a == b
+
+
+@settings(max_examples=5, deadline=None)
+@given(_tx_docs)
+def test_ngram_jaccard_engines_agree_on_random_text(spark, docs):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(k, t) for k, t in docs], "doc_id long, text string"
+    )
+    a = sorted(
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            df, engine="arrow", jaccard_threshold=0.1
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            df, engine="sql", jaccard_threshold=0.1
+        ).collect()
+    )
+    assert a == b
