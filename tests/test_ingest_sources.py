@@ -456,3 +456,33 @@ def test_flatten_ct_outcomes_slice_then_filter_empty(spark):
     }}
     row = ingest.flatten_ct(rest.ct_raw_df(spark, [p])).collect()[0]
     assert row["primary_outcome_measures"] == "OS | PFS"
+
+
+def test_q140_lake_roundtrip_oracle_shape(spark):
+    """The staged lake-IO registration candidate (q140, written but
+    deliberately unregistered in r12): JSON through the Hive layout
+    and the header-bearing head-1000 CSV extract must round-trip
+    LOSSLESSLY — exact per-row equality, doubles included, against
+    DuckDB reading the source parquet directly.  Pins the staged
+    probe + SQL pair so it cannot rot before its window seat."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in E.q140_lake_roundtrip(spark, sf).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            # str.replace hits both legs' "FROM events" occurrences
+            E.Q140_SQL.replace(
+                "FROM events",
+                f"FROM read_parquet('{sf}/events.parquet')",
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    legs = {t[0] for t in got}
+    assert legs == {"json", "csv_head_1000"}
