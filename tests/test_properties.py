@@ -1293,3 +1293,49 @@ def test_ngram_jaccard_engines_agree_on_random_text(spark, docs):
         ).collect()
     )
     assert a == b
+
+
+# salted_join output-invariance, randomized form: the fixed-case units
+# (test_skew.py) pin inner/left parity on two tiny frames; this fuzzes
+# duplicate rows (the positional-salt reason-for-being), NULL keys,
+# NULL payloads, and missing/extra right keys, demanding exact
+# multiset equality with the plain join under both supported hows.
+_sj_key = st.one_of(st.none(), st.integers(0, 3))
+_sj_left = st.lists(
+    st.tuples(_sj_key, st.one_of(st.none(), st.integers(0, 5))),
+    min_size=0,
+    max_size=12,
+)
+_sj_right = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 9)),
+    min_size=0,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_sj_left, _sj_right, st.sampled_from(["inner", "left"]))
+def test_salted_join_output_invariant_random(spark, lrows, rrows, how):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    left = spark.createDataFrame(
+        lrows or [(None, None)], "key int, v int"
+    )
+    if not lrows:
+        left = left.limit(0)
+    right = spark.createDataFrame(
+        rrows or [(0, 0)], "key int, w int"
+    )
+    if not rrows:
+        right = right.limit(0)
+    plain = sorted(
+        tuple(r) for r in left.join(right, "key", how).collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(left, right, "key", salt_factor=4, how=how).collect()
+    )
+    assert salted == plain
