@@ -1331,11 +1331,21 @@ def test_salted_join_output_invariant_random(spark, lrows, rrows, how):
     )
     if not rrows:
         right = right.limit(0)
+    def _key(t):
+        # None-safe multiset ordering (the rows carry NULL lanes)
+        return tuple((x is None, x if x is not None else 0) for x in t)
+
     plain = sorted(
-        tuple(r) for r in left.join(right, "key", how).collect()
+        (tuple(r) for r in left.join(right, "key", how).collect()),
+        key=_key,
     )
     salted = sorted(
-        tuple(r)
-        for r in salted_join(left, right, "key", salt_factor=4, how=how).collect()
+        (
+            tuple(r)
+            for r in salted_join(
+                left, right, "key", salt_factor=4, how=how
+            ).collect()
+        ),
+        key=_key,
     )
     assert salted == plain
