@@ -39,6 +39,25 @@ HEADLINE = [
 ]
 
 
+def consume_full(df) -> int:
+    """Execute the FULL declared plan and return the row count.
+
+    A bare ``df.count()`` is NOT full execution: Catalyst eliminates a
+    final left join whose key-unique aggregated right side goes
+    unreferenced (q02 lost its whole containment subtree that way,
+    r1–r11), and column pruning drops computed expressions nothing
+    references (q15's text kernels timed as a bare scan).  Referencing
+    every output column in a checksum pins the plan.  Regression-
+    pinned by tests/test_plans.py against the q02 join count."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("c"),
+    ).first()
+    return row["n"]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -137,23 +156,11 @@ def main() -> None:
     # almost entirely on whichever query runs first — q01's bracket
     # was absorbing it for the whole set) is paid before any timing
     # starts
-    # r12: consumption is a count + full-column-checksum aggregate,
-    # not a bare count().  count() lets Catalyst ELIMINATE a final
-    # left join whose aggregated (key-unique) right side is otherwise
-    # unreferenced — q02's containment subtree was dropped from the
-    # timed plan entirely (measured delta at sf0.1: 0.522 -> 0.542 s,
-    # ~4%, because the eliminated side is two small aggregated
-    # summaries; the other 14 headline plans are join-identical under
-    # count, audit r12).  The checksum references every output column,
-    # so the full declared plan is what gets timed, uniformly.
-    from pyspark.sql import functions as F
-
-    def consume(df) -> int:
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("c"),
-        ).first()
-        return row["n"]
+    # r12: consumption is `consume_full` (count + full-column
+    # checksum), not a bare count() — see its docstring and
+    # BASELINE.md "r12 consumption re-basing" for the measured
+    # per-query attribution (q15 6.2×, q02 1.44×, q29/q33 ~1.5×).
+    consume = consume_full
 
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)

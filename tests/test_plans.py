@@ -398,3 +398,46 @@ def test_q136_kcenter_hop_update_is_shuffle_free(spark):
     plan = _final_plan(upd)
     assert "Exchange" not in plan, plan
     assert plan.count("Join") == 0, plan
+
+
+def test_bench_consume_full_keeps_q02_joins(spark):
+    """Regression pin for the r12 bench-consumption fix: a bare
+    count() over q02 lets Catalyst eliminate the final left join and
+    the containment subtree with it, timing a partial plan.  The
+    bench's consume_full checksum must keep every join of the full
+    plan in its executed aggregate."""
+    import re
+
+    import __spark_entry__ as E
+    from bench import consume_full
+
+    JOIN = re.compile(
+        r"(BroadcastHashJoin|SortMergeJoin|BroadcastNestedLoopJoin|"
+        r"ShuffledHashJoin|CartesianProduct)"
+    )
+    df = E.queries()["q02_containment_enrich"](
+        spark, "/root/testdata/sf0.001"
+    )
+    full = df._jdf.queryExecution().executedPlan().toString()
+    from pyspark.sql import functions as F
+
+    count_plan = (
+        df.groupBy().count()._jdf.queryExecution().executedPlan().toString()
+    )
+    checksum_plan = (
+        df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("c"),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_full = len(JOIN.findall(full))
+    assert n_full >= 2, full[:500]
+    # the trap this fix exists for: count() really does prune the joins
+    assert len(JOIN.findall(count_plan)) < n_full
+    # and the checksum consumption really does keep them
+    assert len(JOIN.findall(checksum_plan)) == n_full
+    # the production consume path executes without error and returns n
+    assert consume_full(df) > 0
