@@ -1410,3 +1410,61 @@ def test_asof_join_matches_bruteforce(spark, lrows, rrows):
         return tuple((x is None, x if x is not None else 0) for x in t)
 
     assert sorted(got, key=_key) == sorted(want, key=_key)
+
+
+# range_lookup_join vs a brute-force [lo, hi) reference: the bin
+# explosion is an optimization and must be semantically TRANSPARENT —
+# the reference never looks at bins, so any boundary bug (an interval
+# whose hi lands exactly on a bin edge, values at lo/hi, negative
+# ranges, bins wider/narrower than intervals, overlapping intervals)
+# shows up as a missing or phantom pair.  Values and bounds are exact
+# quarter-multiples so float floor-division agrees across engines.
+_rl_val = st.sampled_from([x / 4.0 for x in range(-12, 25)])
+_rl_fact = st.lists(
+    st.tuples(st.integers(0, 99), st.one_of(st.none(), _rl_val)),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+_rl_dim = st.lists(
+    st.tuples(_rl_val, _rl_val, st.integers(0, 9)).map(
+        lambda t: (min(t[0], t[1]), max(t[0], t[1]) + 0.25, t[2])
+    ),
+    min_size=0,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_rl_fact, _rl_dim, st.sampled_from([1.0, 2.5]), st.sampled_from(["inner", "left"]))
+def test_range_lookup_join_matches_bruteforce(spark, frows, drows, w, how):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import joins
+
+    fact = spark.createDataFrame(frows, "fid int, v double")
+    dim = spark.createDataFrame(
+        drows or [(0.0, 1.0, 0)], "lo double, hi double, attr int"
+    )
+    if not drows:
+        dim = dim.limit(0)
+    got = [
+        (r["fid"], r["v"], r["lo"], r["hi"], r["attr"])
+        for r in joins.range_lookup_join(
+            fact, dim, "v", bin_width=w, how=how
+        ).collect()
+    ]
+    want = []
+    for fid, v in frows:
+        matches = (
+            []
+            if v is None
+            else [(lo, hi, a) for lo, hi, a in drows if lo <= v < hi]
+        )
+        if matches:
+            want.extend((fid, v, lo, hi, a) for lo, hi, a in matches)
+        elif how == "left":
+            want.append((fid, v, None, None, None))
+
+    def _key(t):
+        return tuple((x is None, x if x is not None else 0) for x in t)
+
+    assert sorted(got, key=_key) == sorted(want, key=_key)
