@@ -1468,3 +1468,87 @@ def test_range_lookup_join_matches_bruteforce(spark, frows, drows, w, how):
         return tuple((x is None, x if x is not None else 0) for x in t)
 
     assert sorted(got, key=_key) == sorted(want, key=_key)
+
+
+# binned_interval_join vs brute force: the time-bin blocking must be
+# transparent to the (lo, hi]-gap pair semantics — boundary gaps
+# exactly AT lo_s (excluded) and AT hi_s (included), cross-bin pairs,
+# duplicate timestamps, and multi-key mixes all checked against a
+# reference that never bins.
+_bi_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),            # key
+        st.integers(0, 12),           # offset seconds
+        st.integers(0, 9),            # id payload
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_bi_rows, _bi_rows, st.sampled_from([(0.0, 2.0), (1.0, 5.0)]))
+def test_binned_interval_join_matches_bruteforce(spark, lrows, rrows, bounds):
+    import datetime as dt
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators import joins
+
+    lo_s, hi_s = bounds
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s), i) for k, s, i in lrows],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s), i) for k, s, i in rrows],
+        "k long, ts timestamp, rid long",
+    )
+    got = sorted(
+        (r["k"], r["lid"], r["gap_us"], r["r_rid"])
+        for r in joins.binned_interval_join(
+            left, right, on="k", lo_s=lo_s, hi_s=hi_s, right_payload=["rid"]
+        ).collect()
+    )
+    want = sorted(
+        (lk, lid, int((rs - ls) * 1_000_000), rid)
+        for lk, ls, lid in lrows
+        for rk, rs, rid in rrows
+        if lk == rk and ls + lo_s < rs <= ls + hi_s
+    )
+    assert got == want
+
+
+# interval_overlap_join vs brute force: closed-interval overlap with
+# the canonical-bin claim (no dedup pass) must emit each overlapping
+# pair EXACTLY once — double-claims from multi-bin overlaps are the
+# failure mode the canonical rule exists to prevent.
+_io_iv = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 10), st.integers(0, 5),
+              st.integers(0, 9)).map(
+        lambda t: (t[0], t[1] * 1_000_000, (t[1] + t[2]) * 1_000_000, t[3])
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_io_iv, _io_iv, st.sampled_from([2_000_000, 7_000_000]))
+def test_interval_overlap_join_matches_bruteforce(spark, lrows, rrows, span):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import joins
+
+    left = spark.createDataFrame(lrows, "k long, s long, e long, lid long")
+    right = spark.createDataFrame(rrows, "k long, s long, e long, rid long")
+    got = sorted(
+        (r["k"], r["lid"], r["r_rid"])
+        for r in joins.interval_overlap_join(
+            left, right, "s", "e", "s", "e", on="k", bin_span_us=span
+        ).collect()
+    )
+    want = sorted(
+        (lk, lid, rid)
+        for lk, ls, le, lid in lrows
+        for rk, rs, re_, rid in rrows
+        if lk == rk and ls <= re_ and rs <= le
+    )
+    assert got == want  # exactly-once: multisets equal, no double claims
