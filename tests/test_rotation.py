@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from rotation_check import (  # noqa: E402
     WINDOW_SIZE,
+    _row_green,
     audit,
     audit_core,
     check_window,
@@ -76,14 +77,35 @@ def test_every_at_ceiling_query_leads_the_window():
 # Simulate "the driver just wrote this round's file, registry not yet
 # rotated": the audit must judge the committed next_window.json plan,
 # not the spent window — the state that failed 3 tests at the r11
-# handoff.
+# handoff.  The r12 verdict's find, one level up: these fixtures used
+# to hard-code "the on-disk ledger is pre-driver", so the moment the
+# driver wrote the round's real CORRECTNESS file they synthesized a
+# phantom extra round.  Both simulation fixtures therefore derive
+# their state from the PRE-DRIVER PREFIX of the live ledger — the
+# same post-driver detection audit_core performs, applied in reverse:
+# drop trailing rounds whose keyset is exactly the current first-50
+# with every row green.  The prefix is mid-round by construction, in
+# BOTH halves of a round (before and after the driver's file lands).
+
+
+def _pre_driver_prefix(registry, rounds):
+    current = set(registry[:WINDOW_SIZE])
+    rounds = dict(rounds)
+    while rounds:
+        newest = rounds[max(rounds)]
+        if set(newest.keys()) == current and all(
+            _row_green(r) for r in newest.values()
+        ):
+            del rounds[max(rounds)]
+        else:
+            break
+    return rounds
 
 
 def _post_driver_rounds():
     registry, oracle_keys = _registry()
-    rounds = load_rounds(REPO)
+    rounds = _pre_driver_prefix(registry, load_rounds(REPO))
     spent_round = max(rounds) + 1
-    rounds = dict(rounds)
     rounds[spent_round] = _green(registry[:WINDOW_SIZE])
     return registry, oracle_keys, rounds, spent_round
 
@@ -126,9 +148,12 @@ def test_post_driver_state_with_stale_plan_is_a_violation():
 
 def test_mid_round_state_ignores_plan_and_judges_registry():
     # newest round covers a DIFFERENT keyset than the current first-50
-    # (registry already rotated) -> normal path, even with a plan file
+    # (registry already rotated) -> normal path, even with a plan file.
+    # Built from the pre-driver prefix so it holds in both handoff
+    # states (the live newest round, when post-driver, IS the current
+    # first-50 — the opposite of what this test exercises).
     registry, oracle_keys = _registry()
-    rounds = load_rounds(REPO)
+    rounds = _pre_driver_prefix(registry, load_rounds(REPO))
     bogus_plan = {"for_round": max(rounds) + 1, "window": ["qZZ_not_real"]}
     violations, _due, _upcoming, window, post_driver = audit_core(
         registry, oracle_keys, rounds, bogus_plan
