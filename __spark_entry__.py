@@ -476,13 +476,24 @@ FROM events GROUP BY 1, 2
 # q15 — text analysis: token counts, stopword/punct ratios, language ID
 # ---------------------------------------------------------------------------
 def q15_text_stats(spark, sf_dir):
+    # Tokenize ONCE: project the lowercased token array, then derive
+    # every token-rooted stat from it (r12 verdict CSE note — HOFs get
+    # no codegen subexpression elimination, so the text-rooted forms
+    # re-ran the split pipeline per stat).  CollapseProject keeps the
+    # producing projection because _toks is expensive and multiply
+    # referenced.  Values are unchanged: lowercasing never creates or
+    # removes whitespace, so size(lower_tokens) == size(tokens), and
+    # stopword_ratio/lang_id always tokenized the lowercased text.
     docs = _t(spark, sf_dir, "documents")
+    toks = F.col("_toks")
     return docs.select(
+        "doc_id", "text", X.lower_tokens("text").alias("_toks")
+    ).select(
         "doc_id",
-        X.token_count("text").alias("n_tokens"),
-        F.round(X.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(X.stopword_ratio_from_tokens(toks), 6).alias("stop_ratio"),
         F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
-        X.lang_id("text").alias("lang_guess"),
+        X.lang_id_from_tokens(toks).alias("lang_guess"),
     )
 
 
@@ -6867,10 +6878,10 @@ HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= wm.w
 
 
 # ---------------------------------------------------------------------------
-# q139 — STAGED for its r13 registration (tools/next_window.json slot
-# 44; the r12 window has zero slack, so it is deliberately NOT in
-# queries()/oracle_sql() this round).  The probe + SQL pair is the one
-# pinned by tests/test_streaming.py::test_stream_to_lake_upsert_oracle_
+# q139 — REGISTERED in r13 (the r12 ledger's pre-committed slot 44):
+# the first oracle row for streaming/events.py:stream_to_lake_upsert.
+# The probe + SQL pair is the one pinned by
+# tests/test_streaming.py::test_stream_to_lake_upsert_oracle_
 # roundtrip (r11 commit 1a60102) and re-verified at sf0.01 in r12:
 # drain events through streaming.events.stream_to_lake_upsert TWICE
 # (the second run is a full redelivery on a fresh checkpoint), then
@@ -6929,8 +6940,8 @@ GROUP BY 1, 2, 3, 4
 
 
 # ---------------------------------------------------------------------------
-# q140 — STAGED registration candidate (NOT registered in r12; a fill
-# for whichever future window has slack, r14 at the earliest).  It
+# q140 — STAGED for its r14 registration (tools/next_window.json slot
+# 43, committed r13; the r13 window has no remaining slack).  It
 # upgrades the four "unit-only by nature" lake-IO rows to
 # oracle-evidenced: S7/S6 (JSON write/read through the Hive layout,
 # S13) and S11/S10 (the reference's head-1000 CSV extract written
@@ -6989,6 +7000,98 @@ WHERE event_id % 7 = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# q141 — STAGED for its r14 registration (tools/next_window.json slot
+# 44, committed r13): the inverted-index BM25 path's first oracle row
+# (operators/ranking.py build_term_index / bm25_topk_indexed — the one
+# retrieval operator that was unit-only).  Three legs over ONE built
+# index on a tempdir, q124-pattern (collect before rmtree):
+#   * 'posting' — the STORED md5-bucketed postings for the query
+#     terms (term, doc, tf, dl): proves the persisted index state
+#     row-for-row against the q71 tokenization CTEs;
+#   * 'stats'   — the stored _corpus_stats sidecar (N, avgdl): both
+#     exact (dl is an integer-valued double, so the sum is
+#     order-independent);
+#   * 'topk'    — bm25_topk_indexed's pruned query path, scored in
+#     fixed term order (see ranking.py) so the rounded score is
+#     deterministic; the oracle restricts q71's scoring chain to
+#     matched docs, WHICH IS the indexed semantics (zero-score docs
+#     never enter the index's candidate set).
+# ---------------------------------------------------------------------------
+def q141_bm25_indexed(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.ranking import (
+        bm25_topk_indexed,
+        build_term_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="q141_")
+    try:
+        idx_path = f"{work}/idx"
+        build_term_index(docs, idx_path)
+        idx = spark.read.parquet(idx_path)
+        postings = idx.where(F.col("term").isin(_BM25_TERMS)).select(
+            F.lit("posting").alias("leg"),
+            "term",
+            F.col("doc").alias("doc_id"),
+            F.col("tf").cast("double").alias("a"),
+            F.col("dl").alias("b"),
+        )
+        stats = spark.read.parquet(f"{idx_path}/_corpus_stats").select(
+            F.lit("stats").alias("leg"),
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.col("n").alias("a"),
+            F.col("avgdl").alias("b"),
+        )
+        topk = bm25_topk_indexed(
+            spark, idx_path, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+        ).select(
+            F.lit("topk").alias("leg"),
+            F.lit(None).cast("string").alias("term"),
+            F.col("doc").alias("doc_id"),
+            F.col("bm25").alias("a"),
+            F.lit(None).cast("double").alias("b"),
+        )
+        res = postings.unionByName(stats).unionByName(topk)
+        rows, schema = res.collect(), res.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _q141_sql() -> str:
+    ctes, score = _bm25_ctes()
+    m = len(_BM25_TERMS)
+    matched = " OR ".join(f"tf{i} > 0" for i in range(m))
+    posting_legs = "\nUNION ALL\n".join(
+        f"SELECT 'posting' AS leg, '{t}' AS term, doc_id, "
+        f"tf{i} AS a, dl AS b FROM per_doc WHERE tf{i} > 0"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    return f"""
+WITH {ctes}
+{posting_legs}
+UNION ALL
+SELECT 'stats' AS leg, CAST(NULL AS VARCHAR) AS term,
+       CAST(NULL AS BIGINT) AS doc_id, n AS a, avgdl AS b
+FROM stats
+UNION ALL
+SELECT 'topk' AS leg, CAST(NULL AS VARCHAR) AS term, doc_id,
+       bm25 AS a, CAST(NULL AS DOUBLE) AS b
+FROM (
+  SELECT doc_id, ROUND({score}, 6) AS bm25
+  FROM per_doc, stats
+  WHERE {matched}
+  ORDER BY bm25 DESC, doc_id ASC
+  LIMIT {_BM25_K}
+)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -6998,42 +7101,146 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry holds 143.  Each round's first-50 window is chosen so
+    # registry holds 144.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green and no
     # query's evidence goes more than 3 rounds stale.  The window
     # below is verified mechanically by tools/rotation_check.py
     # (pytest: tests/test_rotation.py) against every CORRECTNESS file.
     #
-    # Round 12 window — the r11 ledger's pre-commitment, executed:
-    #   * slots 1-46: the 46 r9 greens at the staleness ceiling
-    #     (q91-q106, q24, q07, q81, q35-q41, q43-q49, q54-q56, q58,
-    #     q60-q62, q65-q69, q03) — rotation_check --due reproduces
-    #     this list from the CORRECTNESS files alone;
-    #   * slots 47-48: q115/q124 (their probe tempdir cleanup — the
-    #     ADVICE r10 leak pattern deliberately deferred in r11 — lands
-    #     WITH their seats, and the collect-before-rmtree pattern is
-    #     the same one q25b/q126/q138 proved hash-green in r11);
-    #   * slots 49-50: q137/q138 — the ONE r12 kernel touch (pq_train
-    #     replaces its unconditional full proj.count() over-cap gate
-    #     with a limit(DRIVER_TRAIN_CAP+1) scan, ADVICE r11; the
-    #     dispatch decision and codebook bytes are identical, but the
-    #     registered paths lose a full-scan job, so both queries are
-    #     re-driven this round).  They displace q107/q108 from the
-    #     pre-committed fill per the ledger's explicit displacement
-    #     clause; q107/q108 rejoin the tail lead and reach the ceiling
-    #     at r13 with the rest of the r10 block.
-    #   ZERO new registrations (the r11 verdict's hard constraint).
-    # Tail (51+) is ordered so r13 inherits a solved schedule; the
-    # r13 window itself is PRE-COMMITTED in tools/next_window.json
-    # (43 r10-green keys at ceiling + q139_stream_upsert, the planned
-    # first oracle row for streaming/events.py:stream_to_lake_upsert,
-    # + the 6 oldest r11 greens) and verified by rotation_check
-    # --simulate-next, which now also proves the plan file covers the
-    # simulated due set.
+    # Round 13 window — the r12 ledger's pre-commitment
+    # (tools/next_window.json, committed r12, verified by
+    # rotation_check --simulate-next), executed:
+    #   * slots 1-43: the 43 r10 greens at the staleness ceiling
+    #     (rotation_check --due reproduces this list from the
+    #     CORRECTNESS files alone);
+    #   * slot 44: q139_stream_upsert — the ONE planned registration:
+    #     the first oracle row for streaming/events.py's
+    #     stream_to_lake_upsert (full-redelivery replay drained to a
+    #     keyed upsert lake, hash-matched against the batch
+    #     keep-latest oracle; staged + suite-pinned since r11);
+    #   * slots 45-49: q01/q04/q05/q06/q09, five of the six planned
+    #     oldest-r11-green fills;
+    #   * slot 50: q15_text_stats — the r13 kernel touch (text_stats
+    #     tokenizes ONCE and derives token_count/stopword_ratio/
+    #     lang_id from the shared token array — the r12 verdict's CSE
+    #     note; oracle bytes identical, so the seat re-proves the
+    #     touched path).  It displaces q10_ship_delay from the
+    #     pre-committed fill per the ledger's displacement clause;
+    #     q10 rejoins the tail lead and stays due at r14.  Window
+    #     math is unchanged: q15 and q10 are both r11 greens, so r14
+    #     still inherits exactly 42 due keys.
+    # Tail (51+) is ordered so r14 inherits a solved schedule; the
+    # r14 window is PRE-COMMITTED in tools/next_window.json (the 42
+    # r11 greens at ceiling + planned registrations q140_lake_roundtrip
+    # and q141_bm25_indexed + the 6 oldest r12 greens) and verified by
+    # rotation_check --simulate-next.
     # Ledger: SURVEY.md §8.3.
     return {
-        # --- r12 window slots 1-46: the 46 r9 greens at the
+        # --- r13 window slots 1-43: the 43 r10 greens at the
         # staleness ceiling (rotation_check --due, verbatim) ---
+        "q107_bigram_surprisal": q107_bigram_surprisal,
+        "q108_lexical_diversity": q108_lexical_diversity,
+        "q109_quantize_embeddings": q109_quantize_embeddings,
+        "q110_temperature_mixture": q110_temperature_mixture,
+        "q111_cluster_representatives": q111_cluster_representatives,
+        "q112_char_entropy": q112_char_entropy,
+        "q113_gopher_flags": q113_gopher_flags,
+        "q114_stream_zscore": q114_stream_zscore,
+        "q116_session_incident_overlap": q116_session_incident_overlap,
+        "q117_duplication_report": q117_duplication_report,
+        "q118_vocab_coverage": q118_vocab_coverage,
+        "q119_mix_plan": q119_mix_plan,
+        "q120_ngram_novelty": q120_ngram_novelty,
+        "q121_execute_mix_plan": q121_execute_mix_plan,
+        "q122_group_split": q122_group_split,
+        "q123_fda_datasource_agg": q123_fda_datasource_agg,
+        "q77_centroid_outliers": q77_centroid_outliers,
+        "q72_semantic_dedup": q72_semantic_dedup,
+        "q125_bloom_contamination": q125_bloom_contamination,
+        "q127_budget_batches": q127_budget_batches,
+        "q128_pii_report": q128_pii_report,
+        "q129_count_min_topk": q129_count_min_topk,
+        "q130_split_leakage": q130_split_leakage,
+        "q131_hll_cardinality": q131_hll_cardinality,
+        "q132_value_trend": q132_value_trend,
+        "q133_embedding_covariance": q133_embedding_covariance,
+        "q134_token_pagerank": q134_token_pagerank,
+        "q135_quality_classifier": q135_quality_classifier,
+        "q57_dedup_clusters": q57_dedup_clusters,
+        "q59_redact_pii": q59_redact_pii,
+        "q63b_pack_invariants": q63b_pack_invariants,
+        "q64b_profile_exact": q64b_profile_exact,
+        "q70_winnow_overlap": q70_winnow_overlap,
+        "q71_bm25_topk": q71_bm25_topk,
+        "q73_span_dedup": q73_span_dedup,
+        "q74_tfidf_terms": q74_tfidf_terms,
+        "q75_funnel": q75_funnel,
+        "q76_cohort_retention": q76_cohort_retention,
+        "q78_stream_static_enrich": q78_stream_static_enrich,
+        "q79_batch_retrieval": q79_batch_retrieval,
+        "q80_stream_stream_join": q80_stream_stream_join,
+        "q123b_fda_retry_scan": q123b_fda_retry_scan,
+        "q25b_backfill_drain": q25b_backfill_drain,
+        # --- slot 44: the planned q139 registration (see above) ---
+        "q139_stream_upsert": q139_stream_upsert,
+        # --- slots 45-49: five of the six planned oldest-r11-green
+        # fills ---
+        "q01_pricing_summary": q01_pricing_summary,
+        "q04_size_binning": q04_size_binning,
+        "q05_phase_ladder": q05_phase_ladder,
+        "q06_latest_event_per_user": q06_latest_event_per_user,
+        "q09_severity_weighted": q09_severity_weighted,
+        # --- slot 50: the r13 kernel touch, seated per the
+        # displacement clause (displaces the q10 fill) ---
+        "q15_text_stats": q15_text_stats,
+        # --- tail (51+): the 42 r11 greens that hit the ceiling at
+        # r14 (q10 rejoins here after its displacement) — they lead
+        # the PRE-COMMITTED r14 window in tools/next_window.json ---
+        "q10_ship_delay": q10_ship_delay,
+        "q11_normalize_project": q11_normalize_project,
+        "q13_event_counts": q13_event_counts,
+        "q14_hourly_windows": q14_hourly_windows,
+        "q16_fingerprint": q16_fingerprint,
+        "q20_embedding_near_dups": q20_embedding_near_dups,
+        "q20b_embedding_near_dups_hi": q20b_embedding_near_dups_hi,
+        "q21_age_bins": q21_age_bins,
+        "q22_simhash_pairs": q22_simhash_pairs,
+        "q26_anti_join": q26_anti_join,
+        "q32_percentiles": q32_percentiles,
+        "q33_pivot_activity": q33_pivot_activity,
+        "q34_daily_active_users": q34_daily_active_users,
+        "q42_json_props": q42_json_props,
+        "q50_top_orders_per_priority": q50_top_orders_per_priority,
+        "q51_event_navigation": q51_event_navigation,
+        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
+        "q53_grouping_sets": q53_grouping_sets,
+        "q82_mad_outliers": q82_mad_outliers,
+        "q83_fuzzy_linkage": q83_fuzzy_linkage,
+        "q84_snapshot_diff": q84_snapshot_diff,
+        "q85_rolling_zscore": q85_rolling_zscore,
+        "q86_incremental_neardup": q86_incremental_neardup,
+        "q87_mutual_nn": q87_mutual_nn,
+        "q88_range_lookup": q88_range_lookup,
+        "q89_cooccurrence": q89_cooccurrence,
+        "q90_hybrid_retrieval": q90_hybrid_retrieval,
+        "q02_containment_enrich": q02_containment_enrich,
+        "q08_duplicate_rows": q08_duplicate_rows,
+        "q12_topk_orders": q12_topk_orders,
+        "q17_minhash_near_dups": q17_minhash_near_dups,
+        "q18_ngram_jaccard": q18_ngram_jaccard,
+        "q19_cosine_topk": q19_cosine_topk,
+        "q25_streaming_hourly": q25_streaming_hourly,
+        "q27_top_revenue": q27_top_revenue,
+        "q28_rollup_revenue": q28_rollup_revenue,
+        "q29_asof_attribution": q29_asof_attribution,
+        "q23_ivf_topk": q23_ivf_topk,
+        "q126_ivf_append": q126_ivf_append,
+        "q136_kcenter_select": q136_kcenter_select,
+        "q30_session_stats": q30_session_stats,
+        "q31_curated_corpus": q31_curated_corpus,
+        # --- then the 50 r12 greens (due r15; ordered so the 6
+        # oldest — q91-q96 — are the r14 window's pre-committed
+        # fills, smoothing r15 to 44 due / 50 slots) ---
         "q91_unpivot_metrics": q91_unpivot_metrics,
         "q92_quantile_buckets": q92_quantile_buckets,
         "q93_scd2_intervals": q93_scd2_intervals,
@@ -7080,117 +7287,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_repetition": q68_repetition,
         "q69_winnow_fingerprints": q69_winnow_fingerprints,
         "q03_exact_dedup": q03_exact_dedup,
-        # --- slots 47-48: q115/q124 — seated so their probe tempdir
-        # cleanup (the deferred ADVICE r10 leak pattern) lands WITH
-        # their driver rows, as the r11 ledger scheduled ---
         "q115_stream_ingest": q115_stream_ingest,
         "q124_signature_index": q124_signature_index,
-        # --- slots 49-50: r12-touched kernels (pq_train's over-cap
-        # gate becomes a limit(CAP+1) scan instead of a full count —
-        # ADVICE r11; dispatch decision and codebook bytes identical),
-        # displacing q107/q108 from the pre-committed fill per the
-        # ledger's displacement clause ---
         "q137_pq_adc_topk": q137_pq_adc_topk,
         "q138_ivfpq_residual_topk": q138_ivfpq_residual_topk,
-        # --- tail (51+): the 43 r10 greens that hit the ceiling at
-        # r13 (q107/q108 rejoin here after their displacement) — they
-        # lead the PRE-COMMITTED r13 window in tools/next_window.json ---
-        "q107_bigram_surprisal": q107_bigram_surprisal,
-        "q108_lexical_diversity": q108_lexical_diversity,
-        "q109_quantize_embeddings": q109_quantize_embeddings,
-        "q110_temperature_mixture": q110_temperature_mixture,
-        "q111_cluster_representatives": q111_cluster_representatives,
-        "q112_char_entropy": q112_char_entropy,
-        "q113_gopher_flags": q113_gopher_flags,
-        "q114_stream_zscore": q114_stream_zscore,
-        "q116_session_incident_overlap": q116_session_incident_overlap,
-        "q117_duplication_report": q117_duplication_report,
-        "q118_vocab_coverage": q118_vocab_coverage,
-        "q119_mix_plan": q119_mix_plan,
-        "q120_ngram_novelty": q120_ngram_novelty,
-        "q121_execute_mix_plan": q121_execute_mix_plan,
-        "q122_group_split": q122_group_split,
-        "q123_fda_datasource_agg": q123_fda_datasource_agg,
-        "q77_centroid_outliers": q77_centroid_outliers,
-        "q72_semantic_dedup": q72_semantic_dedup,
-        "q125_bloom_contamination": q125_bloom_contamination,
-        "q127_budget_batches": q127_budget_batches,
-        "q128_pii_report": q128_pii_report,
-        "q129_count_min_topk": q129_count_min_topk,
-        "q130_split_leakage": q130_split_leakage,
-        "q131_hll_cardinality": q131_hll_cardinality,
-        "q132_value_trend": q132_value_trend,
-        "q133_embedding_covariance": q133_embedding_covariance,
-        "q134_token_pagerank": q134_token_pagerank,
-        "q135_quality_classifier": q135_quality_classifier,
-        "q57_dedup_clusters": q57_dedup_clusters,
-        "q59_redact_pii": q59_redact_pii,
-        "q63b_pack_invariants": q63b_pack_invariants,
-        "q64b_profile_exact": q64b_profile_exact,
-        "q70_winnow_overlap": q70_winnow_overlap,
-        "q71_bm25_topk": q71_bm25_topk,
-        "q73_span_dedup": q73_span_dedup,
-        "q74_tfidf_terms": q74_tfidf_terms,
-        "q75_funnel": q75_funnel,
-        "q76_cohort_retention": q76_cohort_retention,
-        "q78_stream_static_enrich": q78_stream_static_enrich,
-        "q79_batch_retrieval": q79_batch_retrieval,
-        "q80_stream_stream_join": q80_stream_stream_join,
-        "q123b_fda_retry_scan": q123b_fda_retry_scan,
-        "q25b_backfill_drain": q25b_backfill_drain,
-        # --- then the 48 r11 greens (due r14; q137/q138 moved to the
-        # window above). r13's 7 free slots take q139_stream_upsert
-        # (stream_to_lake_upsert's FIRST oracle row, the last unit-only
-        # streaming operator) + the 6 oldest of these (q01, q04-q06,
-        # q09, q10) per tools/next_window.json ---
-        "q01_pricing_summary": q01_pricing_summary,
-        "q04_size_binning": q04_size_binning,
-        "q05_phase_ladder": q05_phase_ladder,
-        "q06_latest_event_per_user": q06_latest_event_per_user,
-        "q09_severity_weighted": q09_severity_weighted,
-        "q10_ship_delay": q10_ship_delay,
-        "q11_normalize_project": q11_normalize_project,
-        "q13_event_counts": q13_event_counts,
-        "q14_hourly_windows": q14_hourly_windows,
-        "q15_text_stats": q15_text_stats,
-        "q16_fingerprint": q16_fingerprint,
-        "q20_embedding_near_dups": q20_embedding_near_dups,
-        "q20b_embedding_near_dups_hi": q20b_embedding_near_dups_hi,
-        "q21_age_bins": q21_age_bins,
-        "q22_simhash_pairs": q22_simhash_pairs,
-        "q26_anti_join": q26_anti_join,
-        "q32_percentiles": q32_percentiles,
-        "q33_pivot_activity": q33_pivot_activity,
-        "q34_daily_active_users": q34_daily_active_users,
-        "q42_json_props": q42_json_props,
-        "q50_top_orders_per_priority": q50_top_orders_per_priority,
-        "q51_event_navigation": q51_event_navigation,
-        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
-        "q53_grouping_sets": q53_grouping_sets,
-        "q82_mad_outliers": q82_mad_outliers,
-        "q83_fuzzy_linkage": q83_fuzzy_linkage,
-        "q84_snapshot_diff": q84_snapshot_diff,
-        "q85_rolling_zscore": q85_rolling_zscore,
-        "q86_incremental_neardup": q86_incremental_neardup,
-        "q87_mutual_nn": q87_mutual_nn,
-        "q88_range_lookup": q88_range_lookup,
-        "q89_cooccurrence": q89_cooccurrence,
-        "q90_hybrid_retrieval": q90_hybrid_retrieval,
-        "q02_containment_enrich": q02_containment_enrich,
-        "q08_duplicate_rows": q08_duplicate_rows,
-        "q12_topk_orders": q12_topk_orders,
-        "q17_minhash_near_dups": q17_minhash_near_dups,
-        "q18_ngram_jaccard": q18_ngram_jaccard,
-        "q19_cosine_topk": q19_cosine_topk,
-        "q25_streaming_hourly": q25_streaming_hourly,
-        "q27_top_revenue": q27_top_revenue,
-        "q28_rollup_revenue": q28_rollup_revenue,
-        "q29_asof_attribution": q29_asof_attribution,
-        "q23_ivf_topk": q23_ivf_topk,
-        "q126_ivf_append": q126_ivf_append,
-        "q136_kcenter_select": q136_kcenter_select,
-        "q30_session_stats": q30_session_stats,
-        "q31_curated_corpus": q31_curated_corpus,
         # --- rows-only by design (signal in q63b/q64b) ---
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
@@ -7338,6 +7438,7 @@ def oracle_sql() -> dict[str, str]:
         "q136_kcenter_select": _q136_sql(),
         "q137_pq_adc_topk": _q137_sql(),
         "q138_ivfpq_residual_topk": _q138_sql(),
+        "q139_stream_upsert": Q139_SQL,
         "q123b_fda_retry_scan": Q123B_SQL,
         # q63_pack_sequences / q64_profile: rows-only by design (hash-
         # bucket-local packing and sketch estimates have no SQL-exact

@@ -124,13 +124,26 @@ def word_ngrams_ordered(toks: Column | str, n: int = 3) -> Column:
     )
 
 
+def stopword_ratio_from_tokens(
+    toks: Column | str, stopwords: list[str] | None = None
+) -> Column:
+    """Fraction of an already-lowercased token array that is (English)
+    stopwords; 0.0 for empty.  The shared-token-array form: callers
+    computing several token statistics should project lower_tokens()
+    ONCE and feed the array here — higher-order functions evaluate
+    interpreted, with no codegen subexpression elimination, so each
+    text-rooted stat re-runs the whole split pipeline (the r12 plan
+    audit measured tokenization as ~2/3 of q15's cost)."""
+    sw = stopwords or EN_STOPWORDS
+    tk = F.col(toks) if isinstance(toks, str) else toks
+    n = F.size(tk)
+    hits = F.size(F.filter(tk, lambda t: t.isin(sw)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
 def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
     """Fraction of tokens that are (English) stopwords; 0.0 for empty."""
-    sw = stopwords or EN_STOPWORDS
-    toks = lower_tokens(text)
-    n = F.size(toks)
-    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
-    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return stopword_ratio_from_tokens(lower_tokens(text), stopwords)
 
 
 def punct_ratio(text: Column | str) -> Column:
@@ -162,18 +175,12 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
-def lang_id(text: Column | str) -> Column:
-    """Marker-word language ID: count hits from each language's marker
-    list over the lowercased token set; highest count wins, ties break
-    by language order; no hits -> 'und'.
-
-    Hit counts live in ONE array so the expression tree stays linear in
-    the number of languages — the chained when(hits > best) formulation
-    duplicates the running-best subtree per language (2^n copies of the
-    higher-order filter expressions), which bloats analysis/codegen.
-    array_position returns the FIRST index of the max, preserving the
-    dict-order tie-break of the strict-> chain."""
-    toks = lower_tokens(text)
+def lang_id_from_tokens(toks: Column | str) -> Column:
+    """Marker-word language ID over an already-lowercased token array;
+    see lang_id.  The shared-token-array form for callers that project
+    lower_tokens() once (same rationale as
+    stopword_ratio_from_tokens)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
 
     def is_marker(markers: list[str]):
         # one-arg lambda: a second parameter would be bound to the
@@ -193,6 +200,20 @@ def lang_id(text: Column | str) -> Column:
         F.array_position(hits, best).cast("int"),
     )
     return F.when(best > 0, pick).otherwise(F.lit("und"))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Marker-word language ID: count hits from each language's marker
+    list over the lowercased token set; highest count wins, ties break
+    by language order; no hits -> 'und'.
+
+    Hit counts live in ONE array so the expression tree stays linear in
+    the number of languages — the chained when(hits > best) formulation
+    duplicates the running-best subtree per language (2^n copies of the
+    higher-order filter expressions), which bloats analysis/codegen.
+    array_position returns the FIRST index of the max, preserving the
+    dict-order tie-break of the strict-> chain."""
+    return lang_id_from_tokens(lower_tokens(text))
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -245,8 +245,21 @@ def bm25_topk_indexed(
     documents matching at least one term can appear — identical to
     bm25_topk's ranking whenever k does not exceed the matched-doc
     count, since zero-score rows can never enter a positive top-k.
+
+    The per-doc score is summed in FIXED term order (one conditional
+    aggregate per query term, then a left-to-right add chain), not via
+    a bag sum over the posting rows: a doc's postings live in
+    different bucket partitions, so ``sum(contrib)`` would combine
+    partials in shuffle-fetch order — nondeterministic in the last
+    ulp, which a rounded-score hash oracle (q141) cannot tolerate.
+    The fixed chain reproduces bm25_scores'/the SQL oracle's
+    ``c0 + c1 + ...`` expression exactly (an unmatched term
+    contributes exactly +0.0 there, matched by the coalesce).  Cost is
+    |terms| conditional sums instead of one — still a single doc-keyed
+    shuffle over posting-volume rows.
     """
     import hashlib
+    from functools import reduce
 
     if not terms:
         raise ValueError("bm25_topk_indexed: empty query term list")
@@ -270,11 +283,20 @@ def bm25_topk_indexed(
         F.col("tf")
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
+    per_term = [
+        F.sum(F.when(F.col("term") == F.lit(t), contrib)).alias(f"__c{i}")
+        for i, t in enumerate(terms)
+    ]
+    score = reduce(
+        lambda x, y: x + y,
+        [F.coalesce(F.col(f"__c{i}"), F.lit(0.0)) for i in range(len(terms))],
+    )
     return (
         post.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc")
-        .agg(F.round(F.sum(contrib), round_dp).alias("bm25"))
+        .agg(*per_term)
+        .select("doc", F.round(score, round_dp).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col("doc").asc())
         .limit(k)
     )

@@ -158,6 +158,35 @@ def test_term_index_empty_terms_raise(spark, tmp_path):
         ranking.bm25_topk_indexed(spark, str(tmp_path), [])
 
 
+def test_q141_bm25_indexed_oracle_shape(spark):
+    """The staged indexed-BM25 registration candidate (q141, written
+    but deliberately unregistered in r13; r14 window slot 44): the
+    stored md5-bucketed postings, the _corpus_stats sidecar, and the
+    pruned fixed-term-order query path must all match DuckDB replaying
+    the q71 tokenization/scoring CTEs.  Pins the staged probe + SQL
+    pair so it cannot rot before its window seat."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in E.q141_bm25_indexed(spark, sf).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            E._q141_sql().replace(
+                "FROM documents",
+                f"FROM read_parquet('{sf}/documents.parquet')",
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    legs = {t[0] for t in got}
+    assert legs == {"posting", "stats", "topk"}
+
+
 def test_semantic_dedup_null_embedding_survives(spark):
     """A NULL embedding among the smallest keys must not crash centroid
     init, and NULL/zero-norm rows (undefined cosine) always survive."""
