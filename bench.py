@@ -48,12 +48,20 @@ def consume_full(df) -> int:
     r1–r11), and column pruning drops computed expressions nothing
     references (q15's text kernels timed as a bare scan).  Referencing
     every output column in a checksum pins the plan.  Regression-
-    pinned by tests/test_plans.py against the q02 join count."""
+    pinned by tests/test_plans.py against the q02 join count.
+
+    The combiner is bit_xor, NOT sum (ADVICE r12): summing xxhash64
+    values overflows int64 almost surely at sf0.1 and only "worked"
+    because the session pins ANSI off — under ANSI (Spark 4's
+    default) every bench run would die with ARITHMETIC_OVERFLOW.
+    XOR is closed over int64, references the columns identically,
+    and is a TIMING consumption only — never a correctness checksum
+    (it is order-independent but collision-prone by construction)."""
     from pyspark.sql import functions as F
 
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("c"),
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("c"),
     ).first()
     return row["n"]
 

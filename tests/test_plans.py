@@ -427,7 +427,7 @@ def test_bench_consume_full_keeps_q02_joins(spark):
     checksum_plan = (
         df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("c"),
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("c"),
         )
         ._jdf.queryExecution()
         .executedPlan()

@@ -86,7 +86,16 @@ def _measure(spark, edges, expect_components):
     before = _stage_totals(spark)
     t0 = time.perf_counter()
     for _ in range(REPS):
-        connected_components(edges).count()
+        # per-rep stats: assert every TIMED run converges in the same
+        # round count as the verification run instead of silently
+        # assuming it (ADVICE r12) — deterministic algorithm, so a
+        # mismatch here means the harness, not noise
+        rep_stats: dict = {}
+        connected_components(edges, stats=rep_stats).count()
+        assert rep_stats["rounds"] == stats["rounds"], (
+            rep_stats["rounds"],
+            stats["rounds"],
+        )
     wall = (time.perf_counter() - t0) / REPS
     after = _stage_totals(spark)
     return {

@@ -104,14 +104,17 @@ def _build(spark, n_rows, root, label):
 
 def _measure(spark, fn):
     fn()  # untimed warm-up (also materializes the parity value)
-    walls, bal = [], None
+    walls, bals = [], []
     for _ in range(REPS):
         before = _stages(spark)
         t0 = time.perf_counter()
         fn()
         walls.append(time.perf_counter() - t0)
-        bal = _heaviest_new_stage(before, _stages(spark))
-    return {"wall_sec": round(min(walls), 3), "join_stage": bal}
+        bals.append(_heaviest_new_stage(before, _stages(spark)))
+    # report the stage stats FROM THE MIN-WALL REP (ADVICE r12: the
+    # last rep's stats paired with a different rep's wall can mismatch)
+    i = min(range(REPS), key=lambda j: walls[j])
+    return {"wall_sec": round(walls[i], 3), "join_stage": bals[i]}
 
 
 def main():
@@ -139,6 +142,14 @@ def main():
                 out = (
                     joiner()
                     .select((F.col("value") * F.col("weight")).alias("x"))
+                    # parity via a rounded float SUM is exact ONLY
+                    # because value*weight is an integer-valued double
+                    # and the total stays far under 2^53, so every
+                    # summation order yields the same bits (ADVICE
+                    # r12) — a non-integer weight would make this
+                    # assert flaky for order reasons, not divergence;
+                    # change weights and this must become an
+                    # order-independent exact aggregate
                     .agg(F.round(F.sum("x"), 2).alias("s"))
                     .first()["s"]
                 )
