@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Measured decade evidence for the inverted-index BM25 path
+(`operators/ranking.py:build_term_index` / `bm25_topk_indexed` — the
+staged q141 registration; evidence-only, no kernel changes).
+
+Claim under test: a BM25 query against the built index reads ONLY its
+terms' md5 buckets (Catalyst partition pruning over the 256-way bucket
+layout), so per-query input tracks the probed buckets' posting rows —
+a small, corpus-PROPORTIONAL fraction (term document-frequency grows
+with the corpus; that linear term is honest and unavoidable for exact
+BM25) — while the direct `bm25_topk` re-tokenizes the ENTIRE corpus
+per query bag.  The index should therefore read exactly the probed
+buckets' rows (twice: document frequencies + scoring) at every size —
+never the other ~25x buckets — with the probed fraction set by the
+query terms' document frequency, not by pruning failure.  Wall-clock
+advantage at local[32]/50k-doc scale is modest (tokenizing 50k docs
+parallelizes well); the structural win this measures is the SCAN
+SHAPE — at production corpus scale the direct path re-reads and
+re-tokenizes every text byte per query bag while the indexed path
+reads its buckets.
+
+Setup: 1× = sf0.1 documents (5,000 docs); 10× = shifted-key replicas
+with UNCHANGED text (postings per term genuinely grow 10×).  Query =
+the q71/q141 term bag.  Per config: build the index (one-time cost,
+reported), then one untimed warm-up + mean-of-3 timed reps for both
+the indexed and the direct path, REST stage-metric deltas per rep
+block; PartitionFilters asserted in the indexed plan; indexed and
+direct top-k ranks asserted equal (k ≤ matched docs here).
+
+Run: `python tools/bm25_decade.py` (one JSON line to stdout).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cloud_native_medical_data_etl_pipeline_spark.operators.dedup import (  # noqa: E402
+    release,
+)
+from cloud_native_medical_data_etl_pipeline_spark.operators.ranking import (  # noqa: E402
+    bm25_topk,
+    bm25_topk_indexed,
+    build_term_index,
+)
+from cloud_native_medical_data_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+TERMS = ["spark", "query", "join", "stream"]
+K = 20
+REPS = 3
+
+
+def _api(spark, path):
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/{path}") as r:
+        return json.load(r)
+
+
+def _stage_totals(spark):
+    tot = {"inputBytes": 0, "inputRecords": 0, "shuffleRead": 0, "shuffleWrite": 0}
+    for st in _api(spark, "stages?status=complete"):
+        tot["inputBytes"] += st.get("inputBytes", 0)
+        tot["inputRecords"] += st.get("inputRecords", 0)
+        tot["shuffleRead"] += st.get("shuffleReadBytes", 0)
+        tot["shuffleWrite"] += st.get("shuffleWriteBytes", 0)
+    return tot
+
+
+def _delta(a, b):
+    return {k: b[k] - a[k] for k in a}
+
+
+def _measure(spark, fn):
+    fn()  # untimed warm-up
+    before = _stage_totals(spark)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        fn()
+    wall = (time.perf_counter() - t0) / REPS
+    d = _delta(before, _stage_totals(spark))
+    return {
+        "wall_sec": round(wall, 3),
+        "input_records": d["inputRecords"] // REPS,
+        "input_bytes": d["inputBytes"] // REPS,
+        "shuffle_bytes": (d["shuffleRead"] + d["shuffleWrite"]) // REPS,
+    }
+
+
+def main():
+    spark = get_spark(
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n1 = docs1.count()
+    root = tempfile.mkdtemp(prefix="bm25_decade_")
+    results = {}
+    try:
+        ten = docs1
+        for i in range(1, 10):
+            ten = ten.unionByName(
+                docs1.select(
+                    (F.col("doc_id") + F.lit(i * n1)).alias("doc_id"), "text"
+                )
+            )
+        p10 = f"{root}/docs10x"
+        ten.write.mode("overwrite").parquet(p10)
+        docs10 = spark.read.parquet(p10)
+
+        for label, corpus, n in (
+            ("A_1x_5k_docs", docs1, n1),
+            ("B_10x_50k_docs", docs10, 10 * n1),
+        ):
+            idx = f"{root}/{label}_idx"
+            t0 = time.perf_counter()
+            build_term_index(corpus, idx)
+            build_s = round(time.perf_counter() - t0, 2)
+            total_postings = spark.read.parquet(idx).count()
+
+            import hashlib
+
+            buckets = sorted(
+                {hashlib.md5(t.encode()).hexdigest()[:2] for t in TERMS}
+            )
+            bucket_rows = (
+                spark.read.parquet(idx)
+                .where(F.col("bucket").isin(buckets))
+                .count()
+            )
+
+            indexed = lambda: bm25_topk_indexed(  # noqa: E731
+                spark, idx, TERMS, k=K
+            ).collect()
+
+            def direct():
+                # release the per_doc cache after every call — without
+                # it the timed reps read the persisted tokenization
+                # and the 'direct' cost collapses to a cache scan,
+                # which is NOT the per-query cost of a fresh query bag
+                df = bm25_topk(corpus, TERMS, k=K)
+                rows = df.collect()
+                release(df)
+                return rows
+
+            plan = (
+                bm25_topk_indexed(spark, idx, TERMS, k=K)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "PartitionFilters" in plan and "bucket" in plan, label
+            # rank parity: the matched-doc pool exceeds k here, so the
+            # indexed ranking must equal the direct one exactly
+            assert [tuple(r) for r in indexed()] == [
+                (r["doc_id"], r["bm25"]) for r in direct()
+            ], label
+
+            m_idx = _measure(spark, indexed)
+            m_dir = _measure(spark, direct)
+            results[label] = {
+                "corpus_rows": n,
+                "build_sec": build_s,
+                "total_posting_rows": total_postings,
+                "probed_buckets": len(buckets),
+                "probed_bucket_rows": bucket_rows,
+                "probed_bucket_fraction": round(bucket_rows / total_postings, 4),
+                "indexed": m_idx,
+                "direct": m_dir,
+                "indexed_speedup": round(
+                    m_dir["wall_sec"] / m_idx["wall_sec"], 2
+                )
+                if m_idx["wall_sec"]
+                else None,
+            }
+            print(f"  {label}: {results[label]}", file=sys.stderr)
+        # the pruning claim, asserted: per query the indexed path reads
+        # the probed buckets' rows (twice — once for document
+        # frequencies, once for scoring) plus the one-row stats
+        # sidecar, NEVER the other 25x buckets.  The q71 bag's terms
+        # are high-DF, so the probed buckets are dominated by the
+        # query's own postings — the honest corpus-proportional term —
+        # and the pruned-away fraction is what the layout buys.
+        for label in results:
+            r = results[label]
+            assert (
+                r["indexed"]["input_records"] <= 2.2 * r["probed_bucket_rows"] + 64
+            ), r
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({"bm25_indexed_decade": results}))
+
+
+if __name__ == "__main__":
+    main()
