@@ -441,3 +441,21 @@ def test_bench_consume_full_keeps_q02_joins(spark):
     assert len(JOIN.findall(checksum_plan)) == n_full
     # the production consume path executes without error and returns n
     assert consume_full(df) > 0
+
+
+def test_q15_tokenizes_once(spark):
+    """Regression pin for the r13 single-tokenization fix: q15 projects
+    the lowercased token array ONCE and derives every token-rooted
+    stat from the shared attribute.  Before the fix the interpreted
+    HOF pipeline re-ran the split per stat (6 split() occurrences:
+    1 token_count + 1 stopword filter + 4 lang-ID filters), roughly
+    tripling the query's cost (BASELINE.md r13 re-base: 1.90 -> 0.74 s
+    at sf0.1).  CollapseProject must keep the producing projection —
+    if a refactor inlines it (or Spark's collapse heuristics change),
+    the split count in the executed plan multiplies and this pins it."""
+    import __spark_entry__ as E
+
+    df = E.queries()["q15_text_stats"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(") == 1, plan[:2000]
+    assert "_toks" in plan
