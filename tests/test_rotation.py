@@ -227,3 +227,23 @@ def test_simulated_next_round_is_not_overcommitted():
     assert plan_misses == [], (
         f"tools/next_window.json targets r{rnd} but parks {plan_misses}"
     )
+
+
+def test_post_driver_state_with_malformed_plan_window_is_a_violation():
+    # wrong-size and duplicate-key plan windows cannot be executed as
+    # a first-50 reorder — both must be named violations, not judged
+    registry, oracle_keys, rounds, spent = _post_driver_rounds()
+    short = {"for_round": spent + 1, "window": registry[: WINDOW_SIZE - 1]}
+    violations, _due, _up, _win, post_driver = audit_core(
+        registry, oracle_keys, rounds, short
+    )
+    assert post_driver
+    assert any("malformed" in k for k, _ in violations)
+    dup = {
+        "for_round": spent + 1,
+        "window": registry[: WINDOW_SIZE - 1] + [registry[0]],
+    }
+    violations, _due, _up, _win, _pd = audit_core(
+        registry, oracle_keys, rounds, dup
+    )
+    assert any("malformed" in k and "1 duplicate" in k for k, _ in violations)

@@ -175,7 +175,20 @@ def resolve_window(
                 None,
             )
         ]
-    return list(plan["window"]), True, []
+    window = list(plan["window"])
+    # a malformed plan window would otherwise be judged without
+    # complaint: short/long plans cannot be executed as a first-50
+    # reorder, and a duplicate key silently wastes a slot
+    if len(window) != window_size or len(set(window)) != len(window):
+        return current, True, [
+            (
+                f"<plan:window malformed — {len(window)} keys, "
+                f"{len(window) - len(set(window))} duplicate(s); "
+                f"must be exactly {window_size} distinct>",
+                None,
+            )
+        ]
+    return window, True, []
 
 
 def audit_core(
