@@ -1552,3 +1552,61 @@ def test_interval_overlap_join_matches_bruteforce(spark, lrows, rrows, span):
         if lk == rk and ls <= re_ and rs <= le
     )
     assert got == want  # exactly-once: multisets equal, no double claims
+
+
+# ---------------------------------------------------------------------------
+# Indexed BM25 vs the direct scorer: the staged q141 contract.  The
+# indexed path prunes to the query terms' md5 buckets and (since r13)
+# sums per-doc term contributions in FIXED term order, so on ANY
+# corpus it must reproduce bm25_scores' positive-score set exactly —
+# same docs, same rounded scores — including empty/whitespace/NULL
+# texts, unicode tokens, duplicate-content docs, terms absent from
+# the corpus, and terms present in every doc.
+# ---------------------------------------------------------------------------
+_bm25_vocab = ["spark", "query", "join", "stream", "δζ", "the", "x1"]
+_bm25_text = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("   "),
+    st.lists(st.sampled_from(_bm25_vocab), min_size=1, max_size=8).map(
+        " ".join
+    ),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_bm25_text, min_size=1, max_size=12))
+def test_bm25_indexed_matches_direct_random(spark, texts):
+    import shutil
+    import tempfile
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators import (
+        dedup,
+        ranking,
+    )
+
+    # guarantee at least one posting (an all-empty corpus is a
+    # different contract: build_term_index writes a fileless postings
+    # dir no schemaless read can open)
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (len(texts), "spark join")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["spark", "join", "δζ", "absent"]  # absent: df=0 branch
+    work = tempfile.mkdtemp(prefix="bm25_prop_")
+    try:
+        ranking.build_term_index(df, f"{work}/idx")
+        indexed = {
+            r["doc"]: r["bm25"]
+            for r in ranking.bm25_topk_indexed(
+                spark, f"{work}/idx", terms, k=10_000
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    scored = ranking.bm25_scores(df, terms)
+    direct = {
+        r["doc_id"]: r["bm25"] for r in scored.collect() if r["bm25"] > 0.0
+    }
+    dedup.release(scored)
+    assert indexed == direct
