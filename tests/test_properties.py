@@ -1610,3 +1610,88 @@ def test_bm25_indexed_matches_direct_random(spark, texts):
     }
     dedup.release(scored)
     assert indexed == direct
+
+
+# ---------------------------------------------------------------------------
+# Lake text round-trips: the lossless envelope q140 claims, fuzzed.
+# JSON through the Hive layout must round-trip EVERYTHING (full
+# unicode, quotes/commas/newlines, subnormal and max-magnitude
+# doubles, NULLs).  The header CSV extract has two documented seams —
+# Spark CSV cannot distinguish NULL from '' (nullValue is the empty
+# string both ways) and the default reader does not reassemble quoted
+# embedded newlines — so its strategy EXCLUDES those inputs: the test
+# pins the envelope, the exclusions document its boundary.
+# ---------------------------------------------------------------------------
+_rt_doubles = st.one_of(
+    st.none(),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.sampled_from([0.0, -0.0, 5e-324, 1.7976931348623157e308, 1e-300]),
+)
+_rt_json_text = st.one_of(
+    st.none(), st.text(max_size=12)
+)
+_rt_csv_text = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(blacklist_characters="\n\r", blacklist_categories=("Cs", "Cc")),
+        min_size=1,
+        max_size=12,
+    ).filter(lambda s: s == s.strip() and s != ""),
+)
+
+
+def _rt_rows(texts):
+    return st.lists(
+        st.tuples(st.integers(-(2**62), 2**62), _rt_doubles, texts),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(_rt_rows(_rt_json_text))
+def test_lake_json_roundtrip_lossless_random(spark, rows):
+    import shutil
+    import tempfile
+
+    from cloud_native_medical_data_etl_pipeline_spark.sources import lake
+
+    df = spark.createDataFrame(rows, "event_id long, value double, props string")
+    work = tempfile.mkdtemp(prefix="lake_prop_")
+    try:
+        lake.write_partitioned(df, f"{work}/jlake", "2024-01-01", fmt="json")
+        back = lake.read_partition(
+            spark, f"{work}/jlake", "2024-01-01", schema=df.schema, fmt="json"
+        )
+        got = sorted(
+            (r["event_id"], r["value"], r["props"]) for r in back.collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    assert got == sorted(rows)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_rt_rows(_rt_csv_text))
+def test_lake_csv_head_roundtrip_lossless_random(spark, rows):
+    import shutil
+    import tempfile
+
+    from cloud_native_medical_data_etl_pipeline_spark.sources import lake
+
+    df = spark.createDataFrame(rows, "event_id long, value double, props string")
+    work = tempfile.mkdtemp(prefix="lake_prop_")
+    try:
+        lake.write_csv_head(df.orderBy("event_id"), f"{work}/chead", 1000)
+        back = (
+            spark.read.schema(df.schema)
+            .option("header", True)
+            .csv(f"{work}/chead")
+        )
+        got = sorted(
+            (r["event_id"], r["value"], r["props"]) for r in back.collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    assert got == sorted(rows)
