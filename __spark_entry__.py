@@ -7032,7 +7032,17 @@ def q141_bm25_indexed(spark, sf_dir):
     try:
         idx_path = f"{work}/idx"
         build_term_index(docs, idx_path)
-        idx = spark.read.parquet(idx_path)
+        # driver-side md5 bucket predicate (same derivation as
+        # bm25_topk_indexed): the term filter alone would SCAN all 256
+        # bucket partitions to find the 4 that can match — the bucket
+        # isin turns the leg into a partition-pruned read, which is
+        # the property the index exists for
+        import hashlib
+
+        _buckets = sorted(
+            {hashlib.md5(t.encode()).hexdigest()[:2] for t in _BM25_TERMS}
+        )
+        idx = spark.read.parquet(idx_path).where(F.col("bucket").isin(_buckets))
         postings = idx.where(F.col("term").isin(_BM25_TERMS)).select(
             F.lit("posting").alias("leg"),
             "term",

@@ -27,9 +27,9 @@ from __future__ import annotations
 import json
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -38,22 +38,12 @@ from cloud_native_medical_data_etl_pipeline_spark.operators.joins import (  # no
 )
 from cloud_native_medical_data_etl_pipeline_spark.session import get_spark  # noqa: E402
 
+from _decade_common import (  # noqa: E402
+    delta as _delta,
+    stage_totals as _stage_totals,
+)
+
 REPS = 3
-
-
-def _api(spark, path):
-    ui = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/{path}") as r:
-        return json.load(r)
-
-
-def _stage_totals(spark):
-    tot = {"shuffleRead": 0, "shuffleWrite": 0}
-    for st in _api(spark, "stages?status=complete"):
-        tot["shuffleRead"] += st.get("shuffleReadBytes", 0)
-        tot["shuffleWrite"] += st.get("shuffleWriteBytes", 0)
-    return tot
 
 
 def _frames(spark, n_rows, rows_per_key):
@@ -108,7 +98,7 @@ def main():
         for _ in range(REPS):
             consume()
         wall = (time.perf_counter() - t0) / REPS
-        d = {k: _stage_totals(spark)[k] - before[k] for k in before}
+        d = _delta(before, _stage_totals(spark))
         shuffle = (d["shuffleRead"] + d["shuffleWrite"]) // REPS
         results[label] = {
             "rows_each_side": n_rows,

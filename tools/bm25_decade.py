@@ -37,9 +37,9 @@ import shutil
 import sys
 import tempfile
 import time
-import urllib.request
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -59,25 +59,10 @@ K = 20
 REPS = 3
 
 
-def _api(spark, path):
-    ui = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/{path}") as r:
-        return json.load(r)
-
-
-def _stage_totals(spark):
-    tot = {"inputBytes": 0, "inputRecords": 0, "shuffleRead": 0, "shuffleWrite": 0}
-    for st in _api(spark, "stages?status=complete"):
-        tot["inputBytes"] += st.get("inputBytes", 0)
-        tot["inputRecords"] += st.get("inputRecords", 0)
-        tot["shuffleRead"] += st.get("shuffleReadBytes", 0)
-        tot["shuffleWrite"] += st.get("shuffleWriteBytes", 0)
-    return tot
-
-
-def _delta(a, b):
-    return {k: b[k] - a[k] for k in a}
+from _decade_common import (  # noqa: E402
+    delta as _delta,
+    stage_totals as _stage_totals,
+)
 
 
 def _measure(spark, fn):

@@ -30,9 +30,9 @@ from __future__ import annotations
 import json
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -41,22 +41,10 @@ from cloud_native_medical_data_etl_pipeline_spark.operators.components import ( 
 )
 from cloud_native_medical_data_etl_pipeline_spark.session import get_spark  # noqa: E402
 
+from _decade_common import stage_totals as _stage_totals  # noqa: E402
+
 REPS = 3
 
-
-def _api(spark, path):
-    ui = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/{path}") as r:
-        return json.load(r)
-
-
-def _stage_totals(spark):
-    tot = {"shuffleRead": 0, "shuffleWrite": 0}
-    for st in _api(spark, "stages?status=complete"):
-        tot["shuffleRead"] += st.get("shuffleReadBytes", 0)
-        tot["shuffleWrite"] += st.get("shuffleWriteBytes", 0)
-    return tot
 
 
 def _path_edges(spark, n):

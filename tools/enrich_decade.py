@@ -255,8 +255,12 @@ def _real_corpus_incidence(spark, sf_dir="/root/testdata/sf0.1"):
         .select("drug_name", "condition")
         .distinct()
     )
-    n_exact = exact_pairs.distinct().count()
-    missed = exact_pairs.distinct().join(
+    # materialize the NLJ result once: count() and the anti-join are
+    # two actions, and re-evaluating the containment NLJ is the
+    # dominant cost of this probe
+    exact_d = exact_pairs.distinct().localCheckpoint(eager=True)
+    n_exact = exact_d.count()
+    missed = exact_d.join(
         prefilter_pairs, ["drug_name", "condition"], "left_anti"
     )
     n_missed = missed.count()

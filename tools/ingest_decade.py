@@ -34,9 +34,9 @@ import shutil
 import sys
 import tempfile
 import time
-import urllib.request
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -50,25 +50,10 @@ BATCHES = 3
 BATCH_ROWS = 500
 
 
-def _api(spark, path):
-    ui = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/{path}") as r:
-        return json.load(r)
-
-
-def _stage_totals(spark):
-    tot = {"inputBytes": 0, "inputRecords": 0, "shuffleRead": 0, "shuffleWrite": 0}
-    for st in _api(spark, "stages?status=complete"):
-        tot["inputBytes"] += st.get("inputBytes", 0)
-        tot["inputRecords"] += st.get("inputRecords", 0)
-        tot["shuffleRead"] += st.get("shuffleReadBytes", 0)
-        tot["shuffleWrite"] += st.get("shuffleWriteBytes", 0)
-    return tot
-
-
-def _delta(a, b):
-    return {k: b[k] - a[k] for k in a}
+from _decade_common import (  # noqa: E402
+    delta as _delta,
+    stage_totals as _stage_totals,
+)
 
 
 def _retag(df, tag):
@@ -115,7 +100,7 @@ def main():
         # fresh batches, shared across configs: novel keys + novel
         # content (batch-tagged tokens); written once, read per ingest
         batch_paths = []
-        for i in range(BATCHES + 1):  # +1: the replay batch is the last
+        for i in range(BATCHES):  # the replay re-reads the last batch
             b = _retag(
                 docs.where(F.col("doc_id") < BATCH_ROWS).select(
                     (F.col("doc_id") + F.lit(100_000_000 + i * 10_000)).alias(
@@ -131,7 +116,6 @@ def main():
             p = f"{root}/batch{i}"
             b.write.mode("overwrite").parquet(p)
             batch_paths.append(p)
-        batch_paths = batch_paths[:BATCHES]
 
         for label, factor in (("A_1x_corpus", 1), ("B_10x_corpus", 10)):
             seed = docs
@@ -159,12 +143,23 @@ def main():
             # the ORGANIC corpus carries in-batch exact/near dups, so
             # the seed legitimately collapses below n1 (5000 -> 4756
             # at sf0.1); replicas are token-tagged, so the 10x corpus
-            # must collapse to exactly 10x the 1x survivor count
+            # collapses to ~10x the 1x survivor count.  TOLERANCE, not
+            # equality: Jaccard is tag-invariant but LSH BANDING is
+            # not (band collisions hash the re-tagged shingles), so a
+            # borderline near-dup pair caught in one replica can be
+            # missed in another — currently exact on this corpus, but
+            # a fixed assert would make the harness flaky on corpora
+            # with mid-threshold near-dups
             if factor == 1:
                 survivors_1x = seeded
                 assert 0 < seeded <= n1, (label, seeded)
             else:
-                assert seeded == factor * survivors_1x, (label, seeded)
+                expect = factor * survivors_1x
+                assert abs(seeded - expect) <= max(2, expect // 200), (
+                    label,
+                    seeded,
+                    expect,
+                )
             corpus_bytes = _dir_bytes(corpus_path)
             sig_bytes = _dir_bytes(corpus_path + "_sigs")
 
@@ -177,14 +172,15 @@ def main():
                 walls.append(time.perf_counter() - t0)
                 deltas.append(_delta(before, _stage_totals(spark)))
                 # batches share one dup structure (same 500 docs,
-                # different tag), so the admit count is identical for
-                # every batch in every config — pin the first, assert
-                # the rest (fully novel content: nothing may be
-                # dropped by the CROSS-batch/corpus guards)
+                # different tag), so the admit count matches across
+                # batches and configs up to LSH banding variance on
+                # the re-tagged shingles (see the seed tolerance
+                # above) — nothing may be dropped by the CROSS-batch/
+                # corpus guards, so a large deficit means a guard bug
                 if batch_admits is None:
                     batch_admits = appended
                     assert 0 < appended <= BATCH_ROWS, (label, appended)
-                assert appended == batch_admits, (label, p, appended)
+                assert abs(appended - batch_admits) <= 2, (label, p, appended)
             # replay the LAST batch: the exactly-once gate must admit 0
             b = spark.read.parquet(batch_paths[-1])
             before = _stage_totals(spark)

@@ -339,6 +339,23 @@ def main() -> int:
         f"rotation OK for upcoming round r{upcoming}: "
         f"all {len(due)} at-ceiling queries are inside the effective window"
     )
+    # surface the plan's not-yet-registered keys: they are exempt from
+    # the rows-only check ONLY on the assumption they land with the
+    # next rotation — a typo'd key is indistinguishable from a planned
+    # registration mechanically, so make the assumed set visible for
+    # the human/judge to eyeball (the staleness ceiling remains the
+    # mechanical backstop: a typo that parks a DUE key still fails)
+    plan = load_plan(args.repo)
+    if plan is not None:
+        registry, _ = _load_registry(args.repo)
+        registered = set(registry)
+        planned = [k for k in plan.get("window", []) if k not in registered]
+        if planned:
+            print(
+                f"  plan r{plan.get('for_round')} assumes "
+                f"{len(planned)} registration(s) will land with the "
+                f"rotation (verify spelling): {planned}"
+            )
     return 0
 
 

@@ -33,9 +33,9 @@ import datetime as dt
 import json
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -44,17 +44,13 @@ from cloud_native_medical_data_etl_pipeline_spark.operators.skew import (  # noq
 )
 from cloud_native_medical_data_etl_pipeline_spark.session import get_spark  # noqa: E402
 
+from _decade_common import api as _api  # noqa: E402
+
 REPS = 2
 HOT_SHARE = 0.9
 N_KEYS = 50_000
 SALT = 8
 
-
-def _api(spark, path):
-    ui = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/{path}") as r:
-        return json.load(r)
 
 
 def _ts(s):
