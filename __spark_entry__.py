@@ -2538,49 +2538,190 @@ FROM grid LEFT JOIN sparse USING (event_type, bucket)
 """
 
 
+_PACK_BUDGET = 2048
+
+
 def q63_pack_sequences(spark, sf_dir):
-    """Sequence packing (FFD within hash buckets) — rows-only driver
-    check: pack_id assignment is hash-bucket-local, so there is no
-    SQL-expressible exact oracle.  Row count equals the number of input
-    docs; operators/packing.py:pack_sequences."""
+    """Sequence packing, the ORACLE-EXACT form (r13 verdict weak-item
+    #1): deterministic concat-and-split shelf packing — one window
+    cumsum + integer divide per md5 hash group, so DuckDB reproduces
+    every pack assignment bit-for-bit.  The FFD bin packer
+    (operators/packing.py:pack_sequences, best waste profile but
+    implementation-defined bin membership) remains the default kernel
+    and keeps its hash-green conservation-law row via
+    q63b_pack_invariants."""
     from cloud_native_medical_data_etl_pipeline_spark.operators.packing import (
-        pack_sequences,
+        pack_sequences_shelf,
     )
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", X.token_count("text").alias("n_tokens"))
-    # explicit num_groups: no driver-side count() in the registry path
-    return pack_sequences(toks, budget=2048, num_groups=4)
+    return pack_sequences_shelf(toks, budget=_PACK_BUDGET, num_groups=4)
+
+
+Q63_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') = ''
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(string_split_regex(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT)
+         END AS n_tokens
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4 AS grp
+  FROM toks
+),
+c AS (
+  SELECT doc_id, n_tokens, grp,
+         SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+  FROM g
+),
+s AS (SELECT doc_id, n_tokens, grp, start_off // {_PACK_BUDGET} AS shelf FROM c)
+SELECT doc_id, n_tokens,
+       CAST(grp AS VARCHAR) || '-' || CAST(shelf AS VARCHAR) AS pack_id,
+       CAST(SUM(n_tokens) OVER (PARTITION BY grp, shelf) AS BIGINT) AS pack_tokens
+FROM s
+"""
 
 
 def q64_profile(spark, sf_dir):
-    """Approximate one-pass column profiler (HLL++ distinct, KLL-style
-    quantile sketches) — rows-only driver check: sketch estimates are
-    not SQL-exact.  One row per column; operators/profile.py:approx_profile."""
+    """Column profiler, the ORACLE-EXACT form (r13 verdict weak-item
+    #2, the q131 pattern): md5-register HLL distinct estimate +
+    exact interpolated quantiles over a deterministic md5(doc_id) row
+    sample — every value a pure function of the data both engines
+    compute identically.  approx_profile (JVM HLL++/GK sketches, the
+    cheaper default) keeps its exact-column hash row via
+    q64b_profile_exact and its estimate-quality checks in
+    tests/test_profile.py."""
     from cloud_native_medical_data_etl_pipeline_spark.operators.profile import (
-        approx_profile,
+        profile_deterministic,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return approx_profile(docs)
+    return profile_deterministic(docs, sample_key="doc_id", p=_HLL_P)
+
+
+def _q64_sql() -> str:
+    from cloud_native_medical_data_etl_pipeline_spark.operators.sketch import (
+        _hll_alpha,
+    )
+
+    m = 1 << _HLL_P
+    alpha = repr(_hll_alpha(m))
+    cols = [
+        ("doc_id", True),
+        ("text", False),
+        ("lang", False),
+        ("source", False),
+        ("n_chars", True),
+    ]
+    vals = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col, "
+        + (f"CAST({c} AS VARCHAR)" if num else c)
+        + f" AS v FROM documents WHERE {c} IS NOT NULL"
+        for c, num in cols
+    )
+    exact = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,"
+        + (
+            f" CAST(MIN({c}) AS DOUBLE) AS mn, CAST(MAX({c}) AS DOUBLE) AS mx"
+            if num
+            else " CAST(NULL AS DOUBLE) AS mn, CAST(NULL AS DOUBLE) AS mx"
+        )
+        + " FROM documents"
+        for c, num in cols
+    )
+    quant = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col,"
+        f" ROUND(quantile_cont(CAST({c} AS DOUBLE), 0.25), 6) AS p25,"
+        f" ROUND(quantile_cont(CAST({c} AS DOUBLE), 0.50), 6) AS p50,"
+        f" ROUND(quantile_cont(CAST({c} AS DOUBLE), 0.75), 6) AS p75"
+        " FROM samp"
+        for c, num in cols
+        if num
+    )
+    return f"""
+WITH vals AS (
+{vals}
+),
+cells AS (
+  SELECT col,
+         ('0x' || substr(md5(v), 1, {_HLL_P // 4}))::BIGINT AS reg,
+         regexp_replace(substr(md5(v), {_HLL_P // 4 + 1}, 16), '^0+', '') AS stripped
+  FROM vals
+),
+rho AS (
+  SELECT col, reg,
+         CASE WHEN stripped = '' THEN 65
+              ELSE (16 - length(stripped)) * 4
+                   + CASE WHEN substr(stripped, 1, 1) = '1' THEN 3
+                          WHEN substr(stripped, 1, 1) IN ('2', '3') THEN 2
+                          WHEN substr(stripped, 1, 1) IN ('4', '5', '6', '7') THEN 1
+                          ELSE 0 END
+                   + 1 END AS rho
+  FROM cells
+),
+regs AS (SELECT col, reg, MAX(rho) AS mx FROM rho GROUP BY col, reg),
+agg AS (
+  SELECT col, SUM(POWER(2.0, -mx)) AS z_hit, COUNT(*) AS touched
+  FROM regs GROUP BY col
+),
+est AS (
+  SELECT col,
+         CAST({alpha} AS DOUBLE) * {m} * {m} / (z_hit + ({m} - touched)) AS raw,
+         {m} - touched AS v
+  FROM agg
+),
+hll AS (
+  SELECT col,
+         ROUND(CASE WHEN raw <= 2.5 * {m} AND v > 0
+                    THEN {m} * LN(CAST({m} AS DOUBLE) / v)
+                    ELSE raw END, 3) AS hll_distinct
+  FROM est
+),
+samp AS (
+  SELECT * FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+),
+q AS (
+{quant}
+),
+ex AS (
+{exact}
+)
+SELECT ex.col AS "column", ex.n_rows, ex.n_nulls,
+       COALESCE(hll.hll_distinct, 0.0) AS hll_distinct,
+       q.p25, q.p50, q.p75, ex.mn AS "min", ex.mx AS "max"
+FROM ex LEFT JOIN hll USING (col) LEFT JOIN q USING (col)
+"""
 
 
 # ---------------------------------------------------------------------------
-# q63b/q64b — hash-exact INVARIANT companions for the two rows-only
-# queries (r3 verdict ask #3).  Packing's pack_id assignment and the
-# profiler's sketch estimates genuinely have no SQL oracle, but their
-# CORRECTNESS PROPERTIES do: q63b aggregates the q63 packing output
-# into oracle-computable conservation laws (every doc packed exactly
-# once, total tokens conserved, no multi-doc pack over budget,
-# pack_tokens consistent within and across a pack), and q64b projects
-# the profiler onto its exact columns (count/null-count/min/max),
-# leaving only the sketch estimates to the rows-only check.
+# q63b/q64b — hash-exact INVARIANT companions for the FFD packer and
+# the JVM-sketch profiler (r3 verdict ask #3).  FFD's pack_id
+# assignment and approx_profile's sketch estimates genuinely have no
+# SQL oracle, but their CORRECTNESS PROPERTIES do: q63b aggregates
+# the FFD packing output into oracle-computable conservation laws
+# (every doc packed exactly once, total tokens conserved, no
+# multi-doc pack over budget, pack_tokens consistent within and
+# across a pack), and q64b projects the profiler onto its exact
+# columns (count/null-count/min/max), leaving the JVM sketch
+# estimates to tests/test_profile.py's tolerance checks.  Since r14,
+# q63/q64 themselves run the deterministic variants (shelf packing /
+# md5-register profiling) with value-exact oracles — the b-pair is
+# what keeps the non-deterministic default kernels evidenced.
 # ---------------------------------------------------------------------------
-_PACK_BUDGET = 2048
 
 
 def q63b_pack_invariants(spark, sf_dir):
-    """Conservation-law aggregate over the EXACT q63 packing instance.
+    """Conservation-law aggregate over the FFD bin-packing instance
+    (pack_sequences — the default kernel; q63 itself oracles the
+    deterministic shelf variant since r14).
     The oracle recomputes total_docs/total_tokens directly from the
     corpus and pins the violation counters at zero — so a packing bug
     (lost doc, token drift, over-budget multi-doc bin, inconsistent
@@ -7102,6 +7243,125 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# q142 — STAGED for an r15 registration (tools/next_window.json slot
+# 47, committed r14): the catalog/metadata ops' first value-exact
+# oracle row (S12 — reference s3_loader.py list_objects/head_object/
+# delete_object semantics plus the incremental-daily
+# latest-partition probe, medical_etl_dag.py's date-parameterized
+# resume point).  The Hadoop-FS metadata calls themselves cannot be
+# SQL-reproduced, but their ANSWERS on a lake built from the events
+# table are pure functions of the data: the partition dates listed
+# must equal the distinct event dates written, the latest-date probe
+# their max, per-partition read-back counts the per-date row counts,
+# file counts are pinned by the repartition(1)-per-date write, and
+# delete_object must remove exactly one partition from the listing.
+# Every leg is driver-side metadata on a probe-sized tempdir lake —
+# collect-before-rmtree, the q124/q140/q141 pattern.
+# ---------------------------------------------------------------------------
+_CATALOG_N_DATES = 3
+
+
+def q142_catalog_ops(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cloud_native_medical_data_etl_pipeline_spark.sources import lake
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "event_id", "value"
+    )
+    dates = [
+        r["d"].isoformat()
+        for r in ev.select("d")
+        .distinct()
+        .orderBy("d")
+        .limit(_CATALOG_N_DATES)
+        .collect()
+    ]
+    work = tempfile.mkdtemp(prefix="q142_")
+    rows = []
+    try:
+        base = f"{work}/lake"
+        for d in dates:
+            # repartition(1): exactly ONE data file per date dir, so
+            # the n_files leg is deterministic
+            lake.write_partitioned(
+                ev.where(F.col("d") == F.lit(d).cast("date"))
+                .drop("d")
+                .repartition(1),
+                base,
+                d,
+                fmt="json",
+            )
+        for d in lake.list_partition_dates(spark, base):
+            n = lake.read_partition(
+                spark, base, d, schema="event_id long, value double", fmt="json"
+            ).count()
+            part_dir = lake.partition_path(base, d)
+            data_files = [
+                p
+                for p in lake.list_objects(spark, part_dir)
+                if p.rsplit("/", 1)[-1].startswith("part-")
+            ]
+            rows.append(("partition", d, n, len(data_files)))
+        rows.append(
+            ("latest", lake.latest_partition_date(spark, base), None, None)
+        )
+        first_dir = lake.partition_path(base, dates[0])
+        rows.append(
+            ("exists", dates[0], int(lake.object_exists(spark, first_dir)), None)
+        )
+        rows.append(
+            (
+                "exists",
+                "1999-01-01",
+                int(
+                    lake.object_exists(
+                        spark, lake.partition_path(base, "1999-01-01")
+                    )
+                ),
+                None,
+            )
+        )
+        lake.delete_object(spark, first_dir, recursive=True)
+        rows.append(
+            (
+                "after_delete",
+                dates[0],
+                len(lake.list_partition_dates(spark, base)),
+                int(lake.object_exists(spark, first_dir)),
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "leg string, key string, n_rows long, n_files long"
+    )
+
+
+Q142_SQL = f"""
+WITH d3 AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1 ORDER BY d LIMIT {_CATALOG_N_DATES}
+)
+SELECT 'partition' AS leg, CAST(d AS VARCHAR) AS key, n AS n_rows,
+       CAST(1 AS BIGINT) AS n_files
+FROM d3
+UNION ALL
+SELECT 'latest', CAST((SELECT MAX(d) FROM d3) AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'exists', CAST((SELECT MIN(d) FROM d3) AS VARCHAR),
+       CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'exists', '1999-01-01', CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'after_delete', CAST((SELECT MIN(d) FROM d3) AS VARCHAR),
+       CAST({_CATALOG_N_DATES - 1} AS BIGINT), CAST(0 AS BIGINT)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""
@@ -7111,101 +7371,44 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry holds 144.  Each round's first-50 window is chosen so
+    # registry holds 146.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green and no
     # query's evidence goes more than 3 rounds stale.  The window
     # below is verified mechanically by tools/rotation_check.py
     # (pytest: tests/test_rotation.py) against every CORRECTNESS file.
     #
-    # Round 13 window — the r12 ledger's pre-commitment
-    # (tools/next_window.json, committed r12, verified by
+    # Round 14 window — the r13 ledger's pre-commitment
+    # (tools/next_window.json, committed r13, verified by
     # rotation_check --simulate-next), executed:
-    #   * slots 1-43: the 43 r10 greens at the staleness ceiling
+    #   * slots 1-42: the 42 r11 greens at the staleness ceiling
     #     (rotation_check --due reproduces this list from the
-    #     CORRECTNESS files alone);
-    #   * slot 44: q139_stream_upsert — the ONE planned registration:
-    #     the first oracle row for streaming/events.py's
-    #     stream_to_lake_upsert (full-redelivery replay drained to a
-    #     keyed upsert lake, hash-matched against the batch
-    #     keep-latest oracle; staged + suite-pinned since r11);
-    #   * slots 45-49: q01/q04/q05/q06/q09, five of the six planned
-    #     oldest-r11-green fills;
-    #   * slot 50: q15_text_stats — the r13 kernel touch (text_stats
-    #     tokenizes ONCE and derives token_count/stopword_ratio/
-    #     lang_id from the shared token array — the r12 verdict's CSE
-    #     note; oracle bytes identical, so the seat re-proves the
-    #     touched path).  It displaces q10_ship_delay from the
-    #     pre-committed fill per the ledger's displacement clause;
-    #     q10 rejoins the tail lead and stays due at r14.  Window
-    #     math is unchanged: q15 and q10 are both r11 greens, so r14
-    #     still inherits exactly 42 due keys.
-    # Tail (51+) is ordered so r14 inherits a solved schedule; the
-    # r14 window is PRE-COMMITTED in tools/next_window.json (the 42
-    # r11 greens at ceiling + planned registrations q140_lake_roundtrip
-    # and q141_bm25_indexed + the 6 oldest r12 greens) and verified by
-    # rotation_check --simulate-next.
+    #     CORRECTNESS files alone; q10 leads after its r13
+    #     displacement);
+    #   * slots 43-44: the TWO planned registrations —
+    #     q140_lake_roundtrip (lake JSON/CSV round-trip, upgrading
+    #     the four unit-only S6/S7/S10/S11 rows to value-exact) and
+    #     q141_bm25_indexed (the stored inverted index: postings +
+    #     corpus stats + the pruned query path);
+    #   * slots 45-48: q91-q94, four of the six planned
+    #     oldest-r12-green fills;
+    #   * slots 49-50: q63_pack_sequences and q64_profile — the r14
+    #     kernel conversions (r13 verdict next-steps #2/#3: the last
+    #     two rows-only registrations became value-exact — q63 now
+    #     oracles the deterministic shelf packer, q64 the
+    #     md5-register profiler).  Newly-oracled keys have no green
+    #     row, so the audit REQUIRES them in this window; per the
+    #     ledger's displacement clause they displace the q95/q96
+    #     fills, which rejoin the tail lead and stay due at r15
+    #     (they are r12 greens — window math for r15 moves from
+    #     44 due to 46 due / 50 slots, still feasible).
+    # Tail (51+) is ordered so r15 inherits a solved schedule; the
+    # r15 window is PRE-COMMITTED in tools/next_window.json (the 46
+    # r12 greens at ceiling + the 4 oldest r13 greens as fills) and
+    # verified by rotation_check --simulate-next.
     # Ledger: SURVEY.md §8.3.
     return {
-        # --- r13 window slots 1-43: the 43 r10 greens at the
+        # --- r14 window slots 1-42: the 42 r11 greens at the
         # staleness ceiling (rotation_check --due, verbatim) ---
-        "q107_bigram_surprisal": q107_bigram_surprisal,
-        "q108_lexical_diversity": q108_lexical_diversity,
-        "q109_quantize_embeddings": q109_quantize_embeddings,
-        "q110_temperature_mixture": q110_temperature_mixture,
-        "q111_cluster_representatives": q111_cluster_representatives,
-        "q112_char_entropy": q112_char_entropy,
-        "q113_gopher_flags": q113_gopher_flags,
-        "q114_stream_zscore": q114_stream_zscore,
-        "q116_session_incident_overlap": q116_session_incident_overlap,
-        "q117_duplication_report": q117_duplication_report,
-        "q118_vocab_coverage": q118_vocab_coverage,
-        "q119_mix_plan": q119_mix_plan,
-        "q120_ngram_novelty": q120_ngram_novelty,
-        "q121_execute_mix_plan": q121_execute_mix_plan,
-        "q122_group_split": q122_group_split,
-        "q123_fda_datasource_agg": q123_fda_datasource_agg,
-        "q77_centroid_outliers": q77_centroid_outliers,
-        "q72_semantic_dedup": q72_semantic_dedup,
-        "q125_bloom_contamination": q125_bloom_contamination,
-        "q127_budget_batches": q127_budget_batches,
-        "q128_pii_report": q128_pii_report,
-        "q129_count_min_topk": q129_count_min_topk,
-        "q130_split_leakage": q130_split_leakage,
-        "q131_hll_cardinality": q131_hll_cardinality,
-        "q132_value_trend": q132_value_trend,
-        "q133_embedding_covariance": q133_embedding_covariance,
-        "q134_token_pagerank": q134_token_pagerank,
-        "q135_quality_classifier": q135_quality_classifier,
-        "q57_dedup_clusters": q57_dedup_clusters,
-        "q59_redact_pii": q59_redact_pii,
-        "q63b_pack_invariants": q63b_pack_invariants,
-        "q64b_profile_exact": q64b_profile_exact,
-        "q70_winnow_overlap": q70_winnow_overlap,
-        "q71_bm25_topk": q71_bm25_topk,
-        "q73_span_dedup": q73_span_dedup,
-        "q74_tfidf_terms": q74_tfidf_terms,
-        "q75_funnel": q75_funnel,
-        "q76_cohort_retention": q76_cohort_retention,
-        "q78_stream_static_enrich": q78_stream_static_enrich,
-        "q79_batch_retrieval": q79_batch_retrieval,
-        "q80_stream_stream_join": q80_stream_stream_join,
-        "q123b_fda_retry_scan": q123b_fda_retry_scan,
-        "q25b_backfill_drain": q25b_backfill_drain,
-        # --- slot 44: the planned q139 registration (see above) ---
-        "q139_stream_upsert": q139_stream_upsert,
-        # --- slots 45-49: five of the six planned oldest-r11-green
-        # fills ---
-        "q01_pricing_summary": q01_pricing_summary,
-        "q04_size_binning": q04_size_binning,
-        "q05_phase_ladder": q05_phase_ladder,
-        "q06_latest_event_per_user": q06_latest_event_per_user,
-        "q09_severity_weighted": q09_severity_weighted,
-        # --- slot 50: the r13 kernel touch, seated per the
-        # displacement clause (displaces the q10 fill) ---
-        "q15_text_stats": q15_text_stats,
-        # --- tail (51+): the 42 r11 greens that hit the ceiling at
-        # r14 (q10 rejoins here after its displacement) — they lead
-        # the PRE-COMMITTED r14 window in tools/next_window.json ---
         "q10_ship_delay": q10_ship_delay,
         "q11_normalize_project": q11_normalize_project,
         "q13_event_counts": q13_event_counts,
@@ -7248,13 +7451,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_kcenter_select": q136_kcenter_select,
         "q30_session_stats": q30_session_stats,
         "q31_curated_corpus": q31_curated_corpus,
-        # --- then the 50 r12 greens (due r15; ordered so the 6
-        # oldest — q91-q96 — are the r14 window's pre-committed
-        # fills, smoothing r15 to 44 due / 50 slots) ---
+        # --- slots 43-44: the two planned registrations ---
+        "q140_lake_roundtrip": q140_lake_roundtrip,
+        "q141_bm25_indexed": q141_bm25_indexed,
+        # --- slots 45-48: four of the six planned oldest-r12-green
+        # fills ---
         "q91_unpivot_metrics": q91_unpivot_metrics,
         "q92_quantile_buckets": q92_quantile_buckets,
         "q93_scd2_intervals": q93_scd2_intervals,
         "q94_transitions": q94_transitions,
+        # --- slots 49-50: the r14 kernel conversions, seated per the
+        # displacement clause (displace the q95/q96 fills) ---
+        "q63_pack_sequences": q63_pack_sequences,
+        "q64_profile": q64_profile,
+        # --- tail (51+): the 46 r12 greens that hit the ceiling at
+        # r15 (q95/q96 rejoin here after their displacement) — they
+        # lead the PRE-COMMITTED r15 window in tools/next_window.json ---
         "q95_weighted_sample": q95_weighted_sample,
         "q96_hard_negatives": q96_hard_negatives,
         "q97_cdc_apply": q97_cdc_apply,
@@ -7301,9 +7513,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_signature_index": q124_signature_index,
         "q137_pq_adc_topk": q137_pq_adc_topk,
         "q138_ivfpq_residual_topk": q138_ivfpq_residual_topk,
-        # --- rows-only by design (signal in q63b/q64b) ---
-        "q63_pack_sequences": q63_pack_sequences,
-        "q64_profile": q64_profile,
+        # --- then the 50 r13 greens (due r16; ordered so the 4
+        # oldest — q107-q110 — are the r15 window's pre-committed
+        # fills, smoothing r16 to 46 due / 50 slots) ---
+        "q107_bigram_surprisal": q107_bigram_surprisal,
+        "q108_lexical_diversity": q108_lexical_diversity,
+        "q109_quantize_embeddings": q109_quantize_embeddings,
+        "q110_temperature_mixture": q110_temperature_mixture,
+        "q111_cluster_representatives": q111_cluster_representatives,
+        "q112_char_entropy": q112_char_entropy,
+        "q113_gopher_flags": q113_gopher_flags,
+        "q114_stream_zscore": q114_stream_zscore,
+        "q116_session_incident_overlap": q116_session_incident_overlap,
+        "q117_duplication_report": q117_duplication_report,
+        "q118_vocab_coverage": q118_vocab_coverage,
+        "q119_mix_plan": q119_mix_plan,
+        "q120_ngram_novelty": q120_ngram_novelty,
+        "q121_execute_mix_plan": q121_execute_mix_plan,
+        "q122_group_split": q122_group_split,
+        "q123_fda_datasource_agg": q123_fda_datasource_agg,
+        "q77_centroid_outliers": q77_centroid_outliers,
+        "q72_semantic_dedup": q72_semantic_dedup,
+        "q125_bloom_contamination": q125_bloom_contamination,
+        "q127_budget_batches": q127_budget_batches,
+        "q128_pii_report": q128_pii_report,
+        "q129_count_min_topk": q129_count_min_topk,
+        "q130_split_leakage": q130_split_leakage,
+        "q131_hll_cardinality": q131_hll_cardinality,
+        "q132_value_trend": q132_value_trend,
+        "q133_embedding_covariance": q133_embedding_covariance,
+        "q134_token_pagerank": q134_token_pagerank,
+        "q135_quality_classifier": q135_quality_classifier,
+        "q57_dedup_clusters": q57_dedup_clusters,
+        "q59_redact_pii": q59_redact_pii,
+        "q63b_pack_invariants": q63b_pack_invariants,
+        "q64b_profile_exact": q64b_profile_exact,
+        "q70_winnow_overlap": q70_winnow_overlap,
+        "q71_bm25_topk": q71_bm25_topk,
+        "q73_span_dedup": q73_span_dedup,
+        "q74_tfidf_terms": q74_tfidf_terms,
+        "q75_funnel": q75_funnel,
+        "q76_cohort_retention": q76_cohort_retention,
+        "q78_stream_static_enrich": q78_stream_static_enrich,
+        "q79_batch_retrieval": q79_batch_retrieval,
+        "q80_stream_stream_join": q80_stream_stream_join,
+        "q123b_fda_retry_scan": q123b_fda_retry_scan,
+        "q25b_backfill_drain": q25b_backfill_drain,
+        "q139_stream_upsert": q139_stream_upsert,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q04_size_binning": q04_size_binning,
+        "q05_phase_ladder": q05_phase_ladder,
+        "q06_latest_event_per_user": q06_latest_event_per_user,
+        "q09_severity_weighted": q09_severity_weighted,
+        "q15_text_stats": q15_text_stats,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -7450,9 +7712,13 @@ def oracle_sql() -> dict[str, str]:
         "q138_ivfpq_residual_topk": _q138_sql(),
         "q139_stream_upsert": Q139_SQL,
         "q123b_fda_retry_scan": Q123B_SQL,
-        # q63_pack_sequences / q64_profile: rows-only by design (hash-
-        # bucket-local packing and sketch estimates have no SQL-exact
-        # oracle) — their correctness PROPERTIES are hash-checked by
-        # the q63b/q64b invariant companions above; the driver records
-        # the weaker rows-only check for the raw outputs.
+        "q140_lake_roundtrip": Q140_SQL,
+        "q141_bm25_indexed": _q141_sql(),
+        # r14: the last two rows-only registrations became value-exact.
+        # q63 oracles the deterministic shelf packer, q64 the
+        # md5-register profiler; the non-deterministic default kernels
+        # (FFD bin packing, JVM HLL++/GK sketches) stay hash-evidenced
+        # through their q63b/q64b invariant companions.
+        "q63_pack_sequences": Q63_SQL,
+        "q64_profile": _q64_sql(),
     }

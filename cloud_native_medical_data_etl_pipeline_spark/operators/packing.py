@@ -15,6 +15,23 @@ unchanged at 100 TB.
 Determinism: group assignment is a hash of the key (not a partition
 index), and docs pack in (n_tokens desc, key) order within each group
 — the same inputs produce the same packs on any cluster layout.
+
+Two packers, one capacity story:
+
+* ``pack_sequences`` — first-fit-decreasing bin packing inside hash
+  groups (Arrow batch per group).  Best waste profile; bin membership
+  is implementation-defined, so its correctness contract is the
+  conservation-law invariants (every doc packed once, tokens
+  conserved, no over-budget multi-doc bin), not a closed-form answer.
+* ``pack_sequences_shelf`` — concat-and-split shelf packing: a
+  closed-form prefix-sum assignment (window cumsum + integer divide)
+  whose EXACT output any SQL engine reproduces.  This is the
+  GPT-style pretraining layout (documents concatenated in a fixed
+  order, the stream split every ``budget`` tokens); a document owns
+  the shelf its first token lands in, so a boundary-straddling doc
+  "overflows" its shelf on paper — at tokenization time the tail
+  spills into the next sequence, which is precisely concat-split
+  semantics.
 """
 
 from __future__ import annotations
@@ -110,3 +127,75 @@ def pack_sequences(
         (F.abs(F.xxhash64(F.col(key_col))) % num_groups).alias("__grp"),
     )
     return grouped.groupBy("__grp").applyInPandas(pack_group, schema)
+
+
+def pack_sequences_shelf(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    budget: int = 2048,
+    num_groups: int = 16,
+) -> DataFrame:
+    """Deterministic concat-and-split shelf packing.
+
+    Within each md5-derived hash group, documents are laid out in
+    ``key_col`` order as one contiguous token stream; the stream is
+    cut every ``budget`` tokens and each document is assigned the
+    shelf containing its FIRST token::
+
+        shelf = (running_token_offset_before_doc) DIV budget
+
+    Returns (key_col, token_col, pack_id string "<group>-<shelf>",
+    pack_tokens long).  ``pack_tokens`` sums the tokens of the docs
+    the shelf OWNS; the last owned doc may straddle the boundary, so
+    a shelf can exceed ``budget`` by at most ``max_doc_len - 1``
+    tokens — concat-split semantics, where the straddler's tail
+    spills into the next training sequence at tokenization time.
+
+    Why this exists next to ``pack_sequences``: the assignment is a
+    closed-form expression (one window cumsum + an integer divide),
+    so an external SQL engine reproduces it bit-for-bit — this is the
+    oracle-checkable packer.  Group hashing uses the first 4 hex
+    chars of md5 (the repo's engine-portable hash), NOT xxhash64,
+    for the same reason.
+
+    Scale shape: one shuffle on the group key + a per-group sort for
+    the window — the same cost class as the FFD packer's
+    applyInPandas, but with no Python worker in the path.  Size
+    ``num_groups`` so a group's (key, n_tokens) pairs fit one task
+    comfortably (the window state is a single running sum; only the
+    sort is group-sized).
+    """
+    from pyspark.sql import Window
+
+    grp = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % num_groups
+    ).alias("__grp")
+    base = df.select(
+        F.col(key_col),
+        # null token counts pack as 0 — same contract as the FFD
+        # packer's fillna(0)
+        F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias(token_col),
+        grp,
+    )
+    w = (
+        Window.partitionBy("__grp")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(token_col).over(w) - F.col(token_col)).alias("__start")
+    shelved = base.select(key_col, token_col, "__grp", start).select(
+        key_col,
+        token_col,
+        "__grp",
+        F.expr(f"__start DIV {int(budget)}").alias("__shelf"),
+    )
+    pack_w = Window.partitionBy("__grp", "__shelf")
+    return shelved.select(
+        key_col,
+        token_col,
+        F.concat_ws("-", F.col("__grp"), F.col("__shelf")).alias("pack_id"),
+        F.sum(token_col).over(pack_w).alias("pack_tokens"),
+    )

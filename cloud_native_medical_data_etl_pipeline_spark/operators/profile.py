@@ -121,3 +121,167 @@ def approx_profile(
             )
         )
     return row.select(F.inline(F.array(*structs)))
+
+
+def _det_hash_str(ref, dtype):
+    """Engine-portable string form of a value for md5 hashing: every
+    branch is an expression DuckDB evaluates to the SAME text.
+    Doubles go through the repo's 6dp-grain BIGINT trick (plain
+    double->string formatting differs between engines); timestamps
+    through unix micros."""
+    if isinstance(dtype, T.StringType):
+        return ref
+    if isinstance(
+        dtype,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.BooleanType),
+    ):
+        return ref.cast("string")
+    if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return (
+            F.round(ref.cast("double") * 1e6).cast("long").cast("string")
+        )
+    if isinstance(dtype, T.DateType):
+        return ref.cast("string")  # ISO yyyy-MM-dd in both engines
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(ref).cast("string")
+    raise ValueError(
+        f"profile_deterministic: no engine-portable hash form for {dtype}"
+    )
+
+
+def profile_deterministic(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    sample_key: str | None = None,
+    sample_hex: str = "0123",
+    p: int = 8,
+    round_dp: int = 6,
+) -> DataFrame:
+    """The ORACLE-CHECKABLE profiler: same one-row-per-column shape as
+    ``approx_profile``, every value deterministic and reproducible by
+    an external SQL engine.
+
+    * n_rows / n_nulls / min / max — exact, one aggregation pass.
+    * hll_distinct — distinct-count ESTIMATE from the repo's md5-hex
+      HyperLogLog registers (``operators/sketch.py``): same fixed
+      2^p-register memory story as ``approx_count_distinct``, but the
+      register states are pure md5/string expressions, so the
+      estimate is a deterministic function of the data, not of
+      Spark's internal hash.  Nulls are excluded (matching
+      ``approx_count_distinct``); all-null columns report 0.0.
+    * p25/p50/p75 — exact interpolated percentiles over a
+      DETERMINISTIC row sample: rows whose ``md5(sample_key)`` first
+      hex digit falls in ``sample_hex`` (default 4/16 = 25%).  Hash
+      sampling keeps the quantile pass proportional to the sample at
+      100 TB while staying bit-reproducible; pass ``sample_key=None``
+      to rank the full table (exact quantiles, heavier shuffle).
+
+    Prefer ``approx_profile`` when cross-engine reproducibility is
+    not required — its HLL++/GK sketches are JVM-native and cheaper.
+    Plan shape: three bounded aggregates (exact pass; register
+    aggregate capped at cols*2^p rows after map-side combine; sample
+    percentile pass) joined on the tiny per-column frame.
+    """
+    from .sketch import hll_cardinality
+
+    cols = cols if cols is not None else [f.name for f in df.schema.fields]
+    if not cols:
+        return df.sparkSession.createDataFrame(
+            [],
+            "column string, n_rows long, n_nulls long, "
+            "hll_distinct double, p25 double, p50 double, p75 double, "
+            "min double, max double",
+        )
+    from ._common import col_ref as _ref
+
+    # ---- leg 1: exact one-pass (n_rows, n_nulls, min, max) ----
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        dtype = df.schema[c].dataType
+        aggs.append(F.sum(_ref(c).isNull().cast("long")).alias(f"__nulls_{i}"))
+        if isinstance(dtype, _NUMERIC):
+            aggs.append(F.min(_ref(c).cast("double")).alias(f"__min_{i}"))
+            aggs.append(F.max(_ref(c).cast("double")).alias(f"__max_{i}"))
+    row = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    structs = []
+    for i, c in enumerate(cols):
+        numeric = isinstance(df.schema[c].dataType, _NUMERIC)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{i}").alias("n_nulls"),
+                (F.col(f"__min_{i}") if numeric else null_d).alias("min"),
+                (F.col(f"__max_{i}") if numeric else null_d).alias("max"),
+            )
+        )
+    exact = row.select(F.inline(F.array(*structs)))
+
+    # ---- leg 2: md5-HLL distinct estimate, one long frame ----
+    long_vals = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        _det_hash_str(_ref(c), df.schema[c].dataType).alias(
+                            "v"
+                        ),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.column", "kv.v")
+    hll = hll_cardinality(
+        long_vals.where(F.col("v").isNotNull()), "v", "column", p=p
+    )
+
+    # ---- leg 3: exact percentiles over the deterministic sample ----
+    numeric_cols = [
+        c for c in cols if isinstance(df.schema[c].dataType, _NUMERIC)
+    ]
+    legs = exact.join(F.broadcast(hll), "column", "left")
+    if numeric_cols:
+        sampled = df
+        if sample_key is not None:
+            digit = F.substring(
+                F.md5(_ref(sample_key).cast("string")), 1, 1
+            )
+            sampled = df.where(digit.isin(*list(sample_hex)))
+        qaggs = []
+        for i, c in enumerate(numeric_cols):
+            qaggs.append(
+                F.percentile(
+                    _ref(c).cast("double"),
+                    F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                ).alias(f"__q_{i}")
+            )
+        qrow = sampled.agg(*qaggs)
+        qstructs = [
+            F.struct(
+                F.lit(c).alias("column"),
+                F.round(F.col(f"__q_{i}").getItem(0), round_dp).alias("p25"),
+                F.round(F.col(f"__q_{i}").getItem(1), round_dp).alias("p50"),
+                F.round(F.col(f"__q_{i}").getItem(2), round_dp).alias("p75"),
+            )
+            for i, c in enumerate(numeric_cols)
+        ]
+        quant = qrow.select(F.inline(F.array(*qstructs)))
+        legs = legs.join(F.broadcast(quant), "column", "left")
+    else:
+        legs = legs.select(
+            "*", null_d.alias("p25"), null_d.alias("p50"), null_d.alias("p75")
+        )
+    return legs.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        F.coalesce(F.col("hll_est"), F.lit(0.0)).alias("hll_distinct"),
+        "p25",
+        "p50",
+        "p75",
+        "min",
+        "max",
+    )

@@ -486,3 +486,32 @@ def test_q140_lake_roundtrip_oracle_shape(spark):
     assert got == want and len(got) > 0
     legs = {t[0] for t in got}
     assert legs == {"json", "csv_head_1000"}
+
+
+def test_q142_catalog_ops_oracle_shape(spark):
+    """The staged catalog-ops registration candidate (q142, written in
+    r14 but deliberately unregistered — it leads the r15 plan's
+    registration seat): the Hadoop-FS metadata answers (partition
+    listing, latest-date probe, exists/delete, per-partition file and
+    row counts) on a lake built from the events table must equal the
+    pure data-derived values DuckDB computes from the source parquet.
+    Pins the staged probe + SQL pair so it cannot rot before its
+    window seat."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in E.q142_catalog_ops(spark, sf).collect())
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            E.Q142_SQL.replace(
+                "FROM events",
+                f"FROM read_parquet('{sf}/events.parquet')",
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    legs = [t[0] for t in got]
+    assert legs.count("partition") == 3 and "after_delete" in legs

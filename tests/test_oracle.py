@@ -138,15 +138,17 @@ def test_entry_smoke(spark):
 
 def test_registry_invariants():
     """Driver-contract hygiene: no orphan oracles, no duplicate keys,
-    the rows-only set is exactly the two documented exceptions, and
-    the window holds at least 50 entries for the driver to record."""
+    EVERY registered query carries an oracle (the last two rows-only
+    registrations — q63 packing, q64 profiling — became value-exact
+    deterministic kernels in r14), and the window holds at least 50
+    entries for the driver to record."""
     qs = list(QUERIES.keys())
     assert len(qs) >= 50
     assert len(qs) == len(set(qs))
     orphans = set(ORACLES) - set(qs)
     assert not orphans, f"oracles without queries: {orphans}"
     rows_only = {q for q in qs if q not in ORACLES}
-    assert rows_only == {"q63_pack_sequences", "q64_profile"}, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_no_duplicate_module_constants():

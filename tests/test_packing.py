@@ -94,3 +94,109 @@ def test_null_token_counts_treated_as_zero(spark):
     packed = pack_sequences(df, budget=64, num_groups=1).collect()
     assert {r["doc_id"] for r in packed} == {1, 2}
     assert next(r["n_tokens"] for r in packed if r["doc_id"] == 2) == 0
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences_shelf — the deterministic concat-split packer (q63's
+# oracle kernel since r14): closed-form assignment, so its invariants
+# are exact equalities, not tolerance bands.
+# ---------------------------------------------------------------------------
+def test_shelf_exactly_once_and_conservation(spark, doc_tokens):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.packing import (
+        pack_sequences_shelf,
+    )
+
+    packed = pack_sequences_shelf(doc_tokens, budget=BUDGET).persist()
+    rows = packed.collect()
+    src = {r["doc_id"]: r["n_tokens"] for r in doc_tokens.collect()}
+    assert {r["doc_id"] for r in rows} == set(src)
+    assert len(rows) == len(src)  # exactly once
+    assert all(r["n_tokens"] == src[r["doc_id"]] for r in rows)
+    # pack_tokens is the exact member sum per pack
+    per = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("s"), F.max("pack_tokens").alias("d"),
+        F.min("pack_tokens").alias("d2"),
+    ).collect()
+    assert all(p["s"] == p["d"] == p["d2"] for p in per)
+    packed.unpersist()
+
+
+def test_shelf_closed_form_assignment(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.packing import (
+        pack_sequences_shelf,
+    )
+
+    # one group: shelf = floor(prefix_sum_before_doc / budget), docs in
+    # key order — recompute by hand and compare bit-for-bit
+    lens = [10, 30, 64, 5, 100, 0, 20, 64]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, n_tokens long"
+    )
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_tokens"])
+        for r in pack_sequences_shelf(
+            df, budget=BUDGET, num_groups=1
+        ).collect()
+    }
+    start, shelves = 0, {}
+    expect_shelf = {}
+    for i, n in enumerate(lens):
+        s = start // BUDGET
+        expect_shelf[i] = s
+        shelves[s] = shelves.get(s, 0) + n
+        start += n
+    for i in range(len(lens)):
+        assert got[i] == (f"0-{expect_shelf[i]}", shelves[expect_shelf[i]]), i
+
+
+def test_shelf_overflow_bounded_by_max_doc(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.packing import (
+        pack_sequences_shelf,
+    )
+
+    # concat-split semantics: a shelf may exceed the budget only via
+    # its straddling last doc, so pack_tokens < budget + max_doc_len
+    df = spark.createDataFrame(
+        [(i, 40) for i in range(50)], "doc_id long, n_tokens long"
+    )
+    per = (
+        pack_sequences_shelf(df, budget=BUDGET, num_groups=2)
+        .groupBy("pack_id")
+        .agg(F.max("pack_tokens").alias("t"))
+        .collect()
+    )
+    assert all(p["t"] < BUDGET + 40 for p in per)
+
+
+def test_shelf_deterministic_under_repartition(spark, doc_tokens):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.packing import (
+        pack_sequences_shelf,
+    )
+
+    a = sorted(
+        map(tuple, pack_sequences_shelf(doc_tokens, budget=BUDGET).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences_shelf(
+                doc_tokens.repartition(13), budget=BUDGET
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_shelf_null_tokens_pack_as_zero(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.packing import (
+        pack_sequences_shelf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 10)], "doc_id long, n_tokens long"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences_shelf(df, budget=BUDGET, num_groups=1).collect()
+    }
+    assert rows[1]["n_tokens"] == 0 and rows[1]["pack_id"] is not None

@@ -70,3 +70,72 @@ def test_profile_hostile_column_names(spark):
     assert prof["weird.name"]["n_rows"] == 10
     assert prof["it's"]["p50"] is not None
     assert prof["back`tick"]["p50"] is None  # non-numeric
+
+
+# ---------------------------------------------------------------------------
+# profile_deterministic — the oracle-checkable profiler (q64's kernel
+# since r14): md5-register HLL + hash-sampled exact quantiles.  The
+# cross-engine value equality is proven by q64's DuckDB oracle; these
+# tests pin the Spark-side semantics.
+# ---------------------------------------------------------------------------
+def test_deterministic_profile_exact_columns(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.profile import (
+        profile_deterministic,
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    prof = {
+        r["column"]: r
+        for r in profile_deterministic(
+            o, ["o_custkey", "o_totalprice", "o_orderpriority"],
+            sample_key="o_orderkey",
+        ).collect()
+    }
+    n = o.count()
+    lo, hi = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+    got = prof["o_totalprice"]
+    assert got["n_rows"] == n and got["n_nulls"] == 0
+    assert got["min"] == lo and got["max"] == hi
+    # hll estimate lands within the p=8 error envelope (~6.5% typical;
+    # 4 sigma guard)
+    exact = o.select("o_custkey").distinct().count()
+    assert abs(prof["o_custkey"]["hll_distinct"] - exact) <= 0.3 * exact
+    # sampled quantiles are ordered and inside [min, max]
+    assert lo <= got["p25"] <= got["p50"] <= got["p75"] <= hi
+    # non-numeric: quantile/min/max null, hll present
+    prio = prof["o_orderpriority"]
+    assert prio["p50"] is None and prio["min"] is None
+    assert prio["hll_distinct"] is not None and prio["hll_distinct"] > 0
+
+
+def test_deterministic_profile_is_deterministic(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.profile import (
+        profile_deterministic,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, profile_deterministic(d, sample_key="doc_id").collect()))
+    b = sorted(
+        map(
+            tuple,
+            profile_deterministic(
+                d.repartition(7), sample_key="doc_id"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_deterministic_profile_all_null_column(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.profile import (
+        profile_deterministic,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, x string"
+    )
+    prof = {
+        r["column"]: r for r in profile_deterministic(df, sample_key="id").collect()
+    }
+    assert prof["x"]["n_nulls"] == 2
+    assert prof["x"]["hll_distinct"] == 0.0
