@@ -1604,9 +1604,25 @@ def test_bm25_indexed_matches_direct_random(spark, texts):
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+    # the indexed path's candidate set is the MATCHED docs (any query
+    # term present), not the positive-score docs: a matched doc whose
+    # 6dp-rounded score is exactly 0.0 (idf*tf/norm < 5e-7, possible
+    # for a term in nearly all docs at large N) stays in the indexed
+    # result but a `bm25 > 0.0` filter would drop it from the direct
+    # set (ADVICE r13) — so recompute the matched set from the corpus
+    # with the operator's own tokenization (lowercased whitespace
+    # split) and filter on membership instead
+    term_set = set(terms)
+    matched = {
+        i
+        for i, t in rows
+        if t and any(tok in term_set for tok in t.lower().split())
+    }
     scored = ranking.bm25_scores(df, terms)
     direct = {
-        r["doc_id"]: r["bm25"] for r in scored.collect() if r["bm25"] > 0.0
+        r["doc_id"]: r["bm25"]
+        for r in scored.collect()
+        if r["doc_id"] in matched
     }
     dedup.release(scored)
     assert indexed == direct

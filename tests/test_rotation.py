@@ -91,14 +91,18 @@ def test_every_at_ceiling_query_leads_the_window():
 def _pre_driver_prefix(registry, rounds):
     current = set(registry[:WINDOW_SIZE])
     rounds = dict(rounds)
-    while rounds:
+    # strip AT MOST one trailing round: only one post-driver round can
+    # exist mid-handoff, and an unbounded loop would silently drop a
+    # genuine pre-driver historical round that coincidentally matches
+    # the current window — or empty the dict entirely and crash
+    # _post_driver_rounds' max() (ADVICE r13)
+    if rounds and len(rounds) > 1:
         newest = rounds[max(rounds)]
         if set(newest.keys()) == current and all(
             _row_green(r) for r in newest.values()
         ):
             del rounds[max(rounds)]
-        else:
-            break
+    assert rounds, "pre-driver prefix stripped every ledger round"
     return rounds
 
 

@@ -137,19 +137,35 @@ def main():
             def run(joiner):
                 out = (
                     joiner()
-                    .select((F.col("value") * F.col("weight")).alias("x"))
-                    # parity via a rounded float SUM is exact ONLY
-                    # because value*weight is an integer-valued double
-                    # and the total stays far under 2^53, so every
-                    # summation order yields the same bits (ADVICE
-                    # r12) — a non-integer weight would make this
-                    # assert flaky for order reasons, not divergence;
-                    # change weights and this must become an
-                    # order-independent exact aggregate
-                    .agg(F.round(F.sum("x"), 2).alias("s"))
-                    .first()["s"]
+                    # parity is an EXACT INTEGER aggregate (r13 verdict
+                    # next-step #7, closing ADVICE r12's comment-only
+                    # fix): value and weight are integer-valued by
+                    # construction, so casting to long before the
+                    # multiply makes the SUM order-independent by type,
+                    # not by luck — a future constant tweak that makes
+                    # either column fractional now fails loudly in the
+                    # cast-equality guard below instead of going flaky
+                    .select(
+                        F.col("value").cast("long").alias("vl"),
+                        F.col("weight").cast("long").alias("wl"),
+                        "value",
+                        "weight",
+                    )
+                    .select(
+                        (F.col("vl") * F.col("wl")).alias("x"),
+                        (
+                            (F.col("vl") == F.col("value"))
+                            & (F.col("wl") == F.col("weight"))
+                        ).alias("ok"),
+                    )
+                    .agg(
+                        F.sum("x").alias("s"),
+                        F.min("ok").alias("all_integer"),
+                    )
+                    .first()
                 )
-                return out
+                assert out["all_integer"], "parity inputs drifted off integers"
+                return out["s"]
 
             def plain():
                 return left.join(right, "key")
