@@ -135,6 +135,7 @@ def pack_sequences_shelf(
     key_col: str = "doc_id",
     budget: int = 2048,
     num_groups: int = 16,
+    with_offset: bool = False,
 ) -> DataFrame:
     """Deterministic concat-and-split shelf packing.
 
@@ -165,6 +166,14 @@ def pack_sequences_shelf(
     ``num_groups`` so a group's (key, n_tokens) pairs fit one task
     comfortably (the window state is a single running sum; only the
     sort is group-sized).
+
+    ``with_offset=True`` appends ``pack_offset`` — the doc's starting
+    token position INSIDE its shelf (start DIV budget picks the
+    shelf, start MOD budget places the doc) — which a training data
+    loader needs to materialize the sequence, and which makes the
+    split test explicit: the doc straddles iff
+    ``pack_offset + n_tokens > budget``.  Off by default so the q63
+    oracle output stays byte-stable.
     """
     from pyspark.sql import Window
 
@@ -190,12 +199,16 @@ def pack_sequences_shelf(
         key_col,
         token_col,
         "__grp",
+        "__start",
         F.expr(f"__start DIV {int(budget)}").alias("__shelf"),
     )
     pack_w = Window.partitionBy("__grp", "__shelf")
-    return shelved.select(
-        key_col,
-        token_col,
+    out = [
+        F.col(key_col),
+        F.col(token_col),
         F.concat_ws("-", F.col("__grp"), F.col("__shelf")).alias("pack_id"),
         F.sum(token_col).over(pack_w).alias("pack_tokens"),
-    )
+    ]
+    if with_offset:
+        out.append(F.pmod(F.col("__start"), F.lit(budget)).alias("pack_offset"))
+    return shelved.select(*out)

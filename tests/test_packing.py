@@ -200,3 +200,30 @@ def test_shelf_null_tokens_pack_as_zero(spark):
         for r in pack_sequences_shelf(df, budget=BUDGET, num_groups=1).collect()
     }
     assert rows[1]["n_tokens"] == 0 and rows[1]["pack_id"] is not None
+
+
+def test_shelf_pack_offset_places_docs(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.packing import (
+        pack_sequences_shelf,
+    )
+
+    lens = [10, 30, 64, 5, 100, 0, 20, 64]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, n_tokens long"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences_shelf(
+            df, budget=BUDGET, num_groups=1, with_offset=True
+        ).collect()
+    }
+    start = 0
+    for i, n in enumerate(lens):
+        # offset = start position modulo the budget; straddle test is
+        # offset + len > budget
+        assert got[i]["pack_offset"] == start % BUDGET, i
+        assert got[i]["pack_id"] == f"0-{start // BUDGET}"
+        start += n
+    # default output schema is unchanged (q63 oracle byte-stability)
+    cols = pack_sequences_shelf(df, budget=BUDGET, num_groups=1).columns
+    assert cols == ["doc_id", "n_tokens", "pack_id", "pack_tokens"]
