@@ -7362,6 +7362,82 @@ SELECT 'after_delete', CAST((SELECT MIN(d) FROM d3) AS VARCHAR),
 """
 
 
+# ---------------------------------------------------------------------------
+# q143 — STAGED (written r14, unregistered): distributed BPE merge
+# training (operators/bpe.py train_bpe_merges — the tokenizer-
+# induction step; LLM-pipeline extension surface, no reference
+# analog).  The oracle UNROLLS every merge round in DuckDB — the
+# q137/q138 k-means pattern applied to BPE: per round, a pair-count
+# CTE over the spaced-symbol strings, a deterministic argmax
+# (count DESC, left ASC, right ASC), and a list_reduce fold that
+# rewrites words left-to-right non-overlapping exactly like the
+# kernel's JVM aggregate fold — so the driver hash proves the full
+# merge SEQUENCE, not just the final table.  Awaits a window seat
+# (r15's seat is taken by q142; this is the r16 candidate).
+# ---------------------------------------------------------------------------
+_BPE_MERGES = 8
+
+
+def q143_bpe_merges(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.bpe import (
+        train_bpe_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return train_bpe_merges(docs, num_merges=_BPE_MERGES)
+
+
+def _q143_sql() -> str:
+    fold = """
+         list_reduce(string_split(s, ' '), (acc, x) -> CASE
+            WHEN (acc = lft OR ends_with(acc, ' ' || lft)) AND x = rgt
+            THEN CASE WHEN acc = lft THEN lft || rgt
+                 ELSE left(acc, length(acc) - length(lft)) || lft || rgt END
+            ELSE acc || ' ' || x END)"""
+    rounds = []
+    for k in range(1, _BPE_MERGES + 1):
+        prev = f"m{k - 1}"
+        rounds.append(
+            f"""p{k} AS (
+  SELECT l[i] AS lft, l[i + 1] AS rgt, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, string_split(s, ' ') AS l FROM {prev}) t,
+       UNNEST(generate_series(1, len(l) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+b{k} AS (SELECT lft, rgt, cnt FROM p{k} ORDER BY cnt DESC, lft, rgt LIMIT 1)"""
+        )
+        if k < _BPE_MERGES:
+            rounds.append(
+                f"""m{k} AS (
+  SELECT word, freq,{fold} AS s
+  FROM {prev}, b{k}
+)"""
+            )
+    legs = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, lft AS \"left\","
+        f" rgt AS \"right\", cnt AS pair_count FROM b{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    body = ",\n".join(rounds)
+    return f"""
+WITH w AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(string_split_regex(
+             regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS word
+    FROM documents
+    WHERE regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+  )
+  GROUP BY 1
+),
+m0 AS (
+  SELECT word, freq, array_to_string(string_split(word, ''), ' ') AS s FROM w
+),
+{body}
+{legs}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""

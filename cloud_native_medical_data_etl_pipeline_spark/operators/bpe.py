@@ -1,0 +1,195 @@
+"""Distributed BPE merge training: learn byte-pair-encoding merge
+rules from a document corpus (the tokenizer-induction step of an LLM
+data pipeline).
+
+Shape of the computation — and why it scales: BPE statistics are a
+function of the WORD-FREQUENCY table, not of the corpus.  One
+corpus-sized aggregate builds (word, freq); every merge round after
+that runs on the vocabulary-sized frequency table (pair counting is
+one partial-agg shuffle over |vocab| rows × avg word length) plus ONE
+driver round-trip carrying a single (left, right) row — the same
+bounded-driver-loop contract as the k-means trainers
+(`similarity.train_ivf_centroids`).  At 100 TB the corpus term is the
+word count you were going to compute anyway; the merge loop never
+re-reads documents.  Industrial BPE trainers (HF tokenizers,
+SentencePiece in BPE mode) factor the problem the same way.
+
+Semantics (deliberately the textbook algorithm, so an external SQL
+engine reproduces it merge-for-merge):
+
+* words = lowercased whitespace tokens; symbols start as single
+  characters (optionally with an end-of-word marker symbol).
+* each round counts adjacent symbol pairs weighted by word frequency,
+  picks argmax with the deterministic tie-break (count DESC, left
+  ASC, right ASC), and rewrites every word left-to-right
+  non-overlapping — the fold: scan symbols, merging the pair wherever
+  the accumulator's last symbol is `left` and the next is `right`.
+* no sub-word regularization, no byte fallback — merge RULES are the
+  output; apply-side encoding is the caller's concern.
+
+Unicode note: Spark's regex split operates on UTF-16 code units,
+DuckDB's on codepoints — identical on BMP text (the oracle corpus is
+ASCII); astral-plane input would charize differently and is outside
+the oracle contract.
+
+Reference analog: none (LLM-pipeline extension surface, like
+packing/profile/dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+
+def _merge_fold(sym_col, left, right):
+    """Left-to-right non-overlapping merge of the adjacent pair
+    (left, right) over a symbol array — pure JVM higher-order fold."""
+    return F.aggregate(
+        F.slice(sym_col, 2, F.greatest(F.size(sym_col) - 1, F.lit(0))),
+        F.slice(sym_col, 1, 1),
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == left) & (x == right),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(left, right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    content_col: str = "text",
+    num_merges: int = 8,
+    min_word_freq: int = 1,
+    word_end_marker: str | None = None,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merge rules from ``content_col``.
+
+    Returns a driver-built DataFrame (step int starting at 1, left
+    string, right string, pair_count long) — the merge table in
+    learned order, which IS the tokenizer artifact.
+
+    ``num_merges`` is a bounded driver loop (one 1-row collect per
+    round); real vocabularies are built with thousands of rounds over
+    a CACHED frequency table — pass a pre-aggregated (word, freq)
+    corpus via ``df`` if the word count itself is expensive to
+    recompute.  ``min_word_freq`` prunes the long vocabulary tail
+    before the loop (standard practice; rare words cannot win an
+    argmax anyway until the tail dominates).
+    """
+    if num_merges < 1:
+        raise ValueError("train_bpe_merges: num_merges must be >= 1")
+    spark = df.sparkSession
+
+    words = (
+        df.select(F.explode(X.lower_tokens(content_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if min_word_freq > 1:
+        words = words.where(F.col("freq") >= min_word_freq)
+    syms = F.split(F.col("word"), "")
+    if word_end_marker is not None:
+        syms = F.concat(syms, F.array(F.lit(word_end_marker)))
+    cur = words.select("word", "freq", syms.alias("syms")).persist()
+
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for step in range(1, num_merges + 1):
+            pairs = (
+                cur.select(
+                    "freq",
+                    F.explode(
+                        F.arrays_zip(
+                            F.slice(
+                                F.col("syms"),
+                                1,
+                                F.greatest(F.size("syms") - 1, F.lit(0)),
+                            ).alias("l"),
+                            F.slice(F.col("syms"), 2, F.size("syms") - 1).alias(
+                                "r"
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+                .agg(F.sum("freq").alias("pair_count"))
+            )
+            best = (
+                pairs.orderBy(
+                    F.col("pair_count").desc(), F.col("left"), F.col("right")
+                )
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break  # every word is a single symbol — nothing to merge
+            b = best[0]
+            merges.append(
+                (step, b["left"], b["right"], int(b["pair_count"]))
+            )
+            nxt = cur.select(
+                "word",
+                "freq",
+                _merge_fold(
+                    F.col("syms"), F.lit(b["left"]), F.lit(b["right"])
+                ).alias("syms"),
+            ).persist()
+            nxt.count()  # materialize before dropping the parent
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count long"
+    )
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    content_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a learned merge list: (key_col, tokens
+    array<string>, n_bpe_tokens long).  Merges apply in learned order
+    within each whitespace word — the fold chain is pure JVM
+    expression work, no shuffle, no Python worker; the merge list is
+    baked into the plan (tokenizers are small; this is the broadcast-
+    the-model pattern).
+    """
+    word_syms = F.split(F.col("__w"), "")
+    for left, right in merges:
+        word_syms = _merge_fold(word_syms, F.lit(left), F.lit(right))
+    exploded = df.select(
+        F.col(key_col),
+        F.posexplode(X.lower_tokens(content_col)).alias("__pos", "__w"),
+    )
+    per_word = exploded.select(key_col, "__pos", word_syms.alias("__syms"))
+    # collect_list order is partition-dependent: carry the word
+    # position and sort before flattening so token order is the
+    # document's
+    return (
+        per_word.groupBy(key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__syms"))
+            ).alias("__ws")
+        )
+        .select(
+            key_col,
+            F.flatten(
+                F.transform(F.col("__ws"), lambda w: w["__syms"])
+            ).alias("tokens"),
+        )
+        .select(
+            key_col,
+            "tokens",
+            F.size("tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )
