@@ -2777,9 +2777,12 @@ FROM toks
 
 
 def q64b_profile_exact(spark, sf_dir):
-    """The profiler's EXACT columns (n_rows, n_nulls, min, max) on the
-    documents table, hash-checked against DuckDB; the sketch columns
-    (approx_distinct, p25/p50/p75) stay under q64's rows-only check."""
+    """approx_profile's EXACT columns (n_rows, n_nulls, min, max) on
+    the documents table, hash-checked against DuckDB — the evidence
+    row that keeps the JVM-sketch profiler (HLL++/GK) covered now
+    that q64 itself oracles the deterministic profile_deterministic
+    kernel (r14); the JVM sketch estimates are tolerance-checked in
+    tests/test_profile.py."""
     from cloud_native_medical_data_etl_pipeline_spark.operators.profile import (
         approx_profile,
     )
@@ -7279,6 +7282,14 @@ def q142_catalog_ops(spark, sf_dir):
         .limit(_CATALOG_N_DATES)
         .collect()
     ]
+    if not dates:
+        # the oracle contract assumes >=1 event date (every sf corpus
+        # has thousands); fail loudly rather than emitting legs the
+        # SQL cannot mirror on an empty table
+        raise ValueError("q142_catalog_ops: events table has no dates")
+    # the after_delete leg derives from len(dates), not the constant,
+    # so the probe stays a pure function of the data even on corpora
+    # with fewer than _CATALOG_N_DATES distinct dates
     work = tempfile.mkdtemp(prefix="q142_")
     rows = []
     try:
@@ -7358,7 +7369,7 @@ UNION ALL
 SELECT 'exists', '1999-01-01', CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
 UNION ALL
 SELECT 'after_delete', CAST((SELECT MIN(d) FROM d3) AS VARCHAR),
-       CAST({_CATALOG_N_DATES - 1} AS BIGINT), CAST(0 AS BIGINT)
+       CAST((SELECT COUNT(*) FROM d3) - 1 AS BIGINT), CAST(0 AS BIGINT)
 """
 
 

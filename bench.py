@@ -185,7 +185,10 @@ def main() -> None:
     # against, so round-over-round deltas are kernel deltas.
     brackets = int(os.environ.get("SPARK_GRAFT_BENCH_BRACKETS", "3"))
     bracket_best: list[dict[str, float]] = []
-    reps_used: dict[str, int] = {name: 0 for name in HEADLINE}
+    # reps are recorded PER BRACKET (a list per query): each entry is
+    # bounded by max_reps, so convergence stays comparable to the
+    # single-bracket r12/r13 payloads
+    reps_used: dict[str, list[int]] = {name: [] for name in HEADLINE}
     for b in range(brackets):
         timings: dict[str, float] = {}
         for name in HEADLINE:
@@ -208,7 +211,7 @@ def main() -> None:
                 if rep + 1 >= passes and stall >= 3:
                     break
             timings[name] = best
-            reps_used[name] += rep + 1
+            reps_used[name].append(rep + 1)
             print(
                 f"  [bracket {b + 1}/{brackets}] {name}: {best:.3f}s "
                 f"({n} rows, {rep + 1} reps)",

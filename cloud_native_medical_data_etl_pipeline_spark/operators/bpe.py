@@ -166,11 +166,22 @@ def apply_bpe_merges(
     word_syms = F.split(F.col("__w"), "")
     for left, right in merges:
         word_syms = _merge_fold(word_syms, F.lit(left), F.lit(right))
+    # posexplode_OUTER: documents with no tokens (null/empty/whitespace
+    # text) must survive as (key, [], 0), matching the repo's other
+    # text operators — plain posexplode would silently drop them
     exploded = df.select(
         F.col(key_col),
-        F.posexplode(X.lower_tokens(content_col)).alias("__pos", "__w"),
+        F.posexplode_outer(X.lower_tokens(content_col)).alias(
+            "__pos", "__w"
+        ),
     )
-    per_word = exploded.select(key_col, "__pos", word_syms.alias("__syms"))
+    per_word = exploded.select(
+        key_col,
+        "__pos",
+        F.when(F.col("__w").isNull(), F.array().cast("array<string>"))
+        .otherwise(word_syms)
+        .alias("__syms"),
+    )
     # collect_list order is partition-dependent: carry the word
     # position and sort before flattening so token order is the
     # document's

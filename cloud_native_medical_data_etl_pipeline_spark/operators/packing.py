@@ -174,6 +174,12 @@ def pack_sequences_shelf(
     split test explicit: the doc straddles iff
     ``pack_offset + n_tokens > budget``.  Off by default so the q63
     oracle output stays byte-stable.
+
+    NULL keys are the caller's responsibility: they hash to one NULL
+    group whose within-group order is undefined (no deterministic
+    contract survives a null sort key), and their ``pack_id`` is NULL
+    — matching the SQL ``||`` null semantics, never a malformed
+    group-less id.
     """
     from pyspark.sql import Window
 
@@ -206,7 +212,15 @@ def pack_sequences_shelf(
     out = [
         F.col(key_col),
         F.col(token_col),
-        F.concat_ws("-", F.col("__grp"), F.col("__shelf")).alias("pack_id"),
+        # concat, NOT concat_ws: a NULL key hashes to a NULL group and
+        # must yield a NULL pack_id (the SQL `||` semantics the oracle
+        # uses) — concat_ws would silently drop the null group and emit
+        # a malformed group-less id like "0"
+        F.concat(
+            F.col("__grp").cast("string"),
+            F.lit("-"),
+            F.col("__shelf").cast("string"),
+        ).alias("pack_id"),
         F.sum(token_col).over(pack_w).alias("pack_tokens"),
     ]
     if with_offset:

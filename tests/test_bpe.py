@@ -145,3 +145,19 @@ def test_q143_bpe_oracle_shape(spark):
         ).fetchall()
     )
     assert got == want and len(got) == 8
+
+
+def test_apply_bpe_keeps_empty_documents(spark):
+    # null/empty/whitespace docs must survive as (key, [], 0), the
+    # same contract as the repo's other text operators
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in apply_bpe_merges(df, [("a", "b")]).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["tokens"] == ["ab", "ab"]
+    for k in (2, 3, 4):
+        assert rows[k]["tokens"] == [] and rows[k]["n_bpe_tokens"] == 0

@@ -227,3 +227,21 @@ def test_shelf_pack_offset_places_docs(spark):
     # default output schema is unchanged (q63 oracle byte-stability)
     cols = pack_sequences_shelf(df, budget=BUDGET, num_groups=1).columns
     assert cols == ["doc_id", "n_tokens", "pack_id", "pack_tokens"]
+
+
+def test_shelf_null_key_yields_null_pack_id(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.packing import (
+        pack_sequences_shelf,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 10), (2, 10)], "doc_id long, n_tokens long"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences_shelf(df, budget=BUDGET, num_groups=2).collect()
+    }
+    # NULL key -> NULL group -> NULL pack_id (SQL || semantics), never
+    # a malformed group-less id
+    assert rows[None]["pack_id"] is None
+    assert rows[2]["pack_id"] is not None and "-" in rows[2]["pack_id"]

@@ -151,7 +151,9 @@ def main():
                     )
                     .first()
                 )
-                return int(row["n"]), int(row["b"])
+                # the xor checksum joins the parity tuple: count+bytes
+                # alone would pass a divergence that preserves lengths
+                return int(row["n"]), int(row["b"]), int(row["c"])
 
             cfg = {"corpus_build_sec": build_s}
             parity = set()
@@ -160,8 +162,8 @@ def main():
                 ("size_repartitioned", media.repartition(32)),
             ):
                 tasks = df.rdd.getNumPartitions()
-                wall, (cnt, dec_bytes) = _timed(lambda d=df: run(d))
-                parity.add((cnt, dec_bytes))
+                wall, (cnt, dec_bytes, csum) = _timed(lambda d=df: run(d))
+                parity.add((cnt, dec_bytes, csum))
                 cfg[mode] = {
                     "decode_tasks": tasks,
                     "wall_sec": wall,
