@@ -46,17 +46,26 @@ from ..functions import text as X
 
 def _merge_fold(sym_col, left, right):
     """Left-to-right non-overlapping merge of the adjacent pair
-    (left, right) over a symbol array — pure JVM higher-order fold."""
+    (left, right) over a symbol array — pure JVM higher-order fold.
+
+    ``sym_col`` is referenced exactly ONCE (empty-array init; the
+    first element is seated inside the lambda): when apply-side
+    encoding CHAINS these folds, a twice-referenced input would
+    double the expression tree per merge level — 2^n copies of the
+    innermost tokenization under interpreted HOF evaluation, a
+    measured multi-minute stall at 8 merges on 600k words."""
     return F.aggregate(
-        F.slice(sym_col, 2, F.greatest(F.size(sym_col) - 1, F.lit(0))),
-        F.slice(sym_col, 1, 1),
-        lambda acc, x: F.when(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.size(acc) == 0, F.array(x))
+        .when(
             (F.element_at(acc, -1) == left) & (x == right),
             F.concat(
                 F.slice(acc, 1, F.size(acc) - 1),
                 F.array(F.concat(left, right)),
             ),
-        ).otherwise(F.concat(acc, F.array(x))),
+        )
+        .otherwise(F.concat(acc, F.array(x))),
     )
 
 
