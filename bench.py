@@ -184,6 +184,13 @@ def main() -> None:
     # checksum-consumption-floor methodology BASELINE.md re-bases
     # against, so round-over-round deltas are kernel deltas.
     brackets = int(os.environ.get("SPARK_GRAFT_BENCH_BRACKETS", "3"))
+    # wall-clock insurance: if the host is slow enough that further
+    # brackets would risk an external runner's timeout (and therefore
+    # the WHOLE payload), stop after the current bracket once the
+    # budget is spent — one bracket is a valid single-bracket record,
+    # the payload's bracket_totals length says what happened
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    t_loop = time.perf_counter()
     bracket_best: list[dict[str, float]] = []
     # reps are recorded PER BRACKET (a list per query): each entry is
     # bounded by max_reps, so convergence stays comparable to the
@@ -222,6 +229,13 @@ def main() -> None:
             f"  bracket {b + 1} total: {round(sum(timings.values()), 3)}s",
             file=sys.stderr,
         )
+        if time.perf_counter() - t_loop > budget_s and b + 1 < brackets:
+            print(
+                f"  bench budget ({budget_s}s) spent after bracket {b + 1};"
+                " emitting what we have",
+                file=sys.stderr,
+            )
+            break
 
     per_query_min = {
         name: min(bb[name] for bb in bracket_best) for name in HEADLINE
