@@ -7169,6 +7169,7 @@ def q141_bm25_indexed(spark, sf_dir):
     from cloud_native_medical_data_etl_pipeline_spark.operators.ranking import (
         bm25_topk_indexed,
         build_term_index,
+        read_term_index,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -7186,7 +7187,12 @@ def q141_bm25_indexed(spark, sf_dir):
         _buckets = sorted(
             {hashlib.md5(t.encode()).hexdigest()[:2] for t in _BM25_TERMS}
         )
-        idx = spark.read.parquet(idx_path).where(F.col("bucket").isin(_buckets))
+        # read_term_index, not a bare parquet read: partition-value
+        # inference parses all-Java-numeric hex bucket sets ("8f" ->
+        # 8.0) on small indexes — see ranking.TERM_INDEX_SCHEMA
+        idx = read_term_index(spark, idx_path).where(
+            F.col("bucket").isin(_buckets)
+        )
         postings = idx.where(F.col("term").isin(_BM25_TERMS)).select(
             F.lit("posting").alias("leg"),
             "term",

@@ -177,6 +177,27 @@ def tfidf_top_terms(
     )
 
 
+# the term index's on-disk schema, declared at every read: the bucket
+# is a 2-hex-char STRING partition value, and Spark's partition-value
+# type inference parses Java-numeric-looking strings — including hex
+# like "8f" (Double.parseDouble accepts the f/d float suffixes, so
+# "8f" becomes 8.0!) — whenever EVERY bucket directory in the index
+# happens to look numeric.  A small corpus can hit that (caught by the
+# indexed-vs-direct hypothesis fuzz at 2 docs: buckets {73, 98, 8f}
+# all parsed, the pruned read matched nothing); big corpora only
+# escape because some bucket contains a non-numeric hex pair.  A
+# user-provided schema bypasses inference entirely.
+TERM_INDEX_SCHEMA = "term string, doc long, dl double, tf long, bucket string"
+
+
+def read_term_index(spark, path: str) -> DataFrame:
+    """Read a build_term_index table with the declared schema — ALWAYS
+    use this (or pass the schema yourself) instead of a bare
+    spark.read.parquet: see TERM_INDEX_SCHEMA on why inference
+    corrupts hex bucket values on small indexes."""
+    return spark.read.schema(TERM_INDEX_SCHEMA).parquet(path)
+
+
 def build_term_index(
     df: DataFrame,
     path: str,
@@ -215,7 +236,7 @@ def build_term_index(
     # distinct (doc, dl) covers every non-empty doc; empty docs
     # contribute dl=0 to the average, so avgdl = sum(dl)/N with N from
     # a cheap column-less count of the input
-    written = df.sparkSession.read.parquet(path)
+    written = read_term_index(df.sparkSession, path)
     sum_dl = written.select("doc", "dl").dropDuplicates().agg(
         F.coalesce(F.sum("dl"), F.lit(0.0)).alias("__sumdl")
     )
@@ -267,7 +288,7 @@ def bm25_topk_indexed(
         {hashlib.md5(t.encode()).hexdigest()[:2] for t in terms}
     )
     post = (
-        spark.read.parquet(path)
+        read_term_index(spark, path)
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(terms))
     )

@@ -202,3 +202,37 @@ def test_semantic_dedup_null_embedding_survives(spark):
         for r in semantic_dedup_keep(emb, threshold=0.95, num_cells=2).collect()
     }
     assert kept == {0, 1, 3}
+
+
+def test_term_index_all_numeric_hex_buckets(spark):
+    """Regression pin for the partition-value inference bug the
+    indexed-vs-direct fuzz caught at r14: a corpus whose term buckets
+    ALL look Java-numeric — md5('the')[:2]='8f' parses as the float
+    literal 8f -> 8.0, '73'/'98' as plain numbers — made the inferred
+    bucket column a double, silently corrupting the values ('8f' ->
+    8.0) so the pruned string-bucket read matched NOTHING.  The
+    declared-schema read (ranking.read_term_index) bypasses inference;
+    this corpus must retrieve its matched doc."""
+    import shutil
+    import tempfile
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators import ranking
+
+    df = spark.createDataFrame(
+        [(0, "the"), (1, "spark join")], "doc_id long, text string"
+    )
+    work = tempfile.mkdtemp(prefix="bm25_hexbug_")
+    try:
+        ranking.build_term_index(df, f"{work}/idx")
+        idx = ranking.read_term_index(spark, f"{work}/idx")
+        assert dict(idx.dtypes)["bucket"] == "string"
+        assert set(r["bucket"] for r in idx.collect()) == {"8f", "98", "73"}
+        got = {
+            r["doc"]: r["bm25"]
+            for r in ranking.bm25_topk_indexed(
+                spark, f"{work}/idx", ["spark", "join", "absent"], k=10
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    assert set(got) == {1} and got[1] > 0

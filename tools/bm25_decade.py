@@ -114,7 +114,7 @@ def main():
             t0 = time.perf_counter()
             build_term_index(corpus, idx)
             build_s = round(time.perf_counter() - t0, 2)
-            total_postings = spark.read.parquet(idx).count()
+            total_postings = read_term_index(spark, idx).count()
 
             import hashlib
 
@@ -122,7 +122,7 @@ def main():
                 {hashlib.md5(t.encode()).hexdigest()[:2] for t in TERMS}
             )
             bucket_rows = (
-                spark.read.parquet(idx)
+                read_term_index(spark, idx)
                 .where(F.col("bucket").isin(buckets))
                 .count()
             )
