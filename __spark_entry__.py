@@ -7280,9 +7280,14 @@ def q142_catalog_ops(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         F.col("ts").cast("date").alias("d"), "event_id", "value"
     )
+    # d IS NOT NULL on BOTH engines (ADVICE r14): a NULL ts sorts
+    # nulls-FIRST under Spark's orderBy but LAST under DuckDB's
+    # ORDER BY, so an unfiltered probe would take dates[0] = None
+    # (crashing .isoformat()) while the oracle CTE silently skips it
     dates = [
         r["d"].isoformat()
         for r in ev.select("d")
+        .where(F.col("d").isNotNull())
         .distinct()
         .orderBy("d")
         .limit(_CATALOG_N_DATES)
@@ -7360,7 +7365,8 @@ def q142_catalog_ops(spark, sf_dir):
 Q142_SQL = f"""
 WITH d3 AS (
   SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY 1 ORDER BY d LIMIT {_CATALOG_N_DATES}
+  FROM events WHERE CAST(ts AS DATE) IS NOT NULL
+  GROUP BY 1 ORDER BY d LIMIT {_CATALOG_N_DATES}
 )
 SELECT 'partition' AS leg, CAST(d AS VARCHAR) AS key, n AS n_rows,
        CAST(1 AS BIGINT) AS n_files
@@ -7464,102 +7470,36 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry holds 146.  Each round's first-50 window is chosen so
+    # registry holds 147.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green and no
     # query's evidence goes more than 3 rounds stale.  The window
     # below is verified mechanically by tools/rotation_check.py
     # (pytest: tests/test_rotation.py) against every CORRECTNESS file.
     #
-    # Round 14 window — the r13 ledger's pre-commitment
-    # (tools/next_window.json, committed r13, verified by
+    # Round 15 window — the r14 ledger's pre-commitment
+    # (tools/next_window.json, committed r14, verified by
     # rotation_check --simulate-next), executed:
-    #   * slots 1-42: the 42 r11 greens at the staleness ceiling
+    #   * slots 1-46: the 46 r12 greens at the staleness ceiling
     #     (rotation_check --due reproduces this list from the
-    #     CORRECTNESS files alone; q10 leads after its r13
+    #     CORRECTNESS files alone; q95/q96 lead after their r14
     #     displacement);
-    #   * slots 43-44: the TWO planned registrations —
-    #     q140_lake_roundtrip (lake JSON/CSV round-trip, upgrading
-    #     the four unit-only S6/S7/S10/S11 rows to value-exact) and
-    #     q141_bm25_indexed (the stored inverted index: postings +
-    #     corpus stats + the pruned query path);
-    #   * slots 45-48: q91-q94, four of the six planned
-    #     oldest-r12-green fills;
-    #   * slots 49-50: q63_pack_sequences and q64_profile — the r14
-    #     kernel conversions (r13 verdict next-steps #2/#3: the last
-    #     two rows-only registrations became value-exact — q63 now
-    #     oracles the deterministic shelf packer, q64 the
-    #     md5-register profiler).  Newly-oracled keys have no green
-    #     row, so the audit REQUIRES them in this window; per the
-    #     ledger's displacement clause they displace the q95/q96
-    #     fills, which rejoin the tail lead and stay due at r15
-    #     (they are r12 greens — window math for r15 moves from
-    #     44 due to 46 due / 50 slots, still feasible).
-    # Tail (51+) is ordered so r15 inherits a solved schedule; the
-    # r15 window is PRE-COMMITTED in tools/next_window.json (the 46
-    # r12 greens at ceiling + the 4 oldest r13 greens as fills) and
-    # verified by rotation_check --simulate-next.
+    #   * slot 47: q142_catalog_ops — the ONE planned r15
+    #     registration (S12: partition listing / latest-date probe /
+    #     exists / delete on a tempdir Hive lake, staged + value-exact
+    #     at 3 SFs since r14; ADVICE r14 NULL-date fix applied at
+    #     registration time);
+    #   * slots 48-50: q107-q109, the 3 oldest r13 greens, smoothing
+    #     r16 to 47 due / 50 slots.
+    # Tail (51+) is ordered so r16 inherits a solved schedule: the 47
+    # r13 greens due r16 lead, then the 50 r14 greens (due r17) with
+    # q10/q11 first as the planned r16 fills.  The r16 window is
+    # PRE-COMMITTED in tools/next_window.json (47 due + q143_bpe_merges
+    # as the ONE planned r16 registration + 2 fills) and verified by
+    # rotation_check --simulate-next.
     # Ledger: SURVEY.md §8.3.
     return {
-        # --- r14 window slots 1-42: the 42 r11 greens at the
+        # --- r15 window slots 1-46: the 46 r12 greens at the
         # staleness ceiling (rotation_check --due, verbatim) ---
-        "q10_ship_delay": q10_ship_delay,
-        "q11_normalize_project": q11_normalize_project,
-        "q13_event_counts": q13_event_counts,
-        "q14_hourly_windows": q14_hourly_windows,
-        "q16_fingerprint": q16_fingerprint,
-        "q20_embedding_near_dups": q20_embedding_near_dups,
-        "q20b_embedding_near_dups_hi": q20b_embedding_near_dups_hi,
-        "q21_age_bins": q21_age_bins,
-        "q22_simhash_pairs": q22_simhash_pairs,
-        "q26_anti_join": q26_anti_join,
-        "q32_percentiles": q32_percentiles,
-        "q33_pivot_activity": q33_pivot_activity,
-        "q34_daily_active_users": q34_daily_active_users,
-        "q42_json_props": q42_json_props,
-        "q50_top_orders_per_priority": q50_top_orders_per_priority,
-        "q51_event_navigation": q51_event_navigation,
-        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
-        "q53_grouping_sets": q53_grouping_sets,
-        "q82_mad_outliers": q82_mad_outliers,
-        "q83_fuzzy_linkage": q83_fuzzy_linkage,
-        "q84_snapshot_diff": q84_snapshot_diff,
-        "q85_rolling_zscore": q85_rolling_zscore,
-        "q86_incremental_neardup": q86_incremental_neardup,
-        "q87_mutual_nn": q87_mutual_nn,
-        "q88_range_lookup": q88_range_lookup,
-        "q89_cooccurrence": q89_cooccurrence,
-        "q90_hybrid_retrieval": q90_hybrid_retrieval,
-        "q02_containment_enrich": q02_containment_enrich,
-        "q08_duplicate_rows": q08_duplicate_rows,
-        "q12_topk_orders": q12_topk_orders,
-        "q17_minhash_near_dups": q17_minhash_near_dups,
-        "q18_ngram_jaccard": q18_ngram_jaccard,
-        "q19_cosine_topk": q19_cosine_topk,
-        "q25_streaming_hourly": q25_streaming_hourly,
-        "q27_top_revenue": q27_top_revenue,
-        "q28_rollup_revenue": q28_rollup_revenue,
-        "q29_asof_attribution": q29_asof_attribution,
-        "q23_ivf_topk": q23_ivf_topk,
-        "q126_ivf_append": q126_ivf_append,
-        "q136_kcenter_select": q136_kcenter_select,
-        "q30_session_stats": q30_session_stats,
-        "q31_curated_corpus": q31_curated_corpus,
-        # --- slots 43-44: the two planned registrations ---
-        "q140_lake_roundtrip": q140_lake_roundtrip,
-        "q141_bm25_indexed": q141_bm25_indexed,
-        # --- slots 45-48: four of the six planned oldest-r12-green
-        # fills ---
-        "q91_unpivot_metrics": q91_unpivot_metrics,
-        "q92_quantile_buckets": q92_quantile_buckets,
-        "q93_scd2_intervals": q93_scd2_intervals,
-        "q94_transitions": q94_transitions,
-        # --- slots 49-50: the r14 kernel conversions, seated per the
-        # displacement clause (displace the q95/q96 fills) ---
-        "q63_pack_sequences": q63_pack_sequences,
-        "q64_profile": q64_profile,
-        # --- tail (51+): the 46 r12 greens that hit the ceiling at
-        # r15 (q95/q96 rejoin here after their displacement) — they
-        # lead the PRE-COMMITTED r15 window in tools/next_window.json ---
         "q95_weighted_sample": q95_weighted_sample,
         "q96_hard_negatives": q96_hard_negatives,
         "q97_cdc_apply": q97_cdc_apply,
@@ -7606,12 +7546,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_signature_index": q124_signature_index,
         "q137_pq_adc_topk": q137_pq_adc_topk,
         "q138_ivfpq_residual_topk": q138_ivfpq_residual_topk,
-        # --- then the 50 r13 greens (due r16; ordered so the 4
-        # oldest — q107-q110 — are the r15 window's pre-committed
-        # fills, smoothing r16 to 46 due / 50 slots) ---
+        # --- slot 47: the ONE planned r15 registration ---
+        "q142_catalog_ops": q142_catalog_ops,
+        # --- slots 48-50: the 3 oldest r13 greens (pre-committed
+        # fills, smoothing r16 to 47 due / 50 slots) ---
         "q107_bigram_surprisal": q107_bigram_surprisal,
         "q108_lexical_diversity": q108_lexical_diversity,
         "q109_quantize_embeddings": q109_quantize_embeddings,
+        # --- tail (51+): the 47 r13 greens that hit the ceiling at
+        # r16 — they lead the PRE-COMMITTED r16 window in
+        # tools/next_window.json ---
         "q110_temperature_mixture": q110_temperature_mixture,
         "q111_cluster_representatives": q111_cluster_representatives,
         "q112_char_entropy": q112_char_entropy,
@@ -7659,6 +7603,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_latest_event_per_user": q06_latest_event_per_user,
         "q09_severity_weighted": q09_severity_weighted,
         "q15_text_stats": q15_text_stats,
+        # --- then the 50 r14 greens (due r17; ordered so the 2
+        # oldest — q10/q11 — are the r16 window's pre-committed
+        # fills alongside the q143 registration) ---
+        "q10_ship_delay": q10_ship_delay,
+        "q11_normalize_project": q11_normalize_project,
+        "q13_event_counts": q13_event_counts,
+        "q14_hourly_windows": q14_hourly_windows,
+        "q16_fingerprint": q16_fingerprint,
+        "q20_embedding_near_dups": q20_embedding_near_dups,
+        "q20b_embedding_near_dups_hi": q20b_embedding_near_dups_hi,
+        "q21_age_bins": q21_age_bins,
+        "q22_simhash_pairs": q22_simhash_pairs,
+        "q26_anti_join": q26_anti_join,
+        "q32_percentiles": q32_percentiles,
+        "q33_pivot_activity": q33_pivot_activity,
+        "q34_daily_active_users": q34_daily_active_users,
+        "q42_json_props": q42_json_props,
+        "q50_top_orders_per_priority": q50_top_orders_per_priority,
+        "q51_event_navigation": q51_event_navigation,
+        "q52_daily_activity_full_outer": q52_daily_activity_full_outer,
+        "q53_grouping_sets": q53_grouping_sets,
+        "q82_mad_outliers": q82_mad_outliers,
+        "q83_fuzzy_linkage": q83_fuzzy_linkage,
+        "q84_snapshot_diff": q84_snapshot_diff,
+        "q85_rolling_zscore": q85_rolling_zscore,
+        "q86_incremental_neardup": q86_incremental_neardup,
+        "q87_mutual_nn": q87_mutual_nn,
+        "q88_range_lookup": q88_range_lookup,
+        "q89_cooccurrence": q89_cooccurrence,
+        "q90_hybrid_retrieval": q90_hybrid_retrieval,
+        "q02_containment_enrich": q02_containment_enrich,
+        "q08_duplicate_rows": q08_duplicate_rows,
+        "q12_topk_orders": q12_topk_orders,
+        "q17_minhash_near_dups": q17_minhash_near_dups,
+        "q18_ngram_jaccard": q18_ngram_jaccard,
+        "q19_cosine_topk": q19_cosine_topk,
+        "q25_streaming_hourly": q25_streaming_hourly,
+        "q27_top_revenue": q27_top_revenue,
+        "q28_rollup_revenue": q28_rollup_revenue,
+        "q29_asof_attribution": q29_asof_attribution,
+        "q23_ivf_topk": q23_ivf_topk,
+        "q126_ivf_append": q126_ivf_append,
+        "q136_kcenter_select": q136_kcenter_select,
+        "q30_session_stats": q30_session_stats,
+        "q31_curated_corpus": q31_curated_corpus,
+        "q140_lake_roundtrip": q140_lake_roundtrip,
+        "q141_bm25_indexed": q141_bm25_indexed,
+        "q91_unpivot_metrics": q91_unpivot_metrics,
+        "q92_quantile_buckets": q92_quantile_buckets,
+        "q93_scd2_intervals": q93_scd2_intervals,
+        "q94_transitions": q94_transitions,
+        "q63_pack_sequences": q63_pack_sequences,
+        "q64_profile": q64_profile,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -7814,4 +7811,7 @@ def oracle_sql() -> dict[str, str]:
         # through their q63b/q64b invariant companions.
         "q63_pack_sequences": Q63_SQL,
         "q64_profile": _q64_sql(),
+        # r15: S12's first oracle row — catalog/metadata answers on a
+        # tempdir Hive lake are pure functions of the events data.
+        "q142_catalog_ops": Q142_SQL,
     }
