@@ -159,19 +159,140 @@ def train_bpe_merges(
     )
 
 
+# The fold path chains ONE nested higher-order aggregate per merge:
+# plan depth (and Catalyst analysis cost) is linear in the merge
+# count, and each HOF level evaluates interpreted.  Measured fine at
+# oracle-scale tables (q143's 8 merges; 64 analyzes in ~1 s) but a
+# real tokenizer's 30k-50k merges would stall analysis long before
+# execution — past this ceiling apply_bpe_merges refuses and points
+# at impl="arrow", whose cost is independent of merge count.
+FOLD_MERGE_CEILING = 64
+
+
+def _bpe_encode_udf(merges: list[tuple[str, str]]):
+    """Arrow-vectorized BPE encoder over pre-tokenized word arrays —
+    the scale path for realistic merge counts (30k-50k rules).
+
+    The merge-RANK table ships once per worker inside the UDF closure
+    (broadcast-the-model, the `quantize._pq_code_udf` pattern) and
+    each word encodes by the standard greedy-minimum-rank loop: find
+    the lowest-ranked adjacent pair present, rewrite ALL its
+    occurrences left-to-right non-overlapping (exactly `_merge_fold`'s
+    batch rewrite), repeat.  This replays the learned sequence: a
+    merge at rank r only ever CREATES pairs that contain its output
+    symbol, and any learned rule touching that symbol necessarily has
+    rank > r (the symbol first exists at step r), so at every moment
+    the minimum-rank pair present is the next one sequential order
+    would apply — greedy-by-rank == fold-chain-in-order (unit-pinned
+    and hypothesis-fuzzed token-identical in tests/test_bpe.py).
+
+    Cost per unique word is O(len^2) pair scans, INDEPENDENT of the
+    merge count — rules whose pair never appears are never looked up —
+    and a per-batch memo collapses repeated words (Zipf: most of the
+    batch is the head of the vocabulary)."""
+    import pandas as pd
+
+    ranks: dict[tuple[str, str], int] = {}
+    pairs = [tuple(m) for m in merges]
+    for i, p in enumerate(pairs):
+        # a pair can lawfully recur in a learned table (overlapping
+        # runs leave survivors: 'aaa' -> [aa, a] keeps (a,a) losable
+        # again later); first rank wins, later duplicates are no-ops
+        ranks.setdefault(p, i)
+
+    def _encode(word: str, memo: dict) -> list[str]:
+        got = memo.get(word)
+        if got is None:
+            syms = list(word)
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                left, right = pairs[best]
+                out: list[str] = []
+                i, n = 0, len(syms)
+                while i < n:
+                    if (
+                        i + 1 < n
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            got = memo[word] = syms
+        return got
+
+    # NB: no signature annotations — pandas_udf's type-hint inference
+    # stringifies locally-imported names and rejects them
+    def _fn(word_arrays):
+        memo: dict[str, list[str]] = {}
+        out = []
+        for words in word_arrays:
+            if words is None:
+                out.append([])
+                continue
+            toks: list[str] = []
+            for w in words:
+                toks.extend(_encode(w, memo))
+            out.append(toks)
+        return pd.Series(out, dtype=object)
+
+    return F.pandas_udf(_fn, "array<string>")
+
+
 def apply_bpe_merges(
     df: DataFrame,
     merges: list[tuple[str, str]],
     content_col: str = "text",
     key_col: str = "doc_id",
+    impl: str = "fold",
 ) -> DataFrame:
     """Encode documents with a learned merge list: (key_col, tokens
     array<string>, n_bpe_tokens long).  Merges apply in learned order
-    within each whitespace word — the fold chain is pure JVM
-    expression work, no shuffle, no Python worker; the merge list is
-    baked into the plan (tokenizers are small; this is the broadcast-
-    the-model pattern).
+    within each whitespace word.
+
+    ``impl="fold"`` (default): pure JVM expression work — one chained
+    higher-order fold per merge, no Python worker; the byte-stable
+    form the DuckDB oracles replay.  Plan depth is LINEAR in the merge
+    count, so this path refuses above ``FOLD_MERGE_CEILING`` rules.
+
+    ``impl="arrow"``: the `_bpe_encode_udf` vectorized kernel —
+    token-identical by construction (unit-pinned + fuzzed), cost
+    independent of merge count, ZERO shuffle (one row per input row;
+    the fold path's posexplode/groupBy round-trip collapses duplicate
+    ``key_col`` values, the arrow path preserves them row-for-row) —
+    the encode lever for realistic 30k-50k-rule tokenizers.
     """
+    if impl not in ("fold", "arrow"):
+        raise ValueError(f"impl must be 'fold' or 'arrow', got {impl!r}")
+    if impl == "arrow":
+        toks = F.coalesce(
+            X.lower_tokens(content_col), F.array().cast("array<string>")
+        )
+        return df.select(
+            F.col(key_col),
+            _bpe_encode_udf(merges)(toks).alias("tokens"),
+        ).select(
+            key_col,
+            "tokens",
+            F.size("tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    if len(merges) > FOLD_MERGE_CEILING:
+        raise ValueError(
+            f"apply_bpe_merges(impl='fold'): {len(merges)} merges exceeds "
+            f"FOLD_MERGE_CEILING={FOLD_MERGE_CEILING} — the fold chain's "
+            "plan depth is linear in the merge count and Catalyst analysis "
+            "stalls at real vocabularies; use impl='arrow' (token-identical, "
+            "merge-count-independent)"
+        )
     word_syms = F.split(F.col("__w"), "")
     for left, right in merges:
         word_syms = _merge_fold(word_syms, F.lit(left), F.lit(right))

@@ -43,7 +43,9 @@ def approx_profile(
 
     Single aggregation pass regardless of column count; every sketch is
     mergeable, so the plan is map-side partial aggregation + one
-    exchange of constant-size state.
+    exchange of constant-size state.  This is the PRODUCTION DEFAULT
+    profiler; ``profile_deterministic`` is the oracle/audit-grade
+    variant (see SCALING.md "Profiling").
     """
     # `is not None`: an explicitly-passed empty list means "profile
     # nothing", not "profile every column of a possibly-wide table"
@@ -176,8 +178,14 @@ def profile_deterministic(
       100 TB while staying bit-reproducible; pass ``sample_key=None``
       to rank the full table (exact quantiles, heavier shuffle).
 
-    Prefer ``approx_profile`` when cross-engine reproducibility is
-    not required — its HLL++/GK sketches are JVM-native and cheaper.
+    PRODUCTION DEFAULT IS ``approx_profile`` — this form is
+    oracle/audit-grade only (see SCALING.md "Profiling").  The exact
+    interpolated percentiles here imply a sample-sized SORT per
+    numeric column; at 100 TB a 25% md5 sample is still 25 TB of
+    shuffle, where ``approx_profile``'s GK/HLL++ sketches aggregate
+    map-side into constant-size state.  Use this when an external
+    engine must reproduce every byte (driver oracle q64, audits),
+    ``approx_profile`` everywhere else.
     Plan shape: three bounded aggregates (exact pass; register
     aggregate capped at cols*2^p rows after map-side combine; sample
     percentile pass) joined on the tiny per-column frame.

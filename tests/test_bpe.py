@@ -161,3 +161,96 @@ def test_apply_bpe_keeps_empty_documents(spark):
     assert rows[1]["tokens"] == ["ab", "ab"]
     for k in (2, 3, 4):
         assert rows[k]["tokens"] == [] and rows[k]["n_bpe_tokens"] == 0
+
+
+# ---------------------------------------------------------------------------
+# impl="arrow": the scale encoder (r15) — greedy-minimum-rank with a
+# broadcast rank table must be token-identical to the fold-chain spec
+# path, and the fold path must refuse past its plan-depth ceiling.
+# ---------------------------------------------------------------------------
+
+
+def _both_impls(spark, rows, merges):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for impl in ("fold", "arrow"):
+        out[impl] = {
+            r["doc_id"]: (list(r["tokens"]), r["n_bpe_tokens"])
+            for r in apply_bpe_merges(df, merges, impl=impl).collect()
+        }
+    return out["fold"], out["arrow"]
+
+
+def test_apply_bpe_arrow_matches_fold_on_learned_merges(spark):
+    # train a real table, then encode held-out text through both paths
+    texts = [
+        "low lower lowest slow slowest",
+        "new newer newest news",
+        "the lowest new low",
+    ]
+    merges = [(l, r) for _, l, r, _ in _train(spark, texts, 8)]
+    rows = [
+        (1, "lower the new slowest"),
+        (2, "newest newest low"),
+        (3, ""),
+        (4, None),
+        (5, "   "),
+        (6, "UNSEEN words HERE lowest"),
+    ]
+    fold, arrow = _both_impls(spark, rows, merges)
+    assert fold == arrow
+
+
+def test_apply_bpe_arrow_overlapping_runs(spark):
+    # the left-to-right batch rewrite: 'aaaa aaa' with (a,a) then
+    # (aa,aa) — rank order must replay exactly
+    fold, arrow = _both_impls(
+        spark,
+        [(1, "aaaa aaa aa a")],
+        [("a", "a"), ("aa", "aa"), ("aa", "a")],
+    )
+    assert fold == arrow
+    assert arrow[1][0] == ["aaaa", "aaa", "aa", "a"]
+
+
+def test_apply_bpe_fold_refuses_past_ceiling(spark):
+    from cloud_native_medical_data_etl_pipeline_spark.operators import bpe
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    too_many = [("a", "b")] * (bpe.FOLD_MERGE_CEILING + 1)
+    with pytest.raises(ValueError, match="FOLD_MERGE_CEILING"):
+        apply_bpe_merges(df, too_many, impl="fold")
+    # arrow is merge-count-independent: same table encodes fine
+    got = apply_bpe_merges(df, too_many, impl="arrow").collect()[0]
+    assert got["tokens"] == ["ab"]
+    with pytest.raises(ValueError, match="impl"):
+        apply_bpe_merges(df, [("a", "b")], impl="pandas")
+
+
+def test_apply_bpe_arrow_fuzz_vs_fold(spark):
+    """Randomized parity: learn merges from a random small-alphabet
+    corpus (adversarial for overlapping runs and duplicate pairs),
+    then both impls must emit identical tokens on every document —
+    including documents with unseen symbols, empties, and nulls."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=8)
+    doc = st.lists(word, min_size=0, max_size=6).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        corpus=st.lists(doc, min_size=1, max_size=6),
+        probes=st.lists(doc, min_size=1, max_size=5),
+        k=st.integers(min_value=1, max_value=10),
+    )
+    def run(corpus, probes, k):
+        merges = [(l, r) for _, l, r, _ in _ref_merges(_words(corpus), k)]
+        if not merges:
+            return
+        rows = [(i, t) for i, t in enumerate(probes)] + [
+            (9001, None), (9002, "")
+        ]
+        fold, arrow = _both_impls(spark, rows, merges)
+        assert fold == arrow
+
+    run()
