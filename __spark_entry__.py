@@ -2539,6 +2539,9 @@ FROM grid LEFT JOIN sparse USING (event_type, bucket)
 
 
 _PACK_BUDGET = 2048
+# shared between the shelf/FFD kernel calls and the oracle SQL so the
+# group count cannot silently drift between kernel and oracle (ADVICE r14)
+_PACK_GROUPS = 4
 
 
 def q63_pack_sequences(spark, sf_dir):
@@ -2556,7 +2559,9 @@ def q63_pack_sequences(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", X.token_count("text").alias("n_tokens"))
-    return pack_sequences_shelf(toks, budget=_PACK_BUDGET, num_groups=4)
+    return pack_sequences_shelf(
+        toks, budget=_PACK_BUDGET, num_groups=_PACK_GROUPS
+    )
 
 
 Q63_SQL = f"""
@@ -2571,7 +2576,7 @@ WITH toks AS (
 ),
 g AS (
   SELECT doc_id, n_tokens,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4 AS grp
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % {_PACK_GROUPS} AS grp
   FROM toks
 ),
 c AS (
@@ -2733,7 +2738,9 @@ def q63b_pack_invariants(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", X.token_count("text").alias("n_tokens"))
-    packed = pack_sequences(toks, budget=_PACK_BUDGET, num_groups=4)
+    packed = pack_sequences(
+        toks, budget=_PACK_BUDGET, num_groups=_PACK_GROUPS
+    )
     per_pack = packed.groupBy("pack_id").agg(
         F.sum("n_tokens").alias("tok_sum"),
         F.min("pack_tokens").alias("pt_min"),

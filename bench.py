@@ -196,9 +196,26 @@ def main() -> None:
     # bounded by max_reps, so convergence stays comparable to the
     # single-bracket r12/r13 payloads
     reps_used: dict[str, list[int]] = {name: [] for name in HEADLINE}
+    # a bracket that the budget interrupts mid-flight (ADVICE r14: the
+    # between-bracket guard alone let one slow bracket overrun an
+    # external timeout).  Bracket 1 always completes — the payload's
+    # floor is a full single-bracket record — and the partial
+    # bracket's timings still feed per-query minima (a min over the
+    # brackets a query actually ran in is valid per query), just not
+    # bracket_totals.
+    partial_bracket: dict[str, float] | None = None
     for b in range(brackets):
         timings: dict[str, float] = {}
         for name in HEADLINE:
+            if b > 0 and time.perf_counter() - t_loop > budget_s:
+                partial_bracket = timings
+                print(
+                    f"  bench budget ({budget_s}s) spent inside bracket "
+                    f"{b + 1} after {len(timings)}/{len(HEADLINE)} queries;"
+                    " recording it as a partial bracket",
+                    file=sys.stderr,
+                )
+                break
             fn = queries[name]
             n, best, stall = -1, float("inf"), 0
             for rep in range(max_reps):
@@ -224,6 +241,8 @@ def main() -> None:
                 f"({n} rows, {rep + 1} reps)",
                 file=sys.stderr,
             )
+        if partial_bracket is not None:
+            break
         bracket_best.append(timings)
         print(
             f"  bracket {b + 1} total: {round(sum(timings.values()), 3)}s",
@@ -238,7 +257,15 @@ def main() -> None:
             break
 
     per_query_min = {
-        name: min(bb[name] for bb in bracket_best) for name in HEADLINE
+        name: min(
+            [bb[name] for bb in bracket_best]
+            + (
+                [partial_bracket[name]]
+                if partial_bracket and name in partial_bracket
+                else []
+            )
+        )
+        for name in HEADLINE
     }
     bracket_totals = [round(sum(bb.values()), 3) for bb in bracket_best]
     total = round(sum(per_query_min.values()), 3)
@@ -260,7 +287,16 @@ def main() -> None:
                 "per_query_min": per_query_min,
                 "passes": passes,
                 "max_reps": max_reps,
-                "reps": reps_used,
+                # renamed from "reps" when the type changed from
+                # dict[str, int] to dict[str, list[int]] (one entry per
+                # bracket the query ran in; the last may belong to a
+                # partial bracket) — old-format consumers fail loudly
+                # on the missing key instead of mis-parsing (ADVICE r14)
+                "reps_per_bracket": reps_used,
+                # timings of a budget-interrupted bracket (None when
+                # every bracket completed); folded into per-query
+                # minima but never into bracket_totals
+                "partial_bracket": partial_bracket,
                 "sf": sf,
             }
         )

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import text as X
 
@@ -220,9 +221,21 @@ def build_term_index(
     stats (N, avgdl) ride along in an underscore-prefixed side
     directory that Spark's file listing ignores.
     """
+    # TERM_INDEX_SCHEMA declares `doc long`, and every read goes
+    # through it (inference-bypass contract) — so a non-long key would
+    # come back as nulls/cast failures, INCLUDING in this function's
+    # own stats pass below.  Refuse up front rather than corrupt.
+    key_type = df.schema[key_col].dataType
+    if not isinstance(key_type, (T.LongType, T.IntegerType,
+                                 T.ShortType, T.ByteType)):
+        raise ValueError(
+            f"build_term_index: key_col {key_col!r} must be an integral "
+            f"type (stored as `doc long` per TERM_INDEX_SCHEMA), got "
+            f"{key_type.simpleString()}"
+        )
     toks = X.lower_tokens(content_col)
     base = df.select(
-        F.col(key_col).alias("doc"),
+        F.col(key_col).cast("long").alias("doc"),
         F.size(toks).cast("double").alias("dl"),
         F.explode(toks).alias("term"),
     )

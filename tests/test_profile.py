@@ -139,3 +139,80 @@ def test_deterministic_profile_all_null_column(spark):
     }
     assert prof["x"]["n_nulls"] == 2
     assert prof["x"]["hll_distinct"] == 0.0
+
+
+def test_deterministic_profile_double_column_matches_duckdb(spark):
+    """ADVICE r14: `_det_hash_str`'s double/decimal branch (the
+    round(x*1e6) BIGINT trick) was exercised by no oracle — the
+    documents table has no floating column.  Profile a double and a
+    float column (float32 cast seam included) against DuckDB-computed
+    expectations, with .5-boundary products where HALF_UP vs
+    round-half-to-even would diverge (2.5e-6 * 1e6 == 2.5 exactly)."""
+    import duckdb
+
+    from pyspark.sql import types as T
+
+    from cloud_native_medical_data_etl_pipeline_spark.operators.profile import (
+        _det_hash_str,
+        profile_deterministic,
+    )
+
+    rows = [
+        (1, 2.5e-6, 0.1),     # *1e6 = 2.5  -> HALF_UP 3
+        (2, -2.5e-6, 2.25),   # *1e6 = -2.5 -> away-from-zero -3
+        (3, 1.5e-6, None),    # *1e6 = 1.5  -> 2 (not banker's 2? no: 2)
+        (4, None, 7.5),
+        (5, 3.5e-6, 0.3),     # *1e6 = 3.5  -> 4
+        (6, 1.75, 0.1),       # duplicate float value for distinct
+    ]
+    df = spark.createDataFrame(rows, "id long, d double, f float")
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+
+    # 1) the portable string form itself: Spark expression vs the
+    # DuckDB expression an oracle would use, value-for-value
+    got = {
+        r["id"]: (r["sd"], r["sf"])
+        for r in df.select(
+            "id",
+            _det_hash_str(F.col("d"), T.DoubleType()).alias("sd"),
+            _det_hash_str(F.col("f"), T.FloatType()).alias("sf"),
+        ).collect()
+    }
+    want = {
+        i: (sd, sf)
+        for i, sd, sf in con.sql(
+            "SELECT id,"
+            " CAST(CAST(round(d * 1e6) AS BIGINT) AS VARCHAR),"
+            " CAST(CAST(round(CAST(f AS DOUBLE) * 1e6) AS BIGINT) AS VARCHAR)"
+            " FROM t"
+        ).fetchall()
+    }
+    assert got == want, (got, want)
+    assert got[1][0] == "3" and got[2][0] == "-3"  # the .5 boundaries
+
+    # 2) end-to-end: the deterministic profile's exact legs and
+    # quantiles on the double column vs DuckDB (full-table ranking,
+    # no sample, so the comparison is exact)
+    prof = {
+        r["column"]: r
+        for r in profile_deterministic(
+            df, cols=["d", "f"], sample_key=None
+        ).collect()
+    }
+    exp = con.sql(
+        "SELECT COUNT(*), COUNT(*) - COUNT(d),"
+        " CAST(MIN(d) AS DOUBLE), CAST(MAX(d) AS DOUBLE),"
+        " ROUND(quantile_cont(d, 0.50), 6) FROM t"
+    ).fetchone()
+    got_d = prof["d"]
+    assert (
+        got_d["n_rows"], got_d["n_nulls"], got_d["min"], got_d["max"],
+        got_d["p50"],
+    ) == exp, (dict(got_d.asDict()), exp)
+    # distinct estimate must equal the register pipeline applied to
+    # the SAME portable strings both engines agree on (checked above):
+    # at 5 distinct non-null values the HLL estimate is a pure
+    # function of those strings — cross-check it is non-null and
+    # positive rather than pinning the estimator's internals here
+    assert got_d["hll_distinct"] is not None and got_d["hll_distinct"] > 0
