@@ -7468,6 +7468,105 @@ m0 AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# q144 — STAGED (written r15, unregistered; the r17 candidate per the
+# ledger): BPE ENCODE — the apply side of the tokenizer family, and
+# the first oracle path over the r15 `impl="arrow"` kernel (greedy-
+# minimum-rank with a broadcast rank table, proven token-identical to
+# the fold-chain spec in tests/test_bpe.py).  Train the staged-q143
+# 8-rule table, encode every document, and emit (doc_id,
+# n_bpe_tokens, encoded = space-joined tokens) — the DuckDB oracle
+# re-derives the SAME 8 rules (the q143 CTE chain), folds each
+# vocabulary word through all 8 rounds, and reassembles documents by
+# word position, so the driver hash proves the full encode, token for
+# token, through the scale kernel.
+# ---------------------------------------------------------------------------
+def q144_bpe_encode(spark, sf_dir):
+    from cloud_native_medical_data_etl_pipeline_spark.operators.bpe import (
+        apply_bpe_merges,
+        train_bpe_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe_merges(docs, num_merges=_BPE_MERGES)
+        .orderBy("step")
+        .collect()
+    ]
+    enc = apply_bpe_merges(docs, merges, impl="arrow")
+    return enc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.array_join("tokens", " ").alias("encoded"),
+    )
+
+
+def _q144_sql() -> str:
+    # the q143 construction minus its final-round early-stop: encode
+    # needs the vocabulary AFTER all 8 folds (m8), so every round
+    # k=1..8 emits both b_k and m_k
+    fold = """
+         list_reduce(string_split(s, ' '), (acc, x) -> CASE
+            WHEN (acc = lft OR ends_with(acc, ' ' || lft)) AND x = rgt
+            THEN CASE WHEN acc = lft THEN lft || rgt
+                 ELSE left(acc, length(acc) - length(lft)) || lft || rgt END
+            ELSE acc || ' ' || x END)"""
+    rounds = []
+    for k in range(1, _BPE_MERGES + 1):
+        prev = f"m{k - 1}"
+        rounds.append(
+            f"""p{k} AS (
+  SELECT l[i] AS lft, l[i + 1] AS rgt, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, string_split(s, ' ') AS l FROM {prev}) t,
+       UNNEST(generate_series(1, len(l) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+b{k} AS (SELECT lft, rgt, cnt FROM p{k} ORDER BY cnt DESC, lft, rgt LIMIT 1),
+m{k} AS (
+  SELECT word, freq,{fold} AS s
+  FROM {prev}, b{k}
+)"""
+        )
+    body = ",\n".join(rounds)
+    return f"""
+WITH w AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(string_split_regex(
+             regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS word
+    FROM documents
+    WHERE regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+  )
+  GROUP BY 1
+),
+m0 AS (
+  SELECT word, freq, array_to_string(string_split(word, ''), ' ') AS s FROM w
+),
+{body},
+docw AS (
+  SELECT doc_id, u.i AS pos, l[u.i] AS word
+  FROM (
+    SELECT doc_id, string_split_regex(
+             regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS l
+    FROM documents
+    WHERE regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+  ) t, UNNEST(generate_series(1, len(l))) AS u(i)
+),
+agg AS (
+  SELECT d.doc_id,
+         CAST(SUM(len(string_split(m.s, ' '))) AS BIGINT) AS n,
+         string_agg(m.s, ' ' ORDER BY d.pos) AS enc
+  FROM docw d JOIN m{_BPE_MERGES} m USING (word)
+  GROUP BY 1
+)
+SELECT doc_id,
+       COALESCE(a.n, CAST(0 AS BIGINT)) AS n_bpe_tokens,
+       COALESCE(a.enc, '') AS encoded
+FROM documents LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the containment-enrichment theta-join (reference J1)
     on sf0.001."""

@@ -254,3 +254,29 @@ def test_apply_bpe_arrow_fuzz_vs_fold(spark):
         assert fold == arrow
 
     run()
+
+
+def test_q144_bpe_encode_oracle_shape(spark):
+    """The staged BPE ENCODE registration candidate (q144, written in
+    r15, unregistered — the r17 candidate; r16's seat belongs to
+    q143): train the 8-rule table, encode every document through the
+    r15 impl="arrow" kernel, and the full (doc_id, n_bpe_tokens,
+    encoded) set must match DuckDB's word-level fold chain reassembled
+    by document position.  Pins the staged probe + SQL pair so it
+    cannot rot before its window seat."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in E.q144_bpe_encode(spark, sf).collect())
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            E._q144_sql().replace(
+                "FROM documents",
+                f"FROM read_parquet('{sf}/documents.parquet')",
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) == 500
