@@ -280,3 +280,35 @@ def test_q144_bpe_encode_oracle_shape(spark):
         ).fetchall()
     )
     assert got == want and len(got) == 500
+
+
+def test_incremental_trainer_matches_reference_fuzz():
+    """tools/bpe_decade._train_merges_fast (the >=1k-rule table
+    generator for the realistic-merge-count apply measurement) must
+    replay the brute-force full-recount reference merge-for-merge —
+    lazy-heap invalidation and incremental pair bookkeeping are easy
+    to get subtly wrong (stale memberships, overlap leftovers that
+    resurrect a pair).  Pure-python, no Spark session."""
+    import sys
+
+    from hypothesis import given, settings, strategies as st
+
+    sys.path.insert(0, "/root/repo/tools")
+    from bpe_decade import _seq_reference, _train_merges_fast
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=8)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        vocab=st.dictionaries(
+            word, st.integers(min_value=1, max_value=9),
+            min_size=1, max_size=30,
+        ),
+        k=st.integers(min_value=1, max_value=25),
+    )
+    def run(vocab, k):
+        assert _train_merges_fast(dict(vocab), k) == _seq_reference(
+            dict(vocab), k
+        )
+
+    run()
