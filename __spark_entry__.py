@@ -7505,7 +7505,15 @@ def q144_bpe_encode(spark, sf_dir):
 def _q144_sql() -> str:
     # the q143 construction minus its final-round early-stop: encode
     # needs the vocabulary AFTER all 8 folds (m8), so every round
-    # k=1..8 emits both b_k and m_k
+    # k=1..8 emits both b_k and m_k.  Each fold joins bpad_k — an
+    # AGGREGATE over the argmax (max over <=1 row), which always
+    # yields exactly one row: a NULL rule when the corpus exhausted
+    # its mergeable pairs before round 8 (train_bpe_merges breaks
+    # early), making that round an identity rebuild instead of a
+    # cross-join annihilation that would empty m8 and zero every
+    # document (r15 review finding).  The aggregate form matters: a
+    # UNION ALL + scalar COUNT(*) pad re-referenced b_k and sent
+    # DuckDB's CTE evaluation exponential (~13 CPU-min at sf0.001).
     fold = """
          list_reduce(string_split(s, ' '), (acc, x) -> CASE
             WHEN (acc = lft OR ends_with(acc, ' ' || lft)) AND x = rgt
@@ -7523,9 +7531,10 @@ def _q144_sql() -> str:
   GROUP BY 1, 2
 ),
 b{k} AS (SELECT lft, rgt, cnt FROM p{k} ORDER BY cnt DESC, lft, rgt LIMIT 1),
-m{k} AS (
+bpad{k} AS (SELECT max(lft) AS lft, max(rgt) AS rgt FROM b{k}),
+m{k} AS MATERIALIZED (
   SELECT word, freq,{fold} AS s
-  FROM {prev}, b{k}
+  FROM {prev}, bpad{k}
 )"""
         )
     body = ",\n".join(rounds)

@@ -169,6 +169,31 @@ def train_bpe_merges(
 FOLD_MERGE_CEILING = 64
 
 
+def _validate_merge_table(merges: list[tuple[str, str]]) -> None:
+    """Well-formedness gate for the arrow encoder: every rule's
+    constituents must be BUILDABLE when the rule fires — a single
+    character, or the output of an EARLIER rule.  Every trained table
+    satisfies this by construction; an arbitrary hand-written table
+    that violates it (e.g. [("ab","c"), ("a","b")] — rule 0 references
+    a symbol only rule 1 can create) would make greedy-minimum-rank
+    diverge from the fold chain's strict in-order semantics, because
+    applying the later rule would retroactively enable the earlier
+    one.  The fold path accepts any list (it IS the in-order spec);
+    the arrow path refuses rather than silently disagree."""
+    seen_outputs: set[str] = set()
+    for i, (left, right) in enumerate(merges):
+        for side in (left, right):
+            if len(side) > 1 and side not in seen_outputs:
+                raise ValueError(
+                    f"apply_bpe_merges(impl='arrow'): rule {i} "
+                    f"({left!r}, {right!r}) references multi-char symbol "
+                    f"{side!r} that no earlier rule produces — not a "
+                    "learned-order (rank-monotone) merge table; use "
+                    "impl='fold' for arbitrary rule lists"
+                )
+        seen_outputs.add(left + right)
+
+
 def _bpe_encode_udf(merges: list[tuple[str, str]]):
     """Arrow-vectorized BPE encoder over pre-tokenized word arrays —
     the scale path for realistic merge counts (30k-50k rules).
@@ -185,6 +210,8 @@ def _bpe_encode_udf(merges: list[tuple[str, str]]):
     the minimum-rank pair present is the next one sequential order
     would apply — greedy-by-rank == fold-chain-in-order (unit-pinned
     and hypothesis-fuzzed token-identical in tests/test_bpe.py).
+    The rank argument needs the table in learned order — enforced by
+    `_validate_merge_table` before this kernel is built.
 
     Cost per unique word is O(len^2) pair scans, INDEPENDENT of the
     merge count — rules whose pair never appears are never looked up —
@@ -195,9 +222,12 @@ def _bpe_encode_udf(merges: list[tuple[str, str]]):
     ranks: dict[tuple[str, str], int] = {}
     pairs = [tuple(m) for m in merges]
     for i, p in enumerate(pairs):
-        # a pair can lawfully recur in a learned table (overlapping
-        # runs leave survivors: 'aaa' -> [aa, a] keeps (a,a) losable
-        # again later); first rank wins, later duplicates are no-ops
+        # a TRAINED table never repeats a pair (the rewrite leaves no
+        # (l,r) adjacency — 'aaa' -> [aa, a] holds (aa,a), not (a,a) —
+        # and later merges only create pairs containing their output
+        # symbol), so this is defensive for arbitrary caller tables:
+        # first rank wins, which mirrors the fold chain where the
+        # second application is provably a no-op
         ranks.setdefault(p, i)
 
     def _encode(word: str, memo: dict) -> list[str]:
@@ -274,9 +304,10 @@ def apply_bpe_merges(
     if impl not in ("fold", "arrow"):
         raise ValueError(f"impl must be 'fold' or 'arrow', got {impl!r}")
     if impl == "arrow":
-        toks = F.coalesce(
-            X.lower_tokens(content_col), F.array().cast("array<string>")
-        )
+        _validate_merge_table(merges)
+        # X.lower_tokens never yields NULL (tokens() coalesces NULL
+        # text to '' -> empty array), so the kernel sees a list per row
+        toks = X.lower_tokens(content_col)
         return df.select(
             F.col(key_col),
             _bpe_encode_udf(merges)(toks).alias("tokens"),

@@ -312,3 +312,74 @@ def test_incremental_trainer_matches_reference_fuzz():
         )
 
     run()
+
+
+def test_apply_bpe_arrow_refuses_non_learned_order(spark):
+    """r15 review finding: greedy-minimum-rank only equals the fold
+    chain for learned-order (rank-monotone) tables — a rule that
+    references a symbol only a LATER rule can create would let greedy
+    retroactively enable it.  The arrow path must refuse such tables
+    (the fold path stays the arbitrary-list in-order spec)."""
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    bad = [("ab", "c"), ("a", "b")]
+    with pytest.raises(ValueError, match="learned-order"):
+        apply_bpe_merges(df, bad, impl="arrow")
+    # the fold spec path accepts it: rule 0 is a no-op (no 'ab' symbol
+    # exists yet), rule 1 merges — [ab, c], NOT [abc]
+    got = apply_bpe_merges(df, bad, impl="fold").collect()[0]
+    assert got["tokens"] == ["ab", "c"]
+
+
+def test_apply_bpe_impls_duplicate_key_cardinality_contract(spark):
+    """Documented divergence pin: fold's posexplode/groupBy collapses
+    duplicate key values into one interleaved row; arrow emits one
+    row per input row.  Keyed input is expected unique — this test
+    records the behavior either way so a silent change fails."""
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (1, "cc")], "doc_id long, text string"
+    )
+    fold = apply_bpe_merges(df, [("a", "a")], impl="fold").collect()
+    arrow = apply_bpe_merges(df, [("a", "a")], impl="arrow").collect()
+    # 'aa bb' -> [aa] + [b,b] = 3 tokens, 'cc' -> [c,c] = 2
+    assert len(fold) == 1 and fold[0]["n_bpe_tokens"] == 5
+    assert len(arrow) == 2 and sorted(
+        r["n_bpe_tokens"] for r in arrow
+    ) == [2, 3]
+
+
+def test_q144_oracle_survives_early_merge_exhaustion(spark, tmp_path):
+    """r15 review finding: a corpus that exhausts its mergeable pairs
+    before _BPE_MERGES rounds makes train_bpe_merges break early; the
+    q144 oracle's empty argmax CTE must pad to a NULL rule (identity
+    fold) instead of cross-join-annihilating m8 and zeroing every
+    document."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    # vocabulary {ab, a}: round 1 merges (a,b), round 2 has no pairs.
+    # Written as ONE parquet file (pyarrow) so DuckDB's literal-path
+    # read_parquet and Spark both open it, like the sf fixtures.
+    import pandas as pd
+
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["ab ab a", "ab", None]}
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in E.q144_bpe_encode(spark, str(tmp_path)).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            E._q144_sql().replace(
+                "FROM documents",
+                f"FROM read_parquet('{tmp_path}/documents.parquet')",
+            )
+        ).fetchall()
+    )
+    assert got == want, (got, want)
+    assert got == [
+        (1, 3, "ab ab a"),
+        (2, 1, "ab"),
+        (3, 0, ""),
+    ]

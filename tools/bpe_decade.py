@@ -139,8 +139,9 @@ def _train_merges_fast(word_freq: dict[str, int], k: int):
                 pair_counts[p] += f
                 pair_words[p].add(w)
                 heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
-        # (l, r) may lawfully survive with a smaller count (overlap
-        # leftovers: 'aaa' -> [aa, a]); its set was rebuilt above
+        # (l, r) cannot recur: the rewrite leaves no (l,r) adjacency
+        # ('aaa' -> [aa, a] holds (aa,a)) and later merges only create
+        # pairs containing their output symbol; its count is now 0
     return out
 
 

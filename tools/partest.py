@@ -77,8 +77,15 @@ def main() -> int:
         capture_output=True,
         text=True,
     )
-    m = re.search(r"(\d+) tests collected", collected.stdout)
-    want = int(m.group(1)) if m else None
+    # the reconciliation is the whole point: a failed or unparseable
+    # collection pass must be a hard error, never a silent skip of the
+    # passed==collected check (r15 review finding)
+    m = re.search(r"(\d+) tests? collected", collected.stdout)
+    if collected.returncode != 0 or m is None:
+        print("COLLECTION FAILURE (exit "
+              f"{collected.returncode}):\n{collected.stdout[-2000:]}")
+        return 3
+    want = int(m.group(1))
     print(f"collected {want} tests across {len(files)} files", flush=True)
 
     shards = shard(files, args.workers)
@@ -100,25 +107,39 @@ def main() -> int:
         )
         procs.append((i, s, p))
 
-    passed_total, failed = 0, []
+    # skipped/xfailed tests are accounted, not lost coverage — the
+    # reconciliation compares passed+skipped+xfailed against the
+    # collection count, so a conditional skip can't fake a false red
+    # and a lost test can't hide behind one (r15 review finding)
+    accounted, skipped_total, failed = 0, 0, []
     for i, s, p in procs:
         out, _ = p.communicate()
         tail = out.strip().splitlines()[-1] if out.strip() else ""
         print(f"shard {i} ({len(s)} files): {tail}", flush=True)
-        mp = re.search(r"(\d+) passed", tail)
-        if mp:
-            passed_total += int(mp.group(1))
+        for pat, is_skip in (
+            (r"(\d+) passed", False),
+            (r"(\d+) skipped", True),
+            (r"(\d+) xfailed", True),
+        ):
+            mp = re.search(pat, tail)
+            if mp:
+                accounted += int(mp.group(1))
+                if is_skip:
+                    skipped_total += int(mp.group(1))
         if p.returncode != 0:
             failed.append(i)
             print(out[-4000:], flush=True)
 
     wall = round(time.time() - t0, 1)
-    print(f"total passed: {passed_total} (expected {want}); wall {wall}s")
+    print(
+        f"accounted: {accounted} (expected {want}, "
+        f"{skipped_total} skipped/xfailed); wall {wall}s"
+    )
     if failed:
         print(f"FAILED shards: {failed}")
         return 1
-    if want is not None and passed_total != want:
-        print("RECONCILIATION FAILURE: passed != collected")
+    if accounted != want:
+        print("RECONCILIATION FAILURE: passed+skipped+xfailed != collected")
         return 2
     print("ALL SHARDS GREEN")
     return 0
