@@ -50,6 +50,7 @@ from cloud_native_medical_data_etl_pipeline_spark.operators.ranking import (  # 
     bm25_topk,
     bm25_topk_indexed,
     build_term_index,
+    read_term_index,
 )
 from cloud_native_medical_data_etl_pipeline_spark.session import get_spark  # noqa: E402
 
