@@ -7585,92 +7585,34 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION CONTRACT (see SURVEY.md §8.3): the driver records rows
     # for exactly the first 50 registered queries per round; the
-    # registry holds 147.  Each round's first-50 window is chosen so
+    # registry holds 148.  Each round's first-50 window is chosen so
     # that consecutive rounds jointly cover every query green and no
     # query's evidence goes more than 3 rounds stale.  The window
     # below is verified mechanically by tools/rotation_check.py
     # (pytest: tests/test_rotation.py) against every CORRECTNESS file.
     #
-    # Round 15 window — the r14 ledger's pre-commitment
-    # (tools/next_window.json, committed r14, verified by
-    # rotation_check --simulate-next), executed:
-    #   * slots 1-46: the 46 r12 greens at the staleness ceiling
+    # Round 16 window — the r15 ledger's pre-commitment
+    # (tools/next_window.json, committed r15, verified by
+    # rotation_check --simulate-next), executed verbatim:
+    #   * slots 1-47: the 47 r13 greens at the staleness ceiling
     #     (rotation_check --due reproduces this list from the
-    #     CORRECTNESS files alone; q95/q96 lead after their r14
-    #     displacement);
-    #   * slot 47: q142_catalog_ops — the ONE planned r15
-    #     registration (S12: partition listing / latest-date probe /
-    #     exists / delete on a tempdir Hive lake, staged + value-exact
-    #     at 3 SFs since r14; ADVICE r14 NULL-date fix applied at
-    #     registration time);
-    #   * slots 48-50: q107-q109, the 3 oldest r13 greens, smoothing
-    #     r16 to 47 due / 50 slots.
-    # Tail (51+) is ordered so r16 inherits a solved schedule: the 47
-    # r13 greens due r16 lead, then the 50 r14 greens (due r17) with
-    # q10/q11 first as the planned r16 fills.  The r16 window is
-    # PRE-COMMITTED in tools/next_window.json (47 due + q143_bpe_merges
-    # as the ONE planned r16 registration + 2 fills) and verified by
-    # rotation_check --simulate-next.
+    #     CORRECTNESS files alone);
+    #   * slot 48: q143_bpe_merges — the ONE planned r16
+    #     registration (distributed BPE merge training; staged +
+    #     value-exact at 3 SFs since r14; first driver evidence for
+    #     the tokenizer family);
+    #   * slots 49-50: q10/q11, the 2 oldest r14 greens, smoothing
+    #     r17 to 48 due / 50 slots.
+    # Tail (51+) is ordered so r17 inherits a solved schedule: the 48
+    # r14 greens due r17 lead, then q95 (the planned r17 fill), then
+    # the remaining 49 r15 greens (due r18).  The r17 window is
+    # PRE-COMMITTED in tools/next_window.json (48 due +
+    # q144_bpe_encode as the ONE planned r17 registration + q95) and
+    # verified by rotation_check --simulate-next.
     # Ledger: SURVEY.md §8.3.
     return {
-        # --- r15 window slots 1-46: the 46 r12 greens at the
+        # --- r16 window slots 1-47: the 47 r13 greens at the
         # staleness ceiling (rotation_check --due, verbatim) ---
-        "q95_weighted_sample": q95_weighted_sample,
-        "q96_hard_negatives": q96_hard_negatives,
-        "q97_cdc_apply": q97_cdc_apply,
-        "q98_source_similarity": q98_source_similarity,
-        "q99_winsorize": q99_winsorize,
-        "q100_skew_report": q100_skew_report,
-        "q101_decay_attribution": q101_decay_attribution,
-        "q102_chi_square": q102_chi_square,
-        "q103_kl_drift": q103_kl_drift,
-        "q104_embedding_dim_stats": q104_embedding_dim_stats,
-        "q105_top_paths": q105_top_paths,
-        "q106_length_histogram": q106_length_histogram,
-        "q24_multimodal_features": q24_multimodal_features,
-        "q07_quality_metrics": q07_quality_metrics,
-        "q81_salted_join": q81_salted_join,
-        "q35_cube_flags": q35_cube_flags,
-        "q36_big_spenders": q36_big_spenders,
-        "q37_event_followups": q37_event_followups,
-        "q38_above_avg_orders": q38_above_avg_orders,
-        "q39_rolling_revenue": q39_rolling_revenue,
-        "q40_sliding_windows": q40_sliding_windows,
-        "q41_streaming_dedup": q41_streaming_dedup,
-        "q43_hash_split": q43_hash_split,
-        "q44_customer_roster": q44_customer_roster,
-        "q45_token_topk": q45_token_topk,
-        "q46_segment_set_ops": q46_segment_set_ops,
-        "q47_regional_supplier_volume": q47_regional_supplier_volume,
-        "q48_order_line_arrays": q48_order_line_arrays,
-        "q49_union_by_name": q49_union_by_name,
-        "q54_sql_surface": q54_sql_surface,
-        "q55_streaming_sessions": q55_streaming_sessions,
-        "q56_stratified_sample": q56_stratified_sample,
-        "q58_segment_spend_tiers": q58_segment_spend_tiers,
-        "q60_contamination": q60_contamination,
-        "q61_cap_per_group": q61_cap_per_group,
-        "q62_resample_fill": q62_resample_fill,
-        "q65_chunk_documents": q65_chunk_documents,
-        "q66_unigram_quality": q66_unigram_quality,
-        "q67_mix_corpora": q67_mix_corpora,
-        "q68_repetition": q68_repetition,
-        "q69_winnow_fingerprints": q69_winnow_fingerprints,
-        "q03_exact_dedup": q03_exact_dedup,
-        "q115_stream_ingest": q115_stream_ingest,
-        "q124_signature_index": q124_signature_index,
-        "q137_pq_adc_topk": q137_pq_adc_topk,
-        "q138_ivfpq_residual_topk": q138_ivfpq_residual_topk,
-        # --- slot 47: the ONE planned r15 registration ---
-        "q142_catalog_ops": q142_catalog_ops,
-        # --- slots 48-50: the 3 oldest r13 greens (pre-committed
-        # fills, smoothing r16 to 47 due / 50 slots) ---
-        "q107_bigram_surprisal": q107_bigram_surprisal,
-        "q108_lexical_diversity": q108_lexical_diversity,
-        "q109_quantize_embeddings": q109_quantize_embeddings,
-        # --- tail (51+): the 47 r13 greens that hit the ceiling at
-        # r16 — they lead the PRE-COMMITTED r16 window in
-        # tools/next_window.json ---
         "q110_temperature_mixture": q110_temperature_mixture,
         "q111_cluster_representatives": q111_cluster_representatives,
         "q112_char_entropy": q112_char_entropy,
@@ -7718,11 +7660,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_latest_event_per_user": q06_latest_event_per_user,
         "q09_severity_weighted": q09_severity_weighted,
         "q15_text_stats": q15_text_stats,
-        # --- then the 50 r14 greens (due r17; ordered so the 2
-        # oldest — q10/q11 — are the r16 window's pre-committed
-        # fills alongside the q143 registration) ---
+        # --- slot 48: the ONE planned r16 registration ---
+        "q143_bpe_merges": q143_bpe_merges,
+        # --- slots 49-50: the 2 oldest r14 greens (pre-committed
+        # fills, smoothing r17 to 48 due / 50 slots) ---
         "q10_ship_delay": q10_ship_delay,
         "q11_normalize_project": q11_normalize_project,
+        # --- tail (51+): the 48 r14 greens that hit the ceiling at
+        # r17 — they lead the PRE-COMMITTED r17 window in
+        # tools/next_window.json (with q144_bpe_encode seated as the
+        # ONE planned r17 registration) ---
         "q13_event_counts": q13_event_counts,
         "q14_hourly_windows": q14_hourly_windows,
         "q16_fingerprint": q16_fingerprint,
@@ -7771,6 +7718,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_transitions": q94_transitions,
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
+        # --- the planned r17 fill (oldest r15 green; smooths r18
+        # to 49 due / 50 slots) ---
+        "q95_weighted_sample": q95_weighted_sample,
+        # --- then the remaining 49 r15 greens (due r18) ---
+        "q96_hard_negatives": q96_hard_negatives,
+        "q97_cdc_apply": q97_cdc_apply,
+        "q98_source_similarity": q98_source_similarity,
+        "q99_winsorize": q99_winsorize,
+        "q100_skew_report": q100_skew_report,
+        "q101_decay_attribution": q101_decay_attribution,
+        "q102_chi_square": q102_chi_square,
+        "q103_kl_drift": q103_kl_drift,
+        "q104_embedding_dim_stats": q104_embedding_dim_stats,
+        "q105_top_paths": q105_top_paths,
+        "q106_length_histogram": q106_length_histogram,
+        "q24_multimodal_features": q24_multimodal_features,
+        "q07_quality_metrics": q07_quality_metrics,
+        "q81_salted_join": q81_salted_join,
+        "q35_cube_flags": q35_cube_flags,
+        "q36_big_spenders": q36_big_spenders,
+        "q37_event_followups": q37_event_followups,
+        "q38_above_avg_orders": q38_above_avg_orders,
+        "q39_rolling_revenue": q39_rolling_revenue,
+        "q40_sliding_windows": q40_sliding_windows,
+        "q41_streaming_dedup": q41_streaming_dedup,
+        "q43_hash_split": q43_hash_split,
+        "q44_customer_roster": q44_customer_roster,
+        "q45_token_topk": q45_token_topk,
+        "q46_segment_set_ops": q46_segment_set_ops,
+        "q47_regional_supplier_volume": q47_regional_supplier_volume,
+        "q48_order_line_arrays": q48_order_line_arrays,
+        "q49_union_by_name": q49_union_by_name,
+        "q54_sql_surface": q54_sql_surface,
+        "q55_streaming_sessions": q55_streaming_sessions,
+        "q56_stratified_sample": q56_stratified_sample,
+        "q58_segment_spend_tiers": q58_segment_spend_tiers,
+        "q60_contamination": q60_contamination,
+        "q61_cap_per_group": q61_cap_per_group,
+        "q62_resample_fill": q62_resample_fill,
+        "q65_chunk_documents": q65_chunk_documents,
+        "q66_unigram_quality": q66_unigram_quality,
+        "q67_mix_corpora": q67_mix_corpora,
+        "q68_repetition": q68_repetition,
+        "q69_winnow_fingerprints": q69_winnow_fingerprints,
+        "q03_exact_dedup": q03_exact_dedup,
+        "q115_stream_ingest": q115_stream_ingest,
+        "q124_signature_index": q124_signature_index,
+        "q137_pq_adc_topk": q137_pq_adc_topk,
+        "q138_ivfpq_residual_topk": q138_ivfpq_residual_topk,
+        "q142_catalog_ops": q142_catalog_ops,
+        "q107_bigram_surprisal": q107_bigram_surprisal,
+        "q108_lexical_diversity": q108_lexical_diversity,
+        "q109_quantize_embeddings": q109_quantize_embeddings,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -7929,4 +7929,9 @@ def oracle_sql() -> dict[str, str]:
         # r15: S12's first oracle row — catalog/metadata answers on a
         # tempdir Hive lake are pure functions of the events data.
         "q142_catalog_ops": Q142_SQL,
+        # q143 (registered r16, the round's ONE planned registration):
+        # the DuckDB oracle unrolls all 8 merge rounds as CTEs —
+        # per-round pair-count + deterministic argmax + list_reduce
+        # fold — so the hash proves the full merge SEQUENCE.
+        "q143_bpe_merges": _q143_sql(),
     }
