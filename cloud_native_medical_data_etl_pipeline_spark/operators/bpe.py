@@ -170,16 +170,33 @@ FOLD_MERGE_CEILING = 64
 
 
 def _validate_merge_table(merges: list[tuple[str, str]]) -> None:
-    """Well-formedness gate for the arrow encoder: every rule's
-    constituents must be BUILDABLE when the rule fires — a single
-    character, or the output of an EARLIER rule.  Every trained table
-    satisfies this by construction; an arbitrary hand-written table
-    that violates it (e.g. [("ab","c"), ("a","b")] — rule 0 references
-    a symbol only rule 1 can create) would make greedy-minimum-rank
-    diverge from the fold chain's strict in-order semantics, because
-    applying the later rule would retroactively enable the earlier
-    one.  The fold path accepts any list (it IS the in-order spec);
-    the arrow path refuses rather than silently disagree."""
+    """Well-formedness gate for the arrow encoder.  Two conditions,
+    together sufficient for greedy-minimum-rank == fold-chain-in-order
+    (every symbol then has exactly ONE producing rank, so the rank-
+    ordering argument in `_bpe_encode_udf`'s docstring is sound):
+
+    1. RANK-MONOTONE: every rule's constituents must be BUILDABLE when
+       the rule fires — a single character, or the output of an
+       EARLIER rule.  [("ab","c"), ("a","b")] violates it: rule 0
+       references a symbol only rule 1 can create, so applying the
+       later rule retroactively enables the earlier one.
+    2. UNIQUE PRODUCERS: no two rules may build the same output
+       string.  With a duplicate producer, a symbol gains a SECOND
+       producing rank and the argument breaks: in
+       [("a","b"), ("b","a"), ("a","ba"), ("aba","c"), ("ab","a")]
+       both rule 2 and rule 4 build "aba", and on "abac" the fold
+       yields [aba, c] (rule 3 has already passed when rule 4
+       rebuilds "aba") while greedy yields [abac] (it happily applies
+       rule 3 after rule 4) — r15 ADVICE, divergence reproduced in
+       tests/test_bpe.py.
+
+    Most trained tables satisfy both by construction, but training
+    CAN legitimately learn two rules with the same output (e.g.
+    ("ab","c") then ("a","bc") once "bc" exists); for such tables the
+    greedy kernel is semantically wrong on some probe text, so the
+    arrow path refuses rather than silently disagree.  The fold path
+    accepts any list (it IS the in-order spec, capped at
+    FOLD_MERGE_CEILING)."""
     seen_outputs: set[str] = set()
     for i, (left, right) in enumerate(merges):
         for side in (left, right):
@@ -191,7 +208,17 @@ def _validate_merge_table(merges: list[tuple[str, str]]) -> None:
                     "learned-order (rank-monotone) merge table; use "
                     "impl='fold' for arbitrary rule lists"
                 )
-        seen_outputs.add(left + right)
+        out = left + right
+        if out in seen_outputs:
+            raise ValueError(
+                f"apply_bpe_merges(impl='arrow'): rule {i} "
+                f"({left!r}, {right!r}) rebuilds {out!r}, already the "
+                "output of an earlier rule — duplicate producers give a "
+                "symbol two producing ranks, where greedy-minimum-rank "
+                "provably diverges from the fold spec on some inputs; "
+                "use impl='fold' for this table"
+            )
+        seen_outputs.add(out)
 
 
 def _bpe_encode_udf(merges: list[tuple[str, str]]):
@@ -222,12 +249,10 @@ def _bpe_encode_udf(merges: list[tuple[str, str]]):
     ranks: dict[tuple[str, str], int] = {}
     pairs = [tuple(m) for m in merges]
     for i, p in enumerate(pairs):
-        # a TRAINED table never repeats a pair (the rewrite leaves no
-        # (l,r) adjacency — 'aaa' -> [aa, a] holds (aa,a), not (a,a) —
-        # and later merges only create pairs containing their output
-        # symbol), so this is defensive for arbitrary caller tables:
-        # first rank wins, which mirrors the fold chain where the
-        # second application is provably a no-op
+        # a repeated pair is a duplicate PRODUCER, so
+        # _validate_merge_table refuses it before this kernel is
+        # built; setdefault (first rank wins) is belt-and-braces for
+        # direct callers of the private constructor
         ranks.setdefault(p, i)
 
     def _encode(word: str, memo: dict) -> list[str]:

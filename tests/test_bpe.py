@@ -217,7 +217,12 @@ def test_apply_bpe_fold_refuses_past_ceiling(spark):
     from cloud_native_medical_data_etl_pipeline_spark.operators import bpe
 
     df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
-    too_many = [("a", "b")] * (bpe.FOLD_MERGE_CEILING + 1)
+    # a chain of DISTINCT rank-monotone rules (a repeated pair would
+    # be a duplicate producer, which the arrow gate now refuses)
+    too_many = [("a", "b")] + [
+        ("a" + "b" * k, "b") for k in range(1, bpe.FOLD_MERGE_CEILING + 1)
+    ]
+    assert len(too_many) == bpe.FOLD_MERGE_CEILING + 1
     with pytest.raises(ValueError, match="FOLD_MERGE_CEILING"):
         apply_bpe_merges(df, too_many, impl="fold")
     # arrow is merge-count-independent: same table encodes fine
@@ -250,10 +255,40 @@ def test_apply_bpe_arrow_fuzz_vs_fold(spark):
         rows = [(i, t) for i, t in enumerate(probes)] + [
             (9001, None), (9002, "")
         ]
+        outputs = [l + r for l, r in merges]
+        if len(set(outputs)) != len(outputs):
+            # training CAN legitimately learn two rules with the same
+            # output; for those tables greedy provably diverges from
+            # the fold spec on some inputs, so arrow must REFUSE (the
+            # r15 ADVICE gate) — fold remains the spec path
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            with pytest.raises(ValueError, match="duplicate producers"):
+                apply_bpe_merges(df, merges, impl="arrow")
+            return
         fold, arrow = _both_impls(spark, rows, merges)
         assert fold == arrow
 
     run()
+
+
+def test_apply_bpe_arrow_refuses_duplicate_producers(spark):
+    """The r15 ADVICE hole, pinned: this table passes the rank-
+    monotone check (every multi-char constituent is an earlier
+    output) yet rules 2 and 4 BOTH build 'aba', and on 'abac' the
+    fold spec yields [aba, c] — rule 3 (aba,c) has already passed
+    when rule 4 (ab,a) rebuilds 'aba' — while greedy-minimum-rank
+    would apply rule 3 to the rebuilt symbol and emit [abac].  The
+    arrow gate must refuse rather than silently diverge."""
+    merges = [
+        ("a", "b"), ("b", "a"), ("a", "ba"), ("aba", "c"), ("ab", "a")
+    ]
+    df = spark.createDataFrame([(1, "abac")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="duplicate producers"):
+        apply_bpe_merges(df, merges, impl="arrow")
+    # the fold path (the in-order spec) accepts it and pins the
+    # in-order answer greedy would have gotten wrong
+    got = apply_bpe_merges(df, merges, impl="fold").collect()[0]
+    assert got["tokens"] == ["aba", "c"]
 
 
 def test_q144_bpe_encode_oracle_shape(spark):
