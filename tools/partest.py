@@ -107,17 +107,22 @@ def main() -> int:
         )
         procs.append((i, s, p))
 
-    # skipped/xfailed tests are accounted, not lost coverage — the
-    # reconciliation compares passed+skipped+xfailed against the
-    # collection count, so a conditional skip can't fake a false red
-    # and a lost test can't hide behind one (r15 review finding)
-    accounted, skipped_total, failed = 0, 0, []
+    # skipped/xfailed/xpassed tests are accounted, not lost coverage —
+    # the reconciliation compares passed+xpassed+skipped+xfailed
+    # against the collection count, so a conditional skip can't fake a
+    # false red and a lost test can't hide behind one (r15 finding);
+    # xpassed counts as accounted because pytest exits 0 for it by
+    # default — strictness is the xfail marker's job, not the runner's
+    accounted, skipped_total, errors_total, failed = 0, 0, 0, []
     for i, s, p in procs:
         out, _ = p.communicate()
         tail = out.strip().splitlines()[-1] if out.strip() else ""
         print(f"shard {i} ({len(s)} files): {tail}", flush=True)
         for pat, is_skip in (
+            # "N passed" can't accidentally match "N xpassed": the
+            # required space before 'passed' excludes the 'x'
             (r"(\d+) passed", False),
+            (r"(\d+) xpassed", False),
             (r"(\d+) skipped", True),
             (r"(\d+) xfailed", True),
         ):
@@ -126,6 +131,9 @@ def main() -> int:
                 accounted += int(mp.group(1))
                 if is_skip:
                     skipped_total += int(mp.group(1))
+        me = re.search(r"(\d+) error", tail)
+        if me:
+            errors_total += int(me.group(1))
         if p.returncode != 0:
             failed.append(i)
             print(out[-4000:], flush=True)
@@ -139,7 +147,17 @@ def main() -> int:
         print(f"FAILED shards: {failed}")
         return 1
     if accounted != want:
-        print("RECONCILIATION FAILURE: passed+skipped+xfailed != collected")
+        # distinguish lost coverage from collection/setup errors so a
+        # red here says WHICH kind of problem to chase (r15 advice)
+        kind = (
+            f"{errors_total} collection/setup error(s) in shard output"
+            if errors_total
+            else "no errors parsed - tests lost or summary unparsed"
+        )
+        print(
+            "RECONCILIATION FAILURE: passed+xpassed+skipped+xfailed "
+            f"!= collected ({kind})"
+        )
         return 2
     print("ALL SHARDS GREEN")
     return 0
