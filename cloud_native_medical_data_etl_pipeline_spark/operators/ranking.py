@@ -220,6 +220,18 @@ def build_term_index(
     frequencies aggregate correctly from pruned reads. Corpus-level
     stats (N, avgdl) ride along in an underscore-prefixed side
     directory that Spark's file listing ignores.
+
+    PERMANENT CONTRACT: ``key_col`` must be an integral type — the
+    index stores ``doc long`` per the fixed TERM_INDEX_SCHEMA, and
+    every reader pins that schema (schema inference is what corrupted
+    hex bucket values; see read_term_index). Deriving the stored type
+    from the input frame was considered and rejected: a variable
+    schema would have to be persisted in the sidecar and threaded
+    through every reader, re-opening the inference bug class this
+    layout closed. String document ids pre-map to long before
+    indexing — ``F.xxhash64(id_col)`` when ids only need to be stable
+    and distinct, or a window/``zipWithIndex``-style dense mapping
+    when they must round-trip.
     """
     # TERM_INDEX_SCHEMA declares `doc long`, and every read goes
     # through it (inference-bypass contract) — so a non-long key would
