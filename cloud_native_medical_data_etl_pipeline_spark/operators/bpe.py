@@ -190,11 +190,16 @@ def _validate_merge_table(merges: list[tuple[str, str]]) -> None:
        rule 3 after rule 4) — r15 ADVICE, divergence reproduced in
        tests/test_bpe.py.
 
-    Most trained tables satisfy both by construction, but training
-    CAN legitimately learn two rules with the same output (e.g.
-    ("ab","c") then ("a","bc") once "bc" exists); for such tables the
-    greedy kernel is semantically wrong on some probe text, so the
-    arrow path refuses rather than silently disagree.  The fold path
+    THIS package's trainers satisfy both by construction — a merge
+    only ever creates adjacencies containing its output symbol, so
+    once one factorization of a string has merged, the adjacency a
+    second producer would need never arises (zero duplicate producers
+    observed across a 3000-trial random-corpus fuzz and a 10k-rule
+    hex workload, r16) — but a merge list from another tokenizer's
+    trainer can carry duplicate outputs (e.g. ("ab","c") and
+    ("a","bc") both in the list), and for such tables the greedy
+    kernel is semantically wrong on some probe text, so the arrow
+    path refuses rather than silently disagree.  The fold path
     accepts any list (it IS the in-order spec, capped at
     FOLD_MERGE_CEILING)."""
     seen_outputs: set[str] = set()
