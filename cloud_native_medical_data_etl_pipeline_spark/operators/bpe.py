@@ -180,15 +180,24 @@ def _validate_merge_table(merges: list[tuple[str, str]]) -> None:
        EARLIER rule.  [("ab","c"), ("a","b")] violates it: rule 0
        references a symbol only rule 1 can create, so applying the
        later rule retroactively enables the earlier one.
-    2. UNIQUE PRODUCERS: no two rules may build the same output
-       string.  With a duplicate producer, a symbol gains a SECOND
-       producing rank and the argument breaks: in
+    2. UNIQUE PRODUCERS up to exact repetition: no two DISTINCT pairs
+       may build the same output string.  With such a duplicate
+       producer, a symbol gains a second producing rank and the
+       argument breaks: in
        [("a","b"), ("b","a"), ("a","ba"), ("aba","c"), ("ab","a")]
        both rule 2 and rule 4 build "aba", and on "abac" the fold
        yields [aba, c] (rule 3 has already passed when rule 4
        rebuilds "aba") while greedy yields [abac] (it happily applies
        rule 3 after rule 4) — r15 ADVICE, divergence reproduced in
-       tests/test_bpe.py.
+       tests/test_bpe.py.  An EXACT repeat of an earlier rule (same
+       (l, r) pair) is accepted and skipped instead: under
+       rank-monotonicity + distinct-pair uniqueness the (l, r)
+       adjacency can never re-arise after the first application (a
+       later merge would need to OUTPUT l or r, which only an exact
+       repeat — itself a no-op by induction — could), so the repeat
+       is a provable fold no-op and the kernel's first-rank-wins
+       setdefault reproduces it exactly; refusing would strand
+       previously-valid >64-rule tables with no working impl.
 
     THIS package's trainers satisfy both by construction — a merge
     only ever creates adjacencies containing its output symbol, so
@@ -202,8 +211,11 @@ def _validate_merge_table(merges: list[tuple[str, str]]) -> None:
     path refuses rather than silently disagree.  The fold path
     accepts any list (it IS the in-order spec, capped at
     FOLD_MERGE_CEILING)."""
+    seen_rules: set[tuple[str, str]] = set()
     seen_outputs: set[str] = set()
     for i, (left, right) in enumerate(merges):
+        if (left, right) in seen_rules:
+            continue  # exact repeat: provable fold no-op (see above)
         for side in (left, right):
             if len(side) > 1 and side not in seen_outputs:
                 raise ValueError(
@@ -218,11 +230,12 @@ def _validate_merge_table(merges: list[tuple[str, str]]) -> None:
             raise ValueError(
                 f"apply_bpe_merges(impl='arrow'): rule {i} "
                 f"({left!r}, {right!r}) rebuilds {out!r}, already the "
-                "output of an earlier rule — duplicate producers give a "
-                "symbol two producing ranks, where greedy-minimum-rank "
-                "provably diverges from the fold spec on some inputs; "
-                "use impl='fold' for this table"
+                "output of a DIFFERENT earlier rule — a duplicate "
+                "producer gives a symbol two producing ranks, where "
+                "greedy-minimum-rank provably diverges from the fold "
+                "spec on some inputs; use impl='fold' for this table"
             )
+        seen_rules.add((left, right))
         seen_outputs.add(out)
 
 
@@ -254,10 +267,9 @@ def _bpe_encode_udf(merges: list[tuple[str, str]]):
     ranks: dict[tuple[str, str], int] = {}
     pairs = [tuple(m) for m in merges]
     for i, p in enumerate(pairs):
-        # a repeated pair is a duplicate PRODUCER, so
-        # _validate_merge_table refuses it before this kernel is
-        # built; setdefault (first rank wins) is belt-and-braces for
-        # direct callers of the private constructor
+        # an exact repeated pair is a provable fold no-op (accepted
+        # and skipped by _validate_merge_table); setdefault keeps the
+        # first rank, which reproduces that no-op exactly
         ranks.setdefault(p, i)
 
     def _encode(word: str, memo: dict) -> list[str]:

@@ -217,8 +217,7 @@ def test_apply_bpe_fold_refuses_past_ceiling(spark):
     from cloud_native_medical_data_etl_pipeline_spark.operators import bpe
 
     df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
-    # a chain of DISTINCT rank-monotone rules (a repeated pair would
-    # be a duplicate producer, which the arrow gate now refuses)
+    # a chain of DISTINCT rank-monotone rules
     too_many = [("a", "b")] + [
         ("a" + "b" * k, "b") for k in range(1, bpe.FOLD_MERGE_CEILING + 1)
     ]
@@ -227,6 +226,12 @@ def test_apply_bpe_fold_refuses_past_ceiling(spark):
         apply_bpe_merges(df, too_many, impl="fold")
     # arrow is merge-count-independent: same table encodes fine
     got = apply_bpe_merges(df, too_many, impl="arrow").collect()[0]
+    assert got["tokens"] == ["ab"]
+    # EXACT repeated pairs past the ceiling stay arrow-encodable too
+    # (the original >64-rule acceptance case: repeats are provable
+    # fold no-ops, skipped by the gate — not duplicate producers)
+    repeats = [("a", "b")] * (bpe.FOLD_MERGE_CEILING + 1)
+    got = apply_bpe_merges(df, repeats, impl="arrow").collect()[0]
     assert got["tokens"] == ["ab"]
     with pytest.raises(ValueError, match="impl"):
         apply_bpe_merges(df, [("a", "b")], impl="pandas")
@@ -255,14 +260,17 @@ def test_apply_bpe_arrow_fuzz_vs_fold(spark):
         rows = [(i, t) for i, t in enumerate(probes)] + [
             (9001, None), (9002, "")
         ]
-        outputs = [l + r for l, r in merges]
+        outputs = [l + r for l, r in set(merges)]
         if len(set(outputs)) != len(outputs):
-            # training CAN legitimately learn two rules with the same
-            # output; for those tables greedy provably diverges from
-            # the fold spec on some inputs, so arrow must REFUSE (the
-            # r15 ADVICE gate) — fold remains the spec path
+            # DEFENSIVE, never observed: this package's trainers
+            # cannot learn two distinct pairs with the same output (a
+            # merge only creates adjacencies containing its own output
+            # symbol — see _validate_merge_table; 3000-trial offline
+            # fuzz found zero).  If a trainer change ever broke that,
+            # the table must be routed to the r15 ADVICE refusal here
+            # rather than crash the parity check below.
             df = spark.createDataFrame(rows, "doc_id long, text string")
-            with pytest.raises(ValueError, match="duplicate producers"):
+            with pytest.raises(ValueError, match="duplicate producer"):
                 apply_bpe_merges(df, merges, impl="arrow")
             return
         fold, arrow = _both_impls(spark, rows, merges)
@@ -283,12 +291,24 @@ def test_apply_bpe_arrow_refuses_duplicate_producers(spark):
         ("a", "b"), ("b", "a"), ("a", "ba"), ("aba", "c"), ("ab", "a")
     ]
     df = spark.createDataFrame([(1, "abac")], "doc_id long, text string")
-    with pytest.raises(ValueError, match="duplicate producers"):
+    with pytest.raises(ValueError, match="duplicate producer"):
         apply_bpe_merges(df, merges, impl="arrow")
     # the fold path (the in-order spec) accepts it and pins the
     # in-order answer greedy would have gotten wrong
     got = apply_bpe_merges(df, merges, impl="fold").collect()[0]
     assert got["tokens"] == ["aba", "c"]
+
+
+def test_apply_bpe_arrow_accepts_exact_repeated_pairs(spark):
+    """An EXACT repeat of an earlier (l, r) rule is NOT a duplicate
+    producer: under rank-monotonicity the adjacency cannot re-arise
+    after the first application, so the repeat is a provable fold
+    no-op and both impls must agree token-for-token."""
+    merges = [("a", "b"), ("a", "b"), ("ab", "c"), ("a", "b")]
+    rows = [(1, "abc abab"), (2, "cab"), (3, "")]
+    fold, arrow = _both_impls(spark, rows, merges)
+    assert fold == arrow
+    assert fold[1] == (["abc", "ab", "ab"], 3)
 
 
 def test_q144_bpe_encode_oracle_shape(spark):

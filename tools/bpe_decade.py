@@ -354,32 +354,37 @@ def main():
             }
             print(f"  sweep {n_prefix} rules: {sweep[str(n_prefix)]}",
                   file=sys.stderr)
-        # table-size independence: 10x the rules, same saturated work
+        # table-size independence: 10x the rules, same saturated work.
+        # Margin 2.5x (not the 1.16x measured quiet-host ratio): min of
+        # only 2 timed reps on a shared host can inflate one leg ~2x
+        # with zero signal; a LINEAR-in-rules kernel would read ~10x,
+        # so 2.5x still separates the claim from its alternative
         assert (
             sweep[str(n_rules)]["apply_arrow_wall_sec"]
-            < 1.5 * sweep["1000"]["apply_arrow_wall_sec"]
+            < 2.5 * sweep["1000"]["apply_arrow_wall_sec"]
         ), sweep
 
-        # --- decade at the full 10k-rule table: throughput must hold
-        hk = {}
-        for label, factor in (("1x", 1), ("10x", 10)):
-            hexed = (
-                spark.read.parquet(f"{root}/{label}")
-                .repartition(32)
-                .select("doc_id", hex_text.alias("text"))
-            )
-            wall, (nd, toks) = _timed(
-                lambda c=hexed: run_hex(c, big_rules)
-            )
-            assert nd == n1 * factor, (label, nd)
-            hk[label] = {
-                "docs": nd,
-                "rules": n_rules,
-                "apply_arrow_wall_sec": wall,
-                "encoded_tokens": toks,
-                "tokens_per_sec": round(toks / wall),
-            }
-            print(f"  10k-merge {label}: {hk[label]}", file=sys.stderr)
+        # --- decade at the full 10k-rule table: throughput must hold.
+        # The 1x leg IS the sweep's n_rules row (same corpus path, same
+        # repartition, same table) — reuse it rather than re-measure
+        # and risk two supposedly-identical numbers drifting apart
+        hk = {"1x": {"docs": n1, **{k: v for k, v in
+                                    sweep[str(n_rules)].items()}}}
+        hexed10 = (
+            spark.read.parquet(f"{root}/10x")
+            .repartition(32)
+            .select("doc_id", hex_text.alias("text"))
+        )
+        wall, (nd, toks) = _timed(lambda: run_hex(hexed10, big_rules))
+        assert nd == n1 * 10, nd
+        hk["10x"] = {
+            "docs": nd,
+            "rules": n_rules,
+            "apply_arrow_wall_sec": wall,
+            "encoded_tokens": toks,
+            "tokens_per_sec": round(toks / wall),
+        }
+        print(f"  10k-merge 10x: {hk['10x']}", file=sys.stderr)
         assert (
             hk["10x"]["tokens_per_sec"] > 0.5 * hk["1x"]["tokens_per_sec"]
         ), hk

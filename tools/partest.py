@@ -144,19 +144,21 @@ def main() -> int:
         f"{skipped_total} skipped/xfailed); wall {wall}s"
     )
     if failed:
-        print(f"FAILED shards: {failed}")
+        # distinguish collection/setup errors from plain test failures
+        # so this red says WHICH kind of problem to chase (r15 advice);
+        # pytest exits nonzero on errors, so they always surface HERE,
+        # never in the reconciliation branch below
+        kind = (
+            f" ({errors_total} collection/setup error(s))"
+            if errors_total
+            else ""
+        )
+        print(f"FAILED shards: {failed}{kind}")
         return 1
     if accounted != want:
-        # distinguish lost coverage from collection/setup errors so a
-        # red here says WHICH kind of problem to chase (r15 advice)
-        kind = (
-            f"{errors_total} collection/setup error(s) in shard output"
-            if errors_total
-            else "no errors parsed - tests lost or summary unparsed"
-        )
         print(
             "RECONCILIATION FAILURE: passed+xpassed+skipped+xfailed "
-            f"!= collected ({kind})"
+            "!= collected (tests lost or summary line unparsed)"
         )
         return 2
     print("ALL SHARDS GREEN")
