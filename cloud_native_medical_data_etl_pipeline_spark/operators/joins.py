@@ -107,7 +107,12 @@ def asof_join(
     over the ORDERABLE payload columns; map-typed columns are carried
     but excluded from the tiebreak), so pass a unique leading payload
     column (an id) for stable output.  Right rows with NULL right_ts
-    match nothing and are dropped.
+    match nothing and are dropped.  NULL keys follow SQL equality
+    (like the cited pandas/DuckDB forms): a NULL-key right row can
+    match nothing and is dropped; a NULL-key left row is kept with a
+    null payload.  (The window partitions on the key, which GROUPS
+    nulls — without the right-side filter, NULL-key rows would
+    NULL<=>NULL-match each other, a divergence a r16 probe caught.)
     """
     left_keep = left_keep or [c for c in left.columns if c not in (on, left_ts)]
     right_payload = right_payload or [
@@ -120,8 +125,12 @@ def asof_join(
     # a NULL right_ts satisfies no "<= left_ts" comparison — unfiltered,
     # NULLS-FIRST ordering would sort such rows before everything and
     # attach them as phantom matches to left rows with no real
-    # predecessor
-    r = right.where(col_ref(right_ts).isNotNull()).select(
+    # predecessor; a NULL key satisfies no SQL equality, but the
+    # window's partitionBy GROUPS nulls, so unfiltered NULL-key right
+    # rows would match NULL-key left rows
+    r = right.where(
+        col_ref(right_ts).isNotNull() & col_ref(on).isNotNull()
+    ).select(
         col_ref(on).alias("__k"),
         col_ref(right_ts).alias("__t"),
         F.lit(0).alias("__side"),

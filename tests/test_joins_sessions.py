@@ -375,3 +375,27 @@ def test_asof_map_payload_column_is_carried_not_sorted(spark):
     ).withColumn("ts", F.timestamp_seconds("ts"))
     out = asof_join(left, right, on="user").collect()
     assert out[0]["r_pid"] == "a" and out[0]["r_attrs"] == {"k": "v"}
+
+
+def test_asof_null_key_follows_sql_equality(spark):
+    """NULL keys follow SQL equality (the pandas/DuckDB forms the
+    docstring cites): a NULL-key right row matches nothing; a
+    NULL-key left row is kept with a null payload.  Before the r16
+    fix the window's partitionBy grouped nulls, so the two NULL-key
+    rows below would NULL<=>NULL-match each other."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10, "Lnull"), ("a", 10, "La")],
+        "k string, ts long, lab string",
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 100), ("a", 5, 200)], "k string, ts long, v long"
+    )
+    out = {
+        r["lab"]: (r["r_ts"], r["r_v"])
+        for r in asof_join(
+            left, right, on="k", left_keep=["lab"], right_payload=["v"]
+        ).collect()
+    }
+    assert out == {"Lnull": (None, None), "La": (5, 200)}

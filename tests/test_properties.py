@@ -1711,3 +1711,55 @@ def test_lake_csv_head_roundtrip_lossless_random(spark, rows):
     finally:
         shutil.rmtree(work, ignore_errors=True)
     assert got == sorted(rows)
+
+
+# ---------------------------------------------------------------------------
+# asof_join vs brute-force reference
+# ---------------------------------------------------------------------------
+
+_asof_key = st.one_of(st.none(), st.sampled_from(["k1", "k2", "k3"]))
+_asof_ts = st.one_of(st.none(), st.integers(min_value=0, max_value=20))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(_asof_key, _asof_ts), min_size=1, max_size=25),
+    st.lists(
+        st.tuples(_asof_key, _asof_ts, st.integers(0, 9)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, lrows, rrows):
+    """Randomized parity with a brute-force model over small key/ts
+    domains (dense ties, NULL keys, NULL timestamps): for each left
+    row the match is the greatest right_ts <= left_ts within the SAME
+    non-null key, ties by max payload, NULLs on either side of the
+    equality match nothing (SQL semantics — the r16 null-key fix)."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.joins import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)],
+        "k string, ts long, lid long",
+    )
+    right = spark.createDataFrame(rrows, "k string, ts long, v long")
+    got = {
+        r["lid"]: (r["r_ts"], r["r_v"])
+        for r in asof_join(
+            left, right, on="k", left_keep=["lid"], right_payload=["v"]
+        ).collect()
+    }
+
+    want = {}
+    for i, (k, t) in enumerate(lrows):
+        cands = [
+            (rt, rv)
+            for (rk, rt, rv) in rrows
+            if k is not None and rk == k and rt is not None
+            and t is not None and rt <= t
+        ]
+        # max ts, then max payload tuple (mirrors the struct tiebreak)
+        want[i] = max(cands) if cands else (None, None)
+    assert got == want
