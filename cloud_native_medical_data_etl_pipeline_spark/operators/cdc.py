@@ -33,8 +33,12 @@ def apply_cdc(
 
     ``changes`` carries the key, the op ('I'/'U'/'D'), the change
     time, the tiebreak id, and the base's payload columns (ignored —
-    may be NULL — for 'D' rows).  Unknown op values raise at
-    execution rather than silently dropping rows.  Note that Catalyst
+    may be NULL — for 'D' rows).  Unknown op values and NULL keys
+    raise at execution rather than silently dropping rows (a NULL key
+    in a keyed merge is malformed: the latest-per-key window GROUPS
+    nulls while the anti-join's SQL equality never matches them, so
+    admitting it would mix semantics — one surviving null-key upsert
+    appended next to every null-key base row).  Note that Catalyst
     may reorder a caller's own pre-filter relative to this check, so
     "filter the bad rows out upstream" is not a reliable way to admit
     malformed ops — the contract is that EVERY row in ``changes``
@@ -49,11 +53,17 @@ def apply_cdc(
     # or raising) — an unused projected column would be pruned away by
     # Catalyst, check and all
     changes = changes.where(
-        F.when(F.col(op_col).isin("I", "U", "D"), F.lit(True)).otherwise(
+        F.when(
+            F.col(op_col).isin("I", "U", "D") & F.col(key_col).isNotNull(),
+            F.lit(True),
+        ).otherwise(
             F.raise_error(
                 F.concat(
-                    F.lit("apply_cdc: unknown op "),
+                    F.lit("apply_cdc: unknown op or NULL key ("),
                     F.coalesce(F.col(op_col), F.lit("NULL")),
+                    F.lit(", key="),
+                    F.coalesce(F.col(key_col).cast("string"), F.lit("NULL")),
+                    F.lit(")"),
                 )
             )
         )

@@ -139,6 +139,16 @@ def test_apply_cdc_last_writer_wins(spark):
     with _pytest.raises(Exception, match="unknown op"):
         apply_cdc(base, bad, "k", "ts", "op", "change_id").collect()
 
+    # NULL key fails loud too (r16): the latest-per-key window GROUPS
+    # nulls while the anti-join's SQL equality never matches them, so
+    # admitting a null-key change would mix semantics
+    nullkey = spark.createDataFrame(
+        [(None, "x", 1, "U", 1)],
+        "k long, v string, ts int, op string, change_id long",
+    )
+    with _pytest.raises(Exception, match="NULL key"):
+        apply_cdc(base, nullkey, "k", "ts", "op", "change_id").collect()
+
 
 # ---------------------------------------------------------------- paths
 def test_top_paths_trigram_counts(spark):
