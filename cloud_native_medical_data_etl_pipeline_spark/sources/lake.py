@@ -120,10 +120,32 @@ def upsert_partition(
     by AQE. The merged frame is localCheckpoint-ed BEFORE the overwrite
     — Spark reads lazily, so overwriting files that the plan still
     needs to scan would otherwise race the read.
+
+    Updates with a NULL in any key column raise at execution (r16,
+    the apply_cdc contract): the anti-join's SQL equality never
+    matches a NULL key, so a null-key update could never REPLACE a
+    stored row — it would append a fresh copy on every retried batch,
+    the exact duplicate-accumulation this function exists to prevent.
+    NULL-key rows already ON DISK are untouched survivors.
     """
     # the updates batch itself may carry duplicate keys (that's the
     # at-least-once scenario) — dedup it too, or both copies would land
     updates = updates.dropDuplicates(key_cols)
+    null_key = None
+    for c in key_cols:
+        cond = F.col(c).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    updates = updates.where(
+        F.when(~null_key, F.lit(True)).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"upsert_partition: NULL in key column(s) {key_cols} "
+                    "— a null-key update can never replace a stored row "
+                    "(SQL equality), only accumulate duplicates"
+                )
+            )
+        )
+    )
     try:
         # the partition's OWN schema: reading with schema=updates.schema
         # would silently DROP any column present on disk but absent from

@@ -92,6 +92,14 @@ def ingest_batch(
     ``corpus_path``; returns the number of rows appended.  Idempotent:
     re-running the same batch appends nothing.
 
+    CONTRACT: ``key_col`` must be non-null.  A null-key row bypasses
+    the KEY guard (the anti-join's SQL equality never matches NULL —
+    the r16 asof/cdc/upsert finding), leaving only the CONTENT guard
+    between a redelivery and a duplicate append: identical text still
+    collides at jaccard 1.0, but a reworded near-miss under a null
+    key rides on threshold luck.  Assign keys upstream
+    (``F.xxhash64(content)`` at minimum) rather than stream null ids.
+
     Signature index: survivors' MinHash signatures land in
     ``<corpus_path>_sigs`` (schema = `dedup.minhash_base` output).
     Sub-ngram docs are signature-padded (`_pad_short_sig_source`) so

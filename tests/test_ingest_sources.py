@@ -515,3 +515,29 @@ def test_q142_catalog_ops_oracle_shape(spark):
     assert got == want and len(got) > 0
     legs = [t[0] for t in got]
     assert legs.count("partition") == 3 and "after_delete" in legs
+
+
+def test_upsert_partition_refuses_null_keys(spark, tmp_path):
+    """A NULL-key update can never REPLACE a stored row (the anti-
+    join's SQL equality never matches NULL), only append a fresh copy
+    per retried batch — the exact duplicate accumulation upsert
+    exists to prevent.  It must raise (r16, the apply_cdc contract);
+    NULL-key rows already on disk survive untouched."""
+    import pytest as _pytest
+
+    base = str(tmp_path / "lake_upsert_nullkey")
+    day1 = spark.createDataFrame(
+        [(1, "a"), (None, "stored-null")], "id long, v string"
+    )
+    lake.write_partitioned(day1, base, "2024-01-15")
+    bad = spark.createDataFrame([(None, "x"), (2, "b")], "id long, v string")
+    with _pytest.raises(Exception, match="NULL in key"):
+        lake.upsert_partition(spark, base, bad, "2024-01-15", ["id"])
+    # a clean batch still merges, and the stored null-key row survives
+    ok = spark.createDataFrame([(2, "b")], "id long, v string")
+    lake.upsert_partition(spark, base, ok, "2024-01-15", ["id"])
+    got = {
+        r["id"]: r["v"]
+        for r in lake.read_partition(spark, base, "2024-01-15").collect()
+    }
+    assert got == {1: "a", None: "stored-null", 2: "b"}
