@@ -1714,7 +1714,7 @@ def test_lake_csv_head_roundtrip_lossless_random(spark, rows):
 
 
 # ---------------------------------------------------------------------------
-# asof_join vs brute-force reference
+# asof_join vs brute-force reference, NULLABLE keys
 # ---------------------------------------------------------------------------
 
 _asof_key = st.one_of(st.none(), st.sampled_from(["k1", "k2", "k3"]))
@@ -1730,12 +1730,18 @@ _asof_ts = st.one_of(st.none(), st.integers(min_value=0, max_value=20))
         max_size=25,
     ),
 )
-def test_asof_join_matches_bruteforce(spark, lrows, rrows):
+def test_asof_join_null_keys_matches_bruteforce(spark, lrows, rrows):
     """Randomized parity with a brute-force model over small key/ts
     domains (dense ties, NULL keys, NULL timestamps): for each left
     row the match is the greatest right_ts <= left_ts within the SAME
     non-null key, ties by max payload, NULLs on either side of the
-    equality match nothing (SQL semantics — the r16 null-key fix)."""
+    equality match nothing (SQL semantics — the r16 null-key fix).
+    The r15 fuzz above this one (`test_asof_join_matches_bruteforce`)
+    generates NON-NULL int keys — which is exactly why the null-key
+    NULL<=>NULL match survived it; this variant's key domain includes
+    None.  (It briefly SHADOWED the r15 test by reusing its name — a
+    later same-name def silently replaces the earlier one at module
+    level, and only the collection count betrays it.)"""
     from cloud_native_medical_data_etl_pipeline_spark.operators.joins import (
         asof_join,
     )
