@@ -447,15 +447,23 @@ def test_winnow_overlap_detects_partial_overlap(spark):
     assert not any(3 in p for p in pairs)
 
 
-def _n_cached(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _cached_ids(spark) -> set:
+    """IDs of the session's persistent RDDs.  Compared as SETS, not
+    counts: the shared suite session carries localCheckpoint RDDs
+    from earlier tests that Spark's ContextCleaner removes
+    ASYNCHRONOUSLY (GC-driven), so a count taken as 'baseline' can
+    legitimately DROP mid-test — a serial-suite flake this test
+    exhibited in r16.  The contract under test is only that ids
+    created by the operator are gone after release()."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
 
 
 def test_release_unpersists_operator_caches(spark):
     """Caller-unpersists contract: every pair generator that persists an
     intermediate frame records it on the result, and dedup.release()
-    returns the session to its baseline cached-RDD count — no cache
-    leaks into a long-lived pipeline."""
+    removes every cached RDD the operator created — no cache leaks
+    into a long-lived pipeline."""
     from cloud_native_medical_data_etl_pipeline_spark.operators import curate as CU
 
     docs = (
@@ -463,7 +471,7 @@ def test_release_unpersists_operator_caches(spark):
         .limit(200)
         .select("doc_id", "text")
     )
-    base = _n_cached(spark)
+    base = _cached_ids(spark)
     for make in (
         lambda: dedup.minhash_lsh_pairs(docs),
         lambda: dedup.ngram_jaccard_pairs(docs),
@@ -473,10 +481,11 @@ def test_release_unpersists_operator_caches(spark):
     ):
         out = make()
         out.count()  # materialize: the caches are live at this point
+        assert _cached_ids(spark) - base, "operator created no cache?"
         dedup.release(out)
-        assert _n_cached(spark) == base, make
+        assert not (_cached_ids(spark) - base), make
         dedup.release(out)  # idempotent
-        assert _n_cached(spark) == base
+        assert not (_cached_ids(spark) - base)
 
 
 def test_banded_chunk_split_and_pair_verify_equivalence(spark):
