@@ -370,6 +370,14 @@ FROM lineitem GROUP BY l_returnflag
 # q10 — equi-join + datediff (P18, J-family): ship delay per priority
 # ---------------------------------------------------------------------------
 def q10_ship_delay(spark, sf_dir):
+    # r16 measured negative result: the single-file scan serializes
+    # the broadcast probe + partial agg in ONE task, but a
+    # rebalance_for_cpu(select(l_orderkey, l_shipdate)) repartition
+    # LOST the interleaved A/B decisively (new 1.540s vs old 1.098s
+    # min-of-10, same session): the probe is a cheap hash lookup per
+    # row, so the exchange round-trip of 600k rows costs more than
+    # the serial probe it parallelizes.  Kept as-is; at scale the
+    # scan parallelizes itself.
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     j = l.join(o, l.l_orderkey == o.o_orderkey)
@@ -484,9 +492,18 @@ def q15_text_stats(spark, sf_dir):
     # referenced.  Values are unchanged: lowercasing never creates or
     # removes whitespace, so size(lower_tokens) == size(tokens), and
     # stopword_ratio/lang_id always tokenized the lowercased text.
+    # r16 optimization: documents.parquet is one file / one row group,
+    # so the scan plans ONE task and the whole HOF kernel pipeline ran
+    # single-threaded on local[32] (bench stages showed (0+1)/1).
+    # rebalance_for_cpu spreads the text across all slots before the
+    # kernels (persist barrier keeps Catalyst from pushing the token
+    # expressions back below the exchange); at 100 TB the scan already
+    # has >= slots partitions and the helper is a no-op.  Values are
+    # untouched — same expressions, same single tokenization.
     docs = _t(spark, sf_dir, "documents")
+    base = D.rebalance_for_cpu(docs.select("doc_id", "text"))
     toks = F.col("_toks")
-    return docs.select(
+    out = base.select(
         "doc_id", "text", X.lower_tokens("text").alias("_toks")
     ).select(
         "doc_id",
@@ -495,6 +512,7 @@ def q15_text_stats(spark, sf_dir):
         F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
         X.lang_id_from_tokens(toks).alias("lang_guess"),
     )
+    return D._with_cached_deps(out, base)
 
 
 _SW = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
@@ -1493,14 +1511,21 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def q33_pivot_activity(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    out = (
-        ev.groupBy("user_id")
-        .pivot("event_type", _EVENT_TYPES)
-        .count()
-    )
-    return out.select(
-        "user_id",
-        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    # r16 optimization: `.pivot(values).count()` planned TWO shuffles —
+    # a (user_id, event_type) count-aggregate exchange feeding a
+    # pivot_first re-aggregate exchange on user_id.  The explicit
+    # conditional-sum form (exactly the oracle SQL's shape) is ONE
+    # map-side-combinable aggregate: 2 Exchanges -> 1, and the single
+    # shuffle carries one partial row per user instead of one per
+    # (user, type).  Values are identical: a user's missing type sums
+    # to 0, which is what the old coalesce(pivot_cell, 0) produced.
+    return ev.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ]
     )
 
 

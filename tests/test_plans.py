@@ -475,3 +475,37 @@ def test_bpe_arrow_encode_is_shuffle_free(spark):
     plan = _executed_plan(enc)
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan, plan
+
+
+def test_q33_pivot_is_single_exchange(spark):
+    """r16 optimization pin: the per-user activity matrix is ONE
+    map-side-combinable aggregate (conditional sums, the oracle SQL's
+    shape).  The old `.pivot(values).count()` planned TWO shuffles — a
+    (user, type) count exchange feeding a pivot_first re-aggregate
+    exchange — i.e. this asserts 2 Exchanges -> 1 stays fixed."""
+    df = entry_mod.queries()["q33_pivot_activity"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "pivotfirst" not in plan.lower(), plan
+
+
+def test_q15_rebalances_kernels_at_scale(spark):
+    """r16 optimization pin: at bench scale (sf0.1, a single-file /
+    single-row-group scan) q15 spreads the text across all slots
+    before the HOF kernels run — a round-robin exchange plus a cache
+    barrier (the barrier keeps Catalyst from collapsing the token
+    projections back below the exchange).  At sf0.001 the
+    rebalance_for_cpu stats gate keeps the plan shuffle-free (covered
+    by test_q15_tokenizes_once); here the gate must FIRE.  Plan-only:
+    nothing is executed or materialized."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.dedup import (
+        release,
+    )
+
+    df = entry_mod.queries()["q15_text_stats"](spark, "/root/testdata/sf0.1")
+    plan = _executed_plan(df)
+    assert "RoundRobinPartitioning" in plan, plan
+    assert "InMemoryRelation" in plan, plan
+    # the single-tokenization invariant must survive the rebalance
+    assert plan.count("split(") == 1, plan[:2000]
+    release(df)

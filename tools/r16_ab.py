@@ -1,0 +1,178 @@
+"""A/B harness: interleave reps of two query variants in ONE session so
+host drift and page-cache ramp hit both equally. Variants are built as
+(name, fn) pairs below; each fn(spark, sf_dir) -> DataFrame.
+
+Usage: python tools/r16_ab.py <pair> [--reps 10]
+Pairs are registered in PAIRS.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+# ---- old (pre-r16) implementations, copied verbatim ----------------------
+def q33_old(spark, sf_dir):
+    import __spark_entry__ as em
+
+    ev = em._t(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", em._EVENT_TYPES).count()
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in em._EVENT_TYPES
+        ],
+    )
+
+
+def q15_old(spark, sf_dir):
+    import __spark_entry__ as em
+    from cloud_native_medical_data_etl_pipeline_spark.functions import text as X
+
+    docs = em._t(spark, sf_dir, "documents")
+    toks = F.col("_toks")
+    return docs.select(
+        "doc_id", "text", X.lower_tokens("text").alias("_toks")
+    ).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(X.stopword_ratio_from_tokens(toks), 6).alias("stop_ratio"),
+        F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+        X.lang_id_from_tokens(toks).alias("lang_guess"),
+    )
+
+
+def q10_old(spark, sf_dir):
+    import __spark_entry__ as em
+
+    l = em._t(spark, sf_dir, "lineitem")
+    o = em._t(spark, sf_dir, "orders")
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.round(
+            F.avg(F.datediff("l_shipdate", "o_orderdate")), 6
+        ).alias("avg_delay_days"),
+        F.max(F.datediff("l_shipdate", "o_orderdate")).alias("max_delay_days"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q19_new(spark, sf_dir):
+    """Fold the query-vector probe into the plan: a broadcast 1-row
+    join replaces the per-call .first() collect (one fewer job)."""
+    import __spark_entry__ as em
+    from cloud_native_medical_data_etl_pipeline_spark.functions import (
+        vectors as V,
+    )
+
+    emb = em._t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("__q"))
+    scored = emb.join(F.broadcast(q)).select(
+        "vec_id",
+        F.round(V.cosine(F.col("embedding"), F.col("__q")), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(
+        10
+    )
+
+
+def q37_new(spark, sf_dir):
+    """Rebalance the probe side of the binned interval join."""
+    import __spark_entry__ as em
+    from cloud_native_medical_data_etl_pipeline_spark.operators import (
+        dedup as D,
+    )
+    from cloud_native_medical_data_etl_pipeline_spark.operators.joins import (
+        binned_interval_join,
+    )
+
+    ev = em._t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    left = D.rebalance_for_cpu(ev, persist=False)
+    pairs = binned_interval_join(
+        left,
+        ev.select("user_id", "ts", F.col("event_type").alias("next_type")),
+        on="user_id",
+        lo_s=0.0,
+        hi_s=3600.0,
+        right_payload=["next_type"],
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(F.col("gap_us") / 1e6), 6).alias("avg_gap_s"),
+        F.sum(
+            F.when(F.col("r_next_type") == F.col("event_type"), 1).otherwise(0)
+        ).cast("long").alias("n_same_type"),
+    )
+
+
+def _new(name):
+    def fn(spark, sf_dir):
+        import __spark_entry__ as em
+
+        return em.queries()[name](spark, sf_dir)
+
+    return fn
+
+
+PAIRS = {
+    "q33": (q33_old, _new("q33_pivot_activity")),
+    "q15": (q15_old, _new("q15_text_stats")),
+    "q10": (q10_old, _new("q10_ship_delay")),
+    # old = current registered implementation for these two
+    "q19": (_new("q19_cosine_topk"), q19_new),
+    "q37": (_new("q37_event_followups"), q37_new),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("pairs", nargs="+", choices=sorted(PAIRS))
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    from cloud_native_medical_data_etl_pipeline_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="r16-ab",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bench import consume_full
+    from cloud_native_medical_data_etl_pipeline_spark.operators.dedup import release
+
+    for pair in args.pairs:
+        old_fn, new_fn = PAIRS[pair]
+        # warm both variants untimed (page/codegen ramp)
+        for fn in (old_fn, new_fn, old_fn, new_fn):
+            df = fn(spark, SF_DIR)
+            consume_full(df)
+            release(df)
+        walls = {"old": [], "new": []}
+        for _ in range(args.reps):
+            for tag, fn in (("old", old_fn), ("new", new_fn)):
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                consume_full(df)
+                walls[tag].append(round(time.perf_counter() - t0, 3))
+                release(df)
+        print(
+            f"{pair}: old min={min(walls['old']):.3f} new min="
+            f"{min(walls['new']):.3f}  old={walls['old']}  new={walls['new']}"
+        )
+
+
+if __name__ == "__main__":
+    main()
