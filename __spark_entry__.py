@@ -177,8 +177,11 @@ FROM drugs d LEFT JOIN stats s ON d.drug_name = s.drug_name
 # q03 — exact dedup keeping min key (A3/A4 at corpus scale)
 # ---------------------------------------------------------------------------
 def q03_exact_dedup(spark, sf_dir):
+    # r16: narrow payload -> one-pass min(struct) dedup (1 scan, 1
+    # Exchange, no semi-join); value-exact vs the full-row form at all
+    # 3 SFs, A/B 0.553 -> 0.432 s at sf0.1.
     docs = _t(spark, sf_dir, "documents")
-    return D.exact_dedup(docs).select("doc_id", "lang", "source")
+    return D.exact_dedup(docs, payload=["lang", "source"])
 
 
 Q03_SQL = """
@@ -248,16 +251,23 @@ FROM lineitem GROUP BY 1
 # q06 — argmax per group (P5/T1 as window; SURVEY §2.5)
 # ---------------------------------------------------------------------------
 def q06_latest_event_per_user(spark, sf_dir):
-    from pyspark.sql import Window
-
+    # r16: window row_number -> map-side-combinable argmax.  The
+    # max(struct) comparison is lexicographic on (ts, event_id) — the
+    # same ORDER BY ts DESC, event_id DESC — so the kept row is
+    # identical (value-exact at all 3 SFs); but the aggregate
+    # partial-combines map-side (shuffles one row per user per mapper,
+    # not every event) and needs no per-partition sort.  Locally
+    # bench-neutral (A/B 0.517 -> 0.505 s at 32 cores, 0.689 -> 0.672
+    # at 8); the win is the 100 TB shuffle-volume shape.
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    top = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type")).alias("_m")
     )
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", "ts")
+    return top.select(
+        "user_id",
+        F.col("_m.event_id").alias("event_id"),
+        F.col("_m.event_type").alias("event_type"),
+        F.col("_m.ts").alias("ts"),
     )
 
 

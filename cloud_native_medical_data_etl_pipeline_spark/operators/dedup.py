@@ -144,12 +144,36 @@ def release(result: DataFrame) -> None:
         dep.unpersist()
 
 
-def exact_dedup(df: DataFrame, content_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    payload: list[str] | None = None,
+) -> DataFrame:
     """Exact dedup: one row per distinct content, keeping the row with
     the smallest key (deterministic, unlike dropDuplicates). One
     shuffle on the content hash; at scale group on sha2 rather than the
-    full text to keep shuffle rows narrow."""
+    full text to keep shuffle rows narrow.
+
+    ``payload`` names the non-key columns the caller actually needs.
+    When given, the kept row's (key, *payload) is computed in ONE
+    map-side-combinable ``min(struct(key, *payload))`` aggregate — one
+    scan and one Exchange, versus two scans + agg + semi-join for the
+    full-row form (r16 A/B at sf0.1: 0.553 -> 0.432 s on local[32],
+    0.612 -> 0.498 on local[8]). Identical keep-first semantics while
+    ``key_col`` is unique (the struct comparison only reaches the
+    payload fields on a key tie). The full-row form remains the default
+    because it returns every column WITHOUT shipping wide content
+    (e.g. the text itself) through the shuffle."""
     h = F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256)
+    if payload is not None:
+        kept = (
+            df.groupBy(h.alias("__h"))
+            .agg(F.min(F.struct(key_col, *payload)).alias("__m"))
+        )
+        return kept.select(
+            *[F.col(f"__m.{c}").alias(c) for c in (key_col, *payload)]
+        )
     keep = (
         df.withColumn("__h", h)
         .groupBy("__h")

@@ -115,6 +115,39 @@ def q37_new(spark, sf_dir):
     )
 
 
+def q06_old(spark, sf_dir):
+    """Pre-r16 window form: row_number over (ts DESC, event_id DESC)."""
+    import __spark_entry__ as em
+    from pyspark.sql import Window
+
+    ev = em._t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+def q03_old(spark, sf_dir):
+    """Pre-r16 full-row form: hash-agg min(key) + left-semi join."""
+    import __spark_entry__ as em
+
+    docs = em._t(spark, sf_dir, "documents")
+    h = F.sha2(F.coalesce(F.col("text"), F.lit("")), 256)
+    keep = (
+        docs.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .drop("__h")
+    )
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def _new(name):
     def fn(spark, sf_dir):
         import __spark_entry__ as em
@@ -131,6 +164,8 @@ PAIRS = {
     # old = current registered implementation for these two
     "q19": (_new("q19_cosine_topk"), q19_new),
     "q37": (_new("q37_event_followups"), q37_new),
+    "q06": (_new("q06_latest_event_per_user"), q06_new),
+    "q03": (_new("q03_exact_dedup"), q03_new),
 }
 
 
