@@ -164,8 +164,9 @@ PAIRS = {
     # old = current registered implementation for these two
     "q19": (_new("q19_cosine_topk"), q19_new),
     "q37": (_new("q37_event_followups"), q37_new),
-    "q06": (_new("q06_latest_event_per_user"), q06_new),
-    "q03": (_new("q03_exact_dedup"), q03_new),
+    # landed in-round: old = preserved pre-r16 form, new = registered impl
+    "q06": (q06_old, _new("q06_latest_event_per_user")),
+    "q03": (q03_old, _new("q03_exact_dedup")),
 }
 
 
