@@ -254,11 +254,15 @@ def q06_latest_event_per_user(spark, sf_dir):
     # r16: window row_number -> map-side-combinable argmax.  The
     # max(struct) comparison is lexicographic on (ts, event_id) — the
     # same ORDER BY ts DESC, event_id DESC — so the kept row is
-    # identical (value-exact at all 3 SFs); but the aggregate
-    # partial-combines map-side (shuffles one row per user per mapper,
-    # not every event) and needs no per-partition sort.  Locally
-    # bench-neutral (A/B 0.517 -> 0.505 s at 32 cores, 0.689 -> 0.672
-    # at 8); the win is the 100 TB shuffle-volume shape.
+    # identical (value-exact at all 3 SFs); the aggregate
+    # partial-combines map-side, shuffling one row per user per
+    # mapper instead of every event.  Struct buffers are not
+    # hash-aggregatable (probed: max(struct)/max(string)/max_by all
+    # plan SortAggregate on Spark 4.1), so each side sorts by user_id
+    # — still cheaper than the old plan's full-event shuffle + 3-col
+    # sort.  Locally bench-neutral (A/B 0.517 -> 0.505 s at 32 cores,
+    # 0.689 -> 0.672 at 8); the win is the 100 TB shuffle-volume
+    # shape.
     ev = _t(spark, sf_dir, "events")
     top = ev.groupBy("user_id").agg(
         F.max(F.struct("ts", "event_id", "event_type")).alias("_m")

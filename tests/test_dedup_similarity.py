@@ -32,6 +32,31 @@ def test_exact_dedup(spark):
     assert ids == {1, 2, 3, 5}  # 4 collapses into 1 (min key kept)
 
 
+def test_exact_dedup_payload_path_matches_full_row(spark):
+    """r16: the payload fast path (one min(struct) aggregate, no
+    semi-join) must keep EXACTLY the rows the full-row form keeps,
+    payload columns included — also under NULL text (hash of '')
+    and NULL payload values."""
+    rows = [
+        (1, "same text", "en", "web"),
+        (2, "same text", "de", "book"),   # dup of 1 -> dropped
+        (3, None, "en", None),            # NULL text group...
+        (4, None, None, "web"),           # ...dup of 3 -> dropped
+        (5, "unique", "fr", "web"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    fast = dedup.exact_dedup(df, payload=["lang", "source"])
+    slow = dedup.exact_dedup(df).select("doc_id", "lang", "source")
+    got = {tuple(r) for r in fast.collect()}
+    want = {tuple(r) for r in slow.collect()}
+    assert got == want == {(1, "en", "web"), (3, "en", None), (5, "fr", "web")}
+    # plan contract: single aggregate, no join anywhere
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
 def test_minhash_lsh_finds_near_dup(spark):
     pairs = dedup.minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.5)
     got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}

@@ -489,6 +489,35 @@ def test_q33_pivot_is_single_exchange(spark):
     assert "pivotfirst" not in plan.lower(), plan
 
 
+def test_q03_payload_dedup_is_single_exchange_no_join(spark):
+    """r16 optimization pin: exact dedup of the (doc_id, lang, source)
+    projection is ONE min(struct) aggregate over the content hash —
+    one scan, one Exchange, no semi-join back to documents.  The old
+    full-row form planned 2 scans + hash-agg + left-semi join (4
+    Exchanges incl. broadcasts)."""
+    df = entry_mod.queries()["q03_exact_dedup"](spark, SF_DIR)
+    plan = _final_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_q06_argmax_is_single_exchange_no_window(spark):
+    """r16 optimization pin: latest-event-per-user is a map-side-
+    combinable max(struct(ts, event_id, event_type)) aggregate — one
+    Exchange carrying one partial row per (user, mapper), no Window,
+    no per-partition Sort.  The old row_number form shuffled EVERY
+    event row and sorted each partition."""
+    df = entry_mod.queries()["q06_latest_event_per_user"](spark, SF_DIR)
+    plan = _final_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+    # struct buffers aren't hash-aggregatable (probed r16: max(struct),
+    # max(string) and max_by ALL plan SortAggregate in Spark 4.1) — the
+    # win is the partial_max map-side combine, which must stay:
+    assert "partial_max" in plan, plan
+    assert "SortAggregate" in plan, plan
+
+
 def test_q15_rebalances_kernels_at_scale(spark):
     """r16 optimization pin: at bench scale (sf0.1, a single-file /
     single-row-group scan) q15 spreads the text across all slots
