@@ -1294,30 +1294,32 @@ GROUP BY ROLLUP(r_name, n_name)
 # truncates identically.
 # ---------------------------------------------------------------------------
 def q29_asof_attribution(spark, sf_dir):
+    # r16: both asof sides are filters of ONE events frame, so the
+    # two-frame union (which planned TWO scans of events, one per
+    # side's pushed filter) is fused into a single conditional
+    # projection over ONE scan — asof_join_same_source shares the
+    # window tail verbatim with asof_join, and click/purchase are
+    # mutually exclusive values of one column, satisfying its
+    # disjointness contract.  Value-exact at all 3 SFs; plan diff:
+    # 2 parquet scans -> 1, same single Exchange + Window.
     from cloud_native_medical_data_etl_pipeline_spark.operators import joins as J
 
     ev = _t(spark, sf_dir, "events")
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("click_id")
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
-    )
-    out = J.asof_join(
-        clicks,
-        purchases,
+    out = J.asof_join_same_source(
+        ev.select("user_id", "ts", "event_type", "event_id", "value"),
         on="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        left_keep=["click_id"],
-        right_payload=["purchase_id", "value"],
+        ts_col="ts",
+        left_pred=F.col("event_type") == "click",
+        right_pred=F.col("event_type") == "purchase",
+        left_keep=["event_id"],
+        right_payload=["event_id", "value"],
         prefix="last_",
     )
     return out.select(
         "user_id",
-        "click_id",
+        F.col("event_id").alias("click_id"),
         F.unix_micros("ts").alias("click_us"),
-        F.col("last_purchase_id").alias("purchase_id"),
+        F.col("last_event_id").alias("purchase_id"),
         F.unix_micros("last_ts").alias("purchase_us"),
         F.col("last_value").alias("purchase_value"),
     )

@@ -144,12 +144,30 @@ def asof_join(
         F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
         *[col_ref(c) for c in left_keep],
     )
+    return _asof_tail(
+        r.unionByName(l), on, left_ts, right_ts, left_keep, right_payload, prefix
+    )
+
+
+def _asof_tail(
+    shaped: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    left_keep: list[str],
+    right_payload: list[str],
+    prefix: str,
+) -> DataFrame:
+    """Shared window pass + final projection over the union-shaped
+    frame ``(__k, __t, __side, __p, *left_keep)`` — the tail of both
+    :func:`asof_join` (two frames, unioned) and
+    :func:`asof_join_same_source` (one frame, one scan)."""
     # side 0 sorts before side 1 at equal ts -> inclusive (>=) match;
     # right-side ts ties break by max payload tuple over the ORDERABLE
     # payload columns only (a MapType column in the payload — allowed
     # as a carried value — would make the sort unanalyzable; if every
     # payload column is unorderable the tie is engine-arbitrary,
-    # documented above).
+    # documented in asof_join).
     from pyspark.sql import types as T
 
     def _orderable(dt) -> bool:
@@ -161,9 +179,10 @@ def asof_join(
             return all(_orderable(f.dataType) for f in dt.fields)
         return True
 
-    ord_cols = [
-        c for c in right_payload if _orderable(right.schema[c].dataType)
-    ]
+    p_types = {
+        f.name: f.dataType for f in shaped.schema["__p"].dataType.fields
+    }
+    ord_cols = [c for c in right_payload if _orderable(p_types[c])]
     tie = (
         F.struct(*[F.col("__p").getField(c) for c in ord_cols])
         if ord_cols
@@ -174,10 +193,10 @@ def asof_join(
         .orderBy(F.col("__t").asc(), F.col("__side").asc(), tie.asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    unioned = r.unionByName(l).withColumn(
+    matched = shaped.withColumn(
         "__match", F.last("__p", ignorenulls=True).over(w)
     )
-    return unioned.where(F.col("__side") == 1).select(
+    return matched.where(F.col("__side") == 1).select(
         F.col("__k").alias(on),
         F.col("__t").alias(left_ts),
         *[col_ref(c) for c in left_keep],
@@ -186,6 +205,64 @@ def asof_join(
             F.col("__match").getField(c).alias(f"{prefix}{c}")
             for c in right_payload
         ],
+    )
+
+
+def asof_join_same_source(
+    base: DataFrame,
+    on: str,
+    ts_col: str,
+    left_pred,
+    right_pred,
+    left_keep: list[str],
+    right_payload: list[str],
+    prefix: str = "r_",
+) -> DataFrame:
+    """:func:`asof_join` for the common case where BOTH sides are
+    predicate-selections of ONE frame (clicks vs purchases of an
+    events table): builds the union shape in a single conditional
+    projection, so the source is scanned ONCE instead of once per
+    side — at scale that halves the read volume of the attribution
+    pattern; the window tail and its semantics (inclusive match,
+    NULL-key/NULL-ts handling, tie-break) are shared verbatim with
+    :func:`asof_join` via ``_asof_tail``.
+
+    Requirements, checked by the caller not the engine: ``left_pred``
+    and ``right_pred`` must be MUTUALLY EXCLUSIVE (a row satisfying
+    both would need to appear on both sides, which a single
+    conditional projection cannot emit — use :func:`asof_join`);
+    both sides share ``ts_col`` as their timestamp, and ``left_keep``
+    / ``right_payload`` name columns of ``base``. Rows where a
+    predicate is NULL behave like ``DataFrame.where``: they join the
+    side whose predicate is TRUE, or are dropped when neither is.
+    Output columns match ``asof_join(base.where(left_pred),
+    base.where(right_pred), ...)`` with the same names: the kept left
+    columns unprefixed, the matched payload as ``{prefix}{col}``.
+    """
+    payload_struct = F.struct(
+        col_ref(ts_col).alias("__ts"),
+        *[col_ref(c) for c in right_payload],
+    )
+    # same NULL discipline as asof_join: right rows with NULL ts or
+    # NULL key are dropped (would otherwise phantom-match through the
+    # null-grouping window partition); left rows pass unfiltered
+    right_ok = (
+        right_pred & col_ref(ts_col).isNotNull() & col_ref(on).isNotNull()
+    )
+    # canonical two-valued side flag: a surviving row with a NULL
+    # left_pred got in via right_ok and must take the right branch in
+    # EVERY conditional below (a raw ~left_pred would be NULL there,
+    # silently nulling the payload)
+    is_left = F.coalesce(left_pred, F.lit(False))
+    shaped = base.where(left_pred | right_ok).select(
+        col_ref(on).alias("__k"),
+        col_ref(ts_col).alias("__t"),
+        F.when(is_left, F.lit(1)).otherwise(F.lit(0)).alias("__side"),
+        F.when(~is_left, payload_struct).alias("__p"),
+        *[F.when(is_left, col_ref(c)).alias(c) for c in left_keep],
+    )
+    return _asof_tail(
+        shaped, on, ts_col, ts_col, left_keep, right_payload, prefix
     )
 
 

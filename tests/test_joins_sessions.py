@@ -399,3 +399,66 @@ def test_asof_null_key_follows_sql_equality(spark):
         ).collect()
     }
     assert out == {"Lnull": (None, None), "La": (5, 200)}
+
+
+def test_asof_same_source_matches_two_frame(spark):
+    """r16: the single-scan fused variant must emit EXACTLY the rows
+    of asof_join over the two predicate-filtered frames — including
+    NULL keys, NULL timestamps, NULL-predicate rows (side column
+    NULL -> dropped, like .where), ts ties, and payload tie-breaks."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.joins import (
+        asof_join,
+        asof_join_same_source,
+    )
+
+    rows = [
+        # (k, ts, side, pay, lab)
+        ("a", 10, "L", None, "La10"),
+        ("a", 10, "R", 1, None),      # tie at ts=10: inclusive match
+        ("a", 10, "R", 7, None),      # payload tie-break -> 7
+        ("a", 5, "R", 3, None),
+        ("a", 3, "L", None, "La3"),   # no purchase <= 3... (5 > 3) -> null
+        (None, 10, "L", None, "Lnull"),
+        (None, 5, "R", 9, None),      # NULL-key right row: matches nothing
+        ("b", None, "R", 4, None),    # NULL-ts right row: matches nothing
+        ("b", 20, "L", None, "Lb"),
+        ("b", None, "L", None, "LbN"),  # NULL-ts LEFT row: kept, no match
+        ("c", 1, None, 5, None),      # NULL side predicate: dropped
+    ]
+    base = spark.createDataFrame(
+        rows, "k string, ts long, side string, pay long, lab string"
+    )
+    fused = asof_join_same_source(
+        base,
+        on="k",
+        ts_col="ts",
+        left_pred=F.col("side") == "L",
+        right_pred=F.col("side") == "R",
+        left_keep=["lab"],
+        right_payload=["pay"],
+    )
+    two = asof_join(
+        base.where(F.col("side") == "L").select("k", "ts", "lab"),
+        base.where(F.col("side") == "R").select("k", "ts", "pay"),
+        on="k",
+        left_keep=["lab"],
+        right_payload=["pay"],
+    )
+    def _key(t):
+        return tuple((x is None, str(x)) for x in t)
+
+    got = sorted((tuple(r) for r in fused.collect()), key=_key)
+    want = sorted((tuple(r) for r in two.collect()), key=_key)
+    assert got == want
+    assert fused.columns == two.columns
+    by_lab = {r["lab"]: (r["r_ts"], r["r_pay"]) for r in fused.collect()}
+    assert by_lab == {
+        "La10": (10, 7),   # inclusive tie + max-payload tie-break
+        "La3": (None, None),
+        "Lnull": (None, None),
+        "Lb": (None, None),  # b's only purchase has NULL ts
+        "LbN": (None, None),
+    }
+    # the fusion's point: ONE scan of the base in the plan
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ExistingRDD") + plan.count("LocalTableScan") <= 2

@@ -148,6 +148,39 @@ def q03_old(spark, sf_dir):
     )
 
 
+def q29_old(spark, sf_dir):
+    """Pre-r16 two-frame form: clicks/purchases filtered separately
+    (TWO scans of events), unioned inside asof_join."""
+    import __spark_entry__ as em
+    from cloud_native_medical_data_etl_pipeline_spark.operators import joins as J
+
+    ev = em._t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    out = J.asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_keep=["click_id"],
+        right_payload=["purchase_id", "value"],
+        prefix="last_",
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.col("last_purchase_id").alias("purchase_id"),
+        F.unix_micros("last_ts").alias("purchase_us"),
+        F.col("last_value").alias("purchase_value"),
+    )
+
+
 def _new(name):
     def fn(spark, sf_dir):
         import __spark_entry__ as em
@@ -167,6 +200,7 @@ PAIRS = {
     # landed in-round: old = preserved pre-r16 form, new = registered impl
     "q06": (q06_old, _new("q06_latest_event_per_user")),
     "q03": (q03_old, _new("q03_exact_dedup")),
+    "q29": (q29_old, _new("q29_asof_attribution")),
 }
 
 
