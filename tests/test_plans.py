@@ -518,6 +518,31 @@ def test_q06_argmax_is_single_exchange_no_window(spark):
     assert "SortAggregate" in plan, plan
 
 
+def test_q20_bucket_codes_evaluated_once(spark):
+    """r16 optimization pin (guide §4.4 guard): the banded sign-LSH
+    bucket-code pandas_udf must appear EXACTLY once in q20's plan — a
+    future filter referencing the bucket column could make Catalyst
+    duplicate the Python eval (once below the pushed filter, once in
+    the projection), doubling the GEMM. Also pins the package-wide
+    zero-row-at-a-time invariant on this path."""
+    df = entry_mod.queries()["q20_embedding_near_dups"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_q29_fused_asof_is_single_scan(spark):
+    """r16 optimization pin: the attribution asof reads events ONCE
+    (asof_join_same_source's single conditional projection) — the old
+    two-frame union planned a parquet scan per side. One scan, one
+    Exchange, one Window."""
+    df = entry_mod.queries()["q29_asof_attribution"](spark, SF_DIR)
+    plan = _final_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
 def test_q15_rebalances_kernels_at_scale(spark):
     """r16 optimization pin: at bench scale (sf0.1, a single-file /
     single-row-group scan) q15 spreads the text across all slots
