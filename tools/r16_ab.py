@@ -181,6 +181,68 @@ def q29_old(spark, sf_dir):
     )
 
 
+def q02_fused(spark, sf_dir):
+    """Single-scan candidate: persist the 4-column projection of part
+    once and derive all three aggregation grains (drugs / indications
+    / conditions) from the cached frame — 3 parquet scans -> 1 scan +
+    cache.  Aggregate bodies are copied VERBATIM from the registered
+    q02 so values are bit-identical; only the scan count changes."""
+    import __spark_entry__ as em
+    from cloud_native_medical_data_etl_pipeline_spark.functions import (
+        medical as M,
+    )
+    from cloud_native_medical_data_etl_pipeline_spark.operators import (
+        enrich as E,
+    )
+    from cloud_native_medical_data_etl_pipeline_spark.operators.dedup import (
+        _with_cached_deps,
+    )
+
+    part = (
+        em._t(spark, sf_dir, "part")
+        .select("p_brand", "p_type", "p_retailprice", "p_size")
+        .persist()
+    )
+    drugs = part.groupBy(F.col("p_brand").alias("drug_name")).agg(
+        F.count(F.lit(1)).alias("part_count"),
+        F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
+    )
+    indications = part.select(
+        F.col("p_brand").alias("drug_name"),
+        M.normalize_for_join("p_type").alias("indication_norm"),
+    ).where(F.col("indication_norm") != "").distinct()
+    conditions = (
+        part.groupBy(
+            F.concat_ws(" ", "p_type", "p_brand").alias("condition")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("trial_count"),
+            F.round(F.sum("p_retailprice"), 4).alias("total_enrollment"),
+            F.sum(F.when(F.col("p_size") > 25, 1).otherwise(0))
+            .cast("long")
+            .alias("completed_trials"),
+        )
+        .withColumn("condition_norm", M.normalize_for_join("condition"))
+    )
+    matched = E.containment_match(indications, conditions)
+    stats = matched.groupBy("drug_name").agg(
+        F.sum("trial_count").alias("trial_count"),
+        F.round(F.sum("total_enrollment"), 2).alias("total_retail"),
+        F.sum("completed_trials").alias("completed_trials"),
+    )
+    out = drugs.join(stats, "drug_name", "left").select(
+        "drug_name",
+        "part_count",
+        "avg_retail",
+        F.coalesce("trial_count", F.lit(0)).cast("long").alias("trial_count"),
+        F.coalesce("total_retail", F.lit(0.0)).alias("total_retail"),
+        F.coalesce("completed_trials", F.lit(0)).cast("long").alias(
+            "completed_trials"
+        ),
+    )
+    return _with_cached_deps(out, part)
+
+
 def _new(name):
     def fn(spark, sf_dir):
         import __spark_entry__ as em
@@ -201,6 +263,8 @@ PAIRS = {
     "q06": (q06_old, _new("q06_latest_event_per_user")),
     "q03": (q03_old, _new("q03_exact_dedup")),
     "q29": (q29_old, _new("q29_asof_attribution")),
+    # old = current registered implementation; new = single-scan candidate
+    "q02": (_new("q02_containment_enrich"), q02_fused),
 }
 
 
