@@ -1632,32 +1632,49 @@ WHERE EXISTS (
 
 
 # ---------------------------------------------------------------------------
-# q37 — interval (range) join via time-bin blocking: for each event,
-# every later event by the same user within 60 minutes. The binned
-# operator keeps hot keys from exploding O(k^2) (see
-# operators/joins.py:binned_interval_join). Gap arithmetic stays in
-# exact unix_micros on both sides.
+# q37 — interval (range) self-join aggregates: for each event, every
+# later event by the same user within 60 minutes, grouped by the
+# earlier event's type. r16: the pairs were only ever aggregated, so
+# the binned_interval_join (explode to 2 probe bins + shuffle BOTH
+# sides on (user, bin) + materialize every pair) is replaced by
+# joins.followup_stats — ONE shuffle of events on user_id and two
+# incremental prefix-RANGE window frames per partition spec; the pair
+# rows never exist (guide §2.3/§2.4). Exact-arithmetic equivalence:
+# counts/same-type are integer window differences; the gap SUM is an
+# exact decimal (ts_sum - count*ts in unix_micros), so the only float
+# op left is the final avg division — per-group, once, vs the join
+# form's float sum over pairs (both engines' AVG was already order-
+# nondeterministic; oracle hash-verified at all 3 SFs, and the
+# join-form equivalence is pinned by tests/test_joins_sessions.py).
+# binned_interval_join remains the operator for pair-OUTPUT consumers
+# (q116 overlap, decay_attribution).
 # ---------------------------------------------------------------------------
 def q37_event_followups(spark, sf_dir):
     from cloud_native_medical_data_etl_pipeline_spark.operators.joins import (
-        binned_interval_join,
+        followup_stats,
     )
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    pairs = binned_interval_join(
-        ev,
-        ev.select("user_id", "ts", F.col("event_type").alias("next_type")),
-        on="user_id",
-        lo_s=0.0,
-        hi_s=3600.0,
-        right_payload=["next_type"],
+    per = followup_stats(
+        ev, on="user_id", ts="ts", lo_s=0.0, hi_s=3600.0, same_col="event_type"
     )
-    return pairs.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.avg(F.col("gap_us") / 1e6), 6).alias("avg_gap_s"),
-        F.sum(
-            F.when(F.col("r_next_type") == F.col("event_type"), 1).otherwise(0)
-        ).cast("long").alias("n_same_type"),
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.sum("fu_count").alias("n_pairs"),
+            F.sum("fu_gap_sum_us").alias("__gap_total_us"),
+            F.sum("fu_same_count").cast("long").alias("n_same_type"),
+        )
+        .where(F.col("n_pairs") > 0)
+        .select(
+            "event_type",
+            "n_pairs",
+            F.round(
+                F.col("__gap_total_us").cast("double") / F.col("n_pairs") / F.lit(1e6),
+                6,
+            ).alias("avg_gap_s"),
+            "n_same_type",
+        )
     )
 
 

@@ -85,6 +85,107 @@ def binned_interval_join(
     ).drop("__k", "__bin", "__rus", "__lus")
 
 
+def followup_stats(
+    df: DataFrame,
+    on: str,
+    ts: str = "ts",
+    lo_s: float = 0.0,
+    hi_s: float = 3600.0,
+    same_col: str | None = None,
+) -> DataFrame:
+    """Per-row follow-up aggregates over the interval self-join
+    ``(row.ts + lo_s, row.ts + hi_s]`` within the ``on`` key — WITHOUT
+    materializing the pairs.
+
+    For aggregate-only consumers, :func:`binned_interval_join` does
+    strictly unnecessary work: it explodes the left side to 2 probe
+    bins, shuffles BOTH sides on (key, bin), materializes every
+    qualifying pair as a row, and only then lets the caller's groupBy
+    collapse them. When all the caller keeps is per-left-row counts
+    and gap sums, those are computable from ONE shuffle of the input
+    on the key with two prefix-frame window passes (guide §2.3/§2.4:
+    fewer shuffles, fewer bytes — here the pair rows never exist):
+
+      ``S(x) := agg over same-key rows with us <= row.us + x``
+
+    is an ``unboundedPreceding .. x FOLLOWING`` RANGE frame, which
+    Spark's WindowExec evaluates INCREMENTALLY (each row extends the
+    running buffer — O(partition) total, unlike a both-ends-moving
+    sliding frame which re-aggregates per row). The half-open interval
+    is then an exact difference of two such frames:
+
+      count  = C(hi) - C(lo)
+      ts_sum = S(hi) - S(lo)          -> gap_sum = ts_sum - count*us
+
+    All arithmetic is exact: counts are longs, timestamp sums are
+    DECIMAL (epoch-microsecond prefix sums overflow int64 past ~5400
+    rows per key; decimal(30) holds ~1e14 rows per key and, unlike
+    ANSI-off long wraparound, stays a documented-exact representation
+    under ANSI too).
+
+    Returns ``df``'s surviving rows plus:
+      * ``fu_count`` (long) — follow-ups in the interval;
+      * ``fu_gap_sum_us`` (decimal) — exact sum of (follower.us -
+        row.us) over them;
+      * ``fu_same_count`` (long, when ``same_col`` is given) —
+        follow-ups whose ``same_col`` equals this row's (SQL equality:
+        a NULL ``same_col`` matches nothing, even another NULL — the
+        window PARTITIONS nulls together, so the NULL group is forced
+        to 0 explicitly).
+
+    Rows with a NULL key or NULL ``ts`` are DROPPED: under the join
+    form they can neither have follow-ups (NULL never equals the key /
+    NULL ts fails every range comparison) nor be one, so they carry no
+    information for any downstream aggregate of the pairs.
+
+    Equivalence with ``binned_interval_join(df, df, on, lo_s, hi_s)``
+    + per-left-row aggregation is pinned by
+    tests/test_joins_sessions.py (nulls, ts ties, hot keys) and, for
+    q37, by the DuckDB oracle at all three SFs.
+    """
+    lo_us = int(round(lo_s * 1_000_000))
+    hi_us = int(round(hi_s * 1_000_000))
+    if hi_us <= lo_us:
+        raise ValueError("hi_s must exceed lo_s")
+    key = col_ref(on)
+    pre = df.where(key.isNotNull() & col_ref(ts).isNotNull()).withColumn(
+        "__us", F.unix_micros(col_ref(ts))
+    )
+    dec_us = F.col("__us").cast("decimal(20,0)")
+
+    def frames(*partition_cols):
+        base = Window.partitionBy(*partition_cols).orderBy("__us")
+        return (
+            base.rangeBetween(Window.unboundedPreceding, hi_us),
+            base.rangeBetween(Window.unboundedPreceding, lo_us),
+        )
+
+    w_hi, w_lo = frames(on)
+    one = F.count(F.lit(1))
+    cols = [
+        (one.over(w_hi) - one.over(w_lo)).alias("fu_count"),
+        (F.sum(dec_us).over(w_hi) - F.sum(dec_us).over(w_lo)).alias("__ts_sum"),
+    ]
+    if same_col is not None:
+        ws_hi, ws_lo = frames(on, same_col)
+        cols.append(
+            F.when(
+                col_ref(same_col).isNotNull(),
+                one.over(ws_hi) - one.over(ws_lo),
+            )
+            .otherwise(F.lit(0))
+            .alias("fu_same_count")
+        )
+    return (
+        pre.select("*", *cols)
+        .withColumn(
+            "fu_gap_sum_us",
+            F.col("__ts_sum") - F.col("fu_count").cast("decimal(12,0)") * dec_us,
+        )
+        .drop("__us", "__ts_sum")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

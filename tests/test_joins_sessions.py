@@ -187,6 +187,149 @@ def test_binned_interval_join_is_equi_shuffle(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+# ---------------------------------------------------------------------------
+# followup_stats (r16: the no-pair-materialization window form)
+# ---------------------------------------------------------------------------
+def _typed_events(spark, rows):
+    """(user_id, ts, event_id, event_type) with nullable key/ts/type."""
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+
+
+def _join_form_per_row(ev, lo_s, hi_s):
+    """Reference: binned_interval_join pairs aggregated per LEFT row."""
+    pairs = joins.binned_interval_join(
+        ev,
+        ev.select("user_id", "ts", F.col("event_type").alias("next_type")),
+        on="user_id",
+        lo_s=lo_s,
+        hi_s=hi_s,
+        right_payload=["next_type"],
+    )
+    return {
+        r["event_id"]: (r["cnt"], r["gap_sum"], r["same_cnt"])
+        for r in pairs.groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("gap_us").alias("gap_sum"),
+            F.sum(
+                F.when(F.col("r_next_type") == F.col("event_type"), 1).otherwise(0)
+            ).alias("same_cnt"),
+        )
+        .collect()
+    }
+
+
+def test_followup_stats_matches_binned_join_aggregate(spark):
+    """Property: followup_stats' per-row (count, exact gap sum,
+    same-type count) equal the binned_interval_join pair set aggregated
+    per left row — on data with a hot key, ts ties, NULL keys, NULL
+    timestamps and NULL types. Rows the join form gives no pairs
+    (cnt 0) must appear with zeros; NULL-key/ts rows must be absent."""
+    import random
+
+    rng = random.Random(16)
+    rows = []
+    for i in range(120):
+        u = rng.choice([1, 1, 1, 2, 3, None])  # hot key + a NULL key
+        t = (
+            None
+            if rng.random() < 0.05
+            else _ts(rng.randrange(0, 59), rng.choice([0, 0, 15, 30]))  # ties
+        )
+        rows.append((u, t, i, rng.choice(["a", "b", None])))
+    ev = _typed_events(spark, rows)
+
+    want = _join_form_per_row(ev, 0.0, 300.0)
+    got = {
+        r["event_id"]: (
+            r["fu_count"],
+            int(r["fu_gap_sum_us"]),
+            r["fu_same_count"],
+        )
+        for r in joins.followup_stats(
+            ev, on="user_id", ts="ts", lo_s=0.0, hi_s=300.0, same_col="event_type"
+        ).collect()
+    }
+    # every surviving row appears exactly once; NULL key/ts rows don't
+    assert set(got) == {
+        i for (u, t, i, _) in rows if u is not None and t is not None
+    }
+    for eid, (cnt, gap, same) in got.items():
+        w_cnt, w_gap, w_same = want.get(eid, (0, None, 0))
+        assert cnt == w_cnt, (eid, cnt, w_cnt)
+        assert same == w_same, (eid, same, w_same)
+        if w_gap is not None:
+            assert gap == w_gap, (eid, gap, w_gap)
+        else:
+            assert gap == 0
+    assert any(c for (c, _, _) in got.values())  # non-degenerate data
+
+
+def test_followup_stats_nonzero_lo(spark):
+    """The (lo, hi] window generalizes: lo_s=60 must exclude gap 60
+    and include gap 61 — same exact boundary discipline as
+    binned_interval_join's (lus+lo, lus+hi]."""
+    ev = _typed_events(
+        spark,
+        [
+            (1, _ts(0), 1, "a"),
+            (1, _ts(1), 2, "a"),       # gap 60 s == lo -> excluded
+            (1, _ts(1, 1), 3, "b"),    # gap 61 s -> included
+            (1, _ts(5), 4, "a"),       # gap 300 s == hi -> included
+            (1, _ts(5, 1), 5, "a"),    # gap 301 s -> excluded
+        ],
+    )
+    r = {
+        row["event_id"]: (row["fu_count"], int(row["fu_gap_sum_us"]), row["fu_same_count"])
+        for row in joins.followup_stats(
+            ev, on="user_id", lo_s=60.0, hi_s=300.0, same_col="event_type"
+        ).collect()
+    }
+    assert r[1] == (2, 61_000_000 + 300_000_000, 1)
+    want = _join_form_per_row(ev, 60.0, 300.0)
+    assert {k: v[0] for k, v in r.items() if v[0]} == {
+        k: v[0] for k, v in want.items()
+    }
+
+
+def test_followup_stats_null_type_counts_zero_same(spark):
+    """A NULL same_col row must report fu_same_count 0 even when
+    another NULL-typed row follows inside the window (SQL equality:
+    NULL = NULL is not true; the window PARTITIONS nulls together, so
+    an unguarded count would say 1)."""
+    ev = _typed_events(
+        spark,
+        [(1, _ts(0), 1, None), (1, _ts(1), 2, None), (1, _ts(2), 3, "a")],
+    )
+    r = {
+        row["event_id"]: (row["fu_count"], row["fu_same_count"])
+        for row in joins.followup_stats(
+            ev, on="user_id", lo_s=0.0, hi_s=300.0, same_col="event_type"
+        ).collect()
+    }
+    # event 1 has followers 2 and 3 in-window but NULL type -> same 0
+    assert r[1] == (2, 0)
+    assert r[2] == (1, 0)
+    assert r[3] == (0, 0)
+
+
+def test_followup_stats_ties_excluded(spark):
+    """Equal-timestamp rows are not each other's follow-ups under
+    lo_s=0 (strict rus > lus), in either direction."""
+    ev = _typed_events(
+        spark, [(1, _ts(0), 1, "a"), (1, _ts(0), 2, "a"), (1, _ts(1), 3, "a")]
+    )
+    r = {
+        row["event_id"]: row["fu_count"]
+        for row in joins.followup_stats(
+            ev, on="user_id", lo_s=0.0, hi_s=300.0, same_col="event_type"
+        ).collect()
+    }
+    assert r == {1: 1, 2: 1, 3: 0}
+
+
 # ------------------------------------------------------- range lookup
 def _tier_dim(spark):
     return spark.createDataFrame(

@@ -493,8 +493,8 @@ def test_q03_payload_dedup_is_single_exchange_no_join(spark):
     """r16 optimization pin: exact dedup of the (doc_id, lang, source)
     projection is ONE min(struct) aggregate over the content hash —
     one scan, one Exchange, no semi-join back to documents.  The old
-    full-row form planned 2 scans + hash-agg + left-semi join (4
-    Exchanges incl. broadcasts)."""
+    full-row form planned 2 scans + hash-agg + a left-semi join fed
+    by a second (broadcast) exchange."""
     df = entry_mod.queries()["q03_exact_dedup"](spark, SF_DIR)
     plan = _final_plan(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
@@ -541,6 +541,26 @@ def test_q29_fused_asof_is_single_scan(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_q37_followups_no_join_no_pair_rows(spark):
+    """r16 optimization pin: the follow-up aggregates come from
+    joins.followup_stats — one shuffle of events on user_id feeding
+    incremental prefix-RANGE window frames — NOT from materializing
+    the interval self-join's pairs.  The old binned_interval_join form
+    planned 2 scans of events, an explode, and a (user, bin) equi-join
+    whose output was immediately aggregated away.  Also pins the
+    frames as unbounded-preceding (the incremental WindowExec path;
+    a both-ends-moving sliding frame re-aggregates per row)."""
+    df = entry_mod.queries()["q37_event_followups"](spark, SF_DIR)
+    plan = _final_plan(df)
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Window" in plan, plan
+    assert "unboundedpreceding" in plan.lower(), plan
+    # one events shuffle (user_id) + one final-aggregate shuffle
+    assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
 def test_q15_rebalances_kernels_at_scale(spark):

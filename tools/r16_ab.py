@@ -86,8 +86,10 @@ def q19_new(spark, sf_dir):
     )
 
 
-def q37_new(spark, sf_dir):
-    """Rebalance the probe side of the binned interval join."""
+def q37_pairform(spark, sf_dir, rebalance=False):
+    """Pre-r16 registered form: binned_interval_join pair
+    materialization + groupBy (optionally with the rejected
+    probe-side rebalance)."""
     import __spark_entry__ as em
     from cloud_native_medical_data_etl_pipeline_spark.operators import (
         dedup as D,
@@ -97,7 +99,7 @@ def q37_new(spark, sf_dir):
     )
 
     ev = em._t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    left = D.rebalance_for_cpu(ev, persist=False)
+    left = D.rebalance_for_cpu(ev, persist=False) if rebalance else ev
     pairs = binned_interval_join(
         left,
         ev.select("user_id", "ts", F.col("event_type").alias("next_type")),
@@ -113,6 +115,12 @@ def q37_new(spark, sf_dir):
             F.when(F.col("r_next_type") == F.col("event_type"), 1).otherwise(0)
         ).cast("long").alias("n_same_type"),
     )
+
+
+def q37_rebalance(spark, sf_dir):
+    """The round's FIRST q37 candidate (rejected): rebalance the probe
+    side of the binned interval join."""
+    return q37_pairform(spark, sf_dir, rebalance=True)
 
 
 def q06_old(spark, sf_dir):
@@ -258,8 +266,10 @@ PAIRS = {
     "q10": (q10_old, _new("q10_ship_delay")),
     # old = current registered implementation for these two
     "q19": (_new("q19_cosine_topk"), q19_new),
-    "q37": (_new("q37_event_followups"), q37_new),
     # landed in-round: old = preserved pre-r16 form, new = registered impl
+    "q37": (q37_pairform, _new("q37_event_followups")),
+    # the round's FIRST (rejected) q37 candidate, kept for the record
+    "q37_rebal": (q37_pairform, q37_rebalance),
     "q06": (q06_old, _new("q06_latest_event_per_user")),
     "q03": (q03_old, _new("q03_exact_dedup")),
     "q29": (q29_old, _new("q29_asof_attribution")),
