@@ -154,7 +154,9 @@ def followup_stats(
     dec_us = F.col("__us").cast("decimal(20,0)")
 
     def frames(*partition_cols):
-        base = Window.partitionBy(*partition_cols).orderBy("__us")
+        base = Window.partitionBy(
+            *[col_ref(c) for c in partition_cols]
+        ).orderBy("__us")
         return (
             base.rangeBetween(Window.unboundedPreceding, hi_us),
             base.rangeBetween(Window.unboundedPreceding, lo_us),
