@@ -103,6 +103,36 @@ def rebalance_for_cpu(df: DataFrame, persist: bool = True) -> DataFrame:
     return df
 
 
+def repartition_key_for_cpu(df: DataFrame, cols: list[Column]) -> DataFrame:
+    """Hash-repartition on ``cols`` pinned to the slot count — the
+    keyed sibling of :func:`rebalance_for_cpu`, for key-partitioned
+    stages (windows, sessionization) rather than keyless kernels.
+
+    Why pinning matters: a window's own ENSURE_REQUIREMENTS exchange
+    is AQE-coalescible — at small shuffle volumes adaptive execution
+    merges the post-shuffle partitions down to ~bytes/minPartitionSize
+    (a handful of tasks), serializing the sort+window stage on a
+    machine with far more slots.  An explicit ``repartition(n, key)``
+    is exempt from coalescing, and because it hashes on the window's
+    own partition key it satisfies the window's clustering
+    requirement — the plan gets ONE pinned exchange, not two (r17
+    measured on q37: 0.672 -> 0.555 s interleaved min at sf0.1).
+
+    Same gates as rebalance_for_cpu, same scale story: inputs already
+    at/above the slot count (any real-scale scan) return unchanged, so
+    AQE keeps managing the exchange (including skew handling) where
+    the shuffle is big enough for that to be the right call; inputs
+    below the 128 KiB stats floor (unit tests) stay put so tiny plans
+    don't pay a 32-task exchange.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if _plan_size_bytes(df) > _REBALANCE_MIN_STATS_BYTES:
+        return df.repartition(target, *cols)
+    return df
+
+
 def _with_cached_deps(result: DataFrame, *frames: DataFrame) -> DataFrame:
     """Record on ``result`` every intermediate frame the operator
     persisted (directly, or transitively via rebalance_for_cpu) so the

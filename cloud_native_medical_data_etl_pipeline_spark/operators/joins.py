@@ -147,10 +147,30 @@ def followup_stats(
     hi_us = int(round(hi_s * 1_000_000))
     if hi_us <= lo_us:
         raise ValueError("hi_s must exceed lo_s")
+    # the outputs and the internal temporaries are written with
+    # withColumn/select: a caller column with one of these names would
+    # be silently overwritten (r16 ADVICE) — refuse loudly instead
+    reserved = {"__us", "__ts_sum", "fu_count", "fu_gap_sum_us"} | (
+        {"fu_same_count"} if same_col is not None else set()
+    )
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"followup_stats reserves column names {clash}; rename them "
+            "on the input frame first"
+        )
     key = col_ref(on)
     pre = df.where(key.isNotNull() & col_ref(ts).isNotNull()).withColumn(
         "__us", F.unix_micros(col_ref(ts))
     )
+    # under-parallel inputs (a single-file scan at bench scale) would
+    # otherwise run the whole window chain on the few AQE-coalesced
+    # post-shuffle tasks; the pinned keyed exchange satisfies both
+    # window specs (hash(on) clusters (on) and (on, same_col)) and is
+    # a no-op at real scale — see repartition_key_for_cpu
+    from .dedup import repartition_key_for_cpu
+
+    pre = repartition_key_for_cpu(pre, [key])
     dec_us = F.col("__us").cast("decimal(20,0)")
 
     def frames(*partition_cols):
@@ -181,8 +201,12 @@ def followup_stats(
     return (
         pre.select("*", *cols)
         .withColumn(
+            # decimal(18,0) for the count: 12 digits capped in-window
+            # follower counts at 10^12 for no reason (r16 ADVICE) —
+            # decimal(18)*decimal(20) -> decimal(38,0) still fits, and
+            # the values are exact integers either way
             "fu_gap_sum_us",
-            F.col("__ts_sum") - F.col("fu_count").cast("decimal(12,0)") * dec_us,
+            F.col("__ts_sum") - F.col("fu_count").cast("decimal(18,0)") * dec_us,
         )
         .drop("__us", "__ts_sum")
     )

@@ -330,6 +330,20 @@ def test_followup_stats_ties_excluded(spark):
     assert r == {1: 1, 2: 1, 3: 0}
 
 
+def test_followup_stats_rejects_reserved_columns(spark):
+    """A caller column named like an output/internal temp would be
+    silently overwritten (r16 ADVICE) — the operator must refuse."""
+    import pytest
+
+    ev = _typed_events(spark, [(1, _ts(0), 1, "a")]).withColumn(
+        "fu_count", F.lit(7)
+    )
+    with pytest.raises(ValueError, match="fu_count"):
+        joins.followup_stats(
+            ev, on="user_id", lo_s=0.0, hi_s=300.0, same_col="event_type"
+        )
+
+
 # ------------------------------------------------------- range lookup
 def _tier_dim(spark):
     return spark.createDataFrame(

@@ -563,6 +563,25 @@ def test_q37_followups_no_join_no_pair_rows(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
+def test_q37_followups_pins_window_parallelism_at_scale(spark):
+    """r17 optimization pin: at bench scale (sf0.1, a single-file
+    scan) the follow-up windows ride an EXPLICIT repartition(slots,
+    user_id) instead of the window's own ENSURE_REQUIREMENTS exchange
+    — AQE coalesces the latter to a handful of tasks at this shuffle
+    volume, serializing the sort+window chain (r17: 0.672 -> 0.555 s).
+    The pinned exchange hashes on the window partition key, so it
+    satisfies BOTH window specs and the exchange count stays 2 (events
+    + final aggregate); below the stats floor (sf0.001) the gate
+    no-ops and the plan keeps the plain exchange
+    (test_q37_followups_no_join_no_pair_rows covers that shape).
+    Plan-only: nothing is executed."""
+    df = entry_mod.queries()["q37_event_followups"](spark, "/root/testdata/sf0.1")
+    plan = _final_plan(df)
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan and "Generate" not in plan, plan
+
+
 def test_q15_rebalances_kernels_at_scale(spark):
     """r16 optimization pin: at bench scale (sf0.1, a single-file /
     single-row-group scan) q15 spreads the text across all slots
