@@ -7649,85 +7649,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # below is verified mechanically by tools/rotation_check.py
     # (pytest: tests/test_rotation.py) against every CORRECTNESS file.
     #
-    # Round 16 window — the r15 ledger's pre-commitment
-    # (tools/next_window.json, committed r15, verified by
+    # Round 17 window — the r16 ledger's pre-commitment
+    # (tools/next_window.json, committed r16, verified by
     # rotation_check --simulate-next), executed verbatim:
-    #   * slots 1-47: the 47 r13 greens at the staleness ceiling
+    #   * slots 1-48: the 48 r14 greens at the staleness ceiling
     #     (rotation_check --due reproduces this list from the
     #     CORRECTNESS files alone);
-    #   * slot 48: q143_bpe_merges — the ONE planned r16
-    #     registration (distributed BPE merge training; staged +
-    #     value-exact at 3 SFs since r14; first driver evidence for
-    #     the tokenizer family);
-    #   * slots 49-50: q10/q11, the 2 oldest r14 greens, smoothing
-    #     r17 to 48 due / 50 slots.
-    # Tail (51+) is ordered so r17 inherits a solved schedule: the 48
-    # r14 greens due r17 lead, then q95 (the planned r17 fill), then
-    # the remaining 49 r15 greens (due r18).  The r17 window is
-    # PRE-COMMITTED in tools/next_window.json (48 due +
-    # q144_bpe_encode as the ONE planned r17 registration + q95) and
-    # verified by rotation_check --simulate-next.
+    #   * slot 49: q144_bpe_encode — the ONE planned r17
+    #     registration (BPE ENCODE, the apply side of the tokenizer
+    #     family; staged + value-exact at 3 SFs since r15; first
+    #     driver evidence for the merge-count-independent arrow
+    #     kernel end-to-end);
+    #   * slot 50: q95_weighted_sample, the oldest r15 green,
+    #     smoothing r18 to 49 due / 50 slots.
+    # Tail (51+) is ordered so r18 inherits a solved schedule: the 49
+    # remaining r15 greens due r18 lead, then the 50 spent-r16-window
+    # queries (due r19).  The r18 window is PRE-COMMITTED in
+    # tools/next_window.json (49 due + q110, the first r16 green, as
+    # the fill) and verified by rotation_check --simulate-next.
     # Ledger: SURVEY.md §8.3.
     return {
-        # --- r16 window slots 1-47: the 47 r13 greens at the
+        # --- r17 window slots 1-48: the 48 r14 greens at the
         # staleness ceiling (rotation_check --due, verbatim) ---
-        "q110_temperature_mixture": q110_temperature_mixture,
-        "q111_cluster_representatives": q111_cluster_representatives,
-        "q112_char_entropy": q112_char_entropy,
-        "q113_gopher_flags": q113_gopher_flags,
-        "q114_stream_zscore": q114_stream_zscore,
-        "q116_session_incident_overlap": q116_session_incident_overlap,
-        "q117_duplication_report": q117_duplication_report,
-        "q118_vocab_coverage": q118_vocab_coverage,
-        "q119_mix_plan": q119_mix_plan,
-        "q120_ngram_novelty": q120_ngram_novelty,
-        "q121_execute_mix_plan": q121_execute_mix_plan,
-        "q122_group_split": q122_group_split,
-        "q123_fda_datasource_agg": q123_fda_datasource_agg,
-        "q77_centroid_outliers": q77_centroid_outliers,
-        "q72_semantic_dedup": q72_semantic_dedup,
-        "q125_bloom_contamination": q125_bloom_contamination,
-        "q127_budget_batches": q127_budget_batches,
-        "q128_pii_report": q128_pii_report,
-        "q129_count_min_topk": q129_count_min_topk,
-        "q130_split_leakage": q130_split_leakage,
-        "q131_hll_cardinality": q131_hll_cardinality,
-        "q132_value_trend": q132_value_trend,
-        "q133_embedding_covariance": q133_embedding_covariance,
-        "q134_token_pagerank": q134_token_pagerank,
-        "q135_quality_classifier": q135_quality_classifier,
-        "q57_dedup_clusters": q57_dedup_clusters,
-        "q59_redact_pii": q59_redact_pii,
-        "q63b_pack_invariants": q63b_pack_invariants,
-        "q64b_profile_exact": q64b_profile_exact,
-        "q70_winnow_overlap": q70_winnow_overlap,
-        "q71_bm25_topk": q71_bm25_topk,
-        "q73_span_dedup": q73_span_dedup,
-        "q74_tfidf_terms": q74_tfidf_terms,
-        "q75_funnel": q75_funnel,
-        "q76_cohort_retention": q76_cohort_retention,
-        "q78_stream_static_enrich": q78_stream_static_enrich,
-        "q79_batch_retrieval": q79_batch_retrieval,
-        "q80_stream_stream_join": q80_stream_stream_join,
-        "q123b_fda_retry_scan": q123b_fda_retry_scan,
-        "q25b_backfill_drain": q25b_backfill_drain,
-        "q139_stream_upsert": q139_stream_upsert,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q04_size_binning": q04_size_binning,
-        "q05_phase_ladder": q05_phase_ladder,
-        "q06_latest_event_per_user": q06_latest_event_per_user,
-        "q09_severity_weighted": q09_severity_weighted,
-        "q15_text_stats": q15_text_stats,
-        # --- slot 48: the ONE planned r16 registration ---
-        "q143_bpe_merges": q143_bpe_merges,
-        # --- slots 49-50: the 2 oldest r14 greens (pre-committed
-        # fills, smoothing r17 to 48 due / 50 slots) ---
-        "q10_ship_delay": q10_ship_delay,
-        "q11_normalize_project": q11_normalize_project,
-        # --- tail (51+): the 48 r14 greens that hit the ceiling at
-        # r17 — they lead the PRE-COMMITTED r17 window in
-        # tools/next_window.json (with q144_bpe_encode seated as the
-        # ONE planned r17 registration) ---
         "q13_event_counts": q13_event_counts,
         "q14_hourly_windows": q14_hourly_windows,
         "q16_fingerprint": q16_fingerprint,
@@ -7776,10 +7719,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_transitions": q94_transitions,
         "q63_pack_sequences": q63_pack_sequences,
         "q64_profile": q64_profile,
-        # --- the planned r17 fill (oldest r15 green; smooths r18
-        # to 49 due / 50 slots) ---
+        # --- slot 49: the ONE planned r17 registration ---
+        "q144_bpe_encode": q144_bpe_encode,
+        # --- slot 50: the pre-committed fill (oldest r15 green;
+        # smooths r18 to 49 due / 50 slots) ---
         "q95_weighted_sample": q95_weighted_sample,
-        # --- then the remaining 49 r15 greens (due r18) ---
+        # --- tail (51+): the remaining 49 r15 greens — they hit the
+        # ceiling at r18 and lead the PRE-COMMITTED r18 window in
+        # tools/next_window.json ---
         "q96_hard_negatives": q96_hard_negatives,
         "q97_cdc_apply": q97_cdc_apply,
         "q98_source_similarity": q98_source_similarity,
@@ -7829,6 +7776,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_bigram_surprisal": q107_bigram_surprisal,
         "q108_lexical_diversity": q108_lexical_diversity,
         "q109_quantize_embeddings": q109_quantize_embeddings,
+        # --- then the spent r16 window (due r19; q110 leads — it is
+        # the pre-committed r18 fill) ---
+        "q110_temperature_mixture": q110_temperature_mixture,
+        "q111_cluster_representatives": q111_cluster_representatives,
+        "q112_char_entropy": q112_char_entropy,
+        "q113_gopher_flags": q113_gopher_flags,
+        "q114_stream_zscore": q114_stream_zscore,
+        "q116_session_incident_overlap": q116_session_incident_overlap,
+        "q117_duplication_report": q117_duplication_report,
+        "q118_vocab_coverage": q118_vocab_coverage,
+        "q119_mix_plan": q119_mix_plan,
+        "q120_ngram_novelty": q120_ngram_novelty,
+        "q121_execute_mix_plan": q121_execute_mix_plan,
+        "q122_group_split": q122_group_split,
+        "q123_fda_datasource_agg": q123_fda_datasource_agg,
+        "q77_centroid_outliers": q77_centroid_outliers,
+        "q72_semantic_dedup": q72_semantic_dedup,
+        "q125_bloom_contamination": q125_bloom_contamination,
+        "q127_budget_batches": q127_budget_batches,
+        "q128_pii_report": q128_pii_report,
+        "q129_count_min_topk": q129_count_min_topk,
+        "q130_split_leakage": q130_split_leakage,
+        "q131_hll_cardinality": q131_hll_cardinality,
+        "q132_value_trend": q132_value_trend,
+        "q133_embedding_covariance": q133_embedding_covariance,
+        "q134_token_pagerank": q134_token_pagerank,
+        "q135_quality_classifier": q135_quality_classifier,
+        "q57_dedup_clusters": q57_dedup_clusters,
+        "q59_redact_pii": q59_redact_pii,
+        "q63b_pack_invariants": q63b_pack_invariants,
+        "q64b_profile_exact": q64b_profile_exact,
+        "q70_winnow_overlap": q70_winnow_overlap,
+        "q71_bm25_topk": q71_bm25_topk,
+        "q73_span_dedup": q73_span_dedup,
+        "q74_tfidf_terms": q74_tfidf_terms,
+        "q75_funnel": q75_funnel,
+        "q76_cohort_retention": q76_cohort_retention,
+        "q78_stream_static_enrich": q78_stream_static_enrich,
+        "q79_batch_retrieval": q79_batch_retrieval,
+        "q80_stream_stream_join": q80_stream_stream_join,
+        "q123b_fda_retry_scan": q123b_fda_retry_scan,
+        "q25b_backfill_drain": q25b_backfill_drain,
+        "q139_stream_upsert": q139_stream_upsert,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q04_size_binning": q04_size_binning,
+        "q05_phase_ladder": q05_phase_ladder,
+        "q06_latest_event_per_user": q06_latest_event_per_user,
+        "q09_severity_weighted": q09_severity_weighted,
+        "q15_text_stats": q15_text_stats,
+        "q143_bpe_merges": q143_bpe_merges,
+        "q10_ship_delay": q10_ship_delay,
+        "q11_normalize_project": q11_normalize_project,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -7992,4 +7991,5 @@ def oracle_sql() -> dict[str, str]:
         # per-round pair-count + deterministic argmax + list_reduce
         # fold — so the hash proves the full merge SEQUENCE.
         "q143_bpe_merges": _q143_sql(),
+        "q144_bpe_encode": _q144_sql(),
     }
