@@ -95,6 +95,9 @@ def main() -> int:
         env = dict(os.environ)
         # each worker gets a modest core slice; the host has 32
         env.setdefault("TEST_SPARK_MASTER", "local[4]")
+        # the sharded battery is the FULL suite: run the slow-marked
+        # tests the default `pytest tests/` run skips (tests/conftest)
+        env.setdefault("SPARK_GRAFT_RUN_SLOW", "1")
         env["SPARK_WAREHOUSE_DIR"] = f"/tmp/spark-warehouse-shard{i}"
         p = subprocess.Popen(
             [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider"]
