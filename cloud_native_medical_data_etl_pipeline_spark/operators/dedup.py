@@ -521,11 +521,23 @@ def _minhash_verify_pairs(
     sh = base.select("k", "sh")
     band_cols = _minhash_band_cols(num_hashes, bands)
     banded = base.select("k", F.explode(F.array(*band_cols)).alias("bucket"))
+    # r17: hash the candidates on key_a ONCE — hash(key_a) clusters the
+    # (key_a, key_b) pair-dedup aggregate (subset of its grouping keys)
+    # AND satisfies the key_a verification join's requirement, so both
+    # ride a single exchange; without it the dedup shuffles on
+    # (key_a, key_b) and the join re-shuffles the candidates on key_a
+    # (invisible at sf0.1 where AQE broadcasts the verify joins, a full
+    # extra candidate shuffle at SMJ scale). Trade, measured: a
+    # near-dup hub's pairs concentrate on its low key_a (bounded by
+    # cluster size per key; AQE cannot split an aggregate partition) —
+    # on a synthetic 1000-copy hub corpus (457k verified pairs) the
+    # shared-exchange form still won, 9.62 -> 7.71 s interleaved min.
     candidates = (
         banded.select(F.col("k").alias("key_a"), "bucket")
         .join(banded.select(F.col("k").alias("key_b"), "bucket"), "bucket")
         .where(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b")
+        .repartition(F.col("key_a"))
         .dropDuplicates(["key_a", "key_b"])
     )
     return (
@@ -853,11 +865,23 @@ def _banded_embedding_near_dups(
             f"verify must be 'group' or 'pairs', got {verify!r}"
         )
 
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # verify="group" ships the STORED vector type (float32 for the
+    # embeddings corpus): every consumer of `v` on that path is a
+    # NumPy kernel that widens to float64 itself (np.float64(float32)
+    # is exact, the same doubles the JVM cast produced), so the
+    # interpreted per-element cast bought nothing and doubled the
+    # bytes of the banded explode's shuffle — the operator's dominant
+    # byte mover (r17, guide §2.3 "narrower types"). verify="pairs"
+    # keeps the JVM-side double cast: its zip_with dot runs in the
+    # JVM, where float accumulation would diverge from the oracle.
+    if verify == "pairs":
+        vec_in = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    else:
+        vec_in = F.col(vec_col)
     # rebalance: a single parquet file plans as one partition, which
     # would serialize the bucket/verify kernels onto one core
     base = rebalance_for_cpu(
-        df.select(F.col(key_col).alias("k"), vd.alias("v")), persist=False
+        df.select(F.col(key_col).alias("k"), vec_in.alias("v")), persist=False
     )
 
     # Bucket computation is one (batch x dim) @ (dim x B*r) GEMM per
@@ -895,11 +919,14 @@ def _banded_embedding_near_dups(
         # verification joins — persist so the scan+cast runs once
         base = base.persist()
         narrow = base.select("k", F.explode(_buckets("v")).alias("bucket"))
+        # same shared key_a exchange as _minhash_verify_pairs (r17):
+        # the pair dedup and the key_a vector join ride one shuffle
         cand = (
             narrow.select(F.col("k").alias("key_a"), "bucket")
             .join(narrow.select(F.col("k").alias("key_b"), "bucket"), "bucket")
             .where(F.col("key_a") < F.col("key_b"))
             .select("key_a", "key_b")
+            .repartition(F.col("key_a"))
             .dropDuplicates(["key_a", "key_b"])
         )
         vecs = base.select("k", "v", V.norm(F.col("v")).alias("nrm"))

@@ -531,6 +531,41 @@ def test_q20_bucket_codes_evaluated_once(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_q17_candidate_dedup_shares_key_a_exchange(spark):
+    """r17 optimization pin: the minhash candidate pairs are hashed on
+    key_a ONCE (REPARTITION_BY_COL) so the (key_a, key_b) pair-dedup
+    aggregate AND the key_a verification join ride a single exchange —
+    at SMJ scale the old shape paid a (key_a, key_b) dedup shuffle
+    PLUS a key_a re-shuffle of the candidates (6 exchanges -> 5 with
+    auto-broadcast off; committed diff: plans/r17/q17_smj_*.txt).
+    There must be no ENSURE_REQUIREMENTS exchange keyed on
+    (key_a, key_b): that would mean the dedup stopped riding the
+    pinned key_a partitioning."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.dedup import (
+        release,
+    )
+
+    df = entry_mod.queries()["q17_minhash_near_dups"](spark, SF_DIR)
+    plan = _final_plan(df)
+    assert "REPARTITION_BY_COL" in plan, plan
+    import re
+
+    assert not re.search(r"hashpartitioning\(key_a#\d+L?, key_b", plan), plan
+    release(df)
+
+
+def test_q20_banded_group_path_ships_stored_vector_type(spark):
+    """r17 optimization pin (guide §2.3 narrower types): the banded
+    group-verify path must NOT cast vectors to array<double> JVM-side —
+    the NumPy kernels widen to float64 exactly themselves, so the cast
+    only doubled the banded explode's shuffle bytes. A transform(...
+    cast) reappearing below the rebalance exchange fails this."""
+    df = entry_mod.queries()["q20_embedding_near_dups"](spark, SF_DIR)
+    plan = _final_plan(df)
+    assert "cast(lambdavariable" not in plan.lower(), plan
+    assert "as double" not in plan.split("ArrowEvalPython")[0].lower(), plan
+
+
 def test_q29_fused_asof_is_single_scan(spark):
     """r16 optimization pin: the attribution asof reads events ONCE
     (asof_join_same_source's single conditional projection) — the old

@@ -122,6 +122,150 @@ def q37_repart(spark, sf_dir):
     return _q37_tail(per)
 
 
+def _q17_verify_old(base, num_hashes, bands, jaccard_threshold):
+    """Pre-r17 dedup._minhash_verify_pairs, preserved verbatim: the
+    pair dedup shuffles on (key_a, key_b) and the key_a verification
+    join re-shuffles the candidates (LANDED r17 replacement hashes on
+    key_a once so both ride one exchange)."""
+    from cloud_native_medical_data_etl_pipeline_spark.operators.dedup import (
+        _minhash_band_cols,
+    )
+
+    sh = base.select("k", "sh")
+    band_cols = _minhash_band_cols(num_hashes, bands)
+    banded = base.select("k", F.explode(F.array(*band_cols)).alias("bucket"))
+    candidates = (
+        banded.select(F.col("k").alias("key_a"), "bucket")
+        .join(banded.select(F.col("k").alias("key_b"), "bucket"), "bucket")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    return (
+        candidates.join(
+            sh.select(F.col("k").alias("key_a"), F.col("sh").alias("sh_a")),
+            "key_a",
+        )
+        .join(
+            sh.select(F.col("k").alias("key_b"), F.col("sh").alias("sh_b")),
+            "key_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("key_a", "key_b", "jaccard")
+    )
+
+
+def q17_old(spark, sf_dir):
+    import __spark_entry__ as em
+    from cloud_native_medical_data_etl_pipeline_spark.operators.dedup import (
+        _minhash_base_arrow,
+        _with_cached_deps,
+        rebalance_for_cpu,
+    )
+
+    docs = em._t(spark, sf_dir, "documents")
+    pre = rebalance_for_cpu(
+        docs.select(F.col("doc_id").alias("k"), F.col("text").alias("txt")),
+        persist=False,
+    )
+    base = _minhash_base_arrow(pre, em._MH_N, em._MH_H).persist()
+    out = _q17_verify_old(base, em._MH_H, em._MH_BANDS, em._MH_THRESH)
+    return _with_cached_deps(out, base)
+
+
+_HOT_WORDS = (
+    "patient dose trial cohort outcome adverse reaction placebo arm "
+    "baseline endpoint follow up screening visit protocol deviation "
+    "serious event hospital discharge recovery relapse remission"
+).split()
+
+
+def _hot_corpus(spark):
+    """Synthetic near-dup HUB corpus: 1000 low-id docs are small
+    mutations of ONE base text (so every candidate pair inside the
+    cluster lands on a LOW key_a — the concentration the key_a
+    repartition is accused of), plus 4000 unique-ish docs."""
+    import random
+
+    rnd = random.Random(17)
+    base = " ".join(rnd.choice(_HOT_WORDS) for _ in range(120))
+    rows = []
+    for i in range(1000):
+        toks = base.split()
+        # mutate 3 deterministic positions so jaccard stays high
+        for j in range(3):
+            toks[(i * 7 + j * 13) % len(toks)] = f"tok{i % 25}_{j}"
+        rows.append((i, " ".join(toks)))
+    for i in range(1000, 5000):
+        rows.append(
+            (i, " ".join(rnd.choice(_HOT_WORDS) + str(rnd.randrange(500))
+                         for _ in range(120)))
+        )
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _q17_on_corpus(spark, shared):
+    import __spark_entry__ as em
+    from cloud_native_medical_data_etl_pipeline_spark.operators import (
+        dedup as D,
+    )
+    from cloud_native_medical_data_etl_pipeline_spark.operators.dedup import (
+        _minhash_base_arrow,
+        _minhash_verify_pairs,
+        _with_cached_deps,
+        rebalance_for_cpu,
+    )
+
+    docs = _hot_corpus(spark)
+    pre = rebalance_for_cpu(
+        docs.select(F.col("doc_id").alias("k"), F.col("text").alias("txt")),
+        persist=False,
+    )
+    base = _minhash_base_arrow(pre, em._MH_N, em._MH_H).persist()
+    # shared=True -> the LANDED registered verify; False -> preserved old
+    fn = _minhash_verify_pairs if shared else _q17_verify_old
+    out = fn(base, em._MH_H, em._MH_BANDS, em._MH_THRESH)
+    return _with_cached_deps(out, base)
+
+
+def q17_hot_old(spark, sf_dir):
+    return _q17_on_corpus(spark, shared=False)
+
+
+def q17_hot_shared(spark, sf_dir):
+    return _q17_on_corpus(spark, shared=True)
+
+
+def q20_dcast(spark, sf_dir):
+    """Pre-r17 shape reproduced: the banded group path used to cast
+    every vector to array<double> JVM-side BELOW the rebalance
+    exchange (so the shuffle carried float64). Feeding a pre-cast
+    frame to the registered operator reproduces that byte/compute
+    shape within one projection."""
+    import __spark_entry__ as em
+    from cloud_native_medical_data_etl_pipeline_spark.operators import (
+        dedup as D,
+    )
+
+    emb = em._t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    return D.embedding_near_dups(
+        emb, threshold=em._COS_THRESH, plane_bands=em._HP_BANDS
+    )
+
+
 def _new(name):
     def fn(spark, sf_dir):
         import __spark_entry__ as em
@@ -139,6 +283,14 @@ PAIRS = {
     # head-to-head: does the single-window types form add anything on
     # top of the pinned repartition?
     "q37_repart_vs_types": (q37_repart, q37_types_repart),
+    # old = float64-shuffle shape (pre-r17), new = registered float32
+    "q20_f32": (q20_dcast, _new("q20_embedding_near_dups")),
+    # old = preserved pre-r17 verify; new = registered (shared key_a
+    # exchange, landed r17)
+    "q17_shared": (q17_old, _new("q17_minhash_near_dups")),
+    # same comparison on the synthetic near-dup-hub corpus (the key_a
+    # concentration worst case the r16 write-up flagged)
+    "q17_hot": (q17_hot_old, q17_hot_shared),
 }
 
 
