@@ -30,6 +30,17 @@ def sessionize(
     """Assign a per-user session ordinal: a new session starts when the
     gap since the previous event exceeds ``gap_minutes``. Returns the
     input columns plus ``session_id`` (1-based per user)."""
+    # under-parallel inputs (a single-file scan at bench scale) would
+    # otherwise run both window passes AND the downstream per-session
+    # aggregate on the few AQE-coalesced post-shuffle tasks; the
+    # pinned keyed exchange replaces the window's ENSURE_REQUIREMENTS
+    # exchange (hash(user) satisfies its clustering and the
+    # (user, session) aggregate's), is AQE-exempt, and no-ops at real
+    # scale / on unit-test frames — see repartition_key_for_cpu
+    # (r17 interleaved A/B at sf0.1: 0.62-0.73 -> 0.53-0.64 s)
+    from .dedup import repartition_key_for_cpu
+
+    df = repartition_key_for_cpu(df, [F.col(user_col)])
     order = [F.col(ts_col).asc(), F.col(order_tiebreak).asc()]
     w = Window.partitionBy(user_col).orderBy(*order)
     gap_us = F.lit(gap_minutes * 60 * 1_000_000).cast("long")

@@ -617,6 +617,20 @@ def test_q37_followups_pins_window_parallelism_at_scale(spark):
     assert "Join" not in plan and "Generate" not in plan, plan
 
 
+def test_q30_sessionize_pins_window_parallelism_at_scale(spark):
+    """r17 optimization pin (same lever as q37's): at bench scale the
+    sessionization windows + per-session aggregate ride an EXPLICIT
+    repartition(slots, user_id) instead of the AQE-coalescible
+    ENSURE_REQUIREMENTS exchange (interleaved A/B 0.62-0.73 ->
+    0.53-0.64 s). hash(user_id) satisfies both window specs and the
+    (user_id, session_id) aggregate, so the exchange count stays 1 on
+    the session path. Plan-only: nothing is executed."""
+    df = entry_mod.queries()["q30_session_stats"](spark, "/root/testdata/sf0.1")
+    plan = _final_plan(df)
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_q15_rebalances_kernels_at_scale(spark):
     """r16 optimization pin: at bench scale (sf0.1, a single-file /
     single-row-group scan) q15 spreads the text across all slots

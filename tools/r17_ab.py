@@ -122,6 +122,79 @@ def q37_repart(spark, sf_dir):
     return _q37_tail(per)
 
 
+def q30_repart(spark, sf_dir):
+    """q30 with the events frame hash-pinned on user_id ahead of the
+    sessionization windows (the q37 treatment: defeat AQE coalescing
+    of the window's own exchange at small shuffle volumes)."""
+    import __spark_entry__ as em
+    from cloud_native_medical_data_etl_pipeline_spark.operators import (
+        sessions as SS,
+    )
+
+    slots = spark.sparkContext.defaultParallelism
+    ev = em._t(spark, sf_dir, "events").repartition(slots, "user_id")
+    return SS.session_stats(ev, gap_minutes=30).select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        F.round("duration_s", 6).alias("duration_s"),
+    )
+
+
+def q29_repart(spark, sf_dir):
+    """q29 with the single-scan conditional projection hash-pinned on
+    user_id ahead of the asof window."""
+    import __spark_entry__ as em
+    from cloud_native_medical_data_etl_pipeline_spark.operators import joins as J
+
+    slots = spark.sparkContext.defaultParallelism
+    ev = (
+        em._t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type", "event_id", "value")
+        .repartition(slots, "user_id")
+    )
+    out = J.asof_join_same_source(
+        ev,
+        on="user_id",
+        ts_col="ts",
+        left_pred=F.col("event_type") == "click",
+        right_pred=F.col("event_type") == "purchase",
+        left_keep=["event_id"],
+        right_payload=["event_id", "value"],
+        prefix="last_",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_us"),
+        F.col("last_event_id").alias("purchase_id"),
+        F.unix_micros("last_ts").alias("purchase_us"),
+        F.col("last_value").alias("purchase_value"),
+    )
+
+
+def q06_repart(spark, sf_dir):
+    """q06 with events hash-pinned on user_id BEFORE the argmax
+    aggregate: the registered plan pays a partial SortAggregate over
+    the whole single-file scan on ONE task (struct buffers don't
+    hash-aggregate); pre-hashing turns it into a parallel post-shuffle
+    aggregate at the cost of shuffling event rows instead of 1 partial
+    row per user."""
+    import __spark_entry__ as em
+
+    slots = spark.sparkContext.defaultParallelism
+    ev = em._t(spark, sf_dir, "events").repartition(slots, "user_id")
+    top = F.max(F.struct("ts", "event_id", "event_type")).alias("__top")
+    return ev.groupBy("user_id").agg(top).select(
+        "user_id",
+        F.col("__top.event_id").alias("event_id"),
+        F.col("__top.event_type").alias("event_type"),
+        F.col("__top.ts").alias("ts"),
+    )
+
+
 def _q17_verify_old(base, num_hashes, bands, jaccard_threshold):
     """Pre-r17 dedup._minhash_verify_pairs, preserved verbatim: the
     pair dedup shuffles on (key_a, key_b) and the key_a verification
@@ -291,6 +364,11 @@ PAIRS = {
     # same comparison on the synthetic near-dup-hub corpus (the key_a
     # concentration worst case the r16 write-up flagged)
     "q17_hot": (q17_hot_old, q17_hot_shared),
+    # the q37 keyed-repartition treatment tried on the other
+    # key-partitioned headline stages (old = registered form)
+    "q30_repart": (_new("q30_session_stats"), q30_repart),
+    "q29_repart": (_new("q29_asof_attribution"), q29_repart),
+    "q06_repart": (_new("q06_latest_event_per_user"), q06_repart),
 }
 
 
