@@ -97,6 +97,64 @@ _SLOW_TESTS = {
     ("test_streaming.py", "test_stream_to_lake_upsert_oracle_roundtrip"),
     ("test_streaming.py", "test_streaming_dedup_collapses_injected_duplicates"),
     ("test_streaming.py", "test_streaming_sessionize_emits_closed_sessions"),
+    # r17 second cut: the 4-8 s band (same exclusions, plus
+    # test_joins_sessions.py kept default - it pins this round's
+    # changed q37/followup_stats surface)
+    ("test_bpe.py", "test_apply_bpe_arrow_fuzz_vs_fold"),
+    ("test_bpe.py", "test_apply_bpe_arrow_matches_fold_on_learned_merges"),
+    ("test_bpe.py", "test_bpe_matches_sequential_reference"),
+    ("test_bpe.py", "test_bpe_real_corpus_prefix_consistency"),
+    ("test_bpe.py", "test_q143_bpe_oracle_shape"),
+    ("test_bpe.py", "test_q144_bpe_encode_oracle_shape"),
+    ("test_classifier.py", "test_end_to_end_beats_majority_class"),
+    ("test_classifier.py", "test_kcenter_all_nan_candidates_no_duplicate_picks"),
+    ("test_classifier.py", "test_kcenter_nan_lanes_lose_to_real_distances"),
+    ("test_classifier.py", "test_sampled_training_scores_everyone"),
+    ("test_classifier.py", "test_train_logreg_numpy_engine_matches_sql"),
+    ("test_components.py", "test_pagerank_zero_outweight_node_is_dangling"),
+    ("test_dedup_similarity.py", "test_gemm_lever_plan_shapes"),
+    ("test_dedup_similarity.py", "test_ivf_append_lands_in_trained_cells"),
+    ("test_dedup_similarity.py", "test_ivf_index_scan_prunes_partitions"),
+    ("test_dedup_similarity.py", "test_ivf_topk_overlaps_exact"),
+    ("test_dedup_similarity.py", "test_minhash_arrow_equals_sql_engine"),
+    ("test_dedup_similarity.py", "test_mutual_nn_and_hard_negatives_gemm_match_expr"),
+    ("test_dedup_similarity.py", "test_train_ivf_centroids_engines_agree"),
+    ("test_dedup_similarity.py", "test_trained_ivf_recall_on_planted_clusters"),
+    ("test_index_schemas.py", "test_persisted_index_reads_back_with_declared_dtypes"),
+    ("test_ivfpq.py", "test_build_tolerates_null_embeddings"),
+    ("test_ivfpq.py", "test_build_with_train_sample_mod_encodes_full_corpus"),
+    ("test_ivfpq.py", "test_corrupt_meta_sidecar_raises_not_silent_fallback"),
+    ("test_ivfpq.py", "test_l2_metric_consistency_with_varying_norms"),
+    ("test_ivfpq.py", "test_missing_meta_sidecar_falls_back_to_raw_codes"),
+    ("test_ivfpq.py", "test_q138_params_never_trigger_refill_on_residuals"),
+    ("test_ivfpq.py", "test_residual_encoding_near_exact_on_clustered_data"),
+    ("test_medical_functions.py", "test_age_bins_right_closed"),
+    ("test_pq.py", "test_pq_train_auto_caps_unbounded_collect"),
+    ("test_pq.py", "test_pq_train_null_keys_excluded_both_engines"),
+    ("test_pq.py", "test_pq_train_overcap_gate_boundary_and_exact_n_reuse"),
+    ("test_properties.py", "test_apply_cdc_matches_python_model"),
+    ("test_properties.py", "test_binned_interval_join_matches_bruteforce"),
+    ("test_properties.py", "test_blocked_fuzzy_join_matches_bruteforce_within_blocks"),
+    ("test_properties.py", "test_cooccurrence_matches_bruteforce"),
+    ("test_properties.py", "test_cosine_topk_arrow_bit_identical_property"),
+    ("test_properties.py", "test_funnel_matches_brute_force"),
+    ("test_properties.py", "test_lake_csv_head_roundtrip_lossless_random"),
+    ("test_properties.py", "test_pq_encode_arrow_bit_identical_property"),
+    ("test_properties.py", "test_rrf_fuse_matches_python_reference"),
+    ("test_properties.py", "test_snapshot_diff_matches_dict_reference"),
+    ("test_properties.py", "test_span_dedup_invariants"),
+    ("test_properties.py", "test_train_ivf_engines_agree_property"),
+    ("test_quality.py", "test_duplicate_detection_counts_all_rows"),
+    ("test_quality.py", "test_quality_cli_config_exit_code"),
+    ("test_ranking_semdedup.py", "test_bm25_scores_basic"),
+    ("test_scd.py", "test_apply_cdc_last_writer_wins"),
+    ("test_skew.py", "test_salted_inner_matches_plain"),
+    ("test_skew.py", "test_salted_left_keeps_unmatched"),
+    ("test_stats.py", "test_mad_outlier_summary_collision_and_exotic_names"),
+    ("test_stats.py", "test_mad_outlier_summary_flags_planted_outlier"),
+    ("test_streaming.py", "test_hourly_counts_available_now_matches_batch"),
+    ("test_streaming.py", "test_stream_static_enrich_matches_batch"),
+    ("test_streaming.py", "test_streaming_zscore_planted_spike"),
 }
 
 
