@@ -1087,6 +1087,23 @@ def _banded_embedding_near_dups(
             {"key_a": keys[ia], "key_b": keys[ib], "cosine": sims[ia, ib]}
         )
 
+    # The group-verify exchange is AQE-coalescible, and AQE's
+    # parallelism-first coalescing floors partitions at
+    # minPartitionSize (1 MB): a banded shuffle of a few MB gets
+    # bytes/1MB tasks — fewer than the machine has slots — for a
+    # GEMM-bound stage (r17: shipping float32 instead of float64
+    # halved the shuffle and thereby halved the stage's tasks).  Pin
+    # the exchange to the slot count exactly in that regime: above
+    # slots x 1 MB the condition is false and AQE keeps managing the
+    # exchange (at real volumes it provisions >= slots tasks itself);
+    # below the unit-test stats floor tiny plans stay untouched.
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if (
+        _REBALANCE_MIN_STATS_BYTES
+        < _plan_size_bytes(grouped)
+        < slots * (1 << 20)
+    ):
+        grouped = grouped.repartition(slots, "bucket", "__gi", "__gj")
     pairs = grouped.groupBy("bucket", "__gi", "__gj").applyInPandas(
         _bucket_pairs, f"key_a {key_sql}, key_b {key_sql}, cosine double"
     )
